@@ -1,0 +1,80 @@
+"""Benchmark runner — the driver's per-round feedback loop.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count() to force full evaluation
+without driver-side collection of the result set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bio_lakehouse_spark.session import get_spark
+from bio_lakehouse_spark.suite import REGISTRY
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join/window-heavy queries that dominate at scale.
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "region_nation_rollup",
+    "events_daily_rollup",
+    "full_outer_coalesce_chain",
+    "rolling_avg_windows",
+    "lag_lead_deltas",
+    "forward_fill_gaps",
+    "sessionize_gap30",
+    "percentile_stats",
+    "pearson_ols_lagged",
+    "spearman_rho",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_token_counts",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bio-lakehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + reader warmup (excluded from timings).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Column expressions over the
+built-in string/array functions, so they run JVM-side inside codegen
+at 100 TB with zero Python in the hot path. These extend the
+reference's surface (it has no document processing) per the
+training-pipeline mandate in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language. Heuristic, not a
+# model: language with the highest stopword hit count wins, ties break
+# in STOPWORDS key order.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "y", "que", "los", "una"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo", "zai"),
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs —
+    the canonical form used by dedup and fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " "))
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalize_text(col), r" +")
+
+
+def word_ngrams(words_col: Column, n: int) -> Column:
+    """Word n-gram shingles as a distinct set (for Jaccard/MinHash).
+
+    Built with transform-over-sequence — stays in codegen; documents
+    shorter than ``n`` words yield their full text as one shingle.
+    """
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words_col) - n, F.lit(0))
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words_col, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def stopword_hits(words_col: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words_col, lambda w: w.isin(*sw)))
+
+
+def predicted_lang(words_col: Column) -> Column:
+    """Argmax-stopword-count language with deterministic tie-breaks
+    (first language in STOPWORDS order wins ties)."""
+    scores = {lang: stopword_hits(words_col, lang) for lang in STOPWORDS}
+    expr = None
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = scores[lang] >= F.greatest(*others)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("und")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer: letter
+    runs + digit runs + punctuation singles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def fingerprint_exact(col: Column | str) -> Column:
+    """md5 of normalized text — exact-dup fingerprint."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_bag(col: Column | str) -> Column:
+    """md5 of the sorted distinct word set — word-order-insensitive
+    fingerprint (catches shuffled near-dups)."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(words(col))), " ")
+    )
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Length/stopword/digit-ratio quality signals + composite score
+    (the heuristics production corpus filters use: too-short, low
+    stopword density, digit-heavy docs are low-quality)."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(col)
+    n_words = F.size(w)
+    n_chars = F.length(c)
+    sw_ratio = stopword_hits(w, "en") / F.greatest(n_words, F.lit(1))
+    digit_ratio = (
+        F.length(F.regexp_replace(c, r"[^0-9]", ""))
+        / F.greatest(n_chars, F.lit(1))
+    )
+    avg_word_len = (
+        F.length(F.array_join(w, "")) / F.greatest(n_words, F.lit(1))
+    )
+    score = (
+        F.when(n_words >= 20, 0.4).otherwise(0.0)
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.3).otherwise(0.0)
+        + F.when(sw_ratio >= 0.05, 0.2).otherwise(0.0)
+        + F.when(digit_ratio <= 0.2, 0.1).otherwise(0.0)
+    )
+    return {
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "stopword_ratio": sw_ratio,
+        "digit_ratio": digit_ratio,
+        "quality_score": score,
+    }

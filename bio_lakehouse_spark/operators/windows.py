@@ -1,0 +1,187 @@
+"""Window operators (SURVEY.md §2.5 W1-W12).
+
+The analytical heart of the reference: rolling averages/sums over
+``ROWS BETWEEN k PRECEDING AND CURRENT ROW`` frames, LAG deltas, LEAD
+targets, excluding-current-row baselines, forward-fill, ROW_NUMBER
+dedupe, and two EMA semantics (a flat rolling-AVG approximation used
+by its SQL layer, ref feature_readiness_daily.sql:70-78, and the true
+``ewm`` used by its Python layer, ref insights/training_load.py:21-23).
+
+All helpers accept ``partition_by`` so the identical code partitions
+by entity at scale instead of forcing a single-partition global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _window(
+    order_by: str | Column,
+    partition_by: Sequence[str | Column] = (),
+) -> WindowSpec:
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(order_by)
+
+
+def rolling_col(
+    agg: str,
+    col: str | Column,
+    order_by: str | Column,
+    preceding: int,
+    following: int = 0,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """``agg(col) OVER (... ROWS BETWEEN preceding PRECEDING AND
+    following FOLLOWING)`` — W2/W3/W6 in one helper.
+
+    ``preceding``/``following`` are row offsets (6 → "6 PRECEDING");
+    pass ``following=-1`` for excluding-current-row baselines
+    (``BETWEEN k PRECEDING AND 1 PRECEDING``, W6,
+    ref feature_readiness_daily.sql:91-92).
+    """
+    fn = getattr(F, agg)
+    w = _window(order_by, partition_by).rowsBetween(-preceding, following)
+    return fn(col).over(w)
+
+
+def rolling_corr(
+    x: str | Column,
+    y: str | Column,
+    order_by: str | Column,
+    preceding: int,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """14-day rolling Pearson r (ref experiments/analyzer.py:366-375)."""
+    w = _window(order_by, partition_by).rowsBetween(-preceding, 0)
+    return F.corr(x, y).over(w)
+
+
+def lag_delta(
+    col: str | Column,
+    order_by: str | Column,
+    offset: int = 1,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """Day-over-day delta ``x - LAG(x, offset)`` (W4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c, offset).over(_window(order_by, partition_by))
+
+
+def lead_col(
+    col: str | Column,
+    order_by: str | Column,
+    offset: int = 1,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """``LEAD(x, offset)`` next-day target (W5) — the reference's own
+    preferred form of the next-day self-join (workout_recovery_windows
+    .sql:25-29)."""
+    return F.lead(col, offset).over(_window(order_by, partition_by))
+
+
+def forward_fill(
+    col: str | Column,
+    order_by: str | Column,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """``LAST(x, ignorenulls) OVER (ROWS UNBOUNDED PRECEDING)`` (W1/W8,
+    ref glue/bio_etl_utils.py:163-189)."""
+    w = _window(order_by, partition_by).rowsBetween(Window.unboundedPreceding, 0)
+    return F.last(col, ignorenulls=True).over(w)
+
+
+def dedupe_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """ROW_NUMBER dedupe: keep first row per key under ``order_by``
+    (W7, ref gold_daily_rollup.sql:43-51)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ema_rolling_approx(
+    col: str | Column,
+    order_by: str | Column,
+    span: int,
+    partition_by: Sequence[str | Column] = (),
+) -> Column:
+    """The reference's SQL-layer EMA *approximation*: a flat rolling
+    average over ``span`` rows (ref feature_readiness_daily.sql:70-78;
+    taught to its NL layer at prompts/nl_to_sql_system.txt:29). Kept
+    as distinct semantics from :func:`ema_exact` — both ship in the
+    reference (SURVEY.md §7.4.3)."""
+    return rolling_col("avg", col, order_by, span - 1, 0, partition_by)
+
+
+def ema_exact(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    span: int,
+    out_col: str,
+    partition_by: Sequence[str] = (),
+    method: str = "recurrence",
+) -> DataFrame:
+    """True pandas-``ewm(span, adjust=False)`` EMA (ref
+    insights/training_load.py:21-23) as a grouped Arrow-batched op.
+
+    Spark has no native EMA window; the recurrence is sequential per
+    series, so we ship each series (one entity's ordered rows — small
+    by construction: it's a per-entity daily time series) to a single
+    ``applyInPandas`` group. With ``partition_by`` set, this scales
+    horizontally across entities; without it, it degrades to one group
+    (matching the reference's single-user scope).
+
+    ``method="recurrence"`` is pandas ``ewm`` (O(n), production path);
+    ``method="closed_form"`` evaluates the unrolled weighted sum
+    ema_t = (1-a)^t·x₀ + a·Σ(1-a)^(t-i)·xᵢ left-to-right — same value
+    to ~1e-12, but bit-reproducible by any engine that evaluates the
+    same expression (the DuckDB oracle does exactly this).
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    alpha = 2.0 / (span + 1.0)
+    # copy, don't .add(): StructType.add mutates the DataFrame's own
+    # schema object in place.
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+    group_cols = list(partition_by) if partition_by else []
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        if method == "recurrence":
+            pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        else:
+            xs = pdf[value_col].to_list()
+            out = []
+            for t in range(len(xs)):
+                acc = 0.0
+                for i in range(t + 1):
+                    if i == 0:
+                        acc += xs[0] * math.pow(1 - alpha, t)
+                    else:
+                        acc += xs[i] * alpha * math.pow(1 - alpha, t - i)
+                out.append(acc)
+            pdf[out_col] = out
+        return pdf
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(_ema, schema=schema)
+    return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
+        lambda pdf: _ema(pdf).drop(columns="__g"), schema=schema
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+One place to configure the engine the way we'd run it on a real
+cluster: AQE on (runtime re-planning, skew-join splitting, dynamic
+coalescing of shuffle partitions), broadcast threshold generous enough
+that dimension tables broadcast, Arrow enabled for the pandas-UDF slow
+path. Tests run ``local[N]``; on a cluster only ``master`` changes —
+the per-query code never assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, convert sort-merge to broadcast when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 64 MB: dims at any sane SF broadcast; fact-fact joins still shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for the pandas-UDF path (stats ops) — batched, not per-row.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Mirror of the reference's partition-inference-off discipline: data
+    # columns must never be shadowed by directory names.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's reader;
+    # read as long and convert explicitly (suite.registry.load).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Don't let tiny local files create thousands of tasks at bench SFs.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "bio-lakehouse-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so the driver's bench and pytest share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,689 @@
+"""Relational core: scans, filters, joins, aggregates, sorts, sets.
+
+Covers SURVEY.md §2.1 S7, §2.2 P1/P5-P8, §2.3 J1-J6, §2.4 A1-A13,
+§2.6 O1-O4, §2.7 SET1-SET3 on the driver's TPC-H-ish tables. Each
+query's docstring cites the reference operator it re-expresses.
+
+Scale notes (100 TB posture):
+- dims (region/nation/customer at their SF ratios) are broadcast;
+- fact-fact joins shuffle on their keys with AQE handling skew;
+- every aggregate is a built-in → map-side partial aggregation;
+- filters/projections sit directly on the parquet scan so Catalyst
+  pushes them into the reader (verified via ``.explain`` —
+  PushedFilters + pruned ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.aggregates import (
+    conditional_avg,
+    conditional_count,
+    percentile_exact,
+    sorted_set_join,
+)
+from bio_lakehouse_spark.operators.joins import (
+    anti,
+    coalesce_outer_chain,
+    semi,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731 — shared float-stability rounding
+
+
+def events_daily_by_type(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    """Per-day rollup of one event type (building block for J1/J3)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias(f"{event_type}_n"),
+            R6(F.sum("value")).alias(f"{event_type}_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    survey=("A1", "F11", "P8", "S7"),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
+       ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the canonical groupBy-agg with
+    derived expressions (reference analog: daily workout rollup A1,
+    stg_peloton_workouts.sql:1-13). Filter sits on the scan →
+    predicate pushdown; all aggregates map-side combine."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        R6(F.sum("l_quantity")).alias("sum_qty"),
+        R6(F.sum("l_extendedprice")).alias("sum_base_price"),
+        R6(F.sum(disc_price)).alias("sum_disc_price"),
+        R6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        R6(F.avg("l_quantity")).alias("avg_qty"),
+        R6(F.avg("l_extendedprice")).alias("avg_price"),
+        R6(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_orders",
+    survey=("J4", "O4", "A1"),
+    oracle="""
+SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped top-k revenue: dim-filtered fact join + topk
+    (reference analog: top-5 weeks by readiness, O4). Customer side is
+    broadcast; lineitem↔orders shuffles on orderkey."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "region_nation_rollup",
+    survey=("J4", "J5", "A1"),
+    oracle="""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 6) AS total_acctbal,
+       ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain rollup — both dims broadcast (J5 posture):
+    the fact table never shuffles for dim joins at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            R6(F.sum("c_acctbal")).alias("total_acctbal"),
+            R6(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "events_daily_rollup",
+    survey=("A1", "A2", "F9"),
+    oracle="""
+SELECT CAST(ts AS DATE) AS date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 6) AS total_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       ROUND(MAX(value), 6) AS max_value,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS event_types
+FROM events
+GROUP BY CAST(ts AS DATE)
+""",
+)
+def events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with a sorted collect_set→array_join — the
+    reference's A1 daily workout rollup shape incl. the comma-joined
+    category set (sorted: set order is nondeterministic across
+    partitions, SURVEY.md §7.4.5)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        R6(F.sum("value")).alias("total_value"),
+        R6(F.avg("value")).alias("avg_value"),
+        R6(F.max("value")).alias("max_value"),
+        sorted_set_join("event_type").alias("event_types"),
+    )
+
+
+@register(
+    "events_weekly_rollup",
+    survey=("A5", "F3"),
+    oracle="""
+SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week_start,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_days,
+       ROUND(AVG(CASE WHEN event_type = 'purchase' THEN value END), 6) AS avg_purchase_value
+FROM events
+GROUP BY CAST(DATE_TRUNC('week', ts) AS DATE)
+""",
+)
+def events_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rollup with conditional COUNT/AVG(CASE WHEN ...) —
+    the reference's weekly_summary.sql:3-25 (A5); Monday-based week
+    truncation on both engines."""
+    ev = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        R6(F.avg("value")).alias("avg_value"),
+        conditional_count(is_purchase).alias("purchase_days"),
+        R6(conditional_avg(is_purchase, "value")).alias("avg_purchase_value"),
+    )
+
+
+@register(
+    "bucketed_agg_having",
+    survey=("A6", "F6"),
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 150000 THEN 'mid'
+            ELSE 'low' END AS price_bucket,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+""",
+)
+def bucketed_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed group-agg with HAVING (A6 — workout_type_optimization
+    .sql:33-48): CASE banding as group key, post-agg count filter."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 150000, "mid")
+        .otherwise("low")
+    )
+    return (
+        o.groupBy(bucket.alias("price_bucket"), F.col("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R6(F.avg("o_totalprice")).alias("avg_price"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "corr_aggregate",
+    survey=("A7",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+GROUP BY l_returnflag
+""",
+)
+def corr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORR(x, y) aggregate per segment (A7 —
+    readiness_performance_correlation.sql:6-13) with NULL guards (P7)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    return li.groupBy("l_returnflag").agg(
+        R6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "baseline_stats",
+    survey=("A8",),
+    oracle="""
+SELECT event_type,
+       ROUND(AVG(value), 6) AS mean_value,
+       ROUND(STDDEV(value), 6) AS std_value,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+GROUP BY event_type
+""",
+)
+def baseline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window AVG/STDDEV baseline (A8 — health_alerts
+    handler.py:83-95 alert thresholds); sample stddev on both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    return ev.groupBy("event_type").agg(
+        R6(F.avg("value")).alias("mean_value"),
+        R6(F.stddev("value")).alias("std_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "distinct_dedup",
+    survey=("A11",),
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS n_days_active
+FROM (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS date FROM events
+)
+GROUP BY user_id, event_type
+""",
+)
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates → per-key distinct-day counts (A11 — the
+    reference's `dropDuplicates(["date","meal"])` meal dedup,
+    mfp_normalizer.py:113-118)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type", F.to_date("ts").alias("date"))
+        .dropDuplicates()
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_days_active"))
+    )
+
+
+@register(
+    "percentile_stats",
+    survey=("A13", "A10"),
+    oracle="""
+SELECT event_type,
+       ROUND(QUANTILE_CONT(value, 0.5), 6)  AS p50,
+       ROUND(QUANTILE_CONT(value, 0.75), 6) AS p75,
+       ROUND(QUANTILE_CONT(value, 0.95), 6) AS p95,
+       ROUND(AVG(value), 6) AS mean,
+       ROUND(STDDEV(value), 6) AS std,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + grouped descriptive stats
+    (A13/A10 — pandas quantile(0.75) in correlation_discovery.py:473).
+    Exact `percentile` for oracle parity; at 100 TB swap to
+    `percentile_approx` (t-digest) — one-line change."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        R6(percentile_exact("value", 0.5)).alias("p50"),
+        R6(percentile_exact("value", 0.75)).alias("p75"),
+        R6(percentile_exact("value", 0.95)).alias("p95"),
+        R6(F.avg("value")).alias("mean"),
+        R6(F.stddev("value")).alias("std"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rollup_grouping_sets",
+    survey=("A12",),
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER) AS grouping_level,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — collapses the reference's UNION-ALL
+    segment pattern (SET1/A12) into one pass (SURVEY.md §2.4 notes
+    `cube`/`rollup` as the idiomatic replacement)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("grouping_level"),
+            F.count(F.lit(1)).alias("n"),
+            R6(F.sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grouping_level",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_coalesce_chain",
+    survey=("J1", "J2", "P7"),
+    oracle="""
+WITH click AS (
+  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS click_n, ROUND(SUM(value),6) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), purchase AS (
+  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS purchase_n, ROUND(SUM(value),6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), error AS (
+  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS error_n, ROUND(SUM(value),6) AS error_value
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), signup AS (
+  SELECT CAST(ts AS DATE) AS date, COUNT(*) AS signup_n, ROUND(SUM(value),6) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT COALESCE(c.date, p.date, e.date, s.date) AS date,
+       c.click_n, c.click_value, p.purchase_n, p.purchase_value,
+       e.error_n, e.error_value, s.signup_n, s.signup_value
+FROM click c
+FULL OUTER JOIN purchase p ON c.date = p.date
+FULL OUTER JOIN error e    ON COALESCE(c.date, p.date) = e.date
+FULL OUTER JOIN signup s   ON COALESCE(c.date, p.date, e.date) = s.date
+""",
+)
+def full_outer_coalesce_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's gold-rollup join: FULL OUTER chain with a
+    COALESCE-accumulated key (J1 — gold_daily_rollup.sql:91-153).
+    Spark's named-column join coalesces the key per hop, which is
+    exactly what the SQL emulates manually (SURVEY.md §7.4.2)."""
+    frames = [
+        events_daily_by_type(spark, sf_dir, t)
+        for t in ("click", "purchase", "error", "signup")
+    ]
+    return coalesce_outer_chain(frames, on=["date"], how="full_outer")
+
+
+@register(
+    "next_day_self_join",
+    survey=("J3", "W5"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(SUM(value),6) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT a.date, a.total_value,
+       b.total_value AS next_day_value,
+       ROUND(b.total_value - a.total_value, 6) AS day_over_day_delta
+FROM daily a
+JOIN daily b ON b.date = a.date + INTERVAL 1 DAY
+""",
+)
+def next_day_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day self-join (J3 — sleep_performance_prediction.sql:25-33
+    `b.date = date_add('day', 1, a.date)`). Kept as a literal join to
+    pin those semantics; `lead_target` covers the window form the
+    reference itself migrated to."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("total_value")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    return a.join(
+        b, F.col("b.date") == F.date_add(F.col("a.date"), 1), "inner"
+    ).select(
+        F.col("a.date").alias("date"),
+        F.col("a.total_value").alias("total_value"),
+        F.col("b.total_value").alias("next_day_value"),
+        R6(F.col("b.total_value") - F.col("a.total_value")).alias(
+            "day_over_day_delta"
+        ),
+    )
+
+
+@register(
+    "left_enrich_join",
+    survey=("J5", "F8"),
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+       c.c_name, c.c_mktsegment,
+       n.n_name AS nation
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'O'
+""",
+)
+def left_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-enrichment joins with broadcast dims (J5 —
+    training_load.py:75-91 pandas merge re-expressed). At 100 TB the
+    orders fact streams through two broadcast hash joins, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+@register(
+    "anti_join_inactive",
+    survey=("J6",),
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers with no orders (J6; the reference has
+    only filter-based exclusion, SURVEY.md notes anti/semi come free)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti(c, o, on=["c_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "semi_join_active",
+    survey=("J6",),
+    oracle="""
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+""",
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — customers with at least one big order (J6)."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi(c, o, on=["c_custkey"]).select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k, §2.7 sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_row_top1",
+    survey=("O3", "W7"),
+    oracle="""
+SELECT user_id, event_type AS last_event_type, ROUND(value, 6) AS last_value,
+       ts AS last_ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_row_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-entity via ROW_NUMBER dedupe (O3+W7 — the
+    `ORDER BY date DESC LIMIT 1` briefing pattern generalized per
+    user, gold_daily_rollup.sql:43-51). Deterministic tie-break on
+    event_id."""
+    from bio_lakehouse_spark.operators.windows import dedupe_latest
+
+    ev = load(spark, sf_dir, "events")
+    return dedupe_latest(
+        ev, keys=["user_id"], order_by=[F.desc("ts"), F.desc("event_id")]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        R6(F.col("value")).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "topk_multi_order",
+    survey=("O4", "O2"),
+    oracle="""
+SELECT user_id, ROUND(SUM(value), 6) AS total_value, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 5
+""",
+)
+def topk_multi_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with multi-column ORDER BY (O4 —
+    workout_type_optimization.sql:48). TakeOrderedAndProject in the
+    plan: no global sort, k rows per partition then merge."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            R6(F.sum("value")).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "union_all_segments",
+    survey=("SET1", "A7"),
+    oracle="""
+SELECT 'all' AS segment, ROUND(CORR(o_totalprice, c_acctbal), 6) AS price_balance_corr, COUNT(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'high_balance' AS segment, ROUND(CORR(o_totalprice, c_acctbal), 6), COUNT(*)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_acctbal >= 5000
+UNION ALL
+SELECT 'low_balance' AS segment, ROUND(CORR(o_totalprice, c_acctbal), 6), COUNT(*)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_acctbal < 0
+""",
+)
+def union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of segment aggregates (SET1 — the All/High/Low
+    readiness segments of readiness_performance_correlation.sql)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"),
+            R6(F.corr("o_totalprice", "c_acctbal")).alias(
+                "price_balance_corr"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        ).select("segment", "price_balance_corr", "n")
+
+    return (
+        seg("all", joined)
+        .unionAll(seg("high_balance", joined.filter(F.col("c_acctbal") >= 5000)))
+        .unionAll(seg("low_balance", joined.filter(F.col("c_acctbal") < 0)))
+    )
+
+
+@register(
+    "intersect_except_users",
+    survey=("SET3",),
+    oracle="""
+SELECT user_id, 'both' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_only' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+""",
+)
+def intersect_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohorts (SET3 — absent in the reference,
+    noted as available; here as first-class set ops)."""
+    ev = load(spark, sf_dir, "events")
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    erroring = (
+        ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    both = purchasers.intersect(erroring).withColumn("cohort", F.lit("both"))
+    only = purchasers.exceptAll(erroring).withColumn(
+        "cohort", F.lit("purchase_only")
+    )
+    return both.unionAll(only)

@@ -1,0 +1,532 @@
+"""Statistical operator queries (SURVEY.md §2.9 ST1-ST16).
+
+Each is the distributed closed-form re-expression of a scipy/pandas
+computation in the reference — aggregates all the way down, no
+driver-side math in the query path. Where only scipy has the exact
+quantity (t-distribution p-values), the closed-form stat (r, t, U, z)
+is the engine output and the p-value lookup is a presentation concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.stats import (
+    bayesian_effect,
+    mann_whitney_u,
+    pearson_ols,
+    spearman,
+    trend_slope,
+    zscore_anomalies,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+# Daily click-value → next-day purchase-value: the generic form of the
+# reference's "sleep score → next-day readiness" lagged pairing.
+_LAGGED_PAIR_CTE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y0
+  FROM events GROUP BY 1
+), paired AS (
+  SELECT date, x, LEAD(y0, 1) OVER (ORDER BY date) AS y
+  FROM daily
+)
+"""
+
+
+def _lagged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("y0"),
+    )
+    return daily.withColumn(
+        "y", F.lead("y0", 1).over(Window.orderBy("date"))
+    ).select("date", "x", "y")
+
+
+@register(
+    "pearson_ols_lagged",
+    survey=("ST1", "ST4"),
+    oracle=_LAGGED_PAIR_CTE
+    + """
+SELECT COUNT(*) AS n,
+       ROUND(CORR(x, y), 6) AS r,
+       ROUND(COVAR_SAMP(x, y) / VAR_SAMP(x), 6) AS slope,
+       ROUND(AVG(y) - COVAR_SAMP(x, y) / VAR_SAMP(x) * AVG(x), 6) AS intercept,
+       ROUND(CORR(x, y) * SQRT((COUNT(*) - 2) / (1 - CORR(x, y) * CORR(x, y))), 6) AS t_stat
+FROM paired WHERE x IS NOT NULL AND y IS NOT NULL
+""",
+)
+def pearson_ols_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r + OLS slope/intercept + t statistic on a lagged pair
+    (ST1 — scipy.pearsonr/linregress in sleep_readiness.py:58-82,
+    lag construction per the ST4 discovery scan), fully closed-form
+    distributed aggregates."""
+    pairs = _lagged_pairs(spark, sf_dir)
+    out = pearson_ols(pairs, "x", "y")
+    return out.select(
+        "n",
+        R6(F.col("r")).alias("r"),
+        R6(F.col("slope")).alias("slope"),
+        R6(F.col("intercept")).alias("intercept"),
+        R6(F.col("t_stat")).alias("t_stat"),
+    )
+
+
+@register(
+    "spearman_rho",
+    survey=("ST2",),
+    oracle=_LAGGED_PAIR_CTE
+    + """, ranked AS (
+  SELECT x, y,
+         RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+         RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+  FROM paired WHERE x IS NOT NULL AND y IS NOT NULL
+)
+SELECT COUNT(*) AS n, ROUND(CORR(rx, ry), 6) AS rho
+FROM ranked
+""",
+)
+def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman ρ as Pearson-of-average-ranks, exact under ties (ST2 —
+    scipy.spearmanr in timing_correlation.py:102): two rank windows +
+    one corr aggregate, no pandas."""
+    pairs = _lagged_pairs(spark, sf_dir)
+    out = spearman(pairs, "x", "y")
+    return out.select("n", R6(F.col("rho")).alias("rho"))
+
+
+@register(
+    "mann_whitney_groups",
+    survey=("ST3",),
+    oracle="""
+WITH pool AS (
+  SELECT event_type, value,
+         RANK() OVER (ORDER BY value) + (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS r
+  FROM events WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+), ties AS (
+  SELECT SUM(POWER(t, 3) - t) AS tie_sum FROM (
+    SELECT COUNT(*) AS t FROM pool GROUP BY value
+  )
+), agg AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN r END) AS r1,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n2
+  FROM pool
+)
+SELECT n1, n2,
+       ROUND(r1 - n1 * (n1 + 1) / 2, 6) AS u1,
+       ROUND((r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+             / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1) - tie_sum / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z
+FROM agg, ties
+""",
+)
+def mann_whitney_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (tie-corrected normal approximation) comparing
+    two groups' value distributions (ST3 — scipy.mannwhitneyu in
+    workout_recovery.py:98-110), via pooled fractional ranks —
+    distributed, closed form."""
+    ev = load(spark, sf_dir, "events")
+    out = mann_whitney_u(ev, value="value", group="event_type", group_a="click", group_b="error")
+    return out.select(
+        "n1", "n2", R6(F.col("u1")).alias("u1"), R6(F.col("z")).alias("z")
+    )
+
+
+@register(
+    "threshold_effect_scan",
+    survey=("ST5", "A13"),
+    oracle=_LAGGED_PAIR_CTE
+    + """, thresh AS (
+  SELECT QUANTILE_CONT(x, 0.75) AS p75 FROM paired WHERE y IS NOT NULL
+)
+SELECT CASE WHEN x >= p75 THEN 'above_p75' ELSE 'below_p75' END AS trigger_group,
+       COUNT(*) AS n,
+       ROUND(AVG(y), 6) AS mean_next_day,
+       ROUND(STDDEV(y), 6) AS std_next_day
+FROM paired, thresh
+WHERE y IS NOT NULL
+GROUP BY 1
+""",
+)
+def threshold_effect_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-effect analysis (ST5 — correlation_discovery
+    .py:442-536): 75th-percentile trigger split → next-day outcome
+    group stats. Percentile computed once, broadcast back."""
+    pairs = _lagged_pairs(spark, sf_dir).filter(F.col("y").isNotNull())
+    p75 = pairs.agg(
+        F.percentile(F.col("x"), F.lit(0.75)).alias("p75")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(p75))
+        .withColumn(
+            "trigger_group",
+            F.when(F.col("x") >= F.col("p75"), "above_p75").otherwise(
+                "below_p75"
+            ),
+        )
+        .groupBy("trigger_group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R6(F.avg("y")).alias("mean_next_day"),
+            R6(F.stddev("y")).alias("std_next_day"),
+        )
+    )
+
+
+@register(
+    "zscore_anomaly_days",
+    survey=("ST6", "P8"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, SUM(value) AS daily_value
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT AVG(daily_value) AS mean, STDDEV(daily_value) AS std FROM daily
+)
+SELECT date, ROUND(daily_value, 6) AS daily_value,
+       ROUND((daily_value - mean) / std, 6) AS deviation_sigmas
+FROM daily, stats
+WHERE daily_value < mean - 1.5 * std
+""",
+)
+def zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly days below mean − 1.5σ (ST6 —
+    anomaly_detection.py:40-85 / the SQL variant in health_alerts
+    handler.py:132-172): one global aggregate broadcast back over the
+    series — no self-shuffle."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("daily_value")
+    )
+    out = zscore_anomalies(daily, "daily_value", threshold_sigmas=1.5)
+    return out.select(
+        "date",
+        R6(F.col("daily_value")).alias("daily_value"),
+        R6(F.col("deviation_sigmas")).alias("deviation_sigmas"),
+    )
+
+
+@register(
+    "trend_slope_class",
+    survey=("ST7",),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, SUM(value) AS daily_value
+  FROM events GROUP BY 1, 2
+), indexed AS (
+  SELECT user_id, daily_value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS DOUBLE) AS day_idx
+  FROM daily
+)
+SELECT user_id,
+       ROUND(REGR_SLOPE(daily_value, day_idx), 6) AS slope,
+       CAST(REGR_COUNT(daily_value, day_idx) AS BIGINT) AS n,
+       CASE WHEN REGR_SLOPE(daily_value, day_idx) > 0.3 THEN 'improving'
+            WHEN REGR_SLOPE(daily_value, day_idx) < -0.3 THEN 'declining'
+            ELSE 'stable' END AS trend
+FROM indexed GROUP BY user_id
+""",
+)
+def trend_slope_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS trend slope classified improving/stable/declining
+    at ±0.3 (ST7 — readiness_trend.py:43-64) with the native
+    regr_slope aggregate over a row-number day index."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("daily_value")
+    )
+    indexed = daily.withColumn(
+        "day_idx",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("date"))
+        .cast("double"),
+    )
+    out = trend_slope(indexed, x="day_idx", y="daily_value", group_cols=["user_id"])
+    return out.select(
+        "user_id",
+        R6(F.col("slope")).alias("slope"),
+        F.col("n").cast("long").alias("n"),
+        "trend",
+    )
+
+
+@register(
+    "bayesian_pre_post",
+    survey=("ST10",),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, SUM(value) AS daily_value,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'pre' ELSE 'post' END AS period
+  FROM events GROUP BY 1, 3
+), g AS (
+  SELECT AVG(CASE WHEN period = 'pre' THEN daily_value END) AS pre_mean,
+         STDDEV(CASE WHEN period = 'pre' THEN daily_value END) AS pre_std,
+         COUNT(CASE WHEN period = 'pre' THEN 1 END) AS n_pre,
+         AVG(CASE WHEN period = 'post' THEN daily_value END) AS post_mean,
+         STDDEV(CASE WHEN period = 'post' THEN daily_value END) AS post_std,
+         COUNT(CASE WHEN period = 'post' THEN 1 END) AS n_post
+  FROM daily
+), calc AS (
+  SELECT *,
+         pre_std * pre_std / n_pre AS prior_var,
+         post_std * post_std / n_post AS like_var
+  FROM g
+), post AS (
+  SELECT *,
+         1 / (1 / prior_var + 1 / like_var) AS post_var,
+         (pre_mean / prior_var + post_mean / like_var)
+           / (1 / prior_var + 1 / like_var) AS post_mean_updated
+  FROM calc
+)
+SELECT ROUND(post_mean_updated - pre_mean, 6) AS effect,
+       ROUND(post_mean_updated - pre_mean - 1.96 * SQRT(post_var), 6) AS ci_low,
+       ROUND(post_mean_updated - pre_mean + 1.96 * SQRT(post_var), 6) AS ci_high,
+       ROUND((post_mean - pre_mean)
+             / SQRT(((n_pre - 1) * pre_std * pre_std + (n_post - 1) * post_std * post_std)
+                    / (n_pre + n_post - 2)), 6) AS cohens_d,
+       n_pre, n_post
+FROM post
+""",
+)
+def bayesian_pre_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian Normal-Normal pre/post experiment update (ST10 —
+    experiments/analyzer.py:105-171): posterior effect, 95% CI,
+    Cohen's d — one pivot aggregate, all closed form."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("daily_value")
+    )
+    daily = daily.withColumn(
+        "period",
+        F.when(F.col("date") < F.lit("2024-01-16").cast("date"), "pre").otherwise(
+            "post"
+        ),
+    )
+    out = bayesian_effect(daily, "daily_value", "period")
+    return out.select(
+        R6(F.col("effect")).alias("effect"),
+        R6(F.col("ci_low")).alias("ci_low"),
+        R6(F.col("ci_high")).alias("ci_high"),
+        R6(F.col("cohens_d")).alias("cohens_d"),
+        "n_pre",
+        "n_post",
+    )
+
+
+@register(
+    "did_pre_post",
+    survey=("ST11",),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, event_type,
+         SUM(value) AS v,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS post
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2, 4
+)
+SELECT
+  ROUND(AVG(CASE WHEN event_type = 'purchase' AND post = 1 THEN v END)
+      - AVG(CASE WHEN event_type = 'purchase' AND post = 0 THEN v END)
+      - (AVG(CASE WHEN event_type = 'click' AND post = 1 THEN v END)
+       - AVG(CASE WHEN event_type = 'click' AND post = 0 THEN v END)), 6) AS did_effect,
+  ROUND(AVG(CASE WHEN event_type = 'purchase' AND post = 0 THEN v END), 6) AS treated_pre,
+  ROUND(AVG(CASE WHEN event_type = 'purchase' AND post = 1 THEN v END), 6) AS treated_post,
+  ROUND(AVG(CASE WHEN event_type = 'click' AND post = 0 THEN v END), 6) AS control_pre,
+  ROUND(AVG(CASE WHEN event_type = 'click' AND post = 1 THEN v END), 6) AS control_post
+FROM daily
+""",
+)
+def did_pre_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-Differences effect over a treated/control series
+    pair (ST11 — experiments/analyzer.py:174-226): four conditional
+    means, one aggregate pass."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("date"),
+        "event_type",
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("post"),
+    ).agg(F.sum("value").alias("v"))
+
+    def m(etype: str, post: int):
+        return F.avg(
+            F.when(
+                (F.col("event_type") == etype) & (F.col("post") == post),
+                F.col("v"),
+            )
+        )
+
+    return daily.agg(
+        R6(
+            (m("purchase", 1) - m("purchase", 0))
+            - (m("click", 1) - m("click", 0))
+        ).alias("did_effect"),
+        R6(m("purchase", 0)).alias("treated_pre"),
+        R6(m("purchase", 1)).alias("treated_post"),
+        R6(m("click", 0)).alias("control_pre"),
+        R6(m("click", 1)).alias("control_post"),
+    )
+
+
+@register(
+    "progressive_overload_weekly",
+    survey=("ST16", "A9", "W4"),
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(DATE_TRUNC('week', ts) AS DATE) AS week_start,
+         SUM(value) AS total_value,
+         COUNT(*) AS n_events,
+         AVG(value) AS avg_value
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT week_start, total_value, n_events, avg_value,
+         LAG(total_value) OVER (ORDER BY week_start) AS prev_total,
+         LAG(n_events) OVER (ORDER BY week_start) AS prev_n,
+         LAG(avg_value) OVER (ORDER BY week_start) AS prev_avg
+  FROM weekly
+)
+SELECT week_start,
+       ROUND(total_value, 6) AS total_value,
+       ROUND((total_value - prev_total) / prev_total * 100, 6) AS total_pct_change,
+       ROUND((avg_value - prev_avg) / prev_avg * 100, 6) AS avg_pct_change,
+       CAST(n_events - prev_n AS BIGINT) AS events_diff,
+       CASE WHEN (CASE WHEN (total_value - prev_total) / prev_total > 0.02 THEN 1 ELSE 0 END
+                + CASE WHEN n_events > prev_n THEN 1 ELSE 0 END
+                + CASE WHEN (avg_value - prev_avg) / prev_avg > 0.01 THEN 1 ELSE 0 END) >= 2
+            THEN 'progressing'
+            WHEN (CASE WHEN (total_value - prev_total) / prev_total < -0.02 THEN 1 ELSE 0 END
+                + CASE WHEN n_events < prev_n THEN 1 ELSE 0 END
+                + CASE WHEN (avg_value - prev_avg) / prev_avg < -0.01 THEN 1 ELSE 0 END) >= 2
+            THEN 'regressing'
+            ELSE 'maintaining' END AS classification
+FROM lagged
+""",
+)
+def progressive_overload_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-overload weekly classification (ST16 —
+    progressive_overload.py:151-219): weekly aggregates, week-over-week
+    pct changes via LAG, ≥2-of-3 threshold votes → label."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week_start")
+    ).agg(
+        F.sum("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+    w = Window.orderBy("week_start")
+    lagged = weekly.select(
+        "week_start",
+        "total_value",
+        "n_events",
+        "avg_value",
+        F.lag("total_value").over(w).alias("prev_total"),
+        F.lag("n_events").over(w).alias("prev_n"),
+        F.lag("avg_value").over(w).alias("prev_avg"),
+    )
+    total_chg = (F.col("total_value") - F.col("prev_total")) / F.col("prev_total")
+    avg_chg = (F.col("avg_value") - F.col("prev_avg")) / F.col("prev_avg")
+    up_votes = (
+        F.when(total_chg > 0.02, 1).otherwise(0)
+        + F.when(F.col("n_events") > F.col("prev_n"), 1).otherwise(0)
+        + F.when(avg_chg > 0.01, 1).otherwise(0)
+    )
+    down_votes = (
+        F.when(total_chg < -0.02, 1).otherwise(0)
+        + F.when(F.col("n_events") < F.col("prev_n"), 1).otherwise(0)
+        + F.when(avg_chg < -0.01, 1).otherwise(0)
+    )
+    return lagged.select(
+        "week_start",
+        R6(F.col("total_value")).alias("total_value"),
+        R6(total_chg * 100).alias("total_pct_change"),
+        R6(avg_chg * 100).alias("avg_pct_change"),
+        (F.col("n_events") - F.col("prev_n")).cast("long").alias("events_diff"),
+        F.when(up_votes >= 2, "progressing")
+        .when(down_votes >= 2, "regressing")
+        .otherwise("maintaining")
+        .alias("classification"),
+    )
+
+
+@register(
+    "sessionize_gap30",
+    survey=("W4", "A1"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         DATE_DIFF('second', MIN(ts), MAX(ts)) AS duration_s
+  FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       ROUND(AVG(duration_s), 6) AS avg_session_duration_s
+FROM per_session GROUP BY user_id
+""",
+)
+def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via
+    lag→flag→cumsum — the batch twin of the streaming session-window
+    operator in `streaming/` (the reference is batch-only, §2.10; this
+    is the training-pipeline extension). Fully window-expressible: no
+    shuffle beyond the user_id partition."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts")).over(w).cast("long")
+                > 1800
+            )
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts")).cast("long") - F.min(F.col("ts")).cast("long")
+        ).alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        R6(F.avg("duration_s")).alias("avg_session_duration_s"),
+    )

@@ -1,0 +1,343 @@
+"""Dedup + text-analysis + multimodal queries over `documents`.
+
+The training-data-pipeline operator family (BASELINE.json north star):
+exact dedup, blocked n-gram Jaccard, MinHash+LSH, SimHash, language
+ID, quality scoring, token counting, fingerprinting, and the
+multimodal binary-column plumbing. Every hash derives from md5 hex so
+the DuckDB oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_pairs,
+)
+from bio_lakehouse_spark.operators.textops import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint_bag,
+    fingerprint_exact,
+    predicted_lang,
+    quality_metrics,
+    token_count_bpe_ish,
+    token_count_ws,
+    words,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+# Normalized word array; mirrors textops.words().
+_W = (
+    "string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+)
+
+# Distinct word-3-gram shingles; mirrors textops.word_ngrams(words, 3).
+_SHINGLES_CTE = f"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                       i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shingles
+  FROM (SELECT doc_id, lang, source, {_W} AS w FROM documents)
+)
+"""
+
+_JACCARD = (
+    "len(list_intersect(a.shingles, b.shingles))::DOUBLE"
+    " / len(list_distinct(a.shingles || b.shingles))"
+)
+
+
+@register(
+    "dedup_exact",
+    survey=("A11", "F9"),
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(normalized text) hash-groupBy keeping the
+    minimum id — O(n), one shuffle on the hash, the mandatory first
+    rung of the dedup ladder."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    survey=("J6", "F9"),
+    oracle=_SHINGLES_CTE
+    + f"""
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+) WHERE jac_raw >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard near-dup pairs (block = lang):
+    quadratic only within a block; exact set similarity on word
+    3-gram shingles, threshold 0.5."""
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=0.5
+    )
+    return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey=("J6", "F9", "A11"),
+    oracle=_SHINGLES_CTE
+    + f"""
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jac_raw >= 0.5
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH near-dup pairs, exact-Jaccard-verified at 0.5.
+
+    The 100 TB dedup path: signatures → band-bucket equi-join →
+    verify candidates only (no cross join anywhere). The oracle is
+    the *brute-force* pair scan: LSH recall at jaccard ≥ 0.5 with 16
+    single-row bands is 1 − (1−s)^16 ≥ 0.999985, so candidate
+    generation finds every qualifying pair on this corpus (verified
+    at sf0.01/sf0.1) and the verified output equals the exact answer.
+    """
+    docs = load(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, threshold=0.5
+    )
+    return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
+
+
+def _simhash_sql_expr() -> str:
+    """DuckDB expression mirroring operators.dedup.simhash32."""
+    terms = []
+    for p in range(1, 33):
+        bit = (
+            f"CASE WHEN list_sum(list_transform(hashes, h -> "
+            f"CASE WHEN substr(h, {p}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({2 ** (p - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        terms.append(bit)
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_simhash",
+    survey=("F9",),
+    oracle=_SHINGLES_CTE
+    + f""", hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes FROM sh
+)
+SELECT doc_id, {_simhash_sql_expr()} AS simhash
+FROM hashed
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (bit p = sign of the
+    ±1 vote of each shingle-md5's p-th hex nibble top bit). Signature
+    table — hamming-close pair scan is `dedup_simhash_pairs`."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "dedup_simhash_pairs",
+    survey=("J6", "F9"),
+    oracle=_SHINGLES_CTE
+    + f""", hashed AS (
+  SELECT doc_id, lang, list_transform(shingles, s -> md5(s)) AS hashes FROM sh
+), sig AS (
+  SELECT doc_id, lang, {_simhash_sql_expr()} AS simhash FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.lang = b.lang
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 6 via
+    xor + bit_count inside lang blocks."""
+    docs = load(spark, sf_dir, "documents")
+    out = simhash_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=3, max_hamming=6
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _langid_sql() -> str:
+    scores = {
+        lang: (
+            f"len(list_filter(w, x -> x IN "
+            f"({', '.join(repr(s) for s in sw)})))"
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    whens = []
+    for lang in langs:
+        others = ", ".join(scores[o] for o in langs if o != lang)
+        whens.append(
+            f"WHEN {scores[lang]} >= greatest({others}) THEN '{lang}'"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+SELECT doc_id, lang AS labeled_lang,
+       {case} AS predicted_lang,
+       CAST({scores['en']} AS INTEGER) AS en_hits
+FROM (SELECT doc_id, lang, {_W} AS w FROM documents)
+"""
+
+
+@register("text_langid", survey=("F6", "F9"), oracle=_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts,
+    argmax with deterministic tie-break (STOPWORDS order) — pure
+    array built-ins, no model, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    w = words("text")
+    from bio_lakehouse_spark.operators.textops import stopword_hits
+
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang(w).alias("predicted_lang"),
+        stopword_hits(w, "en").cast("int").alias("en_hits"),
+    )
+
+
+_EN_SW = ", ".join(repr(s) for s in STOPWORDS["en"])
+
+
+@register(
+    "text_quality",
+    survey=("F6", "F7", "F11"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(w) AS INTEGER) AS n_words,
+       ROUND(length(array_to_string(w, ''))::DOUBLE / greatest(len(w), 1), 6) AS avg_word_len,
+       ROUND(len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE / greatest(len(w), 1), 6) AS stopword_ratio,
+       ROUND(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS digit_ratio,
+       ROUND(CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN length(array_to_string(w, ''))::DOUBLE / greatest(len(w), 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE / greatest(len(w), 1) >= 0.05 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END, 6) AS quality_score
+FROM (SELECT doc_id, text, {_W} AS w FROM documents)
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: word count, average word length,
+    stopword density, digit ratio → weighted composite score (the
+    standard corpus-filter heuristics as one expression tree)."""
+    docs = load(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_words"].cast("int").alias("n_words"),
+        R6(m["avg_word_len"]).alias("avg_word_len"),
+        R6(m["stopword_ratio"]).alias("stopword_ratio"),
+        R6(m["digit_ratio"]).alias("digit_ratio"),
+        R6(m["quality_score"]).alias("quality_score"),
+    )
+
+
+@register(
+    "text_token_counts",
+    survey=("F9", "F1"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_W}) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS INTEGER) AS bpe_ish_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish regex
+    pre-tokenizer count (letter runs / digit runs / punctuation) —
+    the per-doc cost accounting a training pipeline runs corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").cast("int").alias("ws_tokens"),
+        token_count_bpe_ish("text").cast("int").alias("bpe_ish_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    survey=("F9", "A11"),
+    oracle=f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct({_W})), ' ')) AS fp_bag,
+       substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))), 1, 4) AS fp_bucket
+FROM documents
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact-normalized md5, a word-order-
+    insensitive bag fingerprint (sorted distinct words), and a 16-bit
+    hex bucket prefix for partitioned dedup routing."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_exact("text").alias("fp_exact"),
+        fingerprint_bag("text").alias("fp_bag"),
+        F.substring(fingerprint_exact("text"), 1, 4).alias("fp_bucket"),
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    survey=("S3", "F9"),
+    oracle="""
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(octet_length(encode(text)) % 256 AS INTEGER) AS fake_width,
+       CAST((octet_length(encode(text)) * 7) % 256 AS INTEGER) AS fake_height
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: treat content as an opaque binary
+    column + typed metadata (the image/audio pattern with text bytes
+    standing in — no media libs in this container; real decoders slot
+    into `operators/multimodal.py`). Byte length, content digest and
+    deterministic fake decode dims, all computed on the binary column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    binary = F.encode(F.col("text"), "UTF-8")
+    n_bytes = F.octet_length(binary).cast("long")
+    return docs.select(
+        "doc_id",
+        F.lit("application/octet-stream").alias("media_type"),
+        n_bytes.alias("n_bytes"),
+        F.md5(binary).alias("content_md5"),
+        (n_bytes % 256).cast("int").alias("fake_width"),
+        ((n_bytes * 7) % 256).cast("int").alias("fake_height"),
+    )

@@ -1,0 +1,327 @@
+"""Window-function queries (SURVEY.md §2.5 W1-W12).
+
+The reference's analytical heart: rolling frames over a daily series.
+Here the series is per-user daily event value — i.e. the windows are
+PARTITIONed BY user_id, which is the 100 TB posture (SURVEY.md
+§7.1.5): no global sort, each entity's series windows independently.
+Global (single-series) variants appear only where the reference
+semantics are inherently single-entity (CTL/ATL/TSB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.windows import (
+    ema_exact,
+    ema_rolling_approx,
+    forward_fill,
+    lag_delta,
+    lead_col,
+    rolling_col,
+    rolling_corr,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+# Shared oracle CTE: per-user daily series.
+_USER_DAILY_CTE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS daily_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+"""
+
+
+def user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily rollup — input series for the window queries."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("daily_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rolling_avg_windows",
+    survey=("W2", "W3"),
+    oracle=_USER_DAILY_CTE
+    + """
+SELECT user_id, date, daily_value,
+       ROUND(AVG(daily_value) OVER w7, 6) AS avg_7d,
+       ROUND(AVG(daily_value) OVER w3, 6) AS avg_3d,
+       ROUND(SUM(daily_value) OVER w7, 6) AS sum_7d,
+       CAST(SUM(n_events) OVER w3 AS BIGINT) AS events_3d
+FROM daily
+WINDOW w7 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       w3 AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_avg_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3/7-row averages and sums (W2/W3 — dashboard_30day
+    .sql:22-27, feature_readiness_daily.sql:60-78), partitioned per
+    user."""
+    d = user_daily(spark, sf_dir)
+    p = ["user_id"]
+    return d.select(
+        "user_id",
+        "date",
+        "daily_value",
+        R6(rolling_col("avg", "daily_value", "date", 6, 0, p)).alias("avg_7d"),
+        R6(rolling_col("avg", "daily_value", "date", 2, 0, p)).alias("avg_3d"),
+        R6(rolling_col("sum", "daily_value", "date", 6, 0, p)).alias("sum_7d"),
+        rolling_col("sum", "n_events", "date", 2, 0, p).alias("events_3d"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    survey=("W4", "W5"),
+    oracle=_USER_DAILY_CTE
+    + """
+SELECT user_id, date, daily_value,
+       ROUND(daily_value - LAG(daily_value, 1) OVER w, 6) AS delta_1d,
+       ROUND((daily_value - LAG(daily_value, 2) OVER w) / 2.0, 6) AS slope_3d,
+       ROUND(LEAD(daily_value, 1) OVER w, 6) AS next_day_value
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY date)
+""",
+)
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG deltas, 3-day slope `(x - LAG(x,2))/2`, LEAD target (W4/W5
+    — energy_state.sql:54-55, feature_readiness_daily.sql:64,95,98)."""
+    d = user_daily(spark, sf_dir)
+    p = ["user_id"]
+    return d.select(
+        "user_id",
+        "date",
+        "daily_value",
+        R6(lag_delta("daily_value", "date", 1, p)).alias("delta_1d"),
+        R6(lag_delta("daily_value", "date", 2, p) / 2.0).alias("slope_3d"),
+        R6(lead_col("daily_value", "date", 1, p)).alias("next_day_value"),
+    )
+
+
+@register(
+    "baseline_excluding_current",
+    survey=("W6", "ST15"),
+    oracle=_USER_DAILY_CTE
+    + """
+SELECT user_id, date, daily_value,
+       ROUND(AVG(daily_value) OVER wb, 6) AS baseline_7d,
+       CASE WHEN daily_value > 1.1 * AVG(daily_value) OVER wb THEN 1 ELSE 0 END AS above_baseline
+FROM daily
+WINDOW wb AS (PARTITION BY user_id ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+""",
+)
+def baseline_excluding_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excluding-current-row baseline + 1.1× threshold flag (W6+ST15 —
+    feature_readiness_daily.sql:91-92, training_load.py:93-101)."""
+    d = user_daily(spark, sf_dir)
+    baseline = rolling_col("avg", "daily_value", "date", 7, -1, ["user_id"])
+    return d.select(
+        "user_id",
+        "date",
+        "daily_value",
+        R6(baseline).alias("baseline_7d"),
+        F.when(F.col("daily_value") > 1.1 * baseline, 1)
+        .otherwise(0)
+        .alias("above_baseline"),
+    )
+
+
+@register(
+    "forward_fill_gaps",
+    survey=("W1", "W8"),
+    oracle="""
+SELECT event_id, user_id, ts,
+       ROUND(LAST_VALUE(sparse_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value >= 50 THEN value END AS sparse_value
+  FROM events
+)
+""",
+)
+def forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via LAST(x, ignorenulls) over an unbounded-preceding
+    frame (W1/W8 — glue/bio_etl_utils.py:163-189 and the LAST_VALUE
+    IGNORE NULLS dedupe in gold_daily_rollup.sql:35-41). Sparse column
+    synthesized by nulling values < 50; tie-broken by event_id."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sparse_value", F.when(F.col("value") >= 50, F.col("value"))
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        R6(F.last("sparse_value", ignorenulls=True).over(w)).alias(
+            "filled_value"
+        ),
+    )
+
+
+@register(
+    "ntile_rank_quintiles",
+    survey=("W9", "A13"),
+    oracle="""
+WITH totals AS (
+  SELECT user_id, ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       CAST(NTILE(5) OVER (ORDER BY total_value, user_id) AS INTEGER) AS quintile,
+       CAST(RANK() OVER (ORDER BY total_value DESC) AS INTEGER) AS value_rank
+FROM totals
+""",
+)
+def ntile_rank_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quintiles + RANK (W9 — pandas qcut quintiles in
+    timing_correlation.py:79-84 re-expressed as ranking windows).
+    NTILE ordering is made deterministic with a user_id tie-break."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(R6(F.sum("value")).alias("total_value"))
+    return totals.select(
+        "user_id",
+        "total_value",
+        F.ntile(5)
+        .over(Window.orderBy("total_value", "user_id"))
+        .alias("quintile"),
+        F.rank().over(Window.orderBy(F.desc("total_value"))).alias("value_rank"),
+    )
+
+
+@register(
+    "rolling_corr_14d",
+    survey=("W12",),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click_value,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchase_value
+  FROM events GROUP BY 1
+)
+SELECT date,
+       ROUND(CORR(click_value, purchase_value) OVER (
+         ORDER BY date ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS corr_14d
+FROM daily
+""",
+)
+def rolling_corr_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling Pearson r between two daily series (W12 —
+    experiments/analyzer.py:366-375). Single global series here by
+    construction (matches the reference's one-user scope); the helper
+    takes partition keys for the scaled form."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("click_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("purchase_value"),
+    )
+    return daily.select(
+        "date",
+        R6(rolling_corr("click_value", "purchase_value", "date", 13)).alias(
+            "corr_14d"
+        ),
+    )
+
+
+@register(
+    "ema_ctl_atl_tsb",
+    survey=("W10", "ST9"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, SUM(value) AS load
+  FROM events GROUP BY 1
+)
+SELECT date,
+       ROUND(AVG(load) OVER (ORDER BY date ROWS BETWEEN 41 PRECEDING AND CURRENT ROW), 6) AS ctl_42,
+       ROUND(AVG(load) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)  AS atl_7,
+       ROUND(AVG(load) OVER (ORDER BY date ROWS BETWEEN 41 PRECEDING AND CURRENT ROW)
+           - AVG(load) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)  AS tsb
+FROM daily
+""",
+)
+def ema_ctl_atl_tsb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTL/ATL/TSB in the reference's *SQL-layer semantics*: flat
+    rolling averages approximating the EMA (W10 variant (a) —
+    feature_readiness_daily.sql:70-78; the approximation its NL layer
+    documents). The exact-ewm variant is `ema_exact_series`."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("load")
+    )
+    ctl = ema_rolling_approx("load", "date", 42)
+    atl = ema_rolling_approx("load", "date", 7)
+    return daily.select(
+        "date",
+        R6(ctl).alias("ctl_42"),
+        R6(atl).alias("atl_7"),
+        R6(ctl - atl).alias("tsb"),
+    )
+
+
+@register(
+    "ema_exact_series",
+    survey=("W10", "ST9"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, ROUND(SUM(value), 6) AS load
+  FROM events GROUP BY 1, 2
+), prefixed AS (
+  SELECT user_id, date, load,
+         LIST(load) OVER (PARTITION BY user_id ORDER BY date
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+  FROM daily
+)
+SELECT user_id, date, load,
+       LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(prefix) + 1),
+               i -> CASE WHEN i = 1
+                         THEN prefix[i] * POWER(1 - 2.0/8.0, LEN(prefix) - 1)
+                         ELSE prefix[i] * (2.0/8.0) * POWER(1 - 2.0/8.0, LEN(prefix) - i)
+                    END)) AS ema_7
+FROM prefixed
+""",
+)
+def ema_exact_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True span-7 EMA, `pandas.ewm(span=7, adjust=False)` semantics
+    (W10 variant (b) — insights/training_load.py:21-23), computed per
+    user with Arrow-batched applyInPandas (no native Spark EMA
+    window). Oracle: closed form ema_t = (1-a)^t·x₀ + a·Σ(1-a)^(t-i)·xᵢ
+    over the prefix list."""
+    ev = load(spark, sf_dir, "events")
+    # input series rounded BEFORE the EMA: both engines then run the
+    # identical closed form over bit-identical doubles, so even
+    # exact-boundary values round the same way.
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("load")
+    )
+    out = ema_exact(
+        daily,
+        value_col="load",
+        order_col="date",
+        span=7,
+        out_col="ema_7",
+        partition_by=["user_id"],
+        # closed_form: bit-reproducible by the oracle's identical
+        # expression (the ewm recurrence differs at ~1e-12, which
+        # flips rounding on boundary values).
+        method="closed_form",
+    )
+    # No final rounding: with the input series rounded and the same
+    # closed-form fold on both sides, ema_7 is bit-identical in both
+    # engines; rounding would *introduce* divergence on exact-.5
+    # boundary values (Spark HALF_UPs the shortest-decimal repr,
+    # DuckDB rounds the binary-exact value).
+    return out.select("user_id", "date", "load", "ema_7")

@@ -1,0 +1,143 @@
+"""DuckDB differential harness — local replica of the driver's t2 gate.
+
+For every registry entry with an oracle: run the Spark query and the
+DuckDB SQL on the same parquet, then compare row count, column names,
+dtype families, and order-insensitive values (floats to 1e-9 after
+both sides' explicit rounding; everything else exact).
+
+Usable as a library (pytest) and as a script:
+    python tests/oracle_harness.py [--sf DIR] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bio_lakehouse_spark.suite.registry import TABLES
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.isoformat() if hasattr(v, "isoformat") else v
+            )
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty → pass)."""
+    problems: list[str] = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+        )
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    s, o = _canon(spark_df), _canon(oracle_df)
+    for c in s.columns:
+        sc, oc = s[c], o[c]
+        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(oc):
+            sc = pd.to_numeric(sc, errors="coerce").astype(float)
+            oc = pd.to_numeric(oc, errors="coerce").astype(float)
+            bad = 0
+            for a, b in zip(sc, oc):
+                if (isinstance(a, float) and math.isnan(a)) and (
+                    isinstance(b, float) and math.isnan(b)
+                ):
+                    continue
+                if a is None and b is None:
+                    continue
+                if a is None or b is None or math.isnan(a) != math.isnan(b):
+                    bad += 1
+                elif abs(a - b) > 1e-9 * max(1.0, abs(a), abs(b)):
+                    bad += 1
+            if bad:
+                problems.append(f"column {c}: {bad} float mismatches")
+        else:
+            neq = ~(
+                (sc == oc) | (sc.isna() & oc.isna())
+            )
+            if neq.any():
+                idx = neq.idxmax()
+                problems.append(
+                    f"column {c}: {int(neq.sum())} mismatches "
+                    f"(first at row {idx}: spark={sc[idx]!r} oracle={oc[idx]!r})"
+                )
+    return problems
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    sf_dir = DEFAULT_SF
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+
+    from bio_lakehouse_spark.session import get_spark
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    spark = get_spark("oracle-harness", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args or list(REGISTRY)
+    failed = []
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name} (rows-only: {len(sdf)} rows)")
+            continue
+        try:
+            odf = run_oracle(spec.oracle, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        problems = compare(sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"pass {name} ({len(sdf)} rows)")
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
