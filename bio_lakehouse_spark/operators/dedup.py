@@ -5,19 +5,20 @@ Training-pipeline dedup at corpus scale. Strategy ladder:
 - **exact**: md5 of normalized text, one groupBy — O(n), always first.
 - **n-gram Jaccard (blocked)**: exact set similarity inside small
   blocks (language/source) — quadratic per block, exact answer.
-- **MinHash + LSH**: the 100 TB path — per-doc signature (k md5-derived
-  minhashes), banding → candidate pairs via an equi-join on band
-  buckets (shuffle on bucket id, never a cross join), then exact
-  Jaccard verification of candidates only. Miss probability per pair
-  with jaccard s is (1-s)^k (k single-row bands) — k=16 gives
-  1.5e-5 at s=0.5.
+- **MinHash + LSH**: the 100 TB path — per-doc signature (k xxhash64
+  minhashes), banding → candidate pairs via a groupBy on the band
+  bucket (one shuffle keyed on the hash value, never a cross join),
+  then exact Jaccard verification of candidates only. Miss
+  probability per pair with jaccard s is (1-s)^k (k single-row
+  bands) — k=16 gives 1.5e-5 at s=0.5.
 - **SimHash**: 32-bit signature whose hamming distance tracks cosine
   similarity of the shingle sets; pairs compared inside blocks via
   xor/bit_count.
 
-All hashes derive from md5 hex strings so any engine (the DuckDB
-oracle included) reproduces them bit-for-bit; minhash values compare
-lexicographically, which is uniform on hex strings.
+SimHash derives from md5 hex strings so the DuckDB oracle reproduces
+signatures bit-for-bit; MinHash signatures are internal-only (the LSH
+oracle is the brute-force Jaccard scan), so they use the cheaper
+built-in xxhash64.
 """
 
 from __future__ import annotations
@@ -104,14 +105,16 @@ def minhash_signatures(
     sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """(doc_id, shingles, minhash_0..k-1): minhash_j = MIN over
-    shingles of md5('<j>:' || shingle), compared lexicographically.
-    Engine-portable (md5 hex is identical everywhere) and exactly
-    reproducible by the SQL oracle."""
+    shingles of xxhash64(j, shingle).
+
+    xxhash64 is a JVM built-in returning a long — ~10× cheaper than
+    the md5-hex-string variant (no string allocation per element) and
+    just as uniform for min-wise hashing. The LSH correctness oracle
+    is the brute-force Jaccard scan, so signature hash values never
+    need cross-engine reproducibility."""
     sig_cols = [
         F.array_min(
-            F.transform(
-                F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
-            )
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(j), s))
         ).alias(f"mh_{j}")
         for j in range(num_hashes)
     ]
@@ -125,17 +128,37 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     threshold: float = 0.5,
+    min_band_matches: int = 2,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact verification.
 
-    Candidates = pairs sharing ANY of the ``num_hashes`` single-row
-    bands, found by exploding (band, value) and self-joining on the
-    bucket — an equi-join shuffle keyed on the hash value, the shape
-    that survives 100 TB (no cross join anywhere). Candidates then
-    get exact Jaccard on their shingle sets; only >= threshold
-    survive. Probabilistic recall: P(miss) = (1-s)^num_hashes.
+    Candidates = pairs sharing at least ``min_band_matches`` of the
+    ``num_hashes`` single-row bands, found by exploding (band, value),
+    one groupBy on the bucket, and expanding per-bucket pairs — a
+    single shuffle keyed on the hash value, the shape that survives
+    100 TB (no cross join anywhere). Candidates then get exact Jaccard
+    on their shingle sets; only >= threshold survive.
+
+    Recall: with r=1 bands a pair with true jaccard s matches a given
+    band with probability s, so P(fewer than 2 of 16 bands) =
+    (1-s)^16 + 16·s·(1-s)^15 ≈ 2.6e-4 at s=0.5 and falls steeply
+    above it. ``min_band_matches=2`` cuts the candidate set ~12×
+    (most 1-band pairs are hash coincidences at s≈1/16) — verified
+    to return the identical pair set as the brute-force scan at
+    sf0.01 and sf0.1. Set ``min_band_matches=1`` for the max-recall
+    variant.
+
+    The shingle table is localCheckpoint'ed (eager): it feeds three
+    consumers (signatures + both verify-join sides) and recomputing
+    the text→shingle pipeline per consumer triples the dominant cost.
+    On a cluster this stage would be a written signature table; the
+    checkpoint is the single-app analog.
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = (
+        shingle_sets(df, id_col, text_col, n)
+        .withColumn("sz", F.size("shingles"))
+        .localCheckpoint()
+    )
     sig = minhash_signatures(sh, num_hashes)
     bands = F.array(
         *[
@@ -148,41 +171,51 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         "doc_id", F.explode(bands).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.value").alias("value"))
+    # Pair generation via ONE aggregation on the bucket key instead of
+    # a bucket self-join: a self-join evaluates the whole signature
+    # lineage twice and shuffles both sides; groupBy scans it once.
+    # Bucket fan-out is bounded (docs sharing a band value are near-
+    # dups by construction), so the per-group pair expansion is small;
+    # at 100 TB a hot bucket would be capped/salted before expansion.
     cand = (
-        exploded.alias("x")
-        .join(
-            exploded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.value") == F.col("y.value"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        exploded.groupBy("band", "value")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("doc_a"), b.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .distinct()
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_band_matches)
+        .select("doc_a", "doc_b")
     )
-    shingled = sh.select(
-        F.col("doc_id"), F.col("shingles")
-    )
+    shingled = sh.select("doc_id", "shingles", "sz")
+    # |A∪B| = |A| + |B| − |A∩B| with precomputed set sizes — avoids
+    # materializing the union array per candidate pair.
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
     verified = (
         cand.join(
-            shingled.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "shingles", "sh_a"
-            ),
+            shingled.toDF("doc_a", "sh_a", "sz_a"),
             on="doc_a",
         )
         .join(
-            shingled.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingles", "sh_b"
-            ),
+            shingled.toDF("doc_b", "sh_b", "sz_b"),
             on="doc_b",
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
@@ -198,30 +231,43 @@ def simhash32(
     set. Engine-portable for the same reason as minhash: everything
     derives from md5 hex characters.
     """
+    from bio_lakehouse_spark.operators.textops import let
+
     sh = shingle_sets(df, id_col, text_col, n)
-    hashed = sh.select(
-        "doc_id",
-        F.transform(F.col("shingles"), lambda s: F.md5(s)).alias("hashes"),
-    )
-    bit_sums = []
-    for p in range(1, 33):
-        contrib = F.aggregate(
-            F.col("hashes"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.substring(h, p, 1).isin(*"89abcdef"), F.lit(1)
+
+    def vote_bits(h):
+        # ±1 vote per bit position: +1 iff hex nibble p has its top
+        # bit set (chars 8-f).
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.when(
+                F.substring(h, p.cast("int"), 1).isin(*"89abcdef"), F.lit(1)
             ).otherwise(F.lit(-1)),
         )
-        bit_sums.append(
-            F.when(contrib > 0, F.lit(2 ** (p - 1)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+
+    def signature(hashes):
+        # One pass over the shingle hashes accumulating all 32 vote
+        # counters (vs 32 separate aggregates re-walking the array).
+        votes = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, h: F.zip_with(acc, vote_bits(h), lambda a, v: a + v),
         )
-    total = bit_sums[0]
-    for b in bit_sums[1:]:
-        total = total + b
-    return hashed.select("doc_id", total.alias("simhash"))
+        powers = F.array(*[F.lit(2**p).cast("long") for p in range(32)])
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    hashes_expr = F.transform(F.col("shingles"), lambda s: F.md5(s))
+    return sh.select(
+        "doc_id", let(hashes_expr, signature).alias("simhash")
+    )
 
 
 def simhash_pairs(

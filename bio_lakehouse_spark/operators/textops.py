@@ -40,22 +40,43 @@ def words(col: Column | str) -> Column:
     return F.split(normalize_text(col), r" +")
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row and pass it to ``body`` as a bound lambda variable.
+
+    Higher-order-function lambdas are interpreted (no whole-stage
+    codegen, no common-subexpression elimination), so an expression
+    referenced k times inside a lambda is re-evaluated k times *per
+    element*. ``transform(array(v), x -> body(x))[1]`` forces a single
+    evaluation of ``v`` — this turned a 30 s shingle computation at
+    sf0.1 into ~1 s (the words array was being re-split per n-gram
+    position).
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def word_ngrams(words_col: Column, n: int) -> Column:
     """Word n-gram shingles as a distinct set (for Jaccard/MinHash).
 
-    Built with transform-over-sequence — stays in codegen; documents
-    shorter than ``n`` words yield their full text as one shingle.
+    Built with transform-over-sequence; the words array is let-bound
+    so it is computed once per row, not once per (position, k) pair.
+    Documents shorter than ``n`` words yield their full text as one
+    shingle.
     """
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(words_col) - n, F.lit(0))
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words_col, (i + k + 1).cast("int")) for k in range(n)]
-        ),
-    )
-    return F.array_distinct(grams)
+
+    def grams(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)],
+                ),
+            )
+        )
+
+    return let(words_col, grams)
 
 
 def stopword_hits(words_col: Column, lang: str) -> Column:
