@@ -1,0 +1,479 @@
+"""Source/sink + pipeline-discipline queries (SURVEY.md §2.1/§2.2).
+
+Driver-checkable entries for the ingestion layer: header-grouped CSV
+scanning with delimiter sniffing and snake_case normalization, the
+partitioned-parquet sink with partition pruning, CTAS, the SQL facade
+(gate + cache), last-of-day dedupe-aggregate, meal→daily rollup, the
+rolling z-score baseline, and the FHIR flat export.
+
+File-based entries materialize deterministic fixtures under
+``<repo>/.fixtures/`` derived from the driver's own parquet tables, so
+their oracles can still be expressed against the original tables.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+_FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return Path(sf_dir).name.replace(".", "_")
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/S4/SET2/P2 — header-grouped CSV scan with sniffing + dedup
+# ---------------------------------------------------------------------------
+
+
+def _build_csv_fixture(spark: SparkSession, sf_dir: str) -> Path:
+    """Write `documents` as three CSV variants: comma/original order,
+    comma/alphabetical order, semicolon/Title-Case headers — plus
+    duplicated rows (doc_id % 10 == 0 repeated) for the dedup path.
+    Idempotent via a _DONE sentinel."""
+    root = _FIXTURE_ROOT / f"csvscan_{_sf_tag(sf_dir)}"
+    done = root / "_DONE"
+    if done.exists():
+        return root
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    part = F.col("doc_id") % 3
+    (
+        docs.filter(part == 0)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(str(root / "v0"))
+    )
+    (
+        docs.filter(part == 1)
+        .select("lang", "source", "text", "doc_id")  # different order
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(str(root / "v1"))
+    )
+    (
+        docs.filter((part == 2) | (F.col("doc_id") % 10 == 0))
+        .select(
+            F.col("doc_id").alias("Doc Id"),
+            F.col("lang").alias("Lang"),
+            F.col("source").alias("Source"),
+            F.col("text").alias("Text"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", ";")
+        .csv(str(root / "v2"))
+    )
+    done.touch()
+    return root
+
+
+@register(
+    "csv_header_group_scan",
+    survey=("S1", "S2", "S4", "SET2", "P2", "A11"),
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY lang
+""",
+)
+def csv_header_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingestion scan: documents written as 3 CSV variants
+    (two header orders + one semicolon/Title-Case), re-read via
+    header-signature grouping (one positional read per group), sniffed
+    delimiters, snake_cased headers, unionByName(allowMissingColumns)
+    merge, and dropDuplicates on the id — then a per-lang aggregate
+    the oracle reproduces from the original table. Exercises
+    S1/S2/S4/SET2/P2 end to end (ref glue/oura_normalizer.py:83-267).
+    """
+    from bio_lakehouse_spark.sources.csv_source import read_header_grouped_csv
+    from bio_lakehouse_spark.sources.files import list_files
+
+    root = _build_csv_fixture(spark, sf_dir)
+    paths = [p for p in list_files(root, "*.csv")]
+    df = read_header_grouped_csv(spark, paths)
+    df = df.dropDuplicates(["doc_id"])
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.min(F.col("doc_id").cast("long")).alias("min_doc_id"),
+        F.max(F.col("doc_id").cast("long")).alias("max_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12/F3 — partitioned parquet sink + partition-pruned read-back
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partitioned_sink_pruned_read",
+    survey=("S12", "F3", "P8"),
+    oracle="""
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE strftime(ts, '%d') BETWEEN '10' AND '20'
+GROUP BY 1, 2, 3
+""",
+)
+def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout sink + pruned scan: events written
+    partitionBy(year, month, day) (string partition columns, the
+    reference's Silver layout — oura_normalizer.py:289-297), read back
+    with a day-range predicate that prunes partitions at planning time
+    (file listing drops ~2/3 of directories before any IO)."""
+    from bio_lakehouse_spark.sources.sinks import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    path = str(_FIXTURE_ROOT / f"events_part_{_sf_tag(sf_dir)}")
+    done = Path(path + "_DONE")
+    if not done.exists():
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "value",
+            F.date_format("ts", "yyyy").alias("year"),
+            F.date_format("ts", "MM").alias("month"),
+            F.date_format("ts", "dd").alias("day"),
+        )
+        write_partitioned_parquet(ev, path, ["year", "month", "day"])
+        done.touch()
+    back = read_partitioned_parquet(spark, path)
+    return (
+        back.filter((F.col("day") >= "10") & (F.col("day") <= "20"))
+        .groupBy("year", "month", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R6(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S13 — CTAS
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ctas_gold_table",
+    survey=("S13", "A1"),
+    oracle="""
+SELECT user_id, CAST(ts AS DATE) AS date,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS daily_value
+FROM events GROUP BY 1, 2
+""",
+)
+def ctas_gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-table CTAS (ref glue/dbt_gold_refresh.py:64-99): register
+    the source as a view, CREATE TABLE AS SELECT into an explicit
+    parquet location, return the catalog table."""
+    from bio_lakehouse_spark.sources.sinks import create_table_as
+
+    tag = _sf_tag(sf_dir)
+    load(spark, sf_dir, "events").createOrReplaceTempView(f"events_src_{tag}")
+    return create_table_as(
+        spark,
+        name=f"gold_user_daily_{tag}",
+        select=f"""
+            SELECT user_id, CAST(ts AS DATE) AS date,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 6) AS daily_value
+            FROM events_src_{tag} GROUP BY user_id, CAST(ts AS DATE)
+        """,
+        path=str(_FIXTURE_ROOT / f"ctas_gold_{tag}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8/S9/P9 — SQL facade
+# ---------------------------------------------------------------------------
+
+_FACADE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS count_order,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_facade_roundtrip",
+    survey=("S8", "S9", "P9", "S15"),
+    oracle=_FACADE_SQL,
+)
+def sql_facade_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query through the engine facade: SELECT/WITH gate → md5 cache
+    → spark.sql (ANSI text shared verbatim with the DuckDB oracle) —
+    the interactive entry point NL-to-SQL clients use (ref
+    insights_engine/core/athena_client.py:41-88, nl_to_sql.py:177-191).
+    """
+    from bio_lakehouse_spark.engine import QueryEngine
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    eng = QueryEngine(spark)
+    # Executed twice: the second call must be a cache hit (covered in
+    # pytest; here it just proves the path end-to-end).
+    eng.execute(_FACADE_SQL)
+    return eng.execute(_FACADE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# A3/W8 — last-of-day dedupe-aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "last_of_day_dedupe",
+    survey=("A3", "W8", "A10"),
+    oracle="""
+SELECT user_id, CAST(ts AS DATE) AS date,
+       ROUND(max_by(value, event_id) FILTER (WHERE event_type <> 'error'), 6)
+         AS last_value,
+       ROUND(AVG(value) FILTER (WHERE event_type <> 'error'), 6) AS avg_value,
+       COUNT(*) AS n_readings
+FROM events
+GROUP BY 1, 2
+""",
+)
+def last_of_day_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-of-day + daily mean per entity, ignoring invalid readings
+    (A3 — multiple vitals readings a day collapse to the latest
+    non-null + the mean; ref readiness_aggregator_ARCHIVED.py:113-158,
+    gold_daily_rollup.sql:32-76). `max_by(value, event_id)` with a
+    FILTER is the deterministic equivalent of LAST_VALUE IGNORE NULLS
+    over an ordered window, without the window sort."""
+    ev = load(spark, sf_dir, "events")
+    valid = F.col("event_type") != "error"
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("date")
+    ).agg(
+        R6(F.expr("max_by(value, event_id) FILTER (WHERE event_type <> 'error')")).alias(
+            "last_value"
+        ),
+        R6(F.avg(F.when(valid, F.col("value")))).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A11/F9 — meal-level dedupe → daily rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "meal_daily_rollup",
+    survey=("A4", "A11", "F9"),
+    oracle="""
+WITH dedup AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, event_type,
+         min_by(value, event_id) AS value
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT user_id, date,
+       ROUND(SUM(value), 6) AS total_value,
+       COUNT(*) AS type_count,
+       string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM dedup
+GROUP BY 1, 2
+""",
+)
+def meal_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MFP meal→daily pattern (A4 — mfp_normalizer.py:111-131):
+    dedupe to one row per (entity, day, category) keeping the FIRST
+    reading (min_by on the monotonic id — the deterministic version of
+    dropDuplicates), then a daily rollup with a comma-joined sorted
+    category set (F9: collect_set → array_sort → array_join; sorted
+    so the hash is stable — SURVEY §7.4.5)."""
+    ev = load(spark, sf_dir, "events")
+    dedup = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date"), "event_type"
+    ).agg(F.expr("min_by(value, event_id)").alias("value"))
+    return dedup.groupBy("user_id", "date").agg(
+        R6(F.sum("value")).alias("total_value"),
+        F.count(F.lit(1)).alias("type_count"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11/ST15 — rolling z-score baseline flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_zscore_flags",
+    survey=("W11", "ST15", "ST6"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS daily_value
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT user_id, date, daily_value,
+         AVG(daily_value) OVER wb AS baseline_14d,
+         STDDEV_SAMP(daily_value) OVER wb AS sd_14d,
+         COUNT(*) OVER wb AS n_base
+  FROM daily
+  WINDOW wb AS (PARTITION BY user_id ORDER BY date
+                ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, date, daily_value,
+       ROUND(baseline_14d, 6) AS baseline_14d,
+       CASE WHEN n_base >= 7 AND daily_value > 1.10 * baseline_14d
+            THEN 1 ELSE 0 END AS elevated,
+       CASE WHEN n_base >= 7 AND daily_value < 0.85 * baseline_14d
+            THEN 1 ELSE 0 END AS suppressed,
+       CASE WHEN n_base >= 7 AND sd_14d > 0
+                 AND daily_value < baseline_14d - 1.5 * sd_14d
+            THEN 1 ELSE 0 END AS anomaly
+FROM base
+""",
+)
+def rolling_zscore_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day baselines excluding the current row, with the
+    reference's recovery-impairment thresholds (>1.10×, <0.85×
+    baseline — insights/training_load.py:93-101) and a z-score anomaly
+    flag (mean − 1.5σ — insights/anomaly_detection.py:40-60), gated on
+    ≥7 days of history like the reference's minimum-n caveats."""
+    from bio_lakehouse_spark.suite.window_queries import user_daily
+
+    d = user_daily(spark, sf_dir)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(-14, -1)
+    )
+    baseline = F.avg("daily_value").over(wb)
+    sd = F.stddev_samp("daily_value").over(wb)
+    n_base = F.count(F.lit(1)).over(wb)
+    gated = n_base >= 7
+    return d.select(
+        "user_id",
+        "date",
+        "daily_value",
+        R6(baseline).alias("baseline_14d"),
+        F.when(gated & (F.col("daily_value") > 1.10 * baseline), 1)
+        .otherwise(0)
+        .alias("elevated"),
+        F.when(gated & (F.col("daily_value") < 0.85 * baseline), 1)
+        .otherwise(0)
+        .alias("suppressed"),
+        F.when(
+            gated & (sd > 0) & (F.col("daily_value") < baseline - 1.5 * sd), 1
+        )
+        .otherwise(0)
+        .alias("anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S16/F5 — FHIR flat observation export
+# ---------------------------------------------------------------------------
+
+_LOINC_MAP = {
+    "view": ("59408-5", "views/day", "engagement"),
+    "click": ("55423-8", "clicks/day", "engagement"),
+    "purchase": ("77137-8", "purchases/day", "commerce"),
+    "signup": ("67504-6", "signups/day", "accounts"),
+    "error": ("75323-6", "errors/day", "quality"),
+}
+
+
+def _fhir_oracle() -> str:
+    code = " ".join(
+        f"WHEN '{k}' THEN '{v[0]}'" for k, v in _LOINC_MAP.items()
+    )
+    unit = " ".join(
+        f"WHEN '{k}' THEN '{v[1]}'" for k, v in _LOINC_MAP.items()
+    )
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date, event_type,
+         ROUND(SUM(value), 6) AS value_quantity
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT 'Observation' AS resource_type,
+       md5(concat('observation:', user_id, ':', strftime(date, '%Y-%m-%d'),
+                  ':', event_type)) AS observation_id,
+       concat('Patient/', CAST(user_id AS VARCHAR)) AS patient_ref,
+       CASE event_type {code} ELSE 'unknown' END AS loinc_code,
+       CASE event_type {unit} ELSE 'unit' END AS unit,
+       strftime(date, '%Y-%m-%d') AS effective_date,
+       value_quantity
+FROM daily
+"""
+
+
+@register("fhir_observations_flat", survey=("S16", "F5"), oracle=_fhir_oracle())
+def fhir_observations_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FHIR R4 Observation export, flat form (S16 — ref
+    insights_engine/fhir/bundle_builder.py:98-222): LOINC-coded rows
+    with deterministic content-derived ids (md5 here; the reference's
+    UUIDv5 is sha1-based — same determinism guarantee) and
+    Patient/<id> references. The JSON bundle assembly over these rows
+    is `products.fhir.bundle_json` (tested in pytest; JSON-shape
+    output isn't hash-comparable through the flat oracle)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date"), "event_type"
+    ).agg(R6(F.sum("value")).alias("value_quantity"))
+    code_map = F.create_map(
+        *[
+            x
+            for k, v in _LOINC_MAP.items()
+            for x in (F.lit(k), F.lit(v[0]))
+        ]
+    )
+    unit_map = F.create_map(
+        *[
+            x
+            for k, v in _LOINC_MAP.items()
+            for x in (F.lit(k), F.lit(v[1]))
+        ]
+    )
+    date_str = F.date_format("date", "yyyy-MM-dd")
+    return daily.select(
+        F.lit("Observation").alias("resource_type"),
+        F.md5(
+            F.concat(
+                F.lit("observation:"),
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                date_str,
+                F.lit(":"),
+                F.col("event_type"),
+            )
+        ).alias("observation_id"),
+        F.concat(F.lit("Patient/"), F.col("user_id").cast("string")).alias(
+            "patient_ref"
+        ),
+        F.coalesce(code_map[F.col("event_type")], F.lit("unknown")).alias(
+            "loinc_code"
+        ),
+        F.coalesce(unit_map[F.col("event_type")], F.lit("unit")).alias("unit"),
+        date_str.alias("effective_date"),
+        "value_quantity",
+    )

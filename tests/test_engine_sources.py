@@ -1,0 +1,138 @@
+"""Unit tests: SQL facade (gate, cache, schema DDL, query log) and
+source helpers (sniffing, header grouping, snake_case, latest-file).
+
+Mirrors the reference's test patterns (SURVEY §5: pure-logic units +
+mocked-engine integration) for the pieces the DuckDB oracle can't
+exercise.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+
+from bio_lakehouse_spark.engine import QueryEngine, UnsafeSqlError
+from bio_lakehouse_spark.engine.facade import sql_is_safe
+from bio_lakehouse_spark.sources.csv_source import (
+    group_by_header,
+    read_header_grouped_csv,
+    sniff_delimiter,
+    snake_case,
+)
+from bio_lakehouse_spark.sources.files import latest_file, list_files
+
+
+# -- P9 gate ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql,ok",
+    [
+        ("SELECT 1", True),
+        ("  with t as (select 1) select * from t", True),
+        ("-- comment\nSELECT 2", True),
+        ("/* block */ SELECT 3", True),
+        ("DROP TABLE users", False),
+        ("INSERT INTO t VALUES (1)", False),
+        ("CREATE TABLE t AS SELECT 1", False),
+        ("UPDATE t SET x = 1", False),
+        ("", False),
+        ("/* unterminated", False),
+    ],
+)
+def test_sql_gate(sql, ok):
+    assert sql_is_safe(sql) is ok
+
+
+def test_facade_blocks_unsafe(spark):
+    eng = QueryEngine(spark)
+    with pytest.raises(UnsafeSqlError):
+        eng.execute("DROP TABLE anything")
+
+
+def test_facade_cache_hit_and_ttl(spark):
+    eng = QueryEngine(spark, cache_ttl_s=60.0)
+    a = eng.execute("SELECT 41 + 1 AS x")
+    b = eng.execute("SELECT 41 + 1 AS x")
+    assert a is b  # identical handle → cache hit, zero Spark work
+    eng.cache_ttl_s = 0.0
+    c = eng.execute("SELECT 41 + 1 AS x")
+    assert c is not b  # expired → re-executed
+    assert c.collect()[0]["x"] == 42
+
+
+def test_facade_schema_ddl(spark):
+    spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS v""").createOrReplaceTempView(
+        "ddl_probe"
+    )
+    eng = QueryEngine(spark)
+    schema = eng.get_schema()
+    assert ("k", "bigint") in schema["ddl_probe"]
+    ddl = eng.get_schema_ddl()
+    assert "CREATE TABLE ddl_probe" in ddl and "v string" in ddl
+
+
+def test_facade_query_log(spark, tmp_path):
+    log = str(tmp_path / "qlog")
+    eng = QueryEngine(spark, log_path=log)
+    eng.execute("SELECT 1 AS one")
+    with pytest.raises(UnsafeSqlError):
+        eng.execute("DELETE FROM t")
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 2
+    by_ok = {r["success"]: r for r in rows}
+    assert by_ok[True]["n_rows"] == 1
+    assert "gate" in by_ok[False]["error"]
+
+
+# -- S1/S2/P2 helpers -------------------------------------------------------
+
+
+def test_snake_case():
+    assert snake_case("Workout Timestamp") == "workout_timestamp"
+    assert snake_case("Avg. Cadence (RPM)") == "avg_cadence_rpm"
+    assert snake_case("Length (minutes)") == "length_minutes"
+    assert snake_case("Live/On-Demand") == "live_on-demand"
+
+
+def test_sniff_and_group(tmp_path):
+    a = tmp_path / "a.csv"
+    a.write_text("id,day,score\n1,2025-01-01,80\n")
+    b = tmp_path / "b.csv"
+    b.write_text("day,id,score\n2025-01-02,2,81\n")
+    c = tmp_path / "c.csv"
+    c.write_text("id;day;score\n3;2025-01-03;82\n")
+    assert sniff_delimiter(a) == ","
+    assert sniff_delimiter(c) == ";"
+    groups = group_by_header([str(a), str(b), str(c)])
+    assert len(groups) == 3  # same columns, different order/delimiter
+
+
+def test_header_grouped_union(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("id,day,score\n1,2025-01-01,80\n")
+    (tmp_path / "b.csv").write_text("day,id,score\n2025-01-02,2,81\n")
+    # Extra column in one group → missing elsewhere → null-filled.
+    (tmp_path / "c.csv").write_text("Id;Day;Score;Extra Col\n3;2025-01-03;82;x\n")
+    df = read_header_grouped_csv(spark, list_files(tmp_path, "*.csv"))
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3"}
+    assert rows["2"]["day"] == "2025-01-02"  # by-name, not positional
+    assert rows["3"]["extra_col"] == "x"
+    assert rows["1"]["extra_col"] is None
+
+
+def test_latest_file(tmp_path):
+    old = tmp_path / "KnownasNoma_2024.csv"
+    new = tmp_path / "KnownasNoma_2025.csv"
+    old.write_text("a\n")
+    new.write_text("b\n")
+    t = time.time()
+    import os
+
+    os.utime(old, (t - 100, t - 100))
+    os.utime(new, (t, t))
+    assert latest_file(tmp_path, "KnownasNoma_*.csv") == str(new)
+    with pytest.raises(FileNotFoundError):
+        latest_file(tmp_path, "nope_*.csv")
