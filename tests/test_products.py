@@ -1,0 +1,339 @@
+"""Products-layer tests, mirroring the reference's test patterns
+(SURVEY §5): numeric-property tests for the what-if simulator and
+training-load math, pure-logic units for NL-JSON parsing / FHIR /
+XML / REST transforms, and mocked-engine style checks against the bio
+views built from the fixture pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from bio_lakehouse_spark.products import numerics
+from bio_lakehouse_spark.products.nl_sql import (
+    NLToSQLEngine,
+    parse_llm_json,
+    stub_llm,
+)
+from bio_lakehouse_spark.products.whatif import (
+    DayPlan,
+    Scenario,
+    WhatIfSimulator,
+    classify_energy,
+    overtraining_penalty,
+)
+
+BIO_ROOT = "/root/repo/.fixtures/bio"
+
+
+# -- numerics ---------------------------------------------------------------
+
+
+def test_linregress_matches_closed_form():
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 10, 200)
+    y = 3.0 * x + 2.0 + rng.normal(0, 0.5, 200)
+    r = numerics.linregress(x, y)
+    assert abs(r["slope"] - 3.0) < 0.05
+    assert abs(r["intercept"] - 2.0) < 0.3
+    assert r["r"] > 0.99
+    assert r["p"] < 1e-6
+
+
+def test_t_sf_known_values():
+    # t=2.0, df=10 → sf ≈ 0.03669 (published t-table value)
+    assert abs(numerics._t_sf(2.0, 10) - 0.03669) < 1e-3
+    # symmetric: sf(0) = 0.5
+    assert abs(numerics._t_sf(0.0, 5) - 0.5) < 1e-9
+
+
+def test_lowess_smooths_monotone():
+    x = np.linspace(0, 10, 50)
+    y = 2 * x + np.sin(x)
+    fit = numerics.lowess(x, y, frac=0.5)
+    assert fit.shape == x.shape
+    # smoother should track the trend within the sine amplitude
+    assert np.abs(fit - 2 * x).max() < 1.5
+    # tiny n falls back to the linear fit
+    small = numerics.lowess(np.array([0, 1, 2.0]), np.array([0, 2, 4.0]))
+    assert np.allclose(small, [0, 2, 4], atol=1e-9)
+
+
+def test_mutual_information_orders_dependence():
+    rng = np.random.RandomState(1)
+    x = rng.uniform(0, 1, 500)
+    dependent = numerics.mutual_information(x, 2 * x + 0.01 * rng.normal(size=500))
+    independent = numerics.mutual_information(x, rng.uniform(0, 1, 500))
+    assert dependent > independent + 0.5
+
+
+def test_select_features_drops_collinear_and_leaky():
+    rng = np.random.RandomState(2)
+    a = rng.uniform(0, 1, 300)
+    b = a + rng.normal(0, 0.01, 300)  # collinear with a
+    c = rng.uniform(0, 1, 300)
+    y = a + 0.5 * c
+    X = np.column_stack([a, b, c, y])
+    names = ["a", "b", "c", "target_leak"]
+    chosen = numerics.select_features(
+        X, y, names, top_k=2, exclude=("target_leak",)
+    )
+    assert "target_leak" not in chosen
+    assert not ({"a", "b"} <= set(chosen))  # one of the twins dropped
+    assert "c" in chosen
+
+
+def test_walk_forward_cv_beats_noise_baseline():
+    rng = np.random.RandomState(3)
+    n = 80
+    x = rng.uniform(0, 10, (n, 2))
+    y = 3 * x[:, 0] - 2 * x[:, 1] + rng.normal(0, 0.1, n)
+    res = numerics.walk_forward_cv(x, y, min_train=30, test_window=7)
+    assert res["n_folds"] >= 5
+    assert res["mae"] < res["naive_mae"]  # the model must beat naive here
+    assert res["r2"] > 0.9
+
+
+# -- what-if simulator (property tests, ref tests/test_what_if.py) ----------
+
+
+@pytest.fixture(scope="module")
+def simulator(spark):
+    from bio_lakehouse_spark.bio import views as V
+    from bio_lakehouse_spark.bio.gold import build_gold
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    return WhatIfSimulator(
+        sleep_prediction=V.sleep_performance_prediction(gold),
+        workout_type_opt=V.workout_type_optimization(gold),
+        dashboard=V.dashboard_30day(gold),
+        training_load=V.training_load_daily(gold),
+    )
+
+
+def test_whatif_rest_beats_high_intensity(simulator):
+    rest = simulator.simulate(Scenario(80, "rest", "none", 0))
+    hard = simulator.simulate(Scenario(80, "cycling", "high", 5))
+    assert rest.predicted_readiness >= hard.predicted_readiness
+
+
+def test_whatif_high_sleep_beats_low_sleep(simulator):
+    hi = simulator.simulate(Scenario(95, "cycling", "moderate", 1))
+    lo = simulator.simulate(Scenario(40, "cycling", "moderate", 1))
+    if simulator.regression["valid"] and simulator.regression["slope"] > 0:
+        assert hi.predicted_readiness > lo.predicted_readiness
+
+
+def test_whatif_clamped_to_0_100(simulator):
+    for sleep in (0, 100):
+        for days in (0, 15):
+            r = simulator.simulate(Scenario(sleep, "cycling", "high", days))
+            assert 0.0 <= r.predicted_readiness <= 100.0
+
+
+def test_penalty_escalates():
+    vals = [overtraining_penalty(d) for d in range(10)]
+    assert vals[:3] == [0.0, 0.0, 0.0]
+    assert all(b <= a for a, b in zip(vals, vals[1:]))  # monotone down
+    assert overtraining_penalty(5) == -7.0
+    assert overtraining_penalty(7) == -12.0
+
+
+def test_energy_classification_bands():
+    assert classify_energy(90, 90) == "peak"
+    assert classify_energy(86, 81) == "high"
+    assert classify_energy(75, 70) == "moderate"
+    assert classify_energy(55, 40) == "low"
+    assert classify_energy(30, 90) == "recovery_needed"
+
+
+def test_multi_day_cascade(simulator):
+    plans = [DayPlan(i, 80, "cycling", "high") for i in range(5)]
+    proj = simulator.simulate_multi_day(plans)
+    assert [p["consecutive_workout_days"] for p in proj] == [1, 2, 3, 4, 5]
+    # monotone streak penalty: day 5 prediction ≤ day 1 prediction
+    assert proj[-1]["predicted_readiness"] <= proj[0]["predicted_readiness"]
+    # rest day resets the streak
+    plans[2] = DayPlan(2, 80, "rest", "none")
+    proj2 = simulator.simulate_multi_day(plans)
+    assert proj2[2]["consecutive_workout_days"] == 0
+    assert proj2[3]["consecutive_workout_days"] == 1
+    # confidence widens with horizon
+    w0 = proj[0]["confidence_range"][1] - proj[0]["confidence_range"][0]
+    w4 = proj[4]["confidence_range"][1] - proj[4]["confidence_range"][0]
+    assert w4 >= w0
+
+
+# -- alerts -----------------------------------------------------------------
+
+
+def test_alerts_on_fixture_gold(spark):
+    from bio_lakehouse_spark.bio import views as V
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products.alerts import check_alerts, publish_alerts
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    risk = V.overtraining_risk(gold)
+    alerts = check_alerts(gold, risk)
+    assert isinstance(alerts, list)
+    for a in alerts:
+        assert {"condition", "message", "severity"} <= set(a)
+    seen = {}
+    publish_alerts(alerts, sink=lambda s, b: seen.update(s=s, b=b))
+    assert "Health Alert" in seen["s"]
+
+
+# -- NL-to-SQL --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        '{"sql": "SELECT 1", "confidence": 0.9}',
+        '```json\n{"sql": "SELECT 1", "confidence": 0.9}\n```',
+        '```\n{"sql": "SELECT 1", "confidence": 0.9}\n```',
+        'Sure! Here you go: {"sql": "SELECT 1", "confidence": 0.9} hope that helps',
+    ],
+)
+def test_parse_llm_json_variants(raw):
+    assert parse_llm_json(raw)["sql"] == "SELECT 1"
+
+
+def test_parse_llm_json_garbage_raises():
+    with pytest.raises(ValueError):
+        parse_llm_json("no json here at all")
+
+
+def test_nl_to_sql_end_to_end(spark):
+    from bio_lakehouse_spark.bio.gold import build_gold, stg_sleep
+    from bio_lakehouse_spark.bio.views import register_views
+    from bio_lakehouse_spark.engine import QueryEngine
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    sleep_silver = spark.read.parquet(f"{BIO_ROOT}/silver/oura_daily_sleep")
+    register_views(spark, gold, stg_sleep(sleep_silver))
+
+    q = "How many days of data do I have?"
+    canned = {
+        q: json.dumps(
+            {
+                "sql": "SELECT COUNT(*) AS n_days FROM gold_daily_rollup",
+                "explanation": "count of gold rows",
+                "assumptions": [],
+                "confidence": 0.9,
+            }
+        ),
+        "drop it": json.dumps({"sql": "DROP TABLE gold_daily_rollup",
+                               "confidence": 0.9}),
+    }
+    nl = NLToSQLEngine(engine=QueryEngine(spark), llm=stub_llm(canned))
+    res = nl.ask(q)
+    assert res.error is None
+    assert res.row_count == 1
+    assert int(res.data.iloc[0, 0]) == 150
+    assert "n_days: 150" in res.answer
+    # schema DDL injection reaches the prompt
+    assert "gold_daily_rollup" in nl.system_prompt()
+    # the gate blocks non-SELECT from the LLM
+    blocked = nl.ask("drop it")
+    assert blocked.error is not None and "SELECT" in blocked.error
+
+
+# -- XML parser (S10) -------------------------------------------------------
+
+
+def test_healthkit_xml_parser(tmp_path):
+    from bio_lakehouse_spark.sources.xml_source import (
+        normalize_workout_type,
+        parse_export,
+        write_bronze_csvs,
+    )
+
+    assert (
+        normalize_workout_type("HKWorkoutActivityTypeFunctionalStrengthTraining")
+        == "functional_strength_training"
+    )
+    xml = """<HealthData>
+      <Record type="HKQuantityTypeIdentifierRestingHeartRate" value="52"
+              unit="count/min" startDate="2025-06-01 07:00:00 -0500"/>
+      <Record type="HKQuantityTypeIdentifierRestingHeartRate" value="55"
+              unit="count/min" startDate="2025-06-01 22:00:00 -0500"/>
+      <Record type="HKQuantityTypeIdentifierOxygenSaturation" value="0.97"
+              unit="%" startDate="2025-06-01 07:00:00 -0500"/>
+      <Record type="HKQuantityTypeIdentifierOxygenSaturation" value="0.99"
+              unit="%" startDate="2025-06-01 08:00:00 -0500"/>
+      <Record type="HKQuantityTypeIdentifierBodyMass" value="80"
+              unit="kg" startDate="2025-06-01 07:00:00 -0500"/>
+      <Record type="HKQuantityTypeIdentifierRestingHeartRate" value="48"
+              unit="count/min" startDate="2025-05-01 07:00:00 -0500"/>
+      <Workout workoutActivityType="HKWorkoutActivityTypeRunning"
+               duration="42.5" totalDistance="5" totalDistanceUnit="km"
+               totalEnergyBurned="400" sourceName="Apple Watch"
+               startDate="2025-06-01 18:00:00 -0500"
+               endDate="2025-06-01 18:45:00 -0500"/>
+    </HealthData>"""
+    p = tmp_path / "export.xml"
+    p.write_text(xml)
+    parsed = parse_export(p, since="2025-06-01")
+    vit = parsed["daily_vitals"]
+    assert len(vit) == 1  # the May record is filtered by --since
+    assert vit[0]["resting_heart_rate_bpm"] == 55  # "last" policy
+    assert vit[0]["blood_oxygen_pct"] == 98.0  # "mean" + fraction→pct
+    assert abs(parsed["body"][0]["weight_lbs"] - 80 * 2.20462) < 1e-6
+    w = parsed["workouts"][0]
+    assert w["workout_type"] == "running"
+    assert abs(w["distance_mi"] - 5 * 0.621371) < 1e-6
+    counts = write_bronze_csvs(parsed, tmp_path / "bronze")
+    assert counts["daily_vitals"] == 1
+    assert (tmp_path / "bronze/healthkit/daily_vitals/year=2025/month=06"
+            / "data.csv").exists()
+
+
+# -- REST source (S11): fake client → landing zone → normalizer -------------
+
+
+def test_rest_source_feeds_normalizer(spark, tmp_path):
+    from bio_lakehouse_spark.bio.silver import normalize_oura_readiness
+    from bio_lakehouse_spark.sources.rest_source import (
+        fake_oura_client,
+        ingest,
+        parse_json_payload,
+    )
+
+    counts = ingest(fake_oura_client(), tmp_path, "2025-06-01", "2025-06-10")
+    assert counts == {"readiness": 10, "sleep": 10, "activity": 10}
+    df = normalize_oura_readiness(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r["score"] is not None for r in rows)
+    assert parse_json_payload('{"a": 1}') == [{"a": 1}]
+    assert parse_json_payload('[{"a": 1}, {"a": 2}]') == [{"a": 1}, {"a": 2}]
+
+
+# -- FHIR (S16) -------------------------------------------------------------
+
+
+def test_fhir_bundle(spark):
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products import fhir
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    bundle = fhir.build_bundle(gold.limit(5))
+    assert bundle["resourceType"] == "Bundle"
+    assert bundle["entry"][0]["resource"]["resourceType"] == "Patient"
+    obs = [e["resource"] for e in bundle["entry"][1:]]
+    assert obs, "expected at least one observation"
+    for o in obs[:10]:
+        fhir.validate_observation(o)
+        assert o["code"]["coding"][0]["system"] == "http://loinc.org"
+    # deterministic ids: same inputs, same uuid
+    a = fhir.deterministic_fhir_id("s", "heart_rate", "2025-06-01")
+    b = fhir.deterministic_fhir_id("s", "heart_rate", "2025-06-01")
+    c = fhir.deterministic_fhir_id("s", "heart_rate", "2025-06-02")
+    assert a == b != c
+    with pytest.raises(ValueError, match="missing required"):
+        fhir.validate_observation({"resourceType": "Observation"})
