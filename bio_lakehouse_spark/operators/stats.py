@@ -200,8 +200,11 @@ def bayesian_effect(
     post_label: str = "post",
 ) -> DataFrame:
     """Normal-Normal conjugate update (ST10, ref experiments/analyzer
-    .py:105-171): prior = pre-period N(μ₀, σ₀²/n₀); likelihood =
-    post mean; posterior effect + 95% CI + Cohen's d. Pure closed
+    .py:105-171): weakly informative prior = N(pre_mean, pre_std²)
+    (the FULL pre variance, not the standard error — the reference's
+    choice, so a well-sampled post period dominates); likelihood =
+    post mean with var σ₁²/n₁; posterior effect + 95% CI + Cohen's d
+    (measured on the posterior effect, per the reference). Pure closed
     form over two groups' (mean, std, n) — one aggregate, driver-free.
     """
     agg = df.groupBy().pivot(period, [pre_label, post_label]).agg(
@@ -219,7 +222,7 @@ def bayesian_effect(
         F.col(f"{post_label}_std"),
         F.col(f"{post_label}_n"),
     )
-    prior_var = (pre_s * pre_s) / pre_n
+    prior_var = pre_s * pre_s
     like_var = (post_s * post_s) / post_n
     post_var = 1 / (1 / prior_var + 1 / like_var)
     post_mean = post_var * (pre_m / prior_var + post_m / like_var)
@@ -233,7 +236,7 @@ def bayesian_effect(
         effect.alias("effect"),
         (effect - ci).alias("ci_low"),
         (effect + ci).alias("ci_high"),
-        ((post_m - pre_m) / pooled).alias("cohens_d"),
+        (effect / pooled).alias("cohens_d"),
         pre_n.alias("n_pre"),
         post_n.alias("n_post"),
     )

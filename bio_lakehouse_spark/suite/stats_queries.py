@@ -281,7 +281,7 @@ WITH daily AS (
   FROM daily
 ), calc AS (
   SELECT *,
-         pre_std * pre_std / n_pre AS prior_var,
+         pre_std * pre_std AS prior_var,
          post_std * post_std / n_post AS like_var
   FROM g
 ), post AS (
@@ -294,7 +294,7 @@ WITH daily AS (
 SELECT ROUND(post_mean_updated - pre_mean, 6) AS effect,
        ROUND(post_mean_updated - pre_mean - 1.96 * SQRT(post_var), 6) AS ci_low,
        ROUND(post_mean_updated - pre_mean + 1.96 * SQRT(post_var), 6) AS ci_high,
-       ROUND((post_mean - pre_mean)
+       ROUND((post_mean_updated - pre_mean)
              / SQRT(((n_pre - 1) * pre_std * pre_std + (n_post - 1) * post_std * post_std)
                     / (n_pre + n_post - 2)), 6) AS cohens_d,
        n_pre, n_post

@@ -1,0 +1,199 @@
+"""Tests: discovery scanner, insight analyzers + weekly report,
+experiment tracker/analyzer (ref test patterns: mocked-engine
+integration + numeric properties, SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bio_lakehouse_spark.products import discovery
+from bio_lakehouse_spark.products.experiments import (
+    Experiment,
+    ExperimentTracker,
+    analyze_experiment,
+    summarize,
+)
+from bio_lakehouse_spark.products.insights import (
+    ReadinessTrendAnalyzer,
+    SleepReadinessAnalyzer,
+    TrainingLoadAnalyzer,
+    WeeklyReportGenerator,
+)
+
+BIO_ROOT = "/root/repo/.fixtures/bio"
+
+
+@pytest.fixture(scope="module")
+def gold(spark):
+    from bio_lakehouse_spark.bio.gold import build_gold
+
+    return build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+
+
+# -- discovery --------------------------------------------------------------
+
+
+def test_spearman_np_matches_known():
+    # Perfect monotone → rho 1, p ~0.
+    rho, p = discovery.spearman_np(
+        np.array([1, 2, 3, 4, 5.0]), np.array([2, 4, 6, 8, 10.0])
+    )
+    assert rho == pytest.approx(1.0)
+    assert p < 1e-6
+    # Anti-monotone → −1.
+    rho, _ = discovery.spearman_np(
+        np.array([1, 2, 3, 4, 5.0]), np.array([5, 4, 3, 2, 1.0])
+    )
+    assert rho == pytest.approx(-1.0)
+
+
+def test_mann_whitney_np_separated_groups():
+    a = np.array([10.0, 11, 12, 13, 14, 15])
+    b = np.array([1.0, 2, 3, 4, 5, 6])
+    u1, p = discovery.mann_whitney_np(a, b)
+    assert u1 == 36.0  # complete separation
+    assert p < 0.01
+
+
+def test_scan_correlations_finds_planted_lag():
+    rng = np.random.RandomState(5)
+    n = 120
+    a = rng.uniform(0, 100, n)
+    b = np.roll(a, 1) * 0.9 + rng.normal(0, 3, n)  # b[t] ~ a[t-1]
+    noise = rng.uniform(0, 100, n)
+    df = pd.DataFrame({"a": a, "b": b, "noise": noise})
+    found = discovery.scan_correlations(
+        df, ["a", "b", "noise"], max_lags=3, min_samples=14, trivial=set()
+    )
+    top = found[0]
+    assert {top.metric_a, top.metric_b} == {"a", "b"}
+    assert top.lag == 1
+    assert top.strength in ("strong", "very_strong")
+    # confidence = |rho|(1-p_corrected)
+    assert top.confidence == pytest.approx(
+        abs(top.rho) * (1 - top.p_corrected)
+    )
+    assert not any(
+        {f.metric_a, f.metric_b} == {"a", "noise"} and f.p_corrected < 0.05
+        for f in found
+    )
+
+
+def test_scan_thresholds_planted_effect():
+    rng = np.random.RandomState(6)
+    n = 100
+    trig = rng.uniform(0, 100, n)
+    out = np.empty(n)
+    out[1:] = np.where(trig[:-1] >= np.quantile(trig, 0.75), 40.0, 70.0)
+    out[0] = 70.0
+    out += rng.normal(0, 1, n)
+    df = pd.DataFrame({"total_output_kj": trig, "readiness_score": out})
+    found = discovery.scan_thresholds(df)
+    assert found
+    f = found[0]
+    assert f.trigger_metric == "total_output_kj"
+    assert f.outcome_metric == "readiness_score"
+    assert f.delta == pytest.approx(-30.0, abs=2.0)
+    assert f.p_value < 0.01
+
+
+def test_discover_end_to_end(gold, tmp_path):
+    res = discovery.discover(
+        gold,
+        ["readiness_score", "sleep_score", "total_output_kj", "steps",
+         "hrv_ms"],
+        persist_path=str(tmp_path / "runs"),
+    )
+    assert res["total_rows"] == 150
+    saved = gold.sparkSession.read.parquet(str(tmp_path / "runs")).collect()
+    assert len(saved) == 1 and saved[0]["total_rows"] == 150
+
+
+# -- insights + report ------------------------------------------------------
+
+
+def test_insight_analyzers_and_report(spark, gold, tmp_path):
+    from bio_lakehouse_spark.bio import views as V
+
+    analyzers = [
+        SleepReadinessAnalyzer(V.sleep_performance_prediction(gold)),
+        ReadinessTrendAnalyzer(gold),
+        TrainingLoadAnalyzer(V.training_load_daily(gold), gold),
+    ]
+    results = {a.name: a.analyze() for a in analyzers}
+    sr = results["sleep_readiness"]
+    assert sr.statistics["n"] > 30
+    assert "readiness points next day" in sr.narrative
+    rt = results["readiness_trend"]
+    assert rt.statistics["trend"] in ("improving", "stable", "declining")
+    tl = results["training_load"]
+    assert tl.statistics["form"] in ("fresh", "neutral", "building", "fatigued")
+    assert tl.statistics["ctl"] >= 0
+
+    gen = WeeklyReportGenerator(analyzers)
+    html, rendered = gen.generate("2025-W40")
+    assert "<h1>Weekly Report" in html
+    assert all(r.name in html for r in rendered)
+    path = gen.deliver(html, tmp_path / "report.html")
+    assert "Weekly Report" in open(path).read()
+
+
+# -- experiments ------------------------------------------------------------
+
+
+def _metric_frame(spark, pre_level: float, post_level: float,
+                  start="2025-07-01", n_pre=28, n_post=28):
+    import datetime
+
+    rng = np.random.RandomState(7)
+    rows = []
+    d0 = datetime.date.fromisoformat(start)
+    for i in range(-n_pre, n_post):
+        rows.append(
+            {
+                "date": (d0 + datetime.timedelta(days=i)).isoformat(),
+                "metric": float(
+                    (pre_level if i < 0 else post_level)
+                    + rng.normal(0, 2.0)
+                ),
+            }
+        )
+    return spark.createDataFrame(rows, schema="date string, metric double")
+
+
+def test_experiment_detects_planted_effect(spark):
+    daily = _metric_frame(spark, pre_level=70, post_level=78)
+    res = analyze_experiment(daily, "metric", "2025-07-01")
+    assert res["valid"]
+    b = res["bayesian"]
+    assert 5 < b["effect"] < 11
+    assert b["p_positive"] > 0.95
+    assert b["verdict"] == "Likely positive effect"
+    assert res["did"]["effect"] > 4  # flat pre-trend → DiD ≈ raw effect
+    assert "Likely positive effect" in summarize(res)
+
+
+def test_experiment_null_effect_inconclusive(spark):
+    daily = _metric_frame(spark, pre_level=70, post_level=70.3)
+    res = analyze_experiment(daily, "metric", "2025-07-01")
+    assert res["valid"]
+    assert res["bayesian"]["verdict"] in (
+        "Negligible effect", "Inconclusive — effect crosses zero",
+        "Small positive effect",
+    )
+
+
+def test_experiment_tracker_roundtrip(spark, tmp_path):
+    tr = ExperimentTracker(spark, str(tmp_path / "experiments"))
+    assert tr.load_all() == []
+    e = Experiment("e1", "more sleep", "readiness_score", "2025-07-01")
+    tr.save(e)
+    e2 = Experiment("e1", "more sleep", "readiness_score", "2025-07-01",
+                    status="completed")
+    tr.save(e2)
+    tr.save(Experiment("e2", "zone2", "hrv_ms", "2025-08-01"))
+    loaded = {x.experiment_id: x for x in tr.load_all()}
+    assert len(loaded) == 2
+    assert loaded["e1"].status == "completed"  # latest row wins
