@@ -1,0 +1,137 @@
+"""Multimodal column operators: opaque binary content + typed metadata
+(the training-pipeline pattern for image/audio/video at 100 TB).
+
+Design: media bytes live in a ``binary`` column next to typed metadata
+(media_type, n_bytes, digest); decode / feature-extraction / resize /
+frame-sampling run as Arrow-batched ``mapInPandas`` stages so each
+executor processes whole record batches with a real decoder library.
+
+This container has no image/audio libs, so the actual decoders are
+STUBS behind ``Decoder``: ``FakeDecoder`` produces deterministic
+pseudo-features from the content digest (making the plumbing — schema,
+batch shape, partitioning — fully testable), and ``LibraryDecoder``
+raises ``NotImplementedError`` with the integration point documented.
+Swapping in Pillow/torchaudio is a one-class change; no Spark-side
+code moves.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, content_md5 string, "
+    "width int, height int, n_channels int, feature_vec array<float>"
+)
+
+
+class Decoder:
+    """Decode one media payload → (width, height, channels, features)."""
+
+    def decode(self, content: bytes, media_type: str) -> tuple:
+        raise NotImplementedError
+
+
+class LibraryDecoder(Decoder):
+    """Real decoder integration point (Pillow / libav / torchaudio).
+
+    Not available in this environment — the class exists so the
+    mapInPandas plumbing has a production target with the same
+    signature."""
+
+    def decode(self, content: bytes, media_type: str) -> tuple:
+        raise NotImplementedError(
+            "media decode libraries are not installed in this container; "
+            "plug Pillow/torchaudio here — the Spark plumbing is complete"
+        )
+
+
+class FakeDecoder(Decoder):
+    """Deterministic pseudo-decode from the md5 digest: stable fake
+    dimensions and an 8-dim feature vector. Exercises every byte of
+    the distributed plumbing without media libs."""
+
+    def decode(self, content: bytes, media_type: str) -> tuple:
+        h = hashlib.md5(content).digest()
+        width = 16 + h[0]
+        height = 16 + h[1]
+        channels = 1 + h[2] % 4
+        features = [round(b / 255.0, 6) for b in h[3:11]]
+        return width, height, channels, features
+
+
+def attach_binary(
+    df: DataFrame, content_col: str, media_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Wrap a string/bytes column as the (content, media_type,
+    n_bytes, content_md5) multimodal contract."""
+    content = (
+        F.encode(F.col(content_col), "UTF-8")
+        if dict(df.dtypes)[content_col] == "string"
+        else F.col(content_col)
+    )
+    return df.withColumn("content", content).select(
+        "*",
+        F.lit(media_type).alias("media_type"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+def decode_batches(
+    df: DataFrame,
+    decoder: Decoder | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas decode: Arrow ships (id, content, media_type)
+    batches to Python; the decoder runs per record within a batch —
+    vectorized transfer, library-friendly loop. Repartition upstream
+    to bound per-task media bytes (e.g. ``df.repartitionByRange(n,
+    id_col)``) — batch size is already capped by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    dec = decoder or FakeDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "content_md5": pdf["content_md5"],
+            }
+            dims = [dec.decode(bytes(c), m)
+                    for c, m in zip(pdf["content"], pdf["media_type"])]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["n_channels"] = [d[2] for d in dims]
+            out["feature_vec"] = [d[3] for d in dims]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, "content", "media_type", "n_bytes", "content_md5"]
+    return df.select(cols).mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_spec(width: int, height: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving resize dims (pure arithmetic — the Spark-side
+    planning half of a resize stage; the pixel work belongs to the
+    decoder batch)."""
+    if width >= height:
+        return target, max(1, round(height * target / width))
+    return max(1, round(width * target / height)), target
+
+
+def frame_sample_offsets(
+    duration_s: float, fps: float, n_frames: int
+) -> list[float]:
+    """Uniform frame-sample timestamps for video decode (the planning
+    half of frame extraction)."""
+    if n_frames <= 0 or duration_s <= 0:
+        return []
+    step = duration_s / n_frames
+    return [round(step * (i + 0.5), 6) for i in range(n_frames)]

@@ -1,0 +1,120 @@
+"""Streaming (file-source ingestion, watermarked windows) and
+multimodal (mapInPandas decode plumbing) tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = "event_id long, ts string, user_id long, event_type string, value double"
+
+
+def _write_landing(tmp_path, name: str, rows: list[str]) -> None:
+    p = tmp_path / "landing" / name
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(
+        "event_id,ts,user_id,event_type,value\n" + "\n".join(rows) + "\n"
+    )
+
+
+def test_stream_landing_to_bronze_exactly_once(spark, tmp_path):
+    from bio_lakehouse_spark.streaming.ingest import stream_landing_to_bronze
+
+    landing = str(tmp_path / "landing")
+    bronze = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    _write_landing(tmp_path, "a.csv",
+                   ["1,2024-01-01 00:00:00,7,click,1.5",
+                    "2,2024-01-01 00:05:00,8,view,2.0"])
+    q = stream_landing_to_bronze(spark, landing, bronze, ckpt, EVENT_SCHEMA)
+    q.awaitTermination()
+    assert spark.read.parquet(bronze).count() == 2
+
+    # New file lands; re-run drains ONLY the new file (checkpointed
+    # file log = exactly-once per file).
+    _write_landing(tmp_path, "b.csv", ["3,2024-01-01 00:10:00,9,click,3.0"])
+    q2 = stream_landing_to_bronze(spark, landing, bronze, ckpt, EVENT_SCHEMA)
+    q2.awaitTermination()
+    back = spark.read.parquet(bronze)
+    assert back.count() == 3
+    assert back.select("event_id").distinct().count() == 3
+    assert back.filter(F.col("_ingested_file").contains("b.csv")).count() == 1
+
+
+def test_windowed_counts_with_watermark_drops_late(spark, tmp_path):
+    from bio_lakehouse_spark.streaming.ingest import stream_windowed_counts
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt2")
+    # Batch 1: events up to 02:00 → watermark advances to 01:30.
+    _write_landing(
+        tmp_path, "a.csv",
+        ["1,2024-01-01 00:01:00,7,click,1.0",
+         "2,2024-01-01 00:04:00,7,click,2.0",
+         "3,2024-01-01 02:00:00,8,view,1.0"],
+    )
+    q = stream_windowed_counts(spark, landing, out, ckpt, EVENT_SCHEMA)
+    q.awaitTermination()
+    # Batch 2: one event inside an already-finalized window (00:00)
+    # → beyond the watermark → dropped; one fresh event late-ish but
+    # inside the allowed lateness → kept.
+    _write_landing(
+        tmp_path, "b.csv",
+        ["4,2024-01-01 00:02:00,9,click,100.0",
+         "5,2024-01-01 02:10:00,9,view,1.0"],
+    )
+    q2 = stream_windowed_counts(spark, landing, out, ckpt, EVENT_SCHEMA)
+    q2.awaitTermination()
+    # Force one more empty batch so remaining windows finalize.
+    _write_landing(tmp_path, "c.csv", ["6,2024-01-01 05:00:00,9,view,1.0"])
+    q3 = stream_windowed_counts(spark, landing, out, ckpt, EVENT_SCHEMA)
+    q3.awaitTermination()
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    first = rows[("2024-01-01 00:00:00", "click")]
+    # The late event 4 (value=100) must NOT appear in the finalized
+    # 00:00 window: count 2, total 3.0.
+    assert first["n_events"] == 2
+    assert first["total_value"] == pytest.approx(3.0)
+
+
+def test_multimodal_decode_plumbing(spark):
+    from bio_lakehouse_spark.operators.multimodal import (
+        FakeDecoder,
+        LibraryDecoder,
+        attach_binary,
+        decode_batches,
+        frame_sample_offsets,
+        resize_spec,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i}") for i in range(20)],
+        schema="doc_id long, text string",
+    )
+    wrapped = attach_binary(docs, "text")
+    assert dict(wrapped.dtypes)["content"] == "binary"
+    decoded = decode_batches(wrapped)
+    rows = {r["doc_id"]: r for r in decoded.collect()}
+    assert len(rows) == 20
+    r0 = rows[0]
+    assert 16 <= r0["width"] <= 271 and 1 <= r0["n_channels"] <= 4
+    assert len(r0["feature_vec"]) == 8
+    # Determinism: same content → same fake features across runs.
+    again = {r["doc_id"]: r for r in decode_batches(wrapped).collect()}
+    assert again[0]["feature_vec"] == r0["feature_vec"]
+    assert again[0]["content_md5"] == r0["content_md5"]
+
+    # The real-decoder seam raises with a clear integration message.
+    with pytest.raises(NotImplementedError, match="plug Pillow"):
+        LibraryDecoder().decode(b"x", "image/png")
+    # Planning helpers.
+    assert resize_spec(1920, 1080, 224) == (224, 126)
+    assert resize_spec(1080, 1920, 224) == (126, 224)
+    offs = frame_sample_offsets(10.0, 30.0, 4)
+    assert offs == [1.25, 3.75, 6.25, 8.75]
+    assert frame_sample_offsets(0, 30, 4) == []
