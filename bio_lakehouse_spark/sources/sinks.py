@@ -63,3 +63,28 @@ def append_log(
     spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
         "append"
     ).parquet(path)
+
+
+def refresh_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> None:
+    """Incremental partition refresh — the scaling fix the reference
+    flags for its full-rebuild gold (ref README.md:627: "incremental
+    merge noted as the scaling fix"; dbt_gold_refresh.py rebuilds all
+    3 tables daily).
+
+    With ``partitionOverwriteMode=dynamic``, an overwrite replaces
+    ONLY the partitions present in ``df`` — recompute yesterday's
+    (year, month) slice and write it, leaving history untouched. On
+    Delta/Iceberg this becomes a true MERGE; on plain parquet, dynamic
+    partition overwrite is the transactional-enough equivalent (each
+    partition swap is atomic at the directory level)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -477,3 +477,116 @@ def fhir_observations_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_str.alias("effective_date"),
         "value_quantity",
     )
+
+
+# ---------------------------------------------------------------------------
+# J7-class custom joins: as-of and bucketized range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_purchase",
+    survey=("J7", "J3", "W1"),
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.event_id, c.ts,
+       ROUND(p.value, 6) AS asof_value,
+       CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS secs_since_purchase
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's latest purchase
+    at-or-before it. Implemented as union + one ordered window
+    forward-fill (single shuffle on (user, ts) — the shape that
+    survives 100 TB; no range join, no candidate explosion). The
+    oracle is DuckDB's NATIVE ASOF JOIN — a fully independent
+    implementation of the semantics."""
+    from bio_lakehouse_spark.operators.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value", "ts"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        R6(F.col("asof_value")).alias("asof_value"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")
+        ).cast("long").alias("secs_since_purchase"),
+    )
+
+
+@register(
+    "range_join_error_window",
+    survey=("J7", "P8"),
+    oracle="""
+WITH signups AS (
+  SELECT user_id, event_id AS signup_id, ts FROM events
+  WHERE event_type = 'signup'
+), errors AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.signup_id,
+       COUNT(e.ts) AS errors_within_1h,
+       ROUND(COALESCE(SUM(e.value), 0), 6) AS error_value_1h
+FROM signups s
+LEFT JOIN errors e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+GROUP BY s.user_id, s.signup_id
+""",
+)
+def range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: errors within 1 hour after each signup, via the
+    bucketized equi-join (quantize to 1h bins, explode left to its 2
+    touchable bins, hash-join on (user, bin), exact band filter) —
+    the scale-safe alternative to Spark's nested-loop plan for pure
+    inequality joins. LEFT semantics recovered by re-joining the
+    aggregate onto the signup spine."""
+    from bio_lakehouse_spark.operators.joins import range_join_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join_bucketed(
+        signups, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=0, upper_s=3600, bucket_s=3600,
+    )
+    counts = pairs.groupBy("user_id", "signup_id").agg(
+        F.count(F.lit(1)).alias("errors_within_1h"),
+        R6(F.sum("r_value")).alias("error_value_1h"),
+    )
+    return (
+        signups.select("user_id", "signup_id")
+        .join(counts, on=["user_id", "signup_id"], how="left")
+        .select(
+            "user_id",
+            "signup_id",
+            F.coalesce(F.col("errors_within_1h"), F.lit(0)).alias(
+                "errors_within_1h"
+            ),
+            R6(F.coalesce(F.col("error_value_1h"), F.lit(0.0))).alias(
+                "error_value_1h"
+            ),
+        )
+    )

@@ -136,3 +136,40 @@ def test_latest_file(tmp_path):
     assert latest_file(tmp_path, "KnownasNoma_*.csv") == str(new)
     with pytest.raises(FileNotFoundError):
         latest_file(tmp_path, "nope_*.csv")
+
+
+def test_refresh_partitions_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import (
+        refresh_partitions,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "part_table")
+    full = spark.createDataFrame(
+        [("2025-06", 1, 10.0), ("2025-06", 2, 20.0), ("2025-07", 3, 30.0)],
+        schema="month string, id int, v double",
+    )
+    write_partitioned_parquet(full, path, ["month"])
+    # Incremental refresh: only the 2025-07 slice, with new content.
+    delta = spark.createDataFrame(
+        [("2025-07", 3, 99.0), ("2025-07", 4, 40.0)],
+        schema="month string, id int, v double",
+    )
+    refresh_partitions(delta, path, ["month"])
+    back = {
+        (r["month"], r["id"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    # June untouched; July replaced (old row 3→99, new row 4 added).
+    assert back == {
+        ("2025-06", 1): 10.0,
+        ("2025-06", 2): 20.0,
+        ("2025-07", 3): 99.0,
+        ("2025-07", 4): 40.0,
+    }
+    # static mode restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode"
+    ) == "static"
