@@ -590,3 +590,42 @@ def range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation (salting) — results must equal the plain agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_skew_agg",
+    survey=("A1", "A10"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS total,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a low-cardinality key (5 event
+    types over all rows — exactly the hot-key shape that straggles a
+    single reducer at scale). The oracle is the PLAIN aggregate:
+    salting must be invisible in the result; avg recomposed as
+    merged-sum/merged-count, never an average of partial averages."""
+    from bio_lakehouse_spark.operators.skew import salted_agg_cols
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg_cols(ev, ["event_type"], "value", n_salts=16)
+    return out.select(
+        "event_type",
+        "n",
+        R6(F.col("total")).alias("total"),
+        R6(F.col("min_value")).alias("min_value"),
+        R6(F.col("max_value")).alias("max_value"),
+        R6(F.col("avg_value")).alias("avg_value"),
+    )
