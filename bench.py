@@ -36,11 +36,16 @@ HEADLINE = [
     "percentile_stats",
     "pearson_ols_lagged",
     "spearman_rho",
+    "asof_last_purchase",
+    "range_join_error_window",
+    "salted_skew_agg",
+    "sql_facade_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
     "text_token_counts",
+    "text_rolling_hash",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_neardup",

@@ -341,3 +341,45 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_bytes % 256).cast("int").alias("fake_width"),
         ((n_bytes * 7) % 256).cast("int").alias("fake_height"),
     )
+
+
+@register(
+    "text_rolling_hash",
+    survey=("F9", "F1"),
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substr(lower(text), 1, 64), ''),
+                          ch -> CAST(unicode(ch) AS BIGINT))),
+         (acc, c) -> (acc * 257 + c) % 1000000007
+       ) AS rolling_hash,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin-Karp form:
+    h = (h·257 + code) mod 1e9+7 over the first 64 chars) — the
+    incremental-hash primitive a chunked dedup pipeline uses to
+    fingerprint sliding windows without rehashing from scratch. Pure
+    fold over the character codes, identical arithmetic in both
+    engines (mod keeps every intermediate < 2^60: no overflow on
+    either side)."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.split(F.substring(F.lower("text"), 1, 64), "")
+    # split('') yields a trailing empty string in Spark; filter it.
+    codes = F.transform(
+        F.filter(chars, lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 257 + c) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        h.alias("rolling_hash"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
