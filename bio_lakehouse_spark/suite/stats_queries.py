@@ -530,3 +530,119 @@ def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("max_session_events"),
         R6(F.avg("duration_s")).alias("avg_session_duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible rows-only entries for the non-SQL-expressible stats
+# (ST8 LOWESS, ST13 feature selection, ST14 walk-forward CV). The
+# driver records a rows-only check for these; exact behavior is pinned
+# by unit/property tests in tests/test_products.py.
+# ---------------------------------------------------------------------------
+
+
+@register("lowess_daily_trend", survey=("ST8",), oracle=None)
+def lowess_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOWESS smooth of the global daily event value (ST8 — ref
+    insights/timing_correlation.py:185-205): Spark aggregates the
+    daily series, the tricube local-linear smoother runs on the
+    collected (tiny, daily-grain) series — the reference's
+    presentation-layer split. Not SQL-expressible → rows-only."""
+    import numpy as np
+
+    from bio_lakehouse_spark.products.numerics import lowess
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.sum("value").alias("daily_value"))
+        .orderBy("date")
+        .toPandas()
+    )
+    x = np.arange(len(daily), dtype=float)
+    y = daily["daily_value"].to_numpy(dtype=float)
+    daily["lowess_fit"] = np.round(lowess(x, y, frac=0.6), 6)
+    daily["daily_value"] = np.round(y, 6)
+    return spark.createDataFrame(
+        daily, schema="date date, daily_value double, lowess_fit double"
+    )
+
+
+@register("feature_selection_mi", survey=("ST13",), oracle=None)
+def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI + corr-filter feature selection (ST13 — ref models/
+    readiness_predictor/feature_selection.py): features built
+    distributed (per-user daily aggregates), selection on the driver.
+    Deterministic given the data → stable rows-only output."""
+    import numpy as np
+
+    from bio_lakehouse_spark.products.numerics import (
+        mutual_information,
+        select_features,
+    )
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .fillna(0.0)
+        .toPandas()
+    )
+    names = ["n_events", "n_clicks", "n_errors", "purchase_value", "avg_value"]
+    X = daily[names].to_numpy(dtype=float)
+    y = daily["total_value"].to_numpy(dtype=float)
+    chosen = select_features(X, y, names, corr_threshold=0.85, top_k=3)
+    rows = [
+        {
+            "feature": n,
+            "mi": round(float(mutual_information(X[:, names.index(n)], y)), 6),
+            "selected": n in chosen,
+            "rank": chosen.index(n) if n in chosen else -1,
+        }
+        for n in names
+    ]
+    return spark.createDataFrame(
+        rows, schema="feature string, mi double, selected boolean, rank int"
+    )
+
+
+@register("walk_forward_cv_daily", survey=("ST14",), oracle=None)
+def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV of a ridge next-day-value predictor vs the
+    naive 7-day-mean baseline (ST14 — ref models/readiness_predictor/
+    train.py:95-464): feature table distributed, expanding-window CV
+    on the driver. Deterministic → rows-only."""
+    import numpy as np
+
+    from bio_lakehouse_spark.products.numerics import walk_forward_cv
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
+    X = daily[["total_value", "n_events", "avg_value"]].to_numpy(dtype=float)[:-1]
+    res = walk_forward_cv(X, y, min_train=10, test_window=5)
+    rows = [
+        {
+            "metric": "mae", "value": round(res["mae"], 6),
+        },
+        {"metric": "rmse", "value": round(res["rmse"], 6)},
+        {"metric": "r2", "value": round(res["r2"], 6) if res["r2"] is not None else None},
+        {"metric": "naive_mae", "value": round(res["naive_mae"], 6)},
+        {"metric": "n_folds", "value": float(res["n_folds"])},
+    ]
+    return spark.createDataFrame(rows, schema="metric string, value double")

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+scale must actually appear in the plans — predicate pushdown reaching
+the parquet scan, dimension joins broadcast, anti-join broadcast,
+window partitioning, and no cartesian products outside the two
+intentional broadcast-query cross joins (ANN scoring).
+
+A plan regression (e.g. a refactor that hides a filter behind an
+opaque expression, or a join key type mismatch breaking broadcast)
+fails here long before it shows up as an sf-scale slowdown.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from bio_lakehouse_spark.suite import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushes_filter(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Aggregate must be partial (map-side combine) before the shuffle.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("top_orders", "region_nation_rollup"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name  # dims must not shuffle
+
+
+def test_anti_and_semi_join_broadcast(spark, sf_dir):
+    assert "BroadcastHashJoin LeftAnti" in _plan(spark, sf_dir, "anti_join_inactive")
+    assert "BroadcastHashJoin LeftSemi" in _plan(spark, sf_dir, "semi_join_active")
+
+
+def test_full_outer_chain_is_sort_merge(spark, sf_dir):
+    # FULL OUTER cannot broadcast; the chain must be sort-merge on the
+    # coalesced key, not nested-loop.
+    plan = _plan(spark, sf_dir, "full_outer_coalesce_chain")
+    assert "SortMergeJoin FullOuter" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_windows_are_partitioned(spark, sf_dir):
+    # Per-user windows must carry a partition spec — a global window
+    # here would single-thread the sort at scale.
+    plan = _plan(spark, sf_dir, "rolling_avg_windows")
+    assert "Window" in plan
+    assert "user_id" in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_error_window")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_join_single_window_no_join(spark, sf_dir):
+    # The as-of implementation is union + window — there must be NO
+    # join operator at all in the plan.
+    plan = _plan(spark, sf_dir, "asof_last_purchase")
+    assert "Join" not in plan.replace("joinType", "")
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # A 2-column projection over lineitem must not read all 16 cols.
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, "no ReadSchema in plan"
+    assert "l_comment" not in scan_lines[0]
