@@ -88,3 +88,31 @@ def refresh_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Bucketed catalog table: rows hash-distributed into
+    ``n_buckets`` files by ``bucket_col`` at WRITE time. Two tables
+    bucketed the same way join with ZERO exchange — the shuffle was
+    paid once at write and amortizes over every subsequent join
+    (SURVEY §7: "bucketing for co-located joins"). The scale recipe
+    for fact-fact joins repeated across a pipeline."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+    return spark.table(name)

@@ -82,3 +82,50 @@ def test_scan_prunes_columns(spark, sf_dir):
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines, "no ReadSchema in plan"
     assert "l_comment" not in scan_lines[0]
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located bucketed join: both sides bucketed on the key →
+    the join plan contains NO shuffle exchange at all."""
+    import contextlib
+    import io
+
+    from bio_lakehouse_spark.sources.sinks import write_bucketed_table
+    from bio_lakehouse_spark.suite.registry import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    bo = write_bucketed_table(
+        spark, orders, "bkt_orders", "o_orderkey", 8,
+        str(tmp_path / "bkt_orders"),
+    )
+    bl = write_bucketed_table(
+        spark, lineitem, "bkt_lineitem", "l_orderkey", 8,
+        str(tmp_path / "bkt_lineitem"),
+    )
+    # At test scale the planner would broadcast instead (which ALSO
+    # avoids the shuffle but hides the bucketing path that matters at
+    # fact-fact scale) — force the shuffle-join code path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # No shuffle exchange anywhere: bucketing provides the
+        # distribution on both sides.
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert n == orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).count()
