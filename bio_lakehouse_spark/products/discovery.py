@@ -265,3 +265,62 @@ def discover(
             schema="run_date string, total_rows long, payload string",
         ).coalesce(1).write.mode("append").parquet(persist_path)
     return result
+
+
+DISCOVERY_ROW_SCHEMA = (
+    "user_id long, metric_a string, metric_b string, lag int, "
+    "rho double, p_corrected double, n_samples int, strength string, "
+    "confidence double"
+)
+
+
+def discover_per_entity(
+    daily_metrics,
+    metrics: list[str],
+    entity_col: str = "user_id",
+    max_lags: int = 3,
+    min_samples: int = 14,
+    min_rho: float = 0.3,
+):
+    """The 100 TB form of the discovery scan: the SAME numpy pair scan
+    (`scan_correlations`) runs inside an Arrow-batched
+    ``applyInPandas`` group per entity — each entity's daily frame is
+    small by construction, every entity scans in parallel across
+    executors, and nothing is ever collected to the driver.
+
+    ``daily_metrics``: one row per (entity, date) with the metric
+    columns; returns one row per surviving (entity, pair, lag).
+    """
+    import pandas as pd
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        uid = pdf[entity_col].iloc[0]
+        pdf = pdf.sort_values("date")
+        found = scan_correlations(
+            pdf, metrics, max_lags=max_lags, min_samples=min_samples,
+            min_rho=min_rho, trivial=set(),
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "metric_a": f.metric_a,
+                    "metric_b": f.metric_b,
+                    "lag": f.lag,
+                    "rho": f.rho,
+                    "p_corrected": f.p_corrected,
+                    "n_samples": f.n_samples,
+                    "strength": f.strength,
+                    "confidence": f.confidence,
+                }
+                for f in found
+            ],
+            columns=[
+                "user_id", "metric_a", "metric_b", "lag", "rho",
+                "p_corrected", "n_samples", "strength", "confidence",
+            ],
+        )
+
+    return daily_metrics.groupBy(entity_col).applyInPandas(
+        scan, schema=DISCOVERY_ROW_SCHEMA
+    )

@@ -646,3 +646,42 @@ def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"metric": "n_folds", "value": float(res["n_folds"])},
     ]
     return spark.createDataFrame(rows, schema="metric string, value double")
+
+
+@register("discovery_scan_per_user", survey=("ST4", "ST2"), oracle=None)
+def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity correlation-discovery scan (ST4 at scale): daily
+    per-user metric frame built distributed, then the Spearman pair
+    scan with Bonferroni runs inside applyInPandas PER USER — the
+    multi-entity form of the reference's global scan (its data is
+    single-user; ours demonstrates the 100 TB shape). Rows-only: the
+    scan (ranking + t-CDF p-values + correction) is not
+    SQL-expressible; behavior pinned by tests/test_insights_experiments
+    planted-lag recovery and the per-entity test."""
+    from bio_lakehouse_spark.products.discovery import discover_per_entity
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("date"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_value"),
+            F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("view_value"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .fillna(0.0)
+    )
+    out = discover_per_entity(
+        daily,
+        ["click_value", "view_value", "purchase_value", "n_events"],
+        max_lags=2,
+        min_samples=10,
+        min_rho=0.3,
+    )
+    return out.select(
+        "user_id", "metric_a", "metric_b", "lag",
+        F.round("rho", 6).alias("rho"),
+        F.round("p_corrected", 6).alias("p_corrected"),
+        "n_samples", "strength",
+        F.round("confidence", 6).alias("confidence"),
+    )

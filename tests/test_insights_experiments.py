@@ -5,6 +5,7 @@ integration + numeric properties, SURVEY §5)."""
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 import pandas as pd
 import pytest
 
@@ -197,3 +198,66 @@ def test_experiment_tracker_roundtrip(spark, tmp_path):
     loaded = {x.experiment_id: x for x in tr.load_all()}
     assert len(loaded) == 2
     assert loaded["e1"].status == "completed"  # latest row wins
+
+
+def datetime_day(i: int):
+    import datetime
+
+    return datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+
+
+def test_discover_per_entity_parallel_scan(spark):
+    """The applyInPandas per-entity scan must agree with the driver-
+    side scan run on one entity's frame."""
+    import pandas as pd
+
+    from bio_lakehouse_spark.products.discovery import (
+        discover_per_entity,
+        scan_correlations,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for uid in (1, 2):
+        a = rng.uniform(0, 100, 40)
+        b = np.roll(a, 1) * 0.9 + rng.normal(0, 2, 40)
+        for i in range(40):
+            rows.append((uid, datetime_day(i), float(a[i]), float(b[i])))
+    df = spark.createDataFrame(
+        rows, schema="user_id long, date date, m1 double, m2 double"
+    )
+    got = discover_per_entity(
+        df, ["m1", "m2"], max_lags=2, min_samples=10, min_rho=0.3
+    ).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {1, 2}
+    # Sequential oracle on user 1's frame.
+    pdf = (
+        df.filter("user_id = 1").orderBy("date").toPandas()
+    )
+    seq = scan_correlations(pdf, ["m1", "m2"], max_lags=2,
+                            min_samples=10, min_rho=0.3, trivial=set())
+    dist = sorted((r["metric_a"], r["metric_b"], r["lag"],
+                   round(r["rho"], 9)) for r in by_user[1])
+    assert dist == sorted(
+        (f.metric_a, f.metric_b, f.lag, round(f.rho, 9)) for f in seq
+    )
+
+
+def test_approx_sketches_within_error(spark):
+    """Sketch aggregates for the 100 TB count-distinct / percentile
+    path: approx_count_distinct within its rsd bound; percentile_approx
+    at max accuracy equals the exact percentile on this data."""
+    df = spark.range(0, 200_000).selectExpr(
+        "id % 13717 AS k", "CAST(id % 997 AS DOUBLE) AS v"
+    )
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx"),
+        F.countDistinct("k").alias("exact"),
+        F.percentile_approx("v", 0.75, 10000).alias("p75_approx"),
+        F.expr("percentile(v, 0.75)").alias("p75_exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+    assert row["p75_approx"] == pytest.approx(row["p75_exact"], abs=1.0)
