@@ -55,7 +55,17 @@ def exact_dedup_groups(
 def shingle_sets(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles) — distinct word n-gram sets."""
+    """(id, shingles) — distinct word n-gram sets.
+
+    Small corpora arrive as a single parquet split (one task — the
+    whole shingle pipeline would run on one core); spread the rows to
+    the cluster's parallelism first. The shuffle moves only raw text
+    (cheap); at real scale the input already has enough splits and
+    this widens nothing."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
         word_ngrams(words(text_col), n).alias("shingles"),

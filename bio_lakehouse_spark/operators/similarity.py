@@ -28,6 +28,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Small corpora arrive as one parquet split — one task would
+    compute every norm/dot single-threaded. Spread to the session's
+    parallelism; no-op when the input already has enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision via zip_with + left-fold."""
     return F.aggregate(
@@ -72,7 +82,7 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    c = _spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
@@ -114,7 +124,7 @@ def embedding_neardup_pairs(
     ]
     if block_col:
         cols.append(F.col(block_col).alias("block"))
-    v = df.select(*cols)
+    v = _spread(df, id_col).select(*cols)
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.vid") < F.col("b.vid")
     if block_col:
@@ -149,7 +159,9 @@ def assign_cells(
         F.col(vec_col).alias("cent_vec"),
         norm(F.col(vec_col)).alias("cent_norm"),
     )
-    scored = corpus.withColumn("_vnorm", norm(F.col(vec_col))).crossJoin(
+    scored = _spread(corpus, id_col).withColumn(
+        "_vnorm", norm(F.col(vec_col))
+    ).crossJoin(
         F.broadcast(cent)
     ).select(
         F.col(id_col),
