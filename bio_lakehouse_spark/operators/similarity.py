@@ -246,3 +246,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's KMeans over an embedding column — the
+    iterative-algorithm shape on DataFrames (and the trainer for real
+    IVF centroids, replacing the deterministic id-sampled ones).
+
+    Per iteration: centroids broadcast → nearest-centroid assignment
+    by squared L2 (argmin via one structured min_by aggregate) →
+    per-cluster coordinate means via ONE posexplode + groupBy — two
+    shuffles per iteration regardless of corpus size. Initialization
+    is deterministic (first k by id), so the result is reproducible.
+    Returns (centroid_id, centroid array<double>, n_members).
+    """
+    spark = corpus.sparkSession
+    v = _spread(corpus, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    )
+    dim = len(v.select("vec").first()["vec"])
+    cents = [
+        [float(x) for x in r["vec"]]
+        for r in v.orderBy("vid").limit(k).collect()
+    ]
+    for _ in range(n_iters):
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(x) for x in c]).alias("cv"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        # argmin over centroids per row: transform to (dist, cid)
+        # structs, array_min picks lexicographically smallest (dist
+        # first, cid tie-break) — no per-centroid join needed.
+        dist_structs = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vec"),
+                        c["cv"],
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        assigned = v.select(
+            "vid", "vec", F.array_min(dist_structs)["cid"].alias("cid")
+        )
+        # Per-cluster coordinate means: one posexplode + groupBy.
+        sums = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("coords"),
+                F.first("n").alias("n_members"),
+            )
+            .collect()
+        )
+        new_cents = list(cents)
+        for r in sums:
+            new_cents[r["cid"]] = [c["m"] for c in r["coords"]]
+        cents = new_cents
+    rows = [(i, c) for i, c in enumerate(cents)]
+    counts = {r["cid"]: r["n_members"] for r in sums}
+    return spark.createDataFrame(
+        [(i, c, int(counts.get(i, 0))) for i, c in rows],
+        schema="centroid_id int, centroid array<double>, n_members long",
+    )

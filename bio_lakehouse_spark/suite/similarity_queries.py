@@ -136,3 +136,25 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, block_col="label", threshold=0.35
     )
     return out.select("vec_a", "vec_b", R6(F.col("cos_sim")).alias("cos_sim"))
+
+
+@register("kmeans_ivf_centroids", survey=("ST14",), oracle=None)
+def kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's KMeans (k=8, 3 iterations, deterministic
+    init) over the embedding corpus — the iterative-algorithm shape on
+    DataFrames and the trainer for real IVF centroids (upgrade path
+    from ann_ivf_topk's id-sampled cells). Two shuffles per iteration
+    independent of corpus size. Rows-only: iterative, not
+    SQL-expressible; pinned against a numpy twin in
+    tests/test_streaming_multimodal.py."""
+    from bio_lakehouse_spark.operators.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, k=8, n_iters=3)
+    return out.select(
+        "centroid_id",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.round(F.element_at("centroid", 2), 6).alias("c1"),
+        F.round(F.element_at("centroid", 3), 6).alias("c2"),
+        "n_members",
+    )

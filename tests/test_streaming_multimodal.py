@@ -118,3 +118,33 @@ def test_multimodal_decode_plumbing(spark):
     offs = frame_sample_offsets(10.0, 30.0, 4)
     assert offs == [1.25, 3.75, 6.25, 8.75]
     assert frame_sample_offsets(0, 30, 4) == []
+
+
+def test_kmeans_lloyd_converges_and_matches_numpy(spark, sf_dir):
+    """Distributed Lloyd iterations must match a numpy implementation
+    with the same deterministic init, and must reduce inertia."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.similarity import kmeans_lloyd
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = {
+        r["centroid_id"]: np.array(r["centroid"])
+        for r in kmeans_lloyd(emb, k=4, n_iters=3).collect()
+    }
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy())
+    C = X[:4].astype(float).copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for i in range(4):
+            if (assign == i).any():
+                C[i] = X[assign == i].mean(axis=0)
+    for i in range(4):
+        assert np.allclose(got[i], C[i], atol=1e-9), i
+    # inertia decreases vs the initial centroids
+    d0 = ((X[:, None, :] - X[:4][None, :, :].astype(float)) ** 2).sum(axis=2).min(axis=1).sum()
+    d3 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
+    assert d3 < d0
