@@ -1,0 +1,232 @@
+"""Sketch queries: HLL distinct-count and KMV/theta set algebra.
+
+The rare trick here: APPROXIMATE operators that are still verified by
+the driver's exact value-hash gate, because every step of the sketch
+(md5 → 60-bit int → register/rank → estimator) is deterministic and
+ANSI-SQL-expressible, so the DuckDB oracle reproduces the estimate
+bit-for-bit. Each query also carries the exact answer + error column,
+so accuracy is visible in the result itself, not just in unit tests.
+
+At 100 TB the production form is ``approx_count_distinct`` (Spark's
+JVM HLL++, same math, engine-private registers); these queries prove
+out the algorithm and its shuffle shape: the HLL register build sends
+at most m=256 rows per group through the exchange regardless of input
+size, and the KMV sketch travels as ≤ k rows per set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.sketches import (
+    hll_distinct,
+    kmv_distinct,
+    kmv_set_estimates,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+# DuckDB twin of operators/sketches.hash60 — verified to produce the
+# identical bigint as Spark's conv(substr(md5(..),1,15),16,10).
+_H60 = "CAST(concat('0x', substr(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_P = 8
+_M = 1 << _P
+_SUFFIX_BITS = 60 - _P
+_MASK = (1 << _SUFFIX_BITS) - 1
+_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _M) * _M * _M
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "hll_distinct_custkeys",
+    survey=("A11", "ST6"),
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderpriority, {_H60.format(v='o_custkey')} AS h60 FROM orders
+), ranks AS (
+  SELECT o_orderpriority, h60 >> {_SUFFIX_BITS} AS idx,
+         MAX(CASE WHEN (h60 & {_MASK}) = 0 THEN {_SUFFIX_BITS + 1}
+                  ELSE {_SUFFIX_BITS} - length(bin(h60 & {_MASK})) + 1 END) AS maxrank
+  FROM h GROUP BY o_orderpriority, idx
+), folded AS (
+  SELECT o_orderpriority,
+         SUM(power(2.0, -maxrank)) AS sum_inv,
+         COUNT(*) AS present
+  FROM ranks GROUP BY o_orderpriority
+), est AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(CASE WHEN {_ALPHA_M2!r} / (sum_inv + ({_M} - present)) <= {2.5 * _M!r}
+                          AND ({_M} - present) > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - present))
+                     ELSE {_ALPHA_M2!r} / (sum_inv + ({_M} - present)) END) AS BIGINT) AS hll_estimate
+  FROM folded
+), exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT est.o_orderpriority, hll_estimate, exact_distinct,
+       ROUND(100.0 * abs(hll_estimate - exact_distinct) / exact_distinct, 4) AS err_pct
+FROM est JOIN exact USING (o_orderpriority)
+""",
+)
+def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (p=8, m=256 registers) distinct-buyer count per
+    order priority, next to the exact count and the realized error.
+    Duplicate-insensitive, so no pre-distinct shuffle: the register
+    table caps the exchange at 256 rows per group whatever the input
+    size — the COUNT(DISTINCT) replacement that survives 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    est = hll_distinct(orders, ["o_orderpriority"], "o_custkey", p=_P)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderpriority").select(
+        "o_orderpriority",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            100.0
+            * F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("err_pct"),
+    )
+
+
+@register(
+    "kmv_distinct_parts",
+    survey=("A11",),
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+), h AS (
+  SELECT l_returnflag, {_H60.format(v='l_partkey')} AS h60 FROM d
+), sk AS (
+  SELECT l_returnflag, h60,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h60) AS rn
+  FROM h
+), agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         MAX(CASE WHEN rn = 128 THEN h60 END) AS hk
+  FROM sk WHERE rn <= 128 GROUP BY l_returnflag
+), est AS (
+  SELECT l_returnflag,
+         CAST(ROUND(CASE WHEN n < 128 THEN CAST(n AS DOUBLE)
+                         ELSE 127.0 * {_TWO60!r} / hk END) AS BIGINT) AS kmv_estimate
+  FROM agg
+), exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT est.l_returnflag, kmv_estimate, exact_distinct,
+       ROUND(100.0 * abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS err_pct
+FROM est JOIN exact USING (l_returnflag)
+""",
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values, k=128) distinct-part estimate per return
+    flag vs exact: the k-th smallest hash θ makes the retained set a
+    uniform sample, |D| ≈ (k-1)/θ. Falls back to exact when a group
+    holds fewer than k distinct values. The sketch state shipped per
+    group is 128 longs — 1 KB — at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    est = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=128)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "kmv_estimate",
+        "exact_distinct",
+        F.round(
+            100.0
+            * F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("err_pct"),
+    )
+
+
+@register(
+    "theta_customer_overlap",
+    survey=("SET3", "A11"),
+    oracle=f"""
+WITH la AS (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE year(o_orderdate) = 1994
+), rb AS (
+  SELECT DISTINCT o_custkey AS v FROM orders WHERE year(o_orderdate) = 1995
+), lsk AS (
+  SELECT h60, rn FROM (
+    SELECT {_H60.format(v='v')} AS h60,
+           ROW_NUMBER() OVER (ORDER BY {_H60.format(v='v')}) AS rn
+    FROM la
+  ) WHERE rn <= 128
+), rsk AS (
+  SELECT h60, rn FROM (
+    SELECT {_H60.format(v='v')} AS h60,
+           ROW_NUMBER() OVER (ORDER BY {_H60.format(v='v')}) AS rn
+    FROM rb
+  ) WHERE rn <= 128
+), lth AS (
+  SELECT CASE WHEN COUNT(*) < 128 THEN {_TWO60!r}
+              ELSE CAST(MAX(CASE WHEN rn = 128 THEN h60 END) AS DOUBLE) END AS th
+  FROM lsk
+), rth AS (
+  SELECT CASE WHEN COUNT(*) < 128 THEN {_TWO60!r}
+              ELSE CAST(MAX(CASE WHEN rn = 128 THEN h60 END) AS DOUBLE) END AS th
+  FROM rsk
+), th AS (
+  SELECT least(lth.th, rth.th) AS th FROM lth, rth
+), lcut AS (
+  SELECT h60 FROM lsk, th WHERE h60 < th
+), rcut AS (
+  SELECT h60 FROM rsk, th WHERE h60 < th
+), sides AS (
+  SELECT h60, COUNT(*) AS n_sides FROM (
+    SELECT h60 FROM lcut UNION ALL SELECT h60 FROM rcut
+  ) GROUP BY h60
+), counts AS (
+  SELECT COUNT(*) AS n_union,
+         SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS n_both
+  FROM sides
+), ests AS (
+  SELECT ROUND(th.th / {_TWO60!r}, 9) AS theta,
+         CAST(ROUND((SELECT COUNT(*) FROM lcut) * {_TWO60!r} / th.th) AS BIGINT) AS est_left,
+         CAST(ROUND((SELECT COUNT(*) FROM rcut) * {_TWO60!r} / th.th) AS BIGINT) AS est_right,
+         CAST(ROUND(n_both * {_TWO60!r} / th.th) AS BIGINT) AS est_intersection,
+         CAST(ROUND(n_union * {_TWO60!r} / th.th) AS BIGINT) AS est_union
+  FROM counts, th
+), exact AS (
+  SELECT (SELECT COUNT(*) FROM la) AS exact_left,
+         (SELECT COUNT(*) FROM rb) AS exact_right,
+         (SELECT COUNT(*) FROM la JOIN rb USING (v)) AS exact_intersection
+)
+SELECT theta, est_left, est_right, est_intersection, est_union,
+       exact_left, exact_right, exact_intersection
+FROM ests, exact
+""",
+)
+def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: customers who ordered in 1994 vs
+    1995 — both sets sketched to k=128 minimum hashes, cut to the
+    common θ, and intersected/unioned on the retained hashes. The
+    intersection estimate costs a ≤128-row join however large the
+    sets; exact counts ride along so the error is auditable. This is
+    the Druid/Trino theta-sketch workflow as a pure DataFrame plan."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.filter(F.year("o_orderdate") == 1994)
+    right = orders.filter(F.year("o_orderdate") == 1995)
+    ests = kmv_set_estimates(left, right, "o_custkey", k=128)
+    lv = left.select("o_custkey").distinct()
+    rv = right.select("o_custkey").distinct()
+    exact = (
+        lv.groupBy().agg(F.count(F.lit(1)).alias("exact_left"))
+        .crossJoin(rv.groupBy().agg(F.count(F.lit(1)).alias("exact_right")))
+        .crossJoin(
+            lv.join(rv, "o_custkey")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("exact_intersection"))
+        )
+    )
+    return ests.crossJoin(exact)
