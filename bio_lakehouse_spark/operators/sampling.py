@@ -1,0 +1,92 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples that are REPRODUCIBLE (same rows
+on every run, every engine, any partitioning) and STABLE under
+append (a row's split never changes when other rows arrive). Spark's
+``df.sample`` / ``sampleBy`` are seeded per-partition, so a
+repartition reshuffles the sample — useless as a train/val/test
+contract. The fix is content-addressed sampling: map each row's key
+through a uniform hash to [0, 1) and compare against fraction
+thresholds. No RNG state, no shuffle, fully pushdown-friendly (the
+filter runs at the scan), and embarrassingly parallel at 100 TB.
+
+Reference parity: the reference has no sampling operators (its data is
+one user's); these are beyond-reference training-pipeline ops in the
+BASELINE.json north-star list.
+
+Hash: top 60 bits of ``md5(salt || key)`` (operators/sketches.hash60),
+verified to produce the identical bigint in Spark and DuckDB, so the
+oracle reproduces the exact sampled set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.sketches import TWO60, hash60
+
+
+def hash_unit(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) double for a key. The 60-bit hash
+    is converted to double (IEEE round-to-nearest, identical across
+    engines) and divided by 2^60 — an exact power of two."""
+    return hash60(F.concat(F.lit(salt), key.cast("string"))) / F.lit(TWO60)
+
+
+def sample_by_hash(
+    df: DataFrame, key: Column, fraction, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hash_unit(key) < fraction. ``fraction`` may be
+    a literal or a Column (per-row thresholds, e.g. per-stratum rates
+    joined in). A pure filter: no shuffle, scan-level pushdown."""
+    thr = fraction if isinstance(fraction, Column) else F.lit(float(fraction))
+    return df.filter(hash_unit(key, salt) < thr)
+
+
+def assign_split(
+    df: DataFrame,
+    key: Column,
+    splits: dict[str, float],
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a split-label column from cumulative fraction boundaries,
+    e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``. Fractions must
+    sum to 1 (validated). Each key's label is a pure function of the
+    key — stable under append, repartition, and engine change."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    u = hash_unit(key, salt)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    label = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, label)
+
+
+def balanced_downsample(
+    df: DataFrame,
+    key: Column,
+    strata_col: str,
+    salt: str = "bal:",
+) -> DataFrame:
+    """Class-balanced downsample: every stratum is hash-sampled at
+    rate target/|stratum| where target = size of the smallest
+    stratum, so expected per-class counts equalize. The rate table is
+    one row per stratum — broadcast, so the only full-data pass is
+    the scan + filter; the min() is a tiny two-stage agg."""
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    target = counts.groupBy().agg(F.min("__n").alias("__target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        strata_col,
+        (F.col("__target").cast("double") / F.col("__n")).alias("__rate"),
+    )
+    return sample_by_hash(
+        df.join(F.broadcast(rates), strata_col), key, F.col("__rate"), salt
+    ).drop("__rate")

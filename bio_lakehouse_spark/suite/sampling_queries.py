@@ -1,0 +1,106 @@
+"""Deterministic sampling queries: train/val/test split and
+class-balanced downsampling over the documents table.
+
+Both are pure hash-threshold filters (operators/sampling), so the
+DuckDB oracle reproduces the EXACT sampled rows — the driver's
+value-hash gate verifies the sample membership itself, not just
+counts. That is the property that makes these usable as a dataset
+contract: any engine that computes md5 identically yields the same
+split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.sampling import (
+    assign_split,
+    balanced_downsample,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+# DuckDB twin of hash_unit(doc_id, salt): uniform [0,1) from the top
+# 60 bits of md5(salt || doc_id).
+_U = (
+    "(CAST(concat('0x', substr(md5(concat('{salt}', CAST(doc_id AS VARCHAR))),"
+    " 1, 15)) AS BIGINT) / {two60!r})"
+).format
+
+
+@register(
+    "train_val_test_split",
+    survey=("P8", "A1"),
+    oracle=f"""
+WITH labeled AS (
+  SELECT n_chars, lang,
+         CASE WHEN {_U(salt='split:', two60=float(1 << 60))} < 0.8 THEN 'train'
+              WHEN {_U(salt='split:', two60=float(1 << 60))} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM labeled GROUP BY split
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split of the documents corpus, keyed
+    on md5(doc_id): content-addressed, so a document's split never
+    changes when the corpus grows, is repartitioned, or is re-split
+    by a different engine — unlike ``df.sample``'s per-partition RNG.
+    The label is a scan-level expression (no shuffle added beyond the
+    reporting agg); at 100 TB the split is a free column on write."""
+    docs = load(spark, sf_dir, "documents")
+    labeled = assign_split(
+        docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "balanced_lang_downsample",
+    survey=("A1", "J5"),
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, CAST((SELECT MIN(n) FROM counts) AS DOUBLE) / n AS rate
+  FROM counts
+), sampled AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN rates USING (lang)
+  WHERE {_U(salt='bal:', two60=float(1 << 60))} < rate
+)
+SELECT s.lang,
+       COUNT(*) AS n_sampled,
+       ANY_VALUE(c.n) AS n_total,
+       ROUND(AVG(s.n_chars), 6) AS avg_chars
+FROM sampled s JOIN counts c USING (lang)
+GROUP BY s.lang
+""",
+)
+def balanced_lang_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus: every language hash-downsampled to the
+    expected size of the rarest one (rate = min|lang| / |lang|). The
+    per-stratum rate table is a handful of rows joined broadcast, so
+    the whole operator is one scan + filter — the standard cure for
+    language skew in pretraining mixes, shuffle-free at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    sampled = balanced_downsample(docs, F.col("doc_id"), "lang")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select("lang", "n_sampled", "n_total", "avg_chars")
+    )
