@@ -70,6 +70,36 @@ def assign_split(
     return df.withColumn(out_col, label)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: str = "ws:",
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of size k (Efraimidis &
+    Spirakis 2006): score each row u^(1/w) with u = hash_unit(key)
+    and keep the k largest scores — inclusion probability is
+    proportional to weight, and the randomness is the deterministic
+    hash, so the same rows are drawn on every run and engine.
+
+    ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject — a
+    distributed per-partition top-k merged on the driver, NO global
+    sort shuffle — so this holds at 100 TB for small k. Ties (exact
+    equal scores) break on the hash itself for cross-engine
+    stability."""
+    u = hash_unit(key, salt)
+    scored = df.withColumn(
+        key_out, F.pow(u, F.lit(1.0) / weight.cast("double"))
+    ).withColumn("__tie", hash60(F.concat(F.lit(salt), key.cast("string"))))
+    return (
+        scored.orderBy(F.desc(key_out), F.asc("__tie"))
+        .limit(k)
+        .drop("__tie")
+    )
+
+
 def balanced_downsample(
     df: DataFrame,
     key: Column,

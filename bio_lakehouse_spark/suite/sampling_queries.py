@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bio_lakehouse_spark.operators.sampling import (
     assign_split,
     balanced_downsample,
+    weighted_sample,
 )
 from bio_lakehouse_spark.suite.registry import load, register
 
@@ -103,4 +104,37 @@ def balanced_lang_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(totals), "lang")
         .select("lang", "n_sampled", "n_total", "avg_chars")
+    )
+
+
+@register(
+    "weighted_doc_sample",
+    survey=("O4", "A13"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         POWER({_U(salt='ws:', two60=float(1 << 60))},
+               1.0 / CAST(n_chars AS DOUBLE)) AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, ROUND(sample_key, 6) AS sample_key
+FROM scored
+ORDER BY sample_key DESC, doc_id
+LIMIT 50
+""",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 50 documents without replacement
+    (Efraimidis-Spirakis: keep the largest u^(1/n_chars), u from the
+    deterministic md5 hash). Inclusion odds scale with document
+    length — the standard long-document upweighting for pretraining
+    mixes — and the EXACT membership is reproduced by the oracle.
+    Physically a TakeOrderedAndProject (per-partition top-k, no
+    global sort shuffle), so the cost at 100 TB is one scan."""
+    docs = load(spark, sf_dir, "documents")
+    picked = weighted_sample(
+        docs, F.col("doc_id"), F.col("n_chars"), k=50
+    )
+    return picked.select(
+        "doc_id", "lang", "n_chars", F.round("sample_key", 6).alias("sample_key")
     )
