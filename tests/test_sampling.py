@@ -1,0 +1,109 @@
+"""Property tests for deterministic hash-based sampling
+(operators/sampling): the contracts that make a sample usable as a
+dataset split — reproducibility, partitioning-invariance, nesting,
+and the advertised statistical bias.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.sampling import (
+    assign_split,
+    balanced_downsample,
+    hash_unit,
+    sample_by_hash,
+    weighted_sample,
+)
+from bio_lakehouse_spark.suite.registry import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+def test_split_invariant_under_repartition(docs):
+    """A row's split label is a pure function of its key: reshuffling
+    the input (what df.sample does NOT survive) changes nothing."""
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_split(docs, F.col("doc_id"), splits)
+    b = assign_split(docs.repartition(7, "lang"), F.col("doc_id"), splits)
+    mism = (
+        a.select("doc_id", "split")
+        .join(b.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert mism == 0
+
+
+def test_split_fractions_and_exhaustive(docs):
+    rows = dict(
+        assign_split(docs, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    n = docs.count()
+    assert sum(rows.values()) == n  # every row gets exactly one label
+    # 500 Bernoulli(0.8) draws: ±5σ ≈ ±45
+    assert abs(rows["train"] - 0.8 * n) < 50
+    assert rows["val"] > 0 and rows["test"] > 0
+
+
+def test_split_fractions_must_sum_to_one(docs):
+    with pytest.raises(ValueError):
+        assign_split(docs, F.col("doc_id"), {"train": 0.5, "val": 0.1})
+
+
+def test_threshold_samples_nest(docs):
+    """Hash-threshold samples are nested: the 10% sample is a strict
+    subset of the 20% sample — lets a pipeline scale a sample up
+    without re-drawing (impossible with seeded RNG sampling)."""
+    small = sample_by_hash(docs, F.col("doc_id"), 0.1)
+    big = sample_by_hash(docs, F.col("doc_id"), 0.2)
+    outside = small.join(big.select("doc_id"), "doc_id", "left_anti").count()
+    assert outside == 0
+    assert small.count() < big.count()
+
+
+def test_balanced_downsample_equalizes_classes(docs):
+    """Every language's expected sampled size is the min class size
+    (71 at sf0.001); verify all classes land within 5σ of it."""
+    counts = dict(
+        balanced_downsample(docs, F.col("doc_id"), "lang")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    totals = dict(docs.groupBy("lang").count().collect())
+    target = min(totals.values())
+    assert set(counts) == set(totals)
+    for lang, c in counts.items():
+        # binomial sd ≤ sqrt(target); 5*sqrt(71) ≈ 42
+        assert abs(c - target) <= 45, (lang, c, target)
+
+
+def test_weighted_sample_prefers_heavy_rows(docs):
+    """Inclusion ∝ n_chars: the sampled mean length must exceed the
+    corpus mean, and membership must be run-to-run identical."""
+    s1 = weighted_sample(docs, F.col("doc_id"), F.col("n_chars"), k=50)
+    s2 = weighted_sample(
+        docs.repartition(5), F.col("doc_id"), F.col("n_chars"), k=50
+    )
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and len(ids1) == 50
+    sampled_avg = s1.agg(F.avg("n_chars")).first()[0]
+    corpus_avg = docs.agg(F.avg("n_chars")).first()[0]
+    assert sampled_avg > corpus_avg
+
+
+def test_hash_unit_is_uniform(docs):
+    """Mean of hash_unit over 500 keys ≈ 0.5 (±5σ of U[0,1) mean)."""
+    m = docs.select(hash_unit(F.col("doc_id")).alias("u")).agg(
+        F.avg("u")
+    ).first()[0]
+    assert abs(m - 0.5) < 5 * (1 / 12) ** 0.5 / 500**0.5
