@@ -129,3 +129,29 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert n == orders.join(
         lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
     ).count()
+
+
+def test_weighted_sample_is_takeordered_no_exchange(spark, sf_dir):
+    """Weighted top-k must compile to TakeOrderedAndProject (distributed
+    per-partition top-k), never a global Sort + Exchange."""
+    plan = _plan(spark, sf_dir, "weighted_doc_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_split_sampling_adds_no_shuffle_before_agg(spark, sf_dir):
+    """The split label / sample filter is a scan-level expression: the
+    only exchange in the plan is the reporting groupBy's."""
+    plan = _plan(spark, sf_dir, "train_val_test_split")
+    # one exchange for the groupBy(split) agg; countDistinct adds its
+    # expand-exchange — but none may appear below the first aggregate.
+    before_agg = plan.split("HashAggregate")[0]
+    assert "Exchange" not in before_agg
+
+
+def test_hll_register_build_is_two_stage_agg(spark, sf_dir):
+    """HLL: both groupBys (register max-rank, register fold) must have
+    map-side partial aggregates — the sketch's whole point is that
+    only ≤ m rows per group cross each exchange."""
+    plan = _plan(spark, sf_dir, "hll_distinct_custkeys")
+    assert plan.count("HashAggregate") >= 4
