@@ -1,0 +1,78 @@
+"""Accuracy and algebraic-property tests for the cardinality sketches
+(operators/sketches). The hash is deterministic, so these are exact
+regression bounds, not flaky statistical tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.sketches import (
+    hll_distinct,
+    kmv_distinct,
+    kmv_set_estimates,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 4).alias("g")
+    )
+
+
+def test_hll_duplicate_insensitive(spark, ids):
+    """HLL registers are max-merged, so feeding every row twice must
+    yield the IDENTICAL estimate — the property that lets the sketch
+    skip the pre-distinct shuffle entirely."""
+    once = hll_distinct(ids, ["g"], "id").collect()
+    twice = hll_distinct(ids.unionAll(ids), ["g"], "id").collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+
+def test_hll_error_within_bound(spark, ids):
+    """p=8 → theoretical σ ≈ 1.04/√256 = 6.5%; assert every group
+    (25k distinct each) lands within 3σ."""
+    est = {r.g: r.hll_estimate for r in hll_distinct(ids, ["g"], "id").collect()}
+    for g, e in est.items():
+        assert abs(e - 25_000) / 25_000 < 0.20, (g, e)
+
+
+def test_hll_linear_counting_small_groups(spark):
+    """Below 2.5m the estimator switches to linear counting, which is
+    near-exact for tiny sets."""
+    small = spark.range(40).select(F.lit("a").alias("g"), "id")
+    [row] = hll_distinct(small, ["g"], "id").collect()
+    assert abs(row.hll_estimate - 40) <= 2
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values must return the exact
+    count (the sketch isn't full, θ stays 1)."""
+    df = spark.range(50).select(F.lit("a").alias("g"), "id")
+    [row] = kmv_distinct(df, ["g"], "id", k=128).collect()
+    assert row.kmv_estimate == 50
+
+
+def test_kmv_error_within_bound(spark, ids):
+    """k=128 → σ ≈ 1/√(k-2) ≈ 8.9%; assert within 3σ per group."""
+    est = {
+        r.g: r.kmv_estimate
+        for r in kmv_distinct(ids, ["g"], "id", k=128).collect()
+    }
+    for g, e in est.items():
+        assert abs(e - 25_000) / 25_000 < 0.27, (g, e)
+
+
+def test_theta_intersection_known_overlap(spark):
+    """Sets 0..60k and 40k..100k: |∩| = 20k, |∪| = 100k. k=512 →
+    σ ≈ 4.4%; the intersection estimate is noisier (fewer retained
+    hashes land in it), so allow 20%."""
+    left = spark.range(0, 60_000).select(F.col("id").alias("v"))
+    right = spark.range(40_000, 100_000).select(F.col("id").alias("v"))
+    [row] = kmv_set_estimates(left, right, "v", k=512).collect()
+    assert abs(row.est_left - 60_000) / 60_000 < 0.15
+    assert abs(row.est_right - 60_000) / 60_000 < 0.15
+    assert abs(row.est_intersection - 20_000) / 20_000 < 0.20
+    assert abs(row.est_union - 100_000) / 100_000 < 0.15
