@@ -383,3 +383,53 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("rolling_hash"),
         F.length("text").cast("int").alias("n_chars"),
     )
+
+
+@register(
+    "vocab_doc_frequency",
+    survey=("A11", "F9", "O4"),
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W}) AS token FROM documents
+), stats AS (
+  SELECT token,
+         COUNT(*) AS term_freq,
+         COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, term_freq, doc_freq,
+       ROUND(ln((SELECT COUNT(*) FROM documents) / CAST(doc_freq AS DOUBLE)), 6) AS idf
+FROM stats
+ORDER BY doc_freq DESC, term_freq DESC, token
+LIMIT 20
+""",
+)
+def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-20 tokens by document
+    frequency with term frequency and IDF — the vocabulary audit a
+    pretraining pipeline runs before tokenizer training. One explode
+    + one two-stage groupBy; the top-k is TakeOrderedAndProject, and
+    the corpus size rides in as a broadcast scalar, so nothing here
+    depends on corpus size except the token-keyed exchange."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    tok = docs.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    ).filter(F.col("token") != "")
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "term_freq",
+            "doc_freq",
+            R6(
+                F.log(F.col("__n") / F.col("doc_freq").cast("double"))
+            ).alias("idf"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), "token")
+        .limit(20)
+    )
