@@ -100,6 +100,30 @@ def weighted_sample(
     )
 
 
+def group_sample(
+    df: DataFrame,
+    key: Column,
+    strata_cols: list[str],
+    k: int,
+    salt: str = "gs:",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank rows within
+    each stratum by their hash and keep the k smallest. Unlike
+    rate-based sampling this guarantees the count (eval sets want
+    exactly N per class); the price is one shuffle on the strata key,
+    and each stratum sorts independently — no global sort, so 10⁶
+    strata spread across executors at 100 TB."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy("__h")
+    return (
+        df.withColumn("__h", hash60(F.concat(F.lit(salt), key.cast("string"))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )
+
+
 def balanced_downsample(
     df: DataFrame,
     key: Column,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bio_lakehouse_spark.operators.sampling import (
     assign_split,
     balanced_downsample,
+    group_sample,
     weighted_sample,
 )
 from bio_lakehouse_spark.suite.registry import load, register
@@ -138,3 +139,31 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "doc_id", "lang", "n_chars", F.round("sample_key", 6).alias("sample_key")
     )
+
+
+@register(
+    "eval_set_per_lang",
+    survey=("W7", "O3"),
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(concat('gs:',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 20
+""",
+)
+def eval_set_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval set: exactly 20 documents per language, chosen
+    as the 20 smallest key-hashes within each language — a guaranteed
+    per-class count (rate sampling can't promise that) that stays
+    FIXED as the corpus grows, because a new document only enters the
+    eval set by hashing below an incumbent. One shuffle on lang; each
+    stratum ranks independently."""
+    docs = load(spark, sf_dir, "documents")
+    picked = group_sample(docs, F.col("doc_id"), ["lang"], k=20)
+    return picked.select("doc_id", "lang", "n_chars")
