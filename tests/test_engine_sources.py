@@ -173,3 +173,53 @@ def test_refresh_partitions_incremental(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode"
     ) == "static"
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Fragmented partitions collapse to one file each; data survives
+    byte-identically; partitions already compact are left alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import compact_partitions
+
+    path = str(tmp_path / "frag")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("part"),
+    )
+    # 20 appends → ~20 small files per partition.
+    for i in range(20):
+        df.filter(F.col("id") % 20 == i).write.mode("append").partitionBy(
+            "part"
+        ).parquet(path)
+
+    def files_in(p):
+        d = os.path.join(path, f"part={p}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in(0)) >= 10
+    before = spark.read.parquet(path)
+    before_sum, before_n = before.agg(F.sum("id"), F.count("*")).first()
+
+    n = compact_partitions(spark, path, ["part"])
+    assert n == 2
+    assert len(files_in(0)) == 1 and len(files_in(1)) == 1
+
+    after = spark.read.parquet(path)
+    after_sum, after_n = after.agg(F.sum("id"), F.count("*")).first()
+    assert (after_sum, after_n) == (before_sum, before_n)
+
+    # Second run: nothing to do.
+    assert compact_partitions(spark, path, ["part"]) == 0
+
+    # Restricted run only touches the named partition.
+    df.filter(F.col("id") < 10).write.mode("append").partitionBy(
+        "part"
+    ).parquet(path)
+    assert len(files_in(0)) == 2
+    n = compact_partitions(
+        spark, path, ["part"], partition_values=[{"part": "1"}]
+    )
+    assert n == 1 and len(files_in(1)) == 1 and len(files_in(0)) == 2
