@@ -325,3 +325,76 @@ def ema_exact_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary values (Spark HALF_UPs the shortest-decimal repr,
     # DuckDB rounds the binary-exact value).
     return out.select("user_id", "date", "load", "ema_7")
+
+
+@register(
+    "funnel_view_click_purchase",
+    survey=("A1", "J5", "A11"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+       ROUND((SELECT COUNT(*) FROM p) * 1.0
+             / nullif((SELECT COUNT(*) FROM v), 0), 6) AS view_to_purchase_rate
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying
+    click — the strict-ordering semantics a naive per-type count
+    gets wrong. Three per-user aggs chained on the same user_id key,
+    so the exchanges reuse one partitioning; each stage's output is
+    one row per surviving user (monotonically shrinking), and the
+    final counts are scalar aggs. No window over the raw stream, no
+    self-join of events with events."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.groupBy().agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.groupBy().agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.groupBy().agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click")
+                / F.nullif(F.col("n_view"), F.lit(0)),
+                6,
+            ).alias("view_to_purchase_rate"),
+        )
+    )
