@@ -398,3 +398,72 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("view_to_purchase_rate"),
         )
     )
+
+
+@register(
+    "cohort_weekly_retention",
+    survey=("A5", "A11", "J5"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+), mat AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM mat WHERE week_offset = 0
+)
+SELECT m.cohort_week, m.week_offset, m.n_active, s.cohort_size,
+       ROUND(m.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM mat m JOIN sizes s USING (cohort_week)
+WHERE m.week_offset <= 8
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event; each cell is how many are still active N weeks
+    later, as a fraction of the cohort. Two aggs and one join, all
+    keyed on user_id (one partitioning reused), then a tiny
+    cohort-week matrix — the cohort_size join input is one row per
+    (cohort, offset) so it broadcasts. The week-8 cap bounds output,
+    not work."""
+    ev = load(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", wk(F.col("ts")).alias("act_week")
+    ).distinct()
+    mat = (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = mat.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort_week")
+        .filter(F.col("week_offset") <= 8)
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+    )
