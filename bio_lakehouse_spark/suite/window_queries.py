@@ -467,3 +467,90 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "pivot_event_type_daily",
+    survey=("A12", "A1"),
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS error_rate
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: daily event counts with one column per event
+    type plus an error-rate. Uses `groupBy().pivot(values=...)` WITH
+    the value list pinned — omitting it triggers an extra distinct
+    scan just to discover columns, and makes the output schema
+    data-dependent (a deploy hazard: a new event type silently
+    changes the table). Compiles to the same single two-stage
+    conditional aggregation the SQL CASE form does."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+    total = sum((F.col(k) for k in kinds[1:]), F.col(kinds[0]))
+    return wide.select(
+        "day",
+        *kinds,
+        F.round(F.col("error") / total, 6).alias("error_rate"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    survey=("W4", "A1"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, event_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pairs
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next type | current type). One lag window per user
+    (ordered on (ts, event_id) — the unique tiebreak matters: equal
+    timestamps otherwise make the lag nondeterministic and
+    engine-dependent), then a 25-cell aggregate; the row-normalizing
+    window runs on that tiny matrix, not the stream."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p"),
+    )
