@@ -158,3 +158,82 @@ def kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("centroid", 3), 6).alias("c2"),
         "n_members",
     )
+
+
+# Element-wise int8 dequantization error, identical expression tree in
+# both engines so the doubles match bit-for-bit: dq = lo + round_half_up(
+# (x-lo)*255/rng)*rng/255, via floor(v+0.5) because Spark ROUND is
+# HALF_UP while DuckDB's is half-away-from-zero.
+_SQERR = (
+    "(CAST(x AS DOUBLE) - (lo + floor((CAST(x AS DOUBLE) - lo) * 255.0"
+    " / (hi - lo) + 0.5) * (hi - lo) / 255.0))"
+)
+
+
+@register(
+    "embedding_int8_quantization",
+    survey=("F9", "A1"),
+    oracle=f"""
+WITH v AS (
+  SELECT label, embedding,
+         CAST(list_min(embedding) AS DOUBLE) AS lo,
+         CAST(list_max(embedding) AS DOUBLE) AS hi
+  FROM embeddings
+), e AS (
+  SELECT label, hi - lo AS rng,
+         CASE WHEN hi = lo THEN 0.0
+              ELSE list_sum(list_transform(embedding,
+                     x -> {_SQERR} * {_SQERR})) / len(embedding)
+         END AS mse
+  FROM v
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(mse), 9) AS avg_mse,
+       ROUND(MAX(mse), 9) AS max_mse,
+       ROUND(AVG(rng), 6) AS avg_range
+FROM e GROUP BY label
+""",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, 256
+    levels) with reconstruction-error audit per label — the 4×
+    vector-compression step before shipping embeddings to an ANN
+    index, here measured rather than assumed: avg/max MSE and the
+    value range that sets the step size. Quantize+dequantize is a
+    pure array expression (no UDF, no shuffle beyond the label agg);
+    theoretical MSE is step²/12, visible in the output."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        "embedding",
+        F.array_min("embedding").cast("double").alias("lo"),
+        F.array_max("embedding").cast("double").alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def sqerr(x):
+        xd = x.cast("double")
+        dq = lo + F.floor((xd - lo) * 255.0 / (hi - lo) + 0.5) * (hi - lo) / 255.0
+        return (xd - dq) * (xd - dq)
+
+    e = v.select(
+        "label",
+        (hi - lo).alias("rng"),
+        F.when(hi == lo, F.lit(0.0))
+        .otherwise(
+            F.aggregate(
+                F.transform("embedding", sqerr),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("embedding")
+        )
+        .alias("mse"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("mse"), 9).alias("avg_mse"),
+        F.round(F.max("mse"), 9).alias("max_mse"),
+        F.round(F.avg("rng"), 6).alias("avg_range"),
+    )
