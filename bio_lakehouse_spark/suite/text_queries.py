@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bio_lakehouse_spark.operators.graph import connected_components
 from bio_lakehouse_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -432,4 +433,54 @@ def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), F.desc("term_freq"), "token")
         .limit(20)
+    )
+
+
+@register(
+    "dedup_clusters",
+    survey=("J6", "A11", "F9"),
+    oracle=_SHINGLES_CTE.replace("WITH sh", "WITH RECURSIVE sh")
+    + f""", pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_JACCARD} >= 0.5
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT t.node, e.b FROM reach t JOIN edges e ON t.r = e.a
+), comp AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: similarity isn't transitive, so
+    turning verified MinHash pairs into dedup groups is a connected-
+    components problem — solved distributed via iterative min-label
+    propagation (operators/graph.py: one join + min-agg per round,
+    rounds = diameter ≈ 3 for dup clusters, localCheckpoint per
+    round). The oracle computes the same closure with a recursive
+    CTE over the brute-force pair scan. Output: every clustered doc
+    with its canonical (min-id) cluster and cluster size — the table
+    a pipeline keeps one representative per cluster_id from."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, threshold=0.5
+    ).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    from pyspark.sql import Window
+
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )

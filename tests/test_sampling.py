@@ -107,3 +107,19 @@ def test_hash_unit_is_uniform(docs):
         F.avg("u")
     ).first()[0]
     assert abs(m - 0.5) < 5 * (1 / 12) ** 0.5 / 500**0.5
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21:
+    labels converge to min-id per component regardless of shape."""
+    from bio_lakehouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
