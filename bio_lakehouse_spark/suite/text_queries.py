@@ -484,3 +484,99 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    # Expression structure mirrors the Spark side token-for-token so
+    # the doubles match bit-for-bit before the final round.
+    score = " + ".join(
+        f"ln(1.0 + (CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(1, len(_BM25_TERMS) + 1)
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(1, len(_BM25_TERMS) + 1))
+    return f"""
+WITH t AS (
+  SELECT doc_id, dl, {tf_cols.replace('w,', 'w,').replace('(w,', '(w,')}
+  FROM (SELECT doc_id, {_W} AS w, len({_W}) AS dl FROM documents)
+), s AS (
+  SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl, {df_cols} FROM t
+)
+SELECT doc_id, ROUND({score}, 6) AS bm25
+FROM t, s
+WHERE {any_tf} > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
+@register("text_bm25_topk", survey=("O4", "F9", "A1"), oracle=_bm25_sql())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for the query {spark, merge,
+    window}: top-15 documents by Okapi score. Per-doc term counts are
+    array expressions on the scan; the corpus statistics (N, avgdl,
+    per-term df) are ONE tiny aggregate broadcast back, so the whole
+    ranker is scan → broadcast join → TakeOrdered top-k — the
+    inverted-index-free score-everything form, which at 100 TB is the
+    map-side rerank stage (a real search system materializes the
+    postings; the scoring math is identical)."""
+    docs = load(spark, sf_dir, "documents")
+    w = words("text")
+    # NB: a 2-arg lambda makes F.filter pass the element INDEX as the
+    # second argument — a factory closure keeps the term bound safely.
+    def tf_of(term: str):
+        return F.size(F.filter(w, lambda x: x == F.lit(term)))
+
+    t = docs.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[tf_of(t_).alias(f"tf{i}") for i, t_ in enumerate(_BM25_TERMS, 1)],
+    )
+    s = t.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(1, len(_BM25_TERMS) + 1)
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        df_ = F.col(f"df{i}")
+        idf = F.log(
+            1.0
+            + ((F.col("n") - df_).cast("double") + 0.5)
+            / (df_.cast("double") + 0.5)
+        )
+        denom = tf + 1.2 * (
+            0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return idf * (tf * 2.2) / denom
+
+    score = term_score(1)
+    for i in range(2, len(_BM25_TERMS) + 1):
+        score = score + term_score(i)
+    any_tf = sum(
+        (F.col(f"tf{i}") for i in range(2, len(_BM25_TERMS) + 1)),
+        F.col("tf1"),
+    )
+    return (
+        t.crossJoin(F.broadcast(s))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
