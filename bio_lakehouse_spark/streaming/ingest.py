@@ -114,3 +114,52 @@ def stream_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key
+    (at-least-once sources replay on retry) arriving within the
+    watermark horizon. `dropDuplicatesWithinWatermark` keeps one
+    state row per key and — unlike plain `dropDuplicates`, whose
+    state grows with stream LENGTH — evicts every key once the
+    event-time watermark passes it, so state is bounded by
+    keys-per-horizon at any scale. The batch twin is
+    `dedup_exact`/`dedupe_latest` in the suite."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def stream_dedup_to_parquet(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+):
+    """File source → watermarked streaming dedup → parquet append."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(landing_dir)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    )
+    deduped = dedup_within_watermark(
+        src, key_cols or ["event_id"], ts_col, watermark
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

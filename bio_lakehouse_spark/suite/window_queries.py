@@ -554,3 +554,53 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wnorm), 6).alias("p"),
     )
+
+
+@register(
+    "activity_streaks",
+    survey=("W4", "A5", "A11"),
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+  SELECT user_id, day,
+         CAST(day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day
+         ) AS INTEGER) AS DATE) AS island
+  FROM days
+)
+SELECT user_id,
+       MIN(day) AS streak_start,
+       MAX(day) AS streak_end,
+       COUNT(*) AS streak_days
+FROM grp GROUP BY user_id, island
+HAVING COUNT(*) >= 2
+""",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days,
+    via the classic day − row_number() island key (consecutive days
+    share it; any gap shifts it). One per-user window + one groupBy
+    on the same user_id partitioning; streaks ≥ 2 days reported with
+    start/end/length. The retention-adjacent pattern every activity
+    warehouse needs and naive date math gets wrong."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        grp.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .filter(F.col("streak_days") >= 2)
+        .drop("island")
+    )

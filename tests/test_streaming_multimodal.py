@@ -148,3 +148,32 @@ def test_kmeans_lloyd_converges_and_matches_numpy(spark, sf_dir):
     d0 = ((X[:, None, :] - X[:4][None, :, :].astype(float)) ** 2).sum(axis=2).min(axis=1).sum()
     d3 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).min(axis=1).sum()
     assert d3 < d0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Replayed event_ids (at-least-once redelivery) are dropped by
+    the stateful dedup; distinct ids all survive."""
+    from bio_lakehouse_spark.streaming.ingest import stream_dedup_to_parquet
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt3")
+    _write_landing(
+        tmp_path, "a.csv",
+        ["1,2024-01-01 00:01:00,7,click,1.0",
+         "1,2024-01-01 00:01:00,7,click,1.0",   # same-batch duplicate
+         "2,2024-01-01 00:04:00,7,view,2.0"],
+    )
+    q = stream_dedup_to_parquet(spark, landing, out, ckpt, EVENT_SCHEMA)
+    q.awaitTermination()
+    # Cross-batch redelivery of id 2 within the horizon + a fresh id.
+    _write_landing(
+        tmp_path, "b.csv",
+        ["2,2024-01-01 00:04:00,7,view,2.0",
+         "3,2024-01-01 00:06:00,9,click,3.0"],
+    )
+    q2 = stream_dedup_to_parquet(spark, landing, out, ckpt, EVENT_SCHEMA)
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.event_id for r in got.select("event_id").collect()} == {1, 2, 3}
