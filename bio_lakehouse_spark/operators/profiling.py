@@ -1,0 +1,63 @@
+"""One-pass column profiling — the Deequ/dbt-tests-style data-quality
+summary a pipeline runs on every ingest: per column, row count, null
+count, exact distinct count, min/max, completeness.
+
+Shape matters at 100 TB: ALL columns profile in ONE aggregation over
+ONE scan (Catalyst fuses the per-column aggregates into a single
+partial+final pair; the distinct counts add their expand internally
+but still share the scan). The wide single-row result is then
+unpivoted driver-cheaply with ``stack`` — never one query per column,
+which would be N full scans.
+
+Min/max are stringified so heterogeneous column types share one
+output schema (the profile TABLE is the product). Numeric columns
+with engine-dependent float formatting should be profiled via a
+decimal cast by the caller.
+
+Reference parity: the reference validates schemas structurally
+(bio/schemas.validate_required_columns mirrors its
+ingestion_trigger drift checks); value-level profiling is the
+beyond-reference data-quality layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: dict[str, Column] | list[str]
+) -> DataFrame:
+    """Profile the given columns (list of names, or {name: expr} to
+    profile derived/casted expressions). Returns one row per column:
+    (column_name, n_rows, n_nulls, n_distinct, min_val, max_val,
+    completeness)."""
+    if not isinstance(cols, dict):
+        cols = {c: F.col(c) for c in cols}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in cols.items():
+        aggs += [
+            F.count(expr).alias(f"__nn_{name}"),
+            F.countDistinct(expr).alias(f"__nd_{name}"),
+            F.min(expr).cast("string").alias(f"__mn_{name}"),
+            F.max(expr).cast("string").alias(f"__mx_{name}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{name}")).alias("n_nulls"),
+            F.col(f"__nd_{name}").alias("n_distinct"),
+            F.col(f"__mn_{name}").alias("min_val"),
+            F.col(f"__mx_{name}").alias("max_val"),
+            F.round(
+                F.col(f"__nn_{name}") / F.col("__n").cast("double"), 6
+            ).alias("completeness"),
+        )
+        for name in cols
+    ]
+    return row.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")

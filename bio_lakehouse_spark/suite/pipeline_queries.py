@@ -629,3 +629,55 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("max_value")).alias("max_value"),
         R6(F.col("avg_value")).alias("avg_value"),
     )
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "o_custkey",
+        "o_orderdate": "o_orderdate",
+        "o_orderpriority": "o_orderpriority",
+        "o_orderstatus": "o_orderstatus",
+        "o_totalprice": "CAST(o_totalprice AS DECIMAL(18,2))",
+    }
+    parts = [
+        f"""SELECT '{name}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({expr}) AS n_nulls,
+       COUNT(DISTINCT {expr}) AS n_distinct,
+       CAST(MIN({expr}) AS VARCHAR) AS min_val,
+       CAST(MAX({expr}) AS VARCHAR) AS max_val,
+       ROUND(COUNT({expr}) * 1.0 / COUNT(*), 6) AS completeness
+FROM orders"""
+        for name, expr in cols.items()
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "profile_orders_columns",
+    survey=("P10", "A11", "A8"),
+    oracle=_profile_oracle(),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of `orders`: per column, row/null/
+    exact-distinct counts, stringified min/max, completeness — in ONE
+    aggregation over ONE scan for all six columns (the oracle's
+    UNION-ALL-per-column form is the N-scan shape this operator
+    exists to avoid). Floats profile through a DECIMAL cast so both
+    engines stringify identically. The ingest-time data-quality gate
+    for any training pipeline."""
+    from bio_lakehouse_spark.operators.profiling import profile_columns
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        {
+            "o_orderkey": F.col("o_orderkey"),
+            "o_custkey": F.col("o_custkey"),
+            "o_orderdate": F.col("o_orderdate"),
+            "o_orderpriority": F.col("o_orderpriority"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_totalprice": F.col("o_totalprice").cast("decimal(18,2)"),
+        },
+    )
