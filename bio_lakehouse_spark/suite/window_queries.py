@@ -604,3 +604,54 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("streak_days") >= 2)
         .drop("island")
     )
+
+
+@register(
+    "cumulative_reach_daily",
+    survey=("W2", "A11", "A1"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+  GROUP BY user_id
+), news AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY 1
+), actives AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+SELECT a.day, a.dau, COALESCE(n.new_users, 0) AS new_users,
+       SUM(COALESCE(n.new_users, 0)) OVER (
+         ORDER BY a.day ROWS UNBOUNDED PRECEDING
+       ) AS cumulative_reach
+FROM actives a LEFT JOIN news n ON a.day = n.day
+""",
+)
+def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count (cumulative reach) per day. Spark
+    has no COUNT(DISTINCT) over a running window — and at scale
+    nobody should run one: the standard rewrite assigns each user
+    their FIRST active day (one agg), so the running sum of
+    first-appearances IS the running distinct count. DAU rides along
+    from a per-day distinct. The final cumsum window is global but
+    runs over one row per day — driver-trivial however many events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    actives = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        actives.join(news, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_reach", F.sum("new_users").over(w))
+    )
