@@ -655,3 +655,85 @@ def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cumulative_reach", F.sum("new_users").over(w))
     )
+
+
+@register(
+    "hopping_window_counts",
+    survey=("A1", "W2"),
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         unnest([
+           CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+             - INTERVAL 5 MINUTE,
+           CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+         ]) AS win_start
+  FROM events
+)
+SELECT win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+       event_type, COUNT(*) AS n_events
+FROM g GROUP BY 1, 2, 3
+""",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows via Spark's native `window()` — 10-
+    minute windows every 5 minutes, so each event lands in exactly
+    two. The same expression works unchanged under readStream with a
+    watermark (that's the point of the built-in); the oracle unrolls
+    the two covering windows per event explicitly. Window assignment
+    is a narrow map — the only shuffle is the (window, type) agg."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col("w.start").alias("win_start"),
+        F.col("w.end").alias("win_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+@register(
+    "session_window_native",
+    survey=("A1", "W4"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), isl AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM seq
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM isl GROUP BY user_id, session_no
+""",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE `session_window()` (30-
+    minute inactivity gap) — the built-in twin of the suite's manual
+    lag-island `sessionize_gap30` and of the streaming stateful
+    sessionizer: one operator, mergeable session state, usable verbatim
+    under readStream. Session end is last-event + gap by definition;
+    the oracle rebuilds identical sessions with the lag/cumsum island
+    method."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
