@@ -580,3 +580,54 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(15)
     )
+
+
+def _mm_byte(i: int) -> str:
+    """DuckDB: i-th byte of md5(text) as INT (hex pair → 0..255)."""
+    return f"CAST(concat('0x', substr(md5(text), {2 * i + 1}, 2)) AS INTEGER)"
+
+
+@register(
+    "multimodal_decode_features",
+    survey=("S3", "F9"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       16 + {_mm_byte(0)} AS width,
+       16 + {_mm_byte(1)} AS height,
+       1 + {_mm_byte(2)} % 4 AS n_channels,
+       CAST(CAST(ROUND({_mm_byte(3)} / 255.0, 6) AS FLOAT) AS DOUBLE) AS f0,
+       CAST(CAST(ROUND({_mm_byte(4)} / 255.0, 6) AS FLOAT) AS DOUBLE) AS f1,
+       CAST(CAST(ROUND({_mm_byte(5)} / 255.0, 6) AS FLOAT) AS DOUBLE) AS f2
+FROM documents
+""",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path END-TO-END under the value-hash
+    gate: binary contract (attach_binary) → Arrow-batched mapInPandas
+    → per-record decoder — with the deterministic FakeDecoder
+    (md5-derived dims/features) standing in for Pillow/torchaudio, so
+    the oracle reproduces the Python-side decode bit-for-bit from
+    SQL — including the array<float> storage precision (the oracle
+    roundtrips its doubles through FLOAT). Proves the distributed
+    plumbing (schema, batching, binary transfer), which is exactly
+    the part that stays when a real decoder is plugged in."""
+    from bio_lakehouse_spark.operators.multimodal import (
+        attach_binary,
+        decode_batches,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    decoded = decode_batches(attach_binary(docs, "text"))
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "content_md5",
+        "width",
+        "height",
+        "n_channels",
+        F.col("feature_vec")[0].cast("double").alias("f0"),
+        F.col("feature_vec")[1].cast("double").alias("f1"),
+        F.col("feature_vec")[2].cast("double").alias("f2"),
+    )
