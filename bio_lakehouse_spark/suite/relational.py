@@ -767,3 +767,138 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "parts_supplier_count",
+    survey=("J6", "A11", "A1"),
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+  GROUP BY 1, 2
+) ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY 1, 2, 3
+""",
+)
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding one brand and negative-balance suppliers. The NOT IN
+    becomes a broadcast LEFT ANTI join (the null-safe rewrite that
+    NOT IN needs — Spark's anti join has the right semantics when
+    the subquery side is non-null); part-supplier pairs come from
+    lineitem deduped on the join key first, so the count-distinct
+    shuffles pairs, not lineitems."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.lit(1))
+        .select("ps_partkey", "ps_suppkey")
+    )
+    bad = sup.filter(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(
+            part.filter(F.col("p_brand") != "Brand#1"),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    survey=("J4", "A1", "F11"),
+    oracle="""
+WITH avgq AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+JOIN avgq a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < a.half_avg_qty
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-half-average-quantity line
+    items. The correlated scalar subquery (per-part average) is
+    rewritten as an explicit aggregate + equi-join — the form every
+    optimizer targets; at scale the per-part average table is small
+    relative to lineitem and AQE will broadcast it when it fits."""
+    li = load(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    joined = li.join(avgq, "l_partkey").filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return joined.groupBy().agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+    )
+
+
+@register(
+    "idle_rich_customers",
+    survey=("J6", "A8", "A1"),
+    oracle="""
+WITH thresh AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       ROUND(SUM(c.c_acctbal), 6) AS totacctbal
+FROM customer c, thresh t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY 1
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    URGENT order, grouped by nation (every synthetic customer has
+    SOME order, so the classic never-ordered predicate is vacuous
+    here; the plan shape — scalar avg + NOT EXISTS — is identical).
+    The scalar average rides
+    in as a broadcast one-row cross join; NOT EXISTS is a LEFT ANTI
+    join on custkey — at scale the anti join shuffles both sides on
+    the key (or broadcasts, AQE's call); nothing is collected."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .groupBy()
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )
