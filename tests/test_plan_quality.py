@@ -155,3 +155,20 @@ def test_hll_register_build_is_two_stage_agg(spark, sf_dir):
     only ≤ m rows per group cross each exchange."""
     plan = _plan(spark, sf_dir, "hll_distinct_custkeys")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_not_in_compiles_to_broadcast_anti(spark, sf_dir):
+    """Q16's NOT IN must become a broadcast LEFT ANTI join, not a
+    nested-loop or a shuffled join on the tiny exclusion set."""
+    plan = _plan(spark, sf_dir, "parts_supplier_count")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin LeftAnti" not in plan
+
+
+def test_scalar_max_is_broadcast_not_sort(spark, sf_dir):
+    """Q15's max-with-ties: the one-row max side broadcasts; there is
+    no global Sort anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "top_supplier_revenue")
+    assert "BroadcastHashJoin" in plan
+    # A global sort would show as Exchange rangepartitioning.
+    assert "rangepartitioning" not in plan
