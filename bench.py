@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_neardup",
+    "regional_nation_revenue",
+    "sole_returned_supplier",
 ]
 
 

@@ -10,6 +10,7 @@ from bio_lakehouse_spark.suite.registry import REGISTRY, QuerySpec, load
 
 # Import for registration side effects — order is the SURVEY.md §2 order.
 from bio_lakehouse_spark.suite import relational  # noqa: F401
+from bio_lakehouse_spark.suite import tpch_queries  # noqa: F401
 from bio_lakehouse_spark.suite import window_queries  # noqa: F401
 from bio_lakehouse_spark.suite import scalar_queries  # noqa: F401
 from bio_lakehouse_spark.suite import stats_queries  # noqa: F401

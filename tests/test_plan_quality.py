@@ -172,3 +172,53 @@ def test_scalar_max_is_broadcast_not_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # A global sort would show as Exchange rangepartitioning.
     assert "rangepartitioning" not in plan
+
+
+def test_q6_pushes_all_three_predicates(spark, sf_dir):
+    """Q6 is the pushdown benchmark: date range, discount band and
+    quantity cap must ALL reach the parquet scan as PushedFilters so
+    row-group stats can skip chunks at scale."""
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.04)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert plan.count("HashAggregate") >= 2  # partial agg before exchange
+
+
+def test_q19_disjunction_factors_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs: Catalyst must derive the per-side residues —
+    a quantity envelope on the lineitem scan and a brand/size
+    disjunction on the part scan — instead of evaluating the whole
+    predicate post-join only."""
+    plan = _plan(spark, sf_dir, "disjunctive_brand_revenue")
+    assert "LessThanOrEqual(l_quantity,40.0)" in plan  # lineitem residue
+    assert "EqualTo(p_brand,Brand#1)" in plan  # part-side residue pushed
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair must compile to LEFT SEMI +
+    LEFT ANTI hash joins with the suppkey inequality as a residual
+    condition — never a cartesian expansion of per-order lines."""
+    plan = _plan(spark, sf_dir, "sole_returned_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q18_having_subquery_is_semi_join(spark, sf_dir):
+    """Q18's IN (GROUP BY...HAVING) subquery must be an aggregate +
+    LEFT SEMI join on orderkey, keeping orders un-multiplied until
+    the final rollup."""
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q5_q7_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q5/Q7 join chains: nation/region/supplier ride in as
+    broadcasts; the double-role nation join in Q7 must not become a
+    nested loop despite the cross-side disjunctive pair filter."""
+    for name in ("regional_nation_revenue", "nation_pair_volume"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "Cartesian" not in plan and "NestedLoop" not in plan, name
