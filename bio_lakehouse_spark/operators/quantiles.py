@@ -1,0 +1,99 @@
+"""Mergeable fixed-bin histogram quantile sketch (A13 scale path).
+
+The reference computes quantiles exactly (pandas ``quantile``,
+insights_engine/insights/correlation_discovery.py:473) — fine at 2k
+rows, impossible at 100 TB. The production-scale alternatives are
+rank sketches (t-digest/KLL, whose compaction is randomized and
+engine-private) or a fixed-bin histogram. We ship the histogram as
+the ORACLE-VERIFIABLE scale path: every step (bin assignment, count,
+cumulative rank walk, linear interpolation) is deterministic and
+ANSI-SQL-expressible, so DuckDB reproduces the estimate bit-for-bit
+— same property the HLL/KMV sketches in this repo exploit.
+
+Scale shape: pass 1 is a 3-scalar aggregate (min/max/count); pass 2
+groups rows into ≤ ``nbins`` cells, so only ``nbins`` counts cross
+the exchange per partition regardless of input size — the sketch IS
+the shuffle bound. The quantile walk then runs on ≤ ``nbins`` rows
+(a window over a fixed-size frame — its single-partition sort is a
+constant, not a function of data size). Error is bounded by one bin
+width of the value range; callers pick ``nbins`` for the error they
+need. Bins merge trivially (cellwise add), so the same layout serves
+partial/merge aggregation and incremental maintenance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    probs: Sequence[float],
+    nbins: int = 256,
+) -> DataFrame:
+    """Estimate quantiles of ``col`` from an equi-width histogram.
+
+    Returns one row per probability: ``(prob, est)``. Assumes the
+    column has at least one non-null value and a non-degenerate
+    range (max > min); both hold for every measure column in the
+    testdata and are cheap for a caller to pre-check otherwise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    stats = df.agg(
+        F.min(c).alias("mn"), F.max(c).alias("mx"), F.count(c).alias("n")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    # mn/mx/n ride along as (constant) grouping keys so the scalar
+    # pass isn't recomputed when the quantile walk needs them later —
+    # two scans total: one for stats, one for binning.
+    hist = (
+        df.select(c.alias("_v"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("_v") - F.col("mn")) / width),
+                F.lit(nbins - 1),
+            ).alias("bin"),
+            "mn",
+            "mx",
+            "n",
+        )
+        .groupBy("bin", "mn", "mx", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ≤ nbins rows from here on — the unpartitioned window is a
+    # constant-size sort by construction, not a scale hazard.
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    probs_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(float(p),) for p in probs], "prob double"
+        )
+    )
+    target = F.col("prob") * F.col("n")
+    # The containing bin: first cum ≥ target while the previous
+    # cumulative (cum − cnt) is still short of it.
+    return (
+        cum.crossJoin(probs_df)
+        .filter((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
+        .select(
+            "prob",
+            F.round(
+                F.col("mn")
+                + width
+                * (
+                    F.col("bin")
+                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                ),
+                6,
+            ).alias("est"),
+        )
+    )

@@ -17,6 +17,7 @@ from bio_lakehouse_spark.suite import stats_queries  # noqa: F401
 from bio_lakehouse_spark.suite import text_queries  # noqa: F401
 from bio_lakehouse_spark.suite import similarity_queries  # noqa: F401
 from bio_lakehouse_spark.suite import sketch_queries  # noqa: F401
+from bio_lakehouse_spark.suite import quantile_queries  # noqa: F401
 from bio_lakehouse_spark.suite import sampling_queries  # noqa: F401
 from bio_lakehouse_spark.suite import pipeline_queries  # noqa: F401
 

@@ -1,0 +1,92 @@
+"""Quantile-sketch queries: oracle-verified histogram sketch and the
+tolerance-gated production ``percentile_approx`` path (A13 at scale).
+
+Two-tier strategy, mirroring the distinct-count family in
+``sketch_queries.py``: the deterministic sketch proves the algorithm
+and its shuffle bound against an exact DuckDB replica; the built-in
+JVM operator (engine-private KLL-style digest, not hash-comparable)
+is gated by a tolerance VERDICT column the oracle pins to TRUE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.quantiles import histogram_quantiles
+from bio_lakehouse_spark.suite.registry import load, register
+
+
+@register(
+    "quantile_histogram_sketch",
+    survey=("A13", "ST6"),
+    oracle="""
+WITH s AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         COUNT(l_extendedprice) AS n
+  FROM lineitem
+),
+h AS (
+  SELECT LEAST(CAST(FLOOR((l.l_extendedprice - s.mn)
+                          / ((s.mx - s.mn) / CAST(256 AS DOUBLE)))
+               AS BIGINT), 255) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem l, s
+  GROUP BY 1
+),
+c AS (
+  SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM h
+),
+q AS (
+  SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                 CAST(0.99 AS DOUBLE)]) AS prob
+)
+SELECT q.prob,
+       ROUND(s.mn + ((s.mx - s.mn) / CAST(256 AS DOUBLE))
+             * (c.bin + (q.prob * s.n - (c.cum - c.cnt)) / c.cnt),
+             6) AS est
+FROM q, c, s
+WHERE c.cum >= q.prob * s.n AND (c.cum - c.cnt) < q.prob * s.n
+""",
+)
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extendedprice from a 256-bin equi-width
+    histogram (operators/quantiles.py). Every arithmetic step is
+    written identically in the oracle — bin floor-division, cumulative
+    rank walk, within-bin linear interpolation — so the ESTIMATE
+    hash-matches exactly, not just within tolerance. Shuffle bound:
+    256 counts per partition cross the exchange regardless of input
+    rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice", (0.5, 0.9, 0.99), 256)
+
+
+@register(
+    "approx_percentile_production",
+    survey=("A13", "ST6"),
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS exact_p90,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def approx_percentile_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION approximate-quantile path: Spark's built-in
+    ``percentile_approx`` (JVM Greenwald-Khanna variant, accuracy
+    10000). Its summary layout is engine-private, so — as with
+    ``approx_distinct_production`` — the query emits the exact
+    per-group p90 (interpolating ``percentile``, which DuckDB's
+    ``quantile_cont`` reproduces bit-for-bit) next to a tolerance
+    VERDICT (|approx − exact| / exact ≤ 5%); the oracle pins the
+    verdict TRUE, failing the value-hash gate if the estimator ever
+    drifts. At 100 TB the exact column is the one you'd drop — GK
+    summaries merge in fixed memory, exact percentile sorts."""
+    orders = load(spark, sf_dir, "orders")
+    exact = F.percentile("o_totalprice", F.lit(0.9))
+    approx = F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(exact, 6).alias("exact_p90"),
+        (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
+    )

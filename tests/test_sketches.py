@@ -76,3 +76,31 @@ def test_theta_intersection_known_overlap(spark):
     assert abs(row.est_right - 60_000) / 60_000 < 0.15
     assert abs(row.est_intersection - 20_000) / 20_000 < 0.20
     assert abs(row.est_union - 100_000) / 100_000 < 0.15
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """The histogram estimate can be off by at most one bin width of
+    the value range (deterministic bound, not statistical): verify
+    against the exact percentile on a skewed (quadratic) series."""
+    from bio_lakehouse_spark.operators.quantiles import histogram_quantiles
+
+    df = spark.range(10_000).select((F.col("id") * F.col("id")).cast("double").alias("v"))
+    nbins = 256
+    rng = 9999.0**2
+    est = {r.prob: r.est for r in histogram_quantiles(df, "v", (0.1, 0.5, 0.9, 0.99), nbins).collect()}
+    exact = df.agg(*[F.percentile("v", F.lit(p)).alias(str(p)) for p in (0.1, 0.5, 0.9, 0.99)]).first()
+    assert set(est) == {0.1, 0.5, 0.9, 0.99}
+    for p in (0.1, 0.5, 0.9, 0.99):
+        assert abs(est[p] - exact[str(p)]) <= rng / nbins + 1e-6, (p, est[p], exact[str(p)])
+
+
+def test_histogram_quantile_duplicate_scaling_invariant(spark):
+    """Bin counts scale linearly under duplication, so the estimate is
+    unchanged when every row appears twice — the property that makes
+    the sketch mergeable across partitions."""
+    from bio_lakehouse_spark.operators.quantiles import histogram_quantiles
+
+    df = spark.range(5_000).select(F.col("id").cast("double").alias("v"))
+    once = sorted(map(tuple, histogram_quantiles(df, "v", (0.5, 0.9), 64).collect()))
+    twice = sorted(map(tuple, histogram_quantiles(df.unionAll(df), "v", (0.5, 0.9), 64).collect()))
+    assert once == twice
