@@ -10,15 +10,16 @@ cumulative rank walk, linear interpolation) is deterministic and
 ANSI-SQL-expressible, so DuckDB reproduces the estimate bit-for-bit
 — same property the HLL/KMV sketches in this repo exploit.
 
-Scale shape: pass 1 is a 3-scalar aggregate (min/max/count); pass 2
-groups rows into ≤ ``nbins`` cells, so only ``nbins`` counts cross
-the exchange per partition regardless of input size — the sketch IS
-the shuffle bound. The quantile walk then runs on ≤ ``nbins`` rows
-(a window over a fixed-size frame — its single-partition sort is a
-constant, not a function of data size). Error is bounded by one bin
-width of the value range; callers pick ``nbins`` for the error they
-need. Bins merge trivially (cellwise add), so the same layout serves
-partial/merge aggregation and incremental maintenance.
+Scale shape: pass 1 is a per-group 3-scalar aggregate (min/max/
+count); pass 2 groups rows into ≤ ``nbins`` cells per group, so only
+``nbins`` counts per group cross the exchange regardless of input
+size — the sketch IS the shuffle bound. The quantile walk then runs
+on ≤ ``nbins`` rows per group (a window over a fixed-size frame —
+its per-partition sort is a constant, not a function of data size).
+Error is bounded by one bin width of the group's value range;
+callers pick ``nbins`` for the error they need. Bins merge trivially
+(cellwise add), so the same layout serves partial/merge aggregation
+and incremental maintenance.
 """
 
 from __future__ import annotations
@@ -34,26 +35,33 @@ def histogram_quantiles(
     col: str | Column,
     probs: Sequence[float],
     nbins: int = 256,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Estimate quantiles of ``col`` from an equi-width histogram.
 
-    Returns one row per probability: ``(prob, est)``. Assumes the
-    column has at least one non-null value and a non-degenerate
-    range (max > min); both hold for every measure column in the
-    testdata and are cheap for a caller to pre-check otherwise.
+    Returns one row per (group ×) probability: ``(*by, prob, est)``.
+    Assumes the column has at least one non-null value and a
+    non-degenerate range (max > min) within every group; both hold
+    for every measure column in the testdata and are cheap for a
+    caller to pre-check otherwise.
     """
     c = F.col(col) if isinstance(col, str) else col
-    stats = df.agg(
+    by = list(by)
+    stats = df.groupBy(*by).agg(
         F.min(c).alias("mn"), F.max(c).alias("mx"), F.count(c).alias("n")
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
-    # mn/mx/n ride along as (constant) grouping keys so the scalar
-    # pass isn't recomputed when the quantile walk needs them later —
-    # two scans total: one for stats, one for binning.
+    binned = (
+        df.select(*by, c.alias("_v")).join(F.broadcast(stats), on=by)
+        if by
+        else df.select(c.alias("_v")).crossJoin(F.broadcast(stats))
+    )
+    # mn/mx/n ride along as (group-constant) grouping keys so the
+    # stats pass isn't recomputed when the quantile walk needs them
+    # later — two scans total: one for stats, one for binning.
     hist = (
-        df.select(c.alias("_v"))
-        .crossJoin(F.broadcast(stats))
-        .select(
+        binned.select(
+            *by,
             F.least(
                 F.floor((F.col("_v") - F.col("mn")) / width),
                 F.lit(nbins - 1),
@@ -62,15 +70,17 @@ def histogram_quantiles(
             "mx",
             "n",
         )
-        .groupBy("bin", "mn", "mx", "n")
+        .groupBy(*by, "bin", "mn", "mx", "n")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # ≤ nbins rows from here on — the unpartitioned window is a
-    # constant-size sort by construction, not a scale hazard.
+    # ≤ nbins rows per group from here on — the window sorts a
+    # constant-size frame by construction, not a scale hazard.
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            Window.partitionBy(*by)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
     probs_df = F.broadcast(
@@ -83,8 +93,11 @@ def histogram_quantiles(
     # cumulative (cum − cnt) is still short of it.
     return (
         cum.crossJoin(probs_df)
-        .filter((F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target))
+        .filter(
+            (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+        )
         .select(
+            *by,
             "prob",
             F.round(
                 F.col("mn")

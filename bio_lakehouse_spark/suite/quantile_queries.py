@@ -90,3 +90,51 @@ def approx_percentile_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exact, 6).alias("exact_p90"),
         (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
     )
+
+
+@register(
+    "quantile_histogram_by_group",
+    survey=("A13", "A10", "ST6"),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag AS rf, MIN(l_extendedprice) AS mn,
+         MAX(l_extendedprice) AS mx, COUNT(l_extendedprice) AS n
+  FROM lineitem GROUP BY 1
+),
+h AS (
+  SELECT s.rf,
+         LEAST(CAST(FLOOR((l.l_extendedprice - s.mn)
+                          / ((s.mx - s.mn) / CAST(128 AS DOUBLE)))
+               AS BIGINT), 127) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem l JOIN s ON l.l_returnflag = s.rf
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT rf, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY rf ORDER BY bin) AS BIGINT) AS cum
+  FROM h
+),
+q AS (
+  SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS prob
+)
+SELECT c.rf AS l_returnflag, q.prob,
+       ROUND(s.mn + ((s.mx - s.mn) / CAST(128 AS DOUBLE))
+             * (c.bin + (q.prob * s.n - (c.cum - c.cnt)) / c.cnt),
+             6) AS est
+FROM q, c JOIN s ON c.rf = s.rf
+WHERE c.cum >= q.prob * s.n AND (c.cum - c.cnt) < q.prob * s.n
+""",
+)
+def quantile_histogram_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group (returnflag) p50/p95 from 128-bin histograms — the
+    realistic at-scale quantile shape: one stats pass and one binning
+    pass produce EVERY group's sketch simultaneously (≤ nbins counts
+    per group cross the exchange), where per-group exact percentiles
+    would sort each group's full data. Same exact-hash oracle
+    property as the global sketch; the rank-walk window partitions by
+    group so no global sort appears anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", (0.5, 0.95), 128, by=["l_returnflag"]
+    )

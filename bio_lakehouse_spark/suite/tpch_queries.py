@@ -639,12 +639,16 @@ GROUP BY s.s_name
 def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for a fault on a
     multi-supplier finished order (returnflag standing in for the
-    receipt>commit lateness predicate). The correlated EXISTS /
-    NOT EXISTS pair becomes LEFT SEMI + LEFT ANTI joins against the
-    DISTINCT (orderkey, suppkey) pair set, each with the suppkey
-    inequality as a residual on an equi-join on orderkey — per-order
-    groups are tiny, so the residual never degenerates to a cross
-    product."""
+    receipt>commit lateness predicate). The textbook translation of
+    the correlated EXISTS / NOT EXISTS pair — semi + anti joins
+    against the distinct (orderkey, suppkey) set, as the oracle SQL
+    spells out — scans lineitem three times and shuffles each pass.
+    This implementation collapses both subqueries into ONE per-order
+    aggregate: an R line is blamed iff its order has ≥ 2 distinct
+    suppliers (the EXISTS) and exactly 1 distinct supplier among its
+    R lines (the NOT EXISTS — that one supplier is necessarily the
+    line's own, since the line itself is R). Two lineitem scans, one
+    aggregation shuffle, one orderkey join — same rows out."""
     sup = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
@@ -653,17 +657,11 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
     )
-    pairs = li.select(
-        F.col("l_orderkey").alias("p_orderkey"),
-        F.col("l_suppkey").alias("p_suppkey"),
-    ).distinct()
-    r_pairs = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(
-            F.col("l_orderkey").alias("p_orderkey"),
-            F.col("l_suppkey").alias("p_suppkey"),
-        )
-        .distinct()
+    per_order = li.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_rsupp"),
     )
     l1 = (
         li.filter(F.col("l_returnflag") == "R")
@@ -673,16 +671,11 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .join(
-            pairs,
-            (F.col("l_orderkey") == F.col("p_orderkey"))
-            & (F.col("l_suppkey") != F.col("p_suppkey")),
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1)
+            ).select("p_orderkey"),
+            F.col("l_orderkey") == F.col("p_orderkey"),
             "left_semi",
-        )
-        .join(
-            r_pairs,
-            (F.col("l_orderkey") == F.col("p_orderkey"))
-            & (F.col("l_suppkey") != F.col("p_suppkey")),
-            "left_anti",
         )
     )
     return (

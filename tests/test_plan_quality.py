@@ -196,12 +196,15 @@ def test_q19_disjunction_factors_to_both_scans(spark, sf_dir):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
-def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS pair must compile to LEFT SEMI +
-    LEFT ANTI hash joins with the suppkey inequality as a residual
-    condition — never a cartesian expansion of per-order lines."""
+def test_q21_exists_pair_is_aggregate_rewrite(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair is collapsed into one per-order
+    countDistinct aggregate + semi joins (see the query docstring) —
+    the plan must show the aggregate (with its distinct expand) and
+    hash semi joins, and never a cartesian expansion of per-order
+    lines."""
     plan = _plan(spark, sf_dir, "sole_returned_supplier")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "HashAggregate" in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
 
