@@ -190,3 +190,65 @@ def compact_partitions(
         refresh_partitions(part_df, path, partition_cols)
         n_rewritten += 1
     return n_rewritten
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """Keyed MERGE (upsert) into a parquet table: rows whose key
+    matches an update are replaced, new keys are inserted, everything
+    else is byte-identical untouched. The plain-parquet emulation of
+    ``MERGE INTO`` — on Delta/Iceberg this function becomes a true
+    merge with file-level skipping; the call site doesn't change.
+
+    Scale shape: with ``partition_cols``, only the partitions present
+    in ``updates`` are read, anti-joined, and rewritten (dynamic
+    partition overwrite) — cost is proportional to the touched slice,
+    never the table. The anti join is keyed on ``key_cols`` and AQE
+    broadcasts the (typically small) update key set. ``updates`` must
+    be key-unique — dedupe upstream, this function won't guess which
+    duplicate wins.
+
+    The merged frame is localCheckpoint'ed (eager) before the write
+    because the write overwrites the very files the plan reads — the
+    single-app analog of staging to a temp table, which is what a
+    cluster deployment would do (or skip entirely via Delta MERGE).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    key_cols = list(key_cols)
+    try:
+        target = spark.read.parquet(path)
+    except AnalysisException:
+        write_partitioned_parquet(updates, path, partition_cols)
+        return
+
+    if partition_cols:
+        touched = [
+            r.asDict()
+            for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        in_touched = None
+        for vals in touched:
+            clause = F.lit(True)
+            for c in partition_cols:
+                clause = clause & (F.col(c) == F.lit(vals[c]))
+            in_touched = clause if in_touched is None else (in_touched | clause)
+        scoped = target.filter(in_touched)
+    else:
+        scoped = target
+
+    kept = scoped.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    merged = kept.unionByName(updates).localCheckpoint()
+
+    if partition_cols:
+        refresh_partitions(merged, path, partition_cols)
+    else:
+        merged.write.mode("overwrite").parquet(path)

@@ -737,3 +737,46 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "topn_per_group_rank",
+    survey=("W9", "O4", "J4"),
+    oracle="""
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         ROUND(o.o_totalprice, 6) AS o_totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def topn_per_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per market segment — the canonical
+    distributed top-N-per-group: ROW_NUMBER over PARTITION BY
+    segment with a deterministic (price DESC, orderkey) tie-break,
+    then rn ≤ 3. Each group ranks independently across executors (no
+    global sort, unlike ORDER BY+LIMIT top-k), and Spark pushes the
+    rn ≤ 3 filter into the window via its rank-limit optimization so
+    per-partition state stays at k rows."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            R6(F.col("o_totalprice")).alias("o_totalprice"),
+            "rn",
+        )
+    )

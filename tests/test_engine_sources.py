@@ -223,3 +223,78 @@ def test_compact_partitions(spark, tmp_path):
         spark, path, ["part"], partition_values=[{"part": "1"}]
     )
     assert n == 1 and len(files_in(1)) == 1 and len(files_in(0)) == 2
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """MERGE semantics on plain parquet: matched keys replaced, new
+    keys inserted, rows in touched partitions but not in the update
+    kept, untouched partitions not even rewritten."""
+    import os
+
+    from bio_lakehouse_spark.sources.sinks import (
+        merge_upsert,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "merge_table")
+    base = spark.createDataFrame(
+        [
+            ("2025-06", 1, 10.0),
+            ("2025-06", 2, 20.0),
+            ("2025-07", 3, 30.0),
+            ("2025-07", 4, 40.0),
+        ],
+        schema="month string, id int, v double",
+    )
+    write_partitioned_parquet(base, path, ["month"])
+    june_files = sorted(os.listdir(os.path.join(path, "month=2025-06")))
+
+    updates = spark.createDataFrame(
+        [("2025-07", 4, 99.0), ("2025-07", 5, 50.0)],  # update + insert
+        schema="month string, id int, v double",
+    )
+    merge_upsert(spark, path, updates, ["month", "id"], ["month"])
+
+    back = {
+        (r["month"], r["id"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert back == {
+        ("2025-06", 1): 10.0,
+        ("2025-06", 2): 20.0,
+        ("2025-07", 3): 30.0,  # untouched row in touched partition
+        ("2025-07", 4): 99.0,  # replaced
+        ("2025-07", 5): 50.0,  # inserted
+    }
+    # Untouched partition: same files on disk, not rewritten.
+    assert (
+        sorted(os.listdir(os.path.join(path, "month=2025-06"))) == june_files
+    )
+
+
+def test_merge_upsert_creates_table_when_missing(spark, tmp_path):
+    from bio_lakehouse_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "fresh_table")
+    updates = spark.createDataFrame(
+        [("2025-07", 1, 1.0)], schema="month string, id int, v double"
+    )
+    merge_upsert(spark, path, updates, ["month", "id"], ["month"])
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from bio_lakehouse_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "flat_table")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], schema="id int, v double"
+    ).write.parquet(path)
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, 99.0), (3, 30.0)], schema="id int, v double"),
+        ["id"],
+    )
+    back = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert back == {1: 10.0, 2: 99.0, 3: 30.0}
