@@ -177,3 +177,68 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r.event_id for r in got.select("event_id").collect()} == {1, 2, 3}
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Click→purchase attribution as a watermarked stream-stream
+    interval join; the SAME function applied to the data as plain
+    batch DataFrames is the oracle. Purchases at 10 and 25 min after
+    the click attribute (≤30 min horizon); 45 min does not; other
+    users never pair."""
+    from bio_lakehouse_spark.streaming.joins import (
+        attribute_purchases_to_clicks,
+        stream_attribution_to_parquet,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    clicks_dir.mkdir()
+    purchases_dir.mkdir()
+    header = "event_id,ts,user_id,event_type,value\n"
+    (clicks_dir / "c.csv").write_text(
+        header
+        + "1,2024-01-01 00:00:00,7,click,1.0\n"
+        + "2,2024-01-01 01:00:00,7,click,2.0\n"
+        + "3,2024-01-01 00:00:00,8,click,3.0\n"
+    )
+    (purchases_dir / "p.csv").write_text(
+        header
+        + "4,2024-01-01 00:10:00,7,purchase,10.0\n"  # ← click 1 (+10m)
+        + "5,2024-01-01 00:25:00,7,purchase,20.0\n"  # ← click 1 (+25m)
+        + "6,2024-01-01 00:45:00,7,purchase,30.0\n"  # beyond horizon
+        + "7,2024-01-01 01:05:00,9,purchase,40.0\n"  # no such clicker
+    )
+
+    q = stream_attribution_to_parquet(
+        spark,
+        str(clicks_dir),
+        str(purchases_dir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        EVENT_SCHEMA,
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, str(r.click_ts), str(r.purchase_ts))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    def batch(d):
+        return (
+            spark.read.schema(EVENT_SCHEMA)
+            .option("header", "true")
+            .csv(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    want = {
+        (r.user_id, str(r.click_ts), str(r.purchase_ts))
+        for r in attribute_purchases_to_clicks(
+            batch(clicks_dir), batch(purchases_dir)
+        ).collect()
+    }
+    assert got == want
+    assert got == {
+        (7, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+        (7, "2024-01-01 00:00:00", "2024-01-01 00:25:00"),
+    }
