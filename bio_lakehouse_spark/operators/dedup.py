@@ -131,6 +131,62 @@ def minhash_signatures(
     return sh.select("doc_id", "shingles", *sig_cols)
 
 
+def minhash_signatures_exploded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, minhash_0..k-1) straight from raw text, entirely in
+    whole-stage codegen — the signature hot path.
+
+    Two facts make this the fast form of ``minhash_signatures``:
+    (1) MIN is duplicate-insensitive, so the distinct-shingle-SET
+    build (array_distinct over an interpreted HOF pipeline — the
+    dominant cost of `shingle_sets` at corpus scale) is unnecessary
+    for signatures; a duplicated shingle stream has the same mins.
+    (2) the n-gram stream is expressible row-wise: posexplode the
+    word array, LEAD(k) over (doc_id, pos) for the next n−1 words,
+    concat — every expression codegens, where transform-lambdas are
+    interpreted per element.
+
+    The window shuffle it introduces is the same hash-partition on
+    doc_id the signature groupBy needs anyway. Produces BIT-IDENTICAL
+    minhashes to ``minhash_signatures`` (same xxhash64(j, shingle
+    string) family, same short-doc full-text fallback), so candidate
+    generation is unchanged — verified by the brute-force oracle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
+    stream = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "w0"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [
+        F.lead("w0", k).over(win).alias(f"w{k}") for k in range(1, n)
+    ]
+    grams = (
+        stream.select("doc_id", "pos", "w0", *lead_cols)
+        # keep full positions; short docs (< n words) keep pos 0 whose
+        # concat_ws skips the null leads → the whole text as one
+        # shingle, exactly word_ngrams' fallback.
+        .filter(F.col(f"w{n - 1}").isNotNull() | (F.col("pos") == 0))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("s"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), "s")).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -158,18 +214,16 @@ def minhash_lsh_pairs(
     sf0.01 and sf0.1. Set ``min_band_matches=1`` for the max-recall
     variant.
 
-    The shingle table is localCheckpoint'ed (eager): it feeds three
-    consumers (signatures + both verify-join sides) and recomputing
-    the text→shingle pipeline per consumer triples the dominant cost.
-    On a cluster this stage would be a written signature table; the
-    checkpoint is the single-app analog.
+    Cost structure: signatures come from the codegen explode path
+    (``minhash_signatures_exploded``) — the interpreted shingle-SET
+    arrays, formerly built and checkpointed for the whole corpus, are
+    now built ONLY for docs that appear in a candidate pair (exact
+    Jaccard needs the sets; nothing else does). That candidate-doc
+    table is localCheckpoint'ed once for the two verify-join sides —
+    on a cluster this stage would be a written table; the checkpoint
+    is the single-app analog.
     """
-    sh = (
-        shingle_sets(df, id_col, text_col, n)
-        .withColumn("sz", F.size("shingles"))
-        .localCheckpoint()
-    )
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures_exploded(df, id_col, text_col, n, num_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -210,8 +264,21 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= min_band_matches)
         .select("doc_a", "doc_b")
+        # Eager cut: the candidate set is tiny but its lineage holds
+        # the whole signature pipeline — without this, the two verify
+        # consumers and the id projection would re-run it three times.
+        .localCheckpoint()
     )
-    shingled = sh.select("doc_id", "shingles", "sz")
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionAll(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = (
+        shingle_sets(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+        .withColumn("sz", F.size("shingles"))
+        .localCheckpoint()
+    )
     # |A∪B| = |A| + |B| − |A∩B| with precomputed set sizes — avoids
     # materializing the union array per candidate pair.
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
