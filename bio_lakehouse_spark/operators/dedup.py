@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.operators.textops import word_ngrams, words
@@ -131,59 +131,58 @@ def minhash_signatures(
     return sh.select("doc_id", "shingles", *sig_cols)
 
 
-def minhash_signatures_exploded(
+def minhash_signatures_raw(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """(doc_id, minhash_0..k-1) straight from raw text, entirely in
-    whole-stage codegen — the signature hot path.
+    """(doc_id, mh_0..k-1) straight from raw text — the signature hot
+    path: one narrow projection, ZERO exchanges.
 
-    Two facts make this the fast form of ``minhash_signatures``:
-    (1) MIN is duplicate-insensitive, so the distinct-shingle-SET
-    build (array_distinct over an interpreted HOF pipeline — the
-    dominant cost of `shingle_sets` at corpus scale) is unnecessary
-    for signatures; a duplicated shingle stream has the same mins.
-    (2) the n-gram stream is expressible row-wise: posexplode the
-    word array, LEAD(k) over (doc_id, pos) for the next n−1 words,
-    concat — every expression codegens, where transform-lambdas are
-    interpreted per element.
+    MIN is duplicate-insensitive, so the distinct-shingle-SET build
+    (array_distinct's per-row sort/dedup — the dominant cost of
+    ``shingle_sets`` at corpus scale) is unnecessary for signatures: a
+    duplicated gram stream has the same mins. The whole signature is
+    one nested let-bound expression — words and the gram stream are
+    each evaluated once per row (see ``textops.let``: HOF lambdas have
+    no common-subexpression elimination, and emitting grams as a
+    separate select risks CollapseProject inlining it into all k min
+    columns — measured 2.5× slower), then k array_min/transform passes
+    over the in-memory array. No explode, no window, no groupBy: the
+    scan → signature stage is embarrassingly parallel, the shape that
+    survives 100 TB. Bit-identical to ``minhash_signatures`` over
+    ``shingle_sets`` (same xxhash64(j, gram) family, same short-doc
+    full-text fallback) — verified by the brute-force oracle."""
+    from bio_lakehouse_spark.operators.textops import let, word_ngram_stream
 
-    The window shuffle it introduces is the same hash-partition on
-    doc_id the signature groupBy needs anyway. Produces BIT-IDENTICAL
-    minhashes to ``minhash_signatures`` (same xxhash64(j, shingle
-    string) family, same short-doc full-text fallback), so candidate
-    generation is unchanged — verified by the brute-force oracle."""
+    def mins(grams: Column) -> Column:
+        def hash_j(j: int):
+            return lambda s: F.xxhash64(F.lit(j), s)
+
+        return F.struct(
+            *[
+                F.array_min(F.transform(grams, hash_j(j))).alias(f"mh_{j}")
+                for j in range(num_hashes)
+            ]
+        )
+
+    sig = let(
+        words(text_col), lambda w: let(word_ngram_stream(w, n), mins)
+    )
+    # Small corpora arrive as one parquet split — spread rows so the
+    # per-row signature work uses every core (moves only raw text; at
+    # real scale the input already has enough splits → no-op).
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, id_col)
-    stream = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(text_col)).alias("pos", "w0"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = [
-        F.lead("w0", k).over(win).alias(f"w{k}") for k in range(1, n)
-    ]
-    grams = (
-        stream.select("doc_id", "pos", "w0", *lead_cols)
-        # keep full positions; short docs (< n words) keep pos 0 whose
-        # concat_ws skips the null leads → the whole text as one
-        # shingle, exactly word_ngrams' fallback.
-        .filter(F.col(f"w{n - 1}").isNotNull() | (F.col("pos") == 0))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[f"w{k}" for k in range(n)]).alias("s"),
-        )
-    )
-    return grams.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(j), "s")).alias(f"mh_{j}")
-            for j in range(num_hashes)
-        ]
+    return df.select(
+        F.col(id_col).alias("doc_id"), sig.alias("_sig")
+    ).select(
+        "doc_id",
+        *[F.col(f"_sig.mh_{j}").alias(f"mh_{j}") for j in range(num_hashes)],
     )
 
 
@@ -214,8 +213,8 @@ def minhash_lsh_pairs(
     sf0.01 and sf0.1. Set ``min_band_matches=1`` for the max-recall
     variant.
 
-    Cost structure: signatures come from the codegen explode path
-    (``minhash_signatures_exploded``) — the interpreted shingle-SET
+    Cost structure: signatures come from the zero-exchange row-wise
+    path (``minhash_signatures_raw``) — the distinct shingle-SET
     arrays, formerly built and checkpointed for the whole corpus, are
     now built ONLY for docs that appear in a candidate pair (exact
     Jaccard needs the sets; nothing else does). That candidate-doc
@@ -223,7 +222,7 @@ def minhash_lsh_pairs(
     on a cluster this stage would be a written table; the checkpoint
     is the single-app analog.
     """
-    sig = minhash_signatures_exploded(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures_raw(df, id_col, text_col, n, num_hashes)
     bands = F.array(
         *[
             F.struct(

@@ -55,6 +55,22 @@ def let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def word_ngram_stream(w: Column, n: int) -> Column:
+    """Word n-grams WITH duplicates, from an already-bound words
+    array. The cheap form for duplicate-insensitive consumers
+    (min-wise hashing): skips the array_distinct sort/dedup pass.
+    Documents shorter than ``n`` words yield their full text as one
+    (possibly partial) gram — same fallback as ``word_ngrams``."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)],
+        ),
+    )
+
+
 def word_ngrams(words_col: Column, n: int) -> Column:
     """Word n-gram shingles as a distinct set (for Jaccard/MinHash).
 
@@ -63,20 +79,9 @@ def word_ngrams(words_col: Column, n: int) -> Column:
     Documents shorter than ``n`` words yield their full text as one
     shingle.
     """
-
-    def grams(w: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)],
-                ),
-            )
-        )
-
-    return let(words_col, grams)
+    return let(
+        words_col, lambda w: F.array_distinct(word_ngram_stream(w, n))
+    )
 
 
 def stopword_hits(words_col: Column, lang: str) -> Column:
