@@ -51,6 +51,9 @@ HEADLINE = [
     "embedding_neardup",
     "regional_nation_revenue",
     "sole_returned_supplier",
+    "sequence_packing",
+    "gopher_repetition",
+    "decontaminate_eval_overlap",
 ]
 
 

@@ -377,3 +377,50 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_overlap_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with an evaluation corpus.
+
+    The standard train/eval overlap check LLM pipelines run before
+    training (n-gram collision against held-out benchmarks). Shape:
+    the eval corpus's distinct n-grams are SMALL by construction
+    (benchmarks are thousands of docs, not billions) — broadcast them
+    and probe with the exploded training grams, so the training side
+    never shuffles: scan → explode → broadcast-hash-join → groupBy
+    partial-aggregated on doc_id. Returns one row per contaminated
+    doc: n_overlap (distinct shared grams), contamination_frac
+    (share of the doc's distinct grams found in eval).
+    """
+    ev = (
+        eval_df.select(
+            F.explode(word_ngrams(words(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngrams(words(text_col), n).alias("grams"),
+    )
+    exploded = tr.select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    return (
+        exploded.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_grams"), 6
+            ).alias("contamination_frac"),
+        )
+    )

@@ -1,0 +1,89 @@
+"""Sequence packing: place documents into fixed-size context windows.
+
+The concat-and-chunk strategy LLM training pipelines use (concatenate
+the token stream in a deterministic document order, slice into
+ctx-sized chunks): each document's placement is fully determined by
+the exclusive running token count before it, so packing is a window
+cumsum — no bin-packing search, no driver loop.
+
+Scale shape: packing is inherently sequential *within* a stream, so
+the operator shards the corpus first (hash of the id → shard) and
+packs each shard independently — shards are the unit of parallelism
+exactly as training shards are in practice. The window sorts only
+within a shard partition; no global sort, no single-task stage.
+
+Beyond-reference training-pipeline operator (reference has no text
+corpus tooling; closest analog is its daily batch chunking of
+ingestion files, glue/oura_normalizer.py:98-148).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    ctx: int = 2048,
+    num_shards: int = 8,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Assign every document a (shard, chunk) placement.
+
+    Returns one row per document:
+      shard         pmod(xxhash64(id), num_shards) — the pack stream
+                    (or ``shard_col`` when given, e.g. a cross-engine
+                    deterministic ``id % k``)
+      doc_id        the document id
+      n_tok         the document's token count
+      start_off     exclusive cumsum of tokens before it in its shard
+                    (order = id ascending, deterministic)
+      chunk_first   start_off div ctx — first context window touched
+      chunk_last    (start_off + n_tok - 1) div ctx — last window
+      n_chunks      windows the document spans
+
+    Empty documents (0 tokens) occupy no window: chunk_last <
+    chunk_first and n_chunks = 0.
+    """
+    shard = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards))
+    )
+    base = df.select(
+        shard.alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        (
+            tokens_col
+            if isinstance(tokens_col, Column)
+            else F.col(tokens_col)
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.withColumn(
+        "start_off", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    # greatest(n_tok, 1) keeps the dividend non-negative for empty
+    # docs — negative integer division floors in some engines and
+    # truncates in others, so the expression stays in the domain
+    # where they agree.
+    chunk_first = F.expr(f"start_off div {ctx}")
+    chunk_last = F.expr(f"(start_off + greatest(n_tok, 1) - 1) div {ctx}")
+    return placed.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        "start_off",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        F.when(F.col("n_tok") == 0, F.lit(0))
+        .otherwise(chunk_last - chunk_first + 1)
+        .alias("n_chunks"),
+    )

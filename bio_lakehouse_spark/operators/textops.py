@@ -157,3 +157,70 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
         "digit_ratio": digit_ratio,
         "quality_score": score,
     }
+
+
+def repetition_profile(
+    df: "DataFrame", id_col: str, text_col: str, n: int = 3
+) -> "DataFrame":
+    """Gopher-style repetition filters: per-doc duplicate-n-gram
+    fraction, duplicate-word fraction, most-common-word share, mean
+    word length (the repetition rules production corpus filters
+    apply alongside length/stopword heuristics).
+
+    Two shapes composed: the array-expressible metrics (distinct vs
+    total words / n-grams, mean word length) are one row-wise
+    projection over let-bound arrays; the most-common-word share
+    needs a per-(doc, word) count, which no array expression gives
+    without O(vocab·len) rescans — so it is explode → two partial-
+    aggregated groupBys on doc_id, then a join back. Both sides are
+    keyed on doc_id, and the row-wise side carries no arrays into the
+    join (scalars only), so the join exchange is narrow.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words(text_col).alias("w")
+    )
+    rowwise = base.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct_words"),
+        let(
+            word_ngram_stream(F.col("w"), n),
+            lambda g: F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double")
+                / F.greatest(F.size(g), F.lit(1)),
+                6,
+            ),
+        ).alias("dup_3gram_frac"),
+        F.round(
+            F.length(F.array_join("w", "")).cast("double")
+            / F.greatest(F.size("w"), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+    )
+    top = (
+        base.select("doc_id", F.explode("w").alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_word_frac")
+        )
+    )
+    out = rowwise.join(top, "doc_id")
+    keep = (F.col("dup_3gram_frac") <= 0.2) & (
+        F.col("top_word_frac") <= 0.2
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "dup_3gram_frac",
+        "mean_word_len",
+        "top_word_frac",
+        keep.alias("keep"),
+    )

@@ -631,3 +631,143 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feature_vec")[1].cast("double").alias("f1"),
         F.col("feature_vec")[2].cast("double").alias("f2"),
     )
+
+
+def _ngrams5_sql() -> str:
+    parts = ", ".join(f"w[i+{k + 1}]" for k in range(5))
+    return (
+        "list_distinct(list_transform(range(0, greatest(len(w) - 5, 0) + 1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    survey=("J6", "F9"),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, {_ngrams5_sql()} AS grams
+  FROM (SELECT doc_id, {_W} AS w FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+), tr AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+  FROM g WHERE doc_id >= 20
+)
+SELECT doc_id,
+       COUNT(*) AS n_overlap,
+       ROUND(COUNT(*)::DOUBLE / n_grams, 6) AS contamination_frac
+FROM tr JOIN ev USING (gram)
+GROUP BY doc_id, n_grams
+""",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    5-gram with the eval slice (doc_id < 20 stands in for a held-out
+    benchmark). The eval corpus's distinct grams are small by
+    construction → broadcast; the training side never shuffles before
+    its per-doc aggregate. The overlap-n-gram check every LLM
+    pipeline runs before training."""
+    from bio_lakehouse_spark.operators.dedup import (
+        ngram_overlap_contamination,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_overlap_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+@register(
+    "sequence_packing",
+    survey=("W2", "F9"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id % 8 AS shard, doc_id, CAST(len({_W}) AS BIGINT) AS n_tok
+  FROM documents
+), p AS (
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_off
+  FROM t
+)
+SELECT shard, doc_id, n_tok, start_off,
+       start_off // 256 AS chunk_first,
+       (start_off + greatest(n_tok, 1) - 1) // 256 AS chunk_last,
+       CASE WHEN n_tok = 0 THEN 0
+            ELSE (start_off + greatest(n_tok, 1) - 1) // 256
+                 - start_off // 256 + 1 END AS n_chunks
+FROM p
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token context
+    windows, 8 shards (shard = doc_id % 8 for the cross-engine
+    oracle; production default is a hash shard). Packing is a
+    per-shard window cumsum — shards are the unit of parallelism, no
+    global sort."""
+    from bio_lakehouse_spark.operators.packing import pack_sequences
+    from bio_lakehouse_spark.operators.textops import token_count_ws
+
+    docs = load(spark, sf_dir, "documents")
+    out = pack_sequences(
+        docs,
+        "doc_id",
+        token_count_ws("text").cast("bigint"),
+        ctx=256,
+        num_shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return out.select(
+        "shard", "doc_id", "n_tok", "start_off",
+        "chunk_first", "chunk_last",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+    )
+
+
+@register(
+    "gopher_repetition",
+    survey=("F9", "A10"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_W} AS w FROM documents),
+wc AS (
+  SELECT doc_id, wd, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS wd FROM base)
+  GROUP BY doc_id, wd
+), top AS (
+  SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac
+  FROM wc GROUP BY doc_id
+), rowwise AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) AS n_distinct_words,
+         ROUND(1.0 - len(list_distinct(g))::DOUBLE / greatest(len(g), 1),
+               6) AS dup_3gram_frac,
+         ROUND(length(array_to_string(w, ''))::DOUBLE / greatest(len(w), 1),
+               6) AS mean_word_len
+  FROM (
+    SELECT doc_id, w,
+           list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                          i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])) AS g
+    FROM base)
+)
+SELECT r.doc_id, n_words, n_distinct_words, dup_3gram_frac, mean_word_len,
+       top_word_frac,
+       (dup_3gram_frac <= 0.2 AND top_word_frac <= 0.2) AS keep
+FROM rowwise r JOIN top USING (doc_id)
+""",
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules: duplicate-3-gram
+    fraction, most-common-word share, mean word length, plus the
+    keep/drop verdict — the repetition filters corpus pipelines
+    apply alongside `text_quality`'s length/stopword heuristics."""
+    from bio_lakehouse_spark.operators.textops import repetition_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_profile(docs, "doc_id", "text", n=3)
