@@ -163,3 +163,84 @@ def stream_dedup_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_to_table(
+    spark: SparkSession,
+    landing_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    key_cols: list[str],
+    seq_col: str = "ts",
+    partition_cols: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC apply: file source → ``foreachBatch`` keyed
+    MERGE into a parquet table (the canonical Structured Streaming +
+    MERGE idiom; on Delta/Iceberg the inner call becomes a true
+    ``MERGE INTO`` and nothing else changes).
+
+    Each micro-batch is first reduced to its max-``seq_col`` row per
+    key (a batch can carry several updates for one key), then
+    conflict-resolved against the CURRENT table rows for those keys —
+    an update only wins if its sequence is ≥ the stored one. That
+    makes the sink safe under BOTH failure modes of at-least-once
+    side effects: a replayed batch re-applies identical rows
+    (idempotent), and a replayed OLD batch after a newer one cannot
+    regress a key (sequence guard). State lives in the table itself,
+    not the stream — no watermark needed, unbounded key space.
+
+    Scale shape: the per-batch cost is ``merge_upsert``'s — touched
+    partitions only, update keys broadcast into the anti join.
+    """
+    from bio_lakehouse_spark.sources.sinks import merge_upsert
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        value_cols = [c for c in batch_df.columns if c not in key_cols]
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if latest.isEmpty():
+            return
+        try:
+            current = spark.read.parquet(table_path).join(
+                latest.select(*key_cols), key_cols, "left_semi"
+            )
+            resolved = (
+                latest.unionByName(current.select(*latest.columns))
+                .groupBy(*key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(*value_cols), F.col(seq_col)
+                    ).alias("_v")
+                )
+                .select(*key_cols, "_v.*")
+            )
+        except AnalysisException:
+            resolved = latest  # first batch — table doesn't exist yet
+        merge_upsert(
+            spark,
+            table_path,
+            resolved.select(*latest.columns),
+            key_cols,
+            partition_cols or (),
+        )
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .csv(landing_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -242,3 +242,44 @@ def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
         (7, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
         (7, "2024-01-01 00:00:00", "2024-01-01 00:25:00"),
     }
+
+
+def test_stream_upsert_cdc_apply(spark, tmp_path):
+    """foreachBatch keyed MERGE: newer sequence replaces the stored
+    row, an out-of-order OLDER update cannot regress it, new keys
+    insert. State lives in the table, not the stream."""
+    from bio_lakehouse_spark.streaming.ingest import stream_upsert_to_table
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "events_current")
+    ckpt = str(tmp_path / "ckpt_upsert")
+    # wave 1: two keys (user 7 twice in one batch — in-batch dedupe).
+    _write_landing(
+        tmp_path, "a.csv",
+        ["1,2024-01-01 00:01:00,7,click,1.0",
+         "2,2024-01-01 00:02:00,7,view,2.0",
+         "3,2024-01-01 00:01:00,9,click,3.0"],
+    )
+    q = stream_upsert_to_table(
+        spark, landing, table, ckpt, EVENT_SCHEMA, key_cols=["user_id"]
+    )
+    q.awaitTermination()
+    got = {r.user_id: r for r in spark.read.parquet(table).collect()}
+    assert set(got) == {7, 9}
+    assert got[7].event_id == 2  # max-ts row won within the batch
+    # wave 2: newer update for user 9, STALE update for user 7, new key.
+    _write_landing(
+        tmp_path, "b.csv",
+        ["4,2024-01-01 00:05:00,9,purchase,4.0",
+         "5,2023-12-31 23:00:00,7,view,0.5",
+         "6,2024-01-01 00:06:00,11,click,6.0"],
+    )
+    q2 = stream_upsert_to_table(
+        spark, landing, table, ckpt, EVENT_SCHEMA, key_cols=["user_id"]
+    )
+    q2.awaitTermination()
+    got = {r.user_id: r for r in spark.read.parquet(table).collect()}
+    assert set(got) == {7, 9, 11}
+    assert got[9].event_id == 4          # newer seq replaced
+    assert got[7].event_id == 2          # stale update did NOT regress
+    assert got[11].event_type == "click"  # new key inserted
