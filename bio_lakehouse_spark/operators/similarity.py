@@ -331,3 +331,84 @@ def kmeans_lloyd(
         [(i, c, int(counts.get(i, 0))) for i, c in rows],
         schema="centroid_id int, centroid array<double>, n_members long",
     )
+
+
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    threshold: float = 0.35,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF cells — the geometric
+    scale path for `embedding_neardup_pairs` when no natural blocking
+    column exists: candidate pairs are vectors sharing any of their
+    ``nprobe`` nearest cells, verified with exact cosine ≥ threshold.
+
+    Multi-probe assignment (each vector lands in its top-``nprobe``
+    cells) recovers pairs that straddle a cell boundary — the standard
+    IVF recall lever. Join shape at 100 TB: centroids broadcast, one
+    keyed self-equi-join on centroid_id (quadratic only within a
+    cell), id-distinct candidates, then two keyed joins to fetch
+    vectors for verification — no cross join anywhere. SRP-style
+    hyperplane LSH is the wrong tool at low thresholds (bit-agreement
+    0.61 vs 0.5 background at cos 0.35 — no band scheme separates
+    them); data-derived cells do separate cluster structure.
+    """
+    cent = centroids.select(
+        F.col(centroid_id),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    scored = (
+        _spread(corpus, id_col)
+        .withColumn("_vnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            centroid_id,
+            (
+                dot(F.col(vec_col), F.col("cent_vec"))
+                / (F.col("_vnorm") * F.col("cent_norm"))
+            ).alias("cent_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cent_sim"), F.asc(centroid_id)
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_col, centroid_id)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{centroid_id}") == F.col(f"b.{centroid_id}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    emb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
+    )
+    sim = dot(F.col("va.vec"), F.col("vb.vec")) / (
+        F.col("va.vnorm") * F.col("vb.vnorm")
+    )
+    return (
+        pairs.join(
+            emb.alias("va"), F.col("vec_a") == F.col(f"va.{id_col}")
+        )
+        .join(emb.alias("vb"), F.col("vec_b") == F.col(f"vb.{id_col}"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -237,3 +237,47 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mse"), 9).alias("max_mse"),
         F.round(F.avg("rng"), 6).alias("avg_range"),
     )
+
+
+@register(
+    "embedding_neardup_ivf",
+    survey=("J6", "F9", "J5"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC, cent.centroid_id) AS rn
+    FROM embeddings v, cent
+  ) WHERE rn <= 2
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim FROM (
+  SELECT p.vec_a, p.vec_b,
+         {_COS.format(a='ea.embedding', b='eb.embedding')} AS cos_raw
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+) WHERE cos_raw >= 0.35
+""",
+)
+def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF cells (every 25th
+    vector seeds a cell, multi-probe nprobe=2) with exact-cosine
+    verification at 0.35 — the scale path when no blocking column
+    exists. `embedding_neardup` (label-blocked exact) is the
+    correctness twin; the deterministic cell pipeline is reproduced
+    end-to-end by the SQL oracle."""
+    from bio_lakehouse_spark.operators.similarity import ivf_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = ivf_neardup_pairs(emb, centroids, threshold=0.35, nprobe=2)
+    return out.select("vec_a", "vec_b", R6(F.col("cos_sim")).alias("cos_sim"))
