@@ -35,7 +35,11 @@ _DEFAULTS: dict[str, str] = {
     # Don't let tiny local files create thousands of tasks at bench SFs.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Local mode runs every executor thread inside the driver JVM, so
+    # "driver" memory is the engine's entire heap — size it to the host
+    # (measured: 8g causes GC churn that doubles the gold rebuild once
+    # ~60 query executions have warmed the session; 24g removes it).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 
