@@ -153,7 +153,16 @@ def assign_cells(
     """IVF cell assignment: nearest centroid by cosine (argmax with
     deterministic centroid-id tie-break). Centroids broadcast; the
     corpus streams through once with its norm computed in the scan
-    projection."""
+    projection.
+
+    The argmax is ``max_by`` over a (sim, -centroid_id) ordering
+    struct, NOT a row_number window: the corpus×centroid rows come
+    out of the broadcast join clustered by corpus row, so map-side
+    partial aggregation collapses them to ONE row per vector before
+    the exchange — the shuffle carries |corpus| rows, where a window
+    would shuffle and sort |corpus|·|centroids|. Same assignment,
+    verified identical (ties: equal sims pick the smaller id in both
+    forms)."""
     cent = centroids.select(
         F.col(centroid_id),
         F.col(vec_col).alias("cent_vec"),
@@ -170,13 +179,16 @@ def assign_cells(
         (dot(F.col(vec_col), F.col("cent_vec"))
          / (F.col("_vnorm") * F.col("cent_norm"))).alias("cent_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("cent_sim"), F.asc(centroid_id)
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(centroid_id, vec_col),
+            F.struct(F.col("cent_sim"), -F.col(centroid_id)),
+        ).alias("_m")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "cent_sim")
+    return best.select(
+        id_col,
+        F.col(f"_m.{vec_col}").alias(vec_col),
+        F.col(f"_m.{centroid_id}").alias(centroid_id),
     )
 
 

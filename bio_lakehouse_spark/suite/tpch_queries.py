@@ -643,12 +643,18 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correlated EXISTS / NOT EXISTS pair — semi + anti joins
     against the distinct (orderkey, suppkey) set, as the oracle SQL
     spells out — scans lineitem three times and shuffles each pass.
-    This implementation collapses both subqueries into ONE per-order
-    aggregate: an R line is blamed iff its order has ≥ 2 distinct
-    suppliers (the EXISTS) and exactly 1 distinct supplier among its
-    R lines (the NOT EXISTS — that one supplier is necessarily the
-    line's own, since the line itself is R). Two lineitem scans, one
-    aggregation shuffle, one orderkey join — same rows out."""
+    This implementation is ONE lineitem scan and one wide shuffle: a
+    (orderkey, suppkey)-level aggregate (partial aggregation collapses
+    duplicate lines map-side, so the exchange carries distinct pairs,
+    not rows), then a per-order rollup that decides both subqueries
+    at once — qualify iff ≥ 2 suppliers (EXISTS) and exactly 1
+    supplier among R lines (NOT EXISTS) — AND identifies that sole
+    blamed supplier + its R-line count in the same pass (when
+    n_rsupp = 1, max(when(r_cnt>0, suppkey)) IS the supplier, and its
+    r_cnt is the number of blamed lines Q21 counts). No second pass
+    over lineitem to recover the lines; the per-order rollup's input
+    is already pair-level (tiny). Distinct-count rewrite also avoids
+    the Expand node two countDistincts would plan."""
     sup = load(spark, sf_dir, "supplier")
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
@@ -657,38 +663,35 @@ def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_1"
     )
-    per_order = li.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_rsupp"),
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r_cnt")
     )
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(
-            orders.select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-            "left_semi",
-        )
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1)
-            ).select("p_orderkey"),
-            F.col("l_orderkey") == F.col("p_orderkey"),
-            "left_semi",
-        )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("r_cnt") > 0, 1)).alias("n_rsupp"),
+        F.max(
+            F.when(F.col("r_cnt") > 0, F.col("l_suppkey"))
+        ).alias("blamed_supp"),
+        F.max(F.when(F.col("r_cnt") > 0, F.col("r_cnt"))).alias(
+            "blamed_lines"
+        ),
+    )
+    qual = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1)
+    ).join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    supn = sup.join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
     )
     return (
-        l1.join(
-            F.broadcast(
-                sup.join(
-                    F.broadcast(nation),
-                    F.col("s_nationkey") == F.col("n_nationkey"),
-                    "left_semi",
-                )
-            ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+        qual.join(
+            F.broadcast(supn), F.col("blamed_supp") == F.col("s_suppkey")
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("blamed_lines").alias("numwait"))
     )
