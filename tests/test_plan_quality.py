@@ -197,11 +197,10 @@ def test_q19_disjunction_factors_to_both_scans(spark, sf_dir):
 
 
 def test_q21_exists_pair_is_aggregate_rewrite(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS pair is collapsed into one per-order
-    countDistinct aggregate + semi joins (see the query docstring) —
-    the plan must show the aggregate (with its distinct expand) and
-    hash semi joins, and never a cartesian expansion of per-order
-    lines."""
+    """Q21's EXISTS / NOT EXISTS pair is collapsed into per-pair +
+    per-order aggregates + semi joins (see the query docstring) —
+    the plan must show the aggregates and hash semi joins, and never
+    a cartesian expansion of per-order lines."""
     plan = _plan(spark, sf_dir, "sole_returned_supplier")
     assert "LeftSemi" in plan
     assert "HashAggregate" in plan
@@ -225,3 +224,76 @@ def test_q5_q7_dims_broadcast_no_cartesian(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "Cartesian" not in plan and "NestedLoop" not in plan, name
+
+
+def test_q21_single_lineitem_scan_no_expand(spark, sf_dir):
+    """The pair-level aggregate rewrite reads lineitem exactly ONCE
+    (the textbook EXISTS/NOT-EXISTS form scans it three times) and
+    plans no Expand node (the old two-countDistinct form doubled the
+    aggregate's input through Expand)."""
+    plan = _plan(spark, sf_dir, "sole_returned_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Expand" not in plan
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark, sf_dir):
+    """assign_cells' argmax is a max_by aggregate (map-side partial
+    collapses corpus×centroid rows to one per vector before the
+    exchange), never a row_number window over the scored join."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.similarity import assign_cells
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    df = assign_cells(emb, cent)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "Cartesian" in plan  # scoring cross join (intentional, broadcast side)
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    """The eval corpus's distinct grams must broadcast — the training
+    side (the 100 TB side) must never shuffle before its per-doc
+    aggregate."""
+    plan = _plan(spark, sf_dir, "decontaminate_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_window_is_sharded(spark, sf_dir):
+    """Packing's cumsum window must carry the shard partition spec —
+    a global unpartitioned window would single-thread the corpus."""
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert "Window" in plan
+    assert "shard" in plan
+
+
+def test_minhash_signatures_no_exchange(spark, sf_dir):
+    """Raw-text → minhash signatures is one narrow projection: no
+    exchange other than the small-input spread repartition, no
+    window, no aggregate."""
+    import contextlib
+    import io
+
+    from bio_lakehouse_spark.operators.dedup import minhash_signatures_raw
+    from bio_lakehouse_spark.suite.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    df = minhash_signatures_raw(docs, "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "Aggregate" not in plan
