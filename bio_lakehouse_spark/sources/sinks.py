@@ -252,3 +252,34 @@ def merge_upsert(
         refresh_partitions(merged, path, partition_cols)
     else:
         merged.write.mode("overwrite").parquet(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-partitioned, sorted parquet — the plain-parquet form of
+    clustering/Z-ordering on one key prefix: rows are range-split
+    across files on ``sort_cols`` and sorted within each, so every
+    row group's min/max footer stats cover a NARROW, disjoint slice
+    of the key space. A filtered scan then skips whole row groups /
+    files at the reader level (parquet predicate pushdown) instead of
+    scanning everything — the storage-side half of data skipping that
+    directory partitioning can't give for high-cardinality or range
+    keys (a day-partitioned table can't also directory-partition by
+    ship date; sorting inside the files can).
+
+    ``repartitionByRange`` samples the key distribution, so files are
+    balanced under skew. At 100 TB this is the difference between a
+    range query touching ~range/total of the bytes vs all of them.
+    """
+    out = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
+        path
+    )

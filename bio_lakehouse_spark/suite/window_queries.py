@@ -780,3 +780,43 @@ def topn_per_group_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "rank_functions_full",
+    survey=("W9",),
+    oracle="""
+WITH totals AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 6) AS total_value
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_value,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY total_value) AS INTEGER) AS drank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM totals
+WINDOW w AS (PARTITION BY event_type ORDER BY total_value, user_id)
+""",
+)
+def rank_functions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family (W9): row_number / dense_rank /
+    percent_rank / cume_dist per event_type partition — every window
+    carries the partition key, so rank computation distributes by
+    group (no global sort). dense_rank runs over the ROUNDED total so
+    cross-engine float noise can't split a tie class."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 6).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("total_value", "user_id")
+    wd = Window.partitionBy("event_type").orderBy("total_value")
+    return totals.select(
+        "event_type",
+        "user_id",
+        "total_value",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(wd).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

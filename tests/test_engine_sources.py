@@ -298,3 +298,57 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     )
     back = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert back == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_write_sorted_parquet_row_group_skipping(spark, sf_dir, tmp_path):
+    """Range-partition + in-file sort produces parquet whose row-group
+    min/max stats tile the key space → a range predicate prunes most
+    row groups at the reader (the storage half of data skipping)."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from bio_lakehouse_spark.sources.sinks import write_sorted_parquet
+    from bio_lakehouse_spark.suite.registry import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    out = str(tmp_path / "li_sorted")
+    write_sorted_parquet(li, out, ["l_shipdate"], num_files=8)
+
+    # Footer stats: each file's shipdate range must be narrow — the
+    # union tiles the keyspace instead of every file spanning it.
+    spans = []
+    lo = hi = None
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_shipdate"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            spans.append((st.min, st.max))
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    assert len(spans) >= 4
+    total = (hi - lo).days or 1
+    narrow = [s for s in spans if (s[1] - s[0]).days <= total / 2]
+    assert len(narrow) >= len(spans) - 1, spans
+
+    # The same rows come back, and a range predicate prunes row
+    # groups at the reader: fewer row groups survive stats filtering
+    # than exist in total.
+    got = spark.read.parquet(out)
+    assert got.count() == li.count()
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(out, format="parquet")
+    mid = lo + (hi - lo) / 2
+    frags = list(dataset.get_fragments())
+    total_rgs = sum(len(f.row_groups) for f in frags)
+    kept_rgs = sum(
+        len(f.split_by_row_group(ds.field("l_shipdate") > mid))
+        for f in frags
+    )
+    assert kept_rgs < total_rgs, (kept_rgs, total_rgs)
