@@ -61,3 +61,39 @@ def profile_columns(
     return row.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+def check_constraints(
+    df: DataFrame, rules: "Sequence[tuple[str, str]]"
+) -> DataFrame:
+    """Deequ-style constraint verification: evaluate every rule in
+    ONE aggregation over ONE scan (the companion gate to
+    ``profile_columns`` — profile describes, this one enforces).
+
+    ``rules`` is a sequence of (name, predicate_sql) pairs; a rule
+    passes when the predicate holds on EVERY row. Returns one row per
+    rule: (constraint, n_rows, n_violations, passed). Uniqueness-type
+    rules can't be row predicates — express them against a window-free
+    aggregate upstream or use ``profile_columns``'s distinct counts.
+
+    Scale shape: all rules compile to conditional counts inside a
+    single partial-aggregated global aggregate — the scan cost is one
+    pass regardless of rule count, and the exchange carries one row
+    per partition.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.count(F.when(~F.expr(pred), 1)).alias(f"__v_{name}")
+        )
+    row = df.agg(*aggs)
+    out = None
+    for name, _pred in rules:
+        one = row.select(
+            F.lit(name).alias("constraint"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{name}").alias("n_violations"),
+            (F.col(f"__v_{name}") == 0).alias("passed"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

@@ -185,3 +185,49 @@ def ema_exact(
     return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
         lambda pdf: _ema(pdf).drop(columns="__g"), schema=schema
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a (daily) series — the
+    Timescale ``interpolate()`` / pandas ``interpolate`` analog, and
+    ``forward_fill``'s two-sided sibling (W1/W8 family).
+
+    For each NULL row, the bracketing non-null values come from two
+    frame-bounded window passes (last-ignorenulls looking back,
+    first-ignorenulls looking forward — both on the series' ONE
+    partitioned ordering, so the engine sorts once per partition and
+    both windows reuse it) and the fill is the exact linear blend by
+    date distance. Boundary NULLs (before the first / after the last
+    observation) stay NULL — interpolation, not extrapolation.
+    Partition-key-parameterized like every window helper here: at
+    scale each entity's series interpolates independently."""
+    part = list(partition_by)
+    wb = (
+        Window.partitionBy(*part)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*part)
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t_obs = F.when(v.isNotNull(), F.col(time_col))
+    prev_v = F.last(v, ignorenulls=True).over(wb)
+    prev_t = F.last(t_obs, ignorenulls=True).over(wb)
+    next_v = F.first(v, ignorenulls=True).over(wf)
+    next_t = F.first(t_obs, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col(time_col), prev_t).cast("double") / F.datediff(
+        next_t, prev_t
+    )
+    filled = F.when(v.isNotNull(), v).when(
+        prev_v.isNotNull() & next_v.isNotNull(),
+        prev_v + (next_v - prev_v) * frac,
+    )
+    return df.withColumn(f"{value_col}_interp", filled)

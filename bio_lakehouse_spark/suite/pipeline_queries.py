@@ -681,3 +681,45 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice": F.col("o_totalprice").cast("decimal(18,2)"),
         },
     )
+
+
+_CONSTRAINT_RULES = (
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_in_domain", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("date_in_range", "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'"),
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+)
+
+
+@register(
+    "constraint_check_orders",
+    survey=("P10", "A8"),
+    oracle="""
+SELECT 'totalprice_positive' AS constraint, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (NOT (o_totalprice > 0)) AS n_violations,
+       COUNT(*) FILTER (NOT (o_totalprice > 0)) = 0 AS passed FROM orders
+UNION ALL
+SELECT 'status_in_domain', COUNT(*),
+       COUNT(*) FILTER (NOT (o_orderstatus IN ('F', 'O', 'P'))),
+       COUNT(*) FILTER (NOT (o_orderstatus IN ('F', 'O', 'P'))) = 0 FROM orders
+UNION ALL
+SELECT 'date_in_range', COUNT(*),
+       COUNT(*) FILTER (NOT (o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31')),
+       COUNT(*) FILTER (NOT (o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31')) = 0 FROM orders
+UNION ALL
+SELECT 'custkey_not_null', COUNT(*),
+       COUNT(*) FILTER (NOT (o_custkey IS NOT NULL)),
+       COUNT(*) FILTER (NOT (o_custkey IS NOT NULL)) = 0 FROM orders
+""",
+)
+def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint gate on `orders`: every rule evaluated
+    as a conditional count inside ONE aggregation over ONE scan
+    (rule count never adds scans — the oracle's UNION-ALL form is
+    the N-scan shape this avoids). The enforce half of the P10
+    data-quality surface; `profile_orders_columns` is the describe
+    half."""
+    from bio_lakehouse_spark.operators.profiling import check_constraints
+
+    orders = load(spark, sf_dir, "orders")
+    return check_constraints(orders, _CONSTRAINT_RULES)

@@ -820,3 +820,90 @@ def rank_functions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "interpolate_daily_gaps",
+    survey=("W1", "W8", "F3"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ROUND(AVG(value), 6) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), observed AS (
+  SELECT * FROM daily WHERE date_part('day', day) % 3 <> 0
+), span AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily
+), scaffold AS (
+  SELECT t.event_type, gs.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM span) gs
+), g AS (
+  -- micro-units: interpolate on round(v*1e6) so the rounded blend
+  -- sits at exactly-representable .5 ties both engines round alike
+  -- (rounding the raw blend to 6 decimals hits NON-representable
+  -- decimal ties — frac=1/2 gaps force them — where engine ROUNDs
+  -- disagree).
+  SELECT s.event_type, s.day, ROUND(o.v * 1e6) AS vm
+  FROM scaffold s LEFT JOIN observed o USING (event_type, day)
+), w AS (
+  SELECT event_type, day, vm,
+    last_value(vm IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN vm IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS pt,
+    first_value(vm IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN vm IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nt
+  FROM g
+  WINDOW
+    wb AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       ROUND(CASE WHEN vm IS NOT NULL THEN vm
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * ((day - pt)::DOUBLE / (nt - pt))
+             END) / 1e6 AS v_interp,
+       (vm IS NULL) AS was_gap
+FROM w
+""",
+)
+def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a gappy per-type daily series (days
+    divisible by 3 withheld as the gap fixture): date scaffold via
+    sequence+explode, then `operators.windows.interpolate_linear` —
+    two frame-bounded ignore-nulls windows on one partitioned sort,
+    exact linear blend by date distance, boundaries left NULL. The
+    two-sided sibling of `forward_fill_gaps`. Interpolation runs in
+    integer micro-units (round(v·1e6)) so the final rounding happens
+    at exactly-representable .5 ties, which every engine rounds the
+    same way — rounding the raw blend to 6 decimals lands on
+    NON-representable decimal ties (frac=1/2 gaps force them) where
+    Spark's and DuckDB's ROUND disagree by 1e-6."""
+    from bio_lakehouse_spark.operators.windows import interpolate_linear
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    observed = daily.filter(F.dayofmonth("day") % 3 != 0).select(
+        "event_type", "day", F.round(F.col("v") * 1e6).alias("vm")
+    )
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    scaffold = ev.select("event_type").distinct().crossJoin(
+        F.broadcast(days)
+    )
+    g = scaffold.join(observed, ["event_type", "day"], "left")
+    out = interpolate_linear(g, "day", "vm", ["event_type"])
+    return out.select(
+        "event_type",
+        "day",
+        (F.round(F.col("vm_interp")) / 1e6).alias("v_interp"),
+        F.col("vm").isNull().alias("was_gap"),
+    )
