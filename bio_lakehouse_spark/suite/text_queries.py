@@ -771,3 +771,47 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return repetition_profile(docs, "doc_id", "text", n=3)
+
+
+@register(
+    "dedup_incremental_batch",
+    survey=("A11", "J6"),
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS h
+  FROM documents
+), batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+corpus AS (SELECT DISTINCT h FROM fp WHERE doc_id < 250),
+in_batch AS (
+  SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM batch GROUP BY h
+)
+SELECT b.keep_id AS doc_id, b.n_copies
+FROM in_batch b LEFT JOIN corpus c USING (h)
+WHERE c.h IS NULL
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup — the shape that matters at 100 TB:
+    dedupe a NEW batch (doc_id ≥ 250 stands in for today's crawl)
+    within itself, then anti-join its fingerprints against the
+    already-ingested corpus's fingerprint table (doc_id < 250) so the
+    existing corpus is touched only through its (small, indexed)
+    hash column — never rescanned or re-shuffled. Survivors are the
+    rows a pipeline would append + merge into the fingerprint store
+    (`sources/sinks.merge_upsert`). Batch side aggregates before the
+    anti join, so the join carries one row per distinct new text."""
+    docs = load(spark, sf_dir, "documents")
+    batch = exact_dedup_groups(
+        docs.filter(F.col("doc_id") >= 250), "doc_id", "text"
+    )
+    corpus_fp = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fingerprint_exact("text").alias("text_hash"))
+        .distinct()
+    )
+    return (
+        batch.join(corpus_fp, "text_hash", "left_anti")
+        .select(F.col("keep_id").alias("doc_id"), "n_copies")
+    )
