@@ -902,3 +902,69 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "fuzzy_name_match",
+    survey=("J6", "F8"),
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND a.s_nationkey = b.s_nationkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy match: supplier-name pairs within an
+    edit distance of 2, blocked by nation so the quadratic comparison
+    is bounded per block (the same blocked-pair shape as
+    `dedup_ngram_jaccard` — at scale the block column is the
+    candidate key from a cheaper blocking pass). `F.levenshtein` is
+    a JVM built-in; both engines implement the standard edit
+    distance, so the oracle matches exactly."""
+    sup = load(spark, sf_dir, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+            & (F.col("a.s_nationkey") == F.col("b.s_nationkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "unpivot_order_metrics",
+    survey=("SET1", "F9"),
+    oracle="""
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey,
+         unnest(['totalprice', 'custkey']) AS metric,
+         unnest([o_totalprice, CAST(o_custkey AS DOUBLE)]) AS value
+  FROM orders
+) WHERE value IS NOT NULL
+""",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) via `stack` — one scan emits k rows
+    per input row with NO shuffle or join (the UNION-ALL-per-column
+    melt would scan k times). The long layout is what the profiling
+    and discovery layers consume."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'custkey', CAST(o_custkey AS DOUBLE))"
+            " AS (metric, value)"
+        ),
+    ).filter(F.col("value").isNotNull())
