@@ -926,7 +926,11 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, so the oracle matches exactly."""
     sup = load(spark, sf_dir, "supplier")
     a, b = sup.alias("a"), sup.alias("b")
-    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    # threshold form: the JVM implementation abandons a pair as soon
+    # as the running distance exceeds the bound (returns -1) — O(n·k)
+    # per comparison instead of O(n²), the form that matters when the
+    # blocked pair count is large.
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"), 2)
     return (
         a.join(
             b,
@@ -938,7 +942,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.s_suppkey").alias("supp_b"),
             dist.alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 2)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
