@@ -268,10 +268,10 @@ def minhash_lsh_pairs(
         # consumers and the id projection would re-run it three times.
         .localCheckpoint()
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias(id_col))
-        .unionAll(cand.select(F.col("doc_b").alias(id_col)))
-        .distinct()
+    # One scan of cand (explode, not a two-branch union); no distinct
+    # — the left_semi probe dedups by construction.
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
     shingled = (
         shingle_sets(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
