@@ -352,3 +352,48 @@ def test_write_sorted_parquet_row_group_skipping(spark, sf_dir, tmp_path):
         for f in frags
     )
     assert kept_rgs < total_rgs, (kept_rgs, total_rgs)
+
+
+def test_continuous_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Merge-on-read continuous aggregate: materialized sealed days ∪
+    fresh tail must equal the full recompute exactly, and the sealed
+    read must prune to the materialized partitions (fresh tail is the
+    only raw scan)."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.rollup import (
+        continuous_daily_rollup,
+        materialize_sealed_rollup,
+    )
+    from bio_lakehouse_spark.suite.registry import load
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+
+    def agg(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+
+    wm = str(
+        ev.agg(F.date_add(F.min("day"), 20)).collect()[0][0]
+    )
+    rollup = str(tmp_path / "rollup")
+    materialize_sealed_rollup(ev, rollup, agg, "day", wm)
+
+    merged = continuous_daily_rollup(spark, ev, rollup, agg, "day", wm)
+    full = agg(ev)
+    merged_c = merged.select("day", "event_type", "n", "total")
+    full_c = full.select("day", "event_type", "n", "total")
+    assert merged_c.exceptAll(full_c).count() == 0
+    assert full_c.exceptAll(merged_c).count() == 0
+    # Sealed slice contains only pre-watermark partitions on disk.
+    from pathlib import Path
+
+    days = [
+        p.name.split("=")[1]
+        for p in Path(rollup).glob("day=*")
+    ]
+    assert days and max(days) < wm
