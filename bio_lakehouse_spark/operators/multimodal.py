@@ -135,3 +135,49 @@ def frame_sample_offsets(
         return []
     step = duration_s / n_frames
     return [round(step * (i + 0.5), 6) for i in range(n_frames)]
+
+
+def frame_sample_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    n_frames: int = 4,
+    fps: float = 24.0,
+) -> DataFrame:
+    """Video frame sampling as a 1→N Arrow expansion (the UDTF
+    shape): each media row yields ``n_frames`` uniformly-spaced frame
+    rows via ``mapInPandas`` — batch in, LONGER batch out, which
+    column-expression ``explode`` can't do once a real decoder (the
+    part that must run in Python) is involved.
+
+    Probe metadata comes from the deterministic fake (duration_s =
+    1 + first md5 byte — the stand-in for an ffprobe call, same
+    pattern as ``FakeDecoder``); offsets are the uniform mid-point
+    grid from ``frame_sample_offsets``. Durations are integral and
+    n_frames a power of two, so offsets are exact binary fractions —
+    cross-engine reproducible with no rounding ties."""
+    import hashlib
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, duration_s double, frame_idx int,"
+        " t_offset_s double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                meta = hashlib.md5(bytes(blob)).hexdigest()
+                duration = 1.0 + int(meta[:2], 16)
+                for i, t in enumerate(
+                    frame_sample_offsets(duration, fps, n_frames)
+                ):
+                    rows.append((_id, duration, i, t))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "duration_s", "frame_idx", "t_offset_s"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)

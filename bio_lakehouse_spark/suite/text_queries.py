@@ -815,3 +815,31 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.join(corpus_fp, "text_hash", "left_anti")
         .select(F.col("keep_id").alias("doc_id"), "n_copies")
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    survey=("S3", "F9"),
+    oracle="""
+SELECT doc_id, duration_s, CAST(frame_idx AS INTEGER) AS frame_idx,
+       ROUND(duration_s / 4 * (frame_idx + 0.5), 6) AS t_offset_s
+FROM (
+  SELECT doc_id,
+         1.0 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER)
+           AS duration_s
+  FROM documents
+), (SELECT unnest(range(4)) AS frame_idx)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling expansion under the value-hash gate: binary
+    contract → mapInPandas 1→4 rows per media item (the UDTF shape a
+    real video decoder needs), deterministic fake probe so the SQL
+    oracle reproduces every offset bit-for-bit."""
+    from bio_lakehouse_spark.operators.multimodal import (
+        attach_binary,
+        frame_sample_batches,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return frame_sample_batches(attach_binary(docs, "text"))
