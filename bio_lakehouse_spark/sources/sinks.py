@@ -283,3 +283,43 @@ def write_sorted_parquet(
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
         path
     )
+
+
+def append_with_schema_evolution(
+    spark: SparkSession, path: str, df: DataFrame
+) -> None:
+    """Append a batch whose schema may have EVOLVED — new columns
+    appear, old ones go missing — to an existing parquet table (the
+    Delta/Iceberg ``mergeSchema``/schema-evolution write on plain
+    parquet; the call site doesn't change on an upgrade).
+
+    Missing columns are null-filled so every file stays readable
+    under the union schema; brand-new columns are kept and surface to
+    readers via ``read_evolved``'s footer-merging scan. Existing
+    files are never rewritten — evolution is append-only metadata,
+    exactly how the table formats do it.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path).schema
+    except AnalysisException:
+        df.write.mode("append").parquet(path)
+        return
+    have = {f.name for f in df.schema.fields}
+    aligned = df.select(
+        "*",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in existing.fields
+            if f.name not in have
+        ],
+    )
+    aligned.write.mode("append").parquet(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Scan with per-file footer merging: the union schema across
+    every appended batch (old rows null-fill the new columns)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

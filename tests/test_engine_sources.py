@@ -397,3 +397,35 @@ def test_continuous_rollup_equals_full_recompute(spark, sf_dir, tmp_path):
         for p in Path(rollup).glob("day=*")
     ]
     assert days and max(days) < wm
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """Schema-evolution append: a later batch adds a column and drops
+    one; old files are never rewritten, and the merged scan exposes
+    the union schema with nulls where a batch lacked the column."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import (
+        append_with_schema_evolution,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], schema="id int, name string"
+    )
+    append_with_schema_evolution(spark, path, v1)
+    # v2 drops `name`, adds `score`.
+    v2 = spark.createDataFrame(
+        [(3, 9.5)], schema="id int, score double"
+    )
+    append_with_schema_evolution(spark, path, v2)
+
+    got = read_evolved(spark, path)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["name"] == "a" and rows[1]["score"] is None
+    assert rows[3]["name"] is None and rows[3]["score"] == 9.5
+    # Evolution is append-only: first batch's files untouched, so a
+    # plain scan of them still works with the original schema.
+    assert len(rows) == 3
