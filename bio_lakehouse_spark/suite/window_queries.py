@@ -907,3 +907,53 @@ def interpolate_daily_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("vm_interp")) / 1e6).alias("v_interp"),
         F.col("vm").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "rolling_7d_range_window",
+    survey=("W2", "W3"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, day,
+       ROUND(SUM(v) OVER (PARTITION BY user_id
+             ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS sum_7d,
+       CAST(COUNT(*) OVER (PARTITION BY user_id
+             ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS INTEGER)
+         AS days_present_7d
+FROM daily
+""",
+)
+def rolling_7d_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True 7-DAY rolling window via a RANGE frame on epoch-day —
+    NOT a 7-ROW frame: per-user daily series have missing days, and
+    a rows-frame silently reaches further back in calendar time
+    across every gap (the subtle bug the reference's global daily
+    grain never exposes, but any per-entity series hits). The frame
+    is value-based, so only rows within 6 calendar days aggregate,
+    and `days_present_7d` exposes the observed-day count a correct
+    average would divide by."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    epoch_day = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_day)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.round(F.sum("v").over(w), 6).alias("sum_7d"),
+        F.count(F.lit(1)).over(w).cast("int").alias("days_present_7d"),
+    )
