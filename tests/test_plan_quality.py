@@ -297,3 +297,53 @@ def test_minhash_signatures_no_exchange(spark, sf_dir):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Aggregate" not in plan
+
+
+def test_no_unintended_cartesian_anywhere(spark, sf_dir):
+    """Suite-wide regression net: no registered query may plan a
+    cartesian / broadcast-nested-loop join except the whitelisted
+    vector scorers (corpus × broadcast centroids/queries — bounded
+    fan-out by construction) and the packing scaffold (one-row span ×
+    distinct types). A new query that accidentally cross-joins fails
+    here at plan time, long before an sf-scale timeout."""
+    ALLOWED_BNLJ = {
+        # vector scorers: corpus × broadcast centroid/query set
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "embedding_neardup_ivf",
+        "kmeans_ivf_centroids",
+        "embedding_neardup",
+        # scaffolds: one-row span × small literal/dimension side
+        "interpolate_daily_gaps",
+        "sequence_packing",
+        "multimodal_frame_sample",
+        # scalar-aggregate joins: a ONE-ROW global stat (threshold,
+        # corpus stats, bin spec, cohort size, rate table) broadcast
+        # back onto the table — no equi-key exists, and the build side
+        # is a single row by construction
+        "zscore_anomaly_days",
+        "threshold_effect_scan",
+        "baseline_stats",
+        "idle_rich_customers",
+        "important_part_share",
+        "funnel_view_click_purchase",
+        "mann_whitney_groups",
+        "vocab_doc_frequency",
+        "text_bm25_topk",
+        "theta_customer_overlap",
+        "quantile_histogram_sketch",
+        "quantile_histogram_by_group",
+        "balanced_lang_downsample",
+    }
+    cartesian, bnlj = [], []
+    for name, spec in REGISTRY.items():
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception:  # noqa: BLE001 — plan-only audit
+            continue
+        if "CartesianProduct" in plan:
+            cartesian.append(name)  # shuffle cartesian: never OK
+        elif "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            bnlj.append(name)
+    assert not cartesian, f"shuffle cartesian in: {cartesian}"
+    assert not bnlj, f"unwhitelisted nested-loop broadcast in: {bnlj}"
