@@ -843,3 +843,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return frame_sample_batches(attach_binary(docs, "text"))
+
+
+@register(
+    "source_level_filter",
+    survey=("A6", "J6", "F7"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN length(array_to_string(w, ''))::DOUBLE / greatest(len(w), 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE / greatest(len(w), 1) >= 0.05 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END
+           AS q
+  FROM (SELECT doc_id, source, text, {_W} AS w FROM documents)
+), per_source AS (
+  SELECT source, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS mean_quality,
+         ROUND(COUNT(*) FILTER (q >= 0.5)::DOUBLE / COUNT(*), 6)
+           AS frac_good
+  FROM scored GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, mean_quality, frac_good,
+       (mean_quality >= 0.5 AND frac_good >= 0.5) AS keep_source
+FROM per_source
+""",
+)
+def source_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level corpus filtering (the C4-style blocklist
+    DERIVATION): per-source mean document quality + good-doc
+    fraction → keep/drop verdict per source. Row-wise scoring in the
+    scan projection, ONE partial-aggregated groupBy on source — at
+    100 TB the verdict table is tiny and broadcast-semi-joins back
+    onto the corpus to apply the block."""
+    docs = load(spark, sf_dir, "documents")
+    q = quality_metrics("text")["quality_score"]
+    scored = docs.select("source", q.alias("q"))
+    per_source = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.round(
+            F.count(F.when(F.col("q") >= 0.5, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_good"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "mean_quality",
+        "frac_good",
+        (
+            (F.col("mean_quality") >= 0.5) & (F.col("frac_good") >= 0.5)
+        ).alias("keep_source"),
+    )
