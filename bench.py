@@ -59,6 +59,12 @@ HEADLINE = [
     "sequence_packing",
     "gopher_repetition",
     "decontaminate_eval_overlap",
+    "dedup_incremental_batch",
+    "source_level_filter",
+    "constraint_check_orders",
+    "interpolate_daily_gaps",
+    "rolling_7d_range_window",
+    "fuzzy_name_match",
 ]
 
 
