@@ -12,15 +12,53 @@ operators (dedup / similarity / text / multimodal).
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
 
 from bio_lakehouse_spark.suite import REGISTRY  # noqa: E402
+
+
+def _driver_checked() -> set[str]:
+    """Names already green in a prior round's CORRECTNESS_r*.json.
+
+    The driver sweeps ``queries()`` in dict order with a per-round
+    entry cap (r01 covered exactly the first 50 of 131), so ordering
+    matters: queries without a hard correctness row yet must come
+    first. Reading the recorded files keeps this self-maintaining
+    across rounds — whatever got verified last round sinks to the
+    back automatically.
+    """
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match")
+            ):
+                checked.add(name)
+    return checked
+
+
+def _ordered_names() -> list[str]:
+    checked = _driver_checked()
+    names = list(REGISTRY)
+    return [n for n in names if n not in checked] + [
+        n for n in names if n in checked
+    ]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,15 +67,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2,
+    not-yet-driver-verified queries first (see _driver_checked)."""
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted where the op is not
     SQL-expressible → driver records a rows-only check)."""
     return {
-        name: spec.oracle
-        for name, spec in REGISTRY.items()
-        if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }
