@@ -26,18 +26,25 @@ sys.path.insert(0, _ROOT)
 from bio_lakehouse_spark.suite import REGISTRY  # noqa: E402
 
 
-def _driver_checked() -> set[str]:
-    """Names already green in a prior round's CORRECTNESS_r*.json.
+def _last_green_round() -> dict[str, int]:
+    """name → most recent round in which the driver recorded a FULLY
+    green row (err None + rows + schema + hash all matching; a
+    rows-only ``no_oracle`` row is NOT green — those queries keep
+    their spot at the front so a future oracle can gate them).
 
     The driver sweeps ``queries()`` in dict order with a per-round
     entry cap (r01 covered exactly the first 50 of 131), so ordering
-    matters: queries without a hard correctness row yet must come
-    first. Reading the recorded files keeps this self-maintaining
-    across rounds — whatever got verified last round sinks to the
-    back automatically.
+    matters: never-verified queries come first, then previously-green
+    queries in least-recently-verified order — so old greens rotate
+    back through the sweep and regressions (e.g. sessionize_gap30,
+    green r1 → broken r2) can't hide behind a permanent demotion.
     """
-    checked: set[str] = set()
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -47,18 +54,20 @@ def _driver_checked() -> set[str]:
             if (
                 isinstance(row, dict)
                 and row.get("err") is None
-                and row.get("rows_match")
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
             ):
-                checked.add(name)
-    return checked
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
-    checked = _driver_checked()
+    last = _last_green_round()
     names = list(REGISTRY)
-    return [n for n in names if n not in checked] + [
-        n for n in names if n in checked
-    ]
+    # Stable sort: never-green first (registry order), then by how long
+    # ago the last green row was recorded (oldest re-checked first).
+    return sorted(names, key=lambda n: last.get(n, -1))
 
 
 def entry(spark: SparkSession) -> DataFrame:

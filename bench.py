@@ -86,22 +86,30 @@ def main() -> None:
     # JVM + reader warmup (excluded from timings).
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        # A >3× spread between two runs of the SAME query means an
-        # external stall hit one of them — take a tie-breaking third
-        # run so a stall spanning both can't pollute the metric.
-        if max(runs) > 3 * min(runs) or min(runs) > 3.0:
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+        # Failure isolation: one broken query must never zero out the
+        # round's whole perf signal (BENCH_r02 lost all 36 timings to a
+        # single AnalysisException). Record null + the error, move on.
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            # A >3× spread between two runs of the SAME query means an
+            # external stall hit one of them — take a tie-breaking third
+            # run so a stall spanning both can't pollute the metric.
+            if max(runs) > 3 * min(runs) or min(runs) > 3.0:
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
+        except Exception as exc:  # noqa: BLE001 — always emit the line
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Bio-parity gold rebuild (BASELINE.md: the reference's daily
     # drop-and-CTAS of 3 gold tables takes ~45 s on Glue+Athena at
@@ -129,11 +137,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = {
         "metric": "suite_headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     if gold_rebuild_s is not None:
         out["gold_rebuild_3_tables_sec"] = gold_rebuild_s
     print(json.dumps(out))

@@ -32,6 +32,11 @@ _DEFAULTS: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is illegal for Spark's reader;
     # read as long and convert explicitly (suite.registry.load).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] with isAdjustedToUTC=false: read as TIMESTAMP (LTZ)
+    # directly at the scan, not TIMESTAMP_NTZ — under the UTC session
+    # this equals DuckDB's naive semantics and keeps unix_timestamp/
+    # long-cast arithmetic legal everywhere.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Don't let tiny local files create thousands of tasks at bench SFs.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",

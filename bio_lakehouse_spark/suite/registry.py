@@ -59,23 +59,38 @@ def register(
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Parquet scan of a driver test table (S7).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader
-    rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives
-    as epoch-nanos long and is converted to a microsecond timestamp
-    here (truncation — exactly what DuckDB does natively). The conf
-    is set here at runtime so externally-created sessions (the
-    driver's) work too.
+    ``events.ts`` has shipped under three physical encodings across
+    driver rounds — TIMESTAMP(NANOS) (readable only as epoch-nanos
+    long via ``spark.sql.legacy.parquet.nanosAsLong``), timestamp[us]
+    with isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and plain
+    UTC-adjusted timestamp. This normalizes ALL of them to a session-TZ
+    TIMESTAMP so every downstream query (window gaps, unix_timestamp,
+    date_trunc) is immune to the file encoding. Confs are set here at
+    runtime so externally-created sessions (the driver's) work too.
     """
     # UTC pins CAST(ts AS DATE)/date_trunc to the oracle's (naive)
     # semantics regardless of who built the session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] without isAdjustedToUTC → read directly as
+        # TIMESTAMP (LTZ) at the scan instead of TIMESTAMP_NTZ; under
+        # the UTC session this matches DuckDB's naive semantics.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if table == "events":
         from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: float division loses µs precision at
-        # 1e18-scale nanos.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # integer `div`, not `/`: float division loses µs precision
+            # at 1e18-scale nanos.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif dt == "timestamp_ntz":
+            # Defensive: sessions that cached the NTZ scan schema
+            # before the conf above landed. UTC session → wall-clock
+            # preserved, identical to the scan-level path.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

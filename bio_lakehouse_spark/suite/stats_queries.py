@@ -505,8 +505,8 @@ def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(
             (
-                F.col("ts").cast("long")
-                - F.lag(F.col("ts")).over(w).cast("long")
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag(F.col("ts")).over(w))
                 > 1800
             )
             | F.lag(F.col("ts")).over(w).isNull(),
@@ -522,7 +522,7 @@ def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.max(F.col("ts")).cast("long") - F.min(F.col("ts")).cast("long")
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
         ).alias("duration_s"),
     )
     return per_session.groupBy("user_id").agg(

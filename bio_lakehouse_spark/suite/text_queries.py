@@ -691,17 +691,17 @@ WITH t AS (
   FROM documents
 ), p AS (
   SELECT shard, doc_id, n_tok,
-         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0) AS start_off
+                  0) AS BIGINT) AS start_off
   FROM t
 )
 SELECT shard, doc_id, n_tok, start_off,
-       start_off // 256 AS chunk_first,
-       (start_off + greatest(n_tok, 1) - 1) // 256 AS chunk_last,
-       CASE WHEN n_tok = 0 THEN 0
+       CAST(start_off // 256 AS BIGINT) AS chunk_first,
+       CAST((start_off + greatest(n_tok, 1) - 1) // 256 AS BIGINT) AS chunk_last,
+       CAST(CASE WHEN n_tok = 0 THEN 0
             ELSE (start_off + greatest(n_tok, 1) - 1) // 256
-                 - start_off // 256 + 1 END AS n_chunks
+                 - start_off // 256 + 1 END AS BIGINT) AS n_chunks
 FROM p
 """,
 )

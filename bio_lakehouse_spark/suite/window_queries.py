@@ -474,11 +474,11 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey=("A12", "A1"),
     oracle="""
 SELECT CAST(ts AS DATE) AS day,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
        ROUND(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0
              / COUNT(*), 6) AS error_rate
 FROM events
@@ -620,9 +620,9 @@ WITH firsts AS (
   FROM events GROUP BY 1
 )
 SELECT a.day, a.dau, COALESCE(n.new_users, 0) AS new_users,
-       SUM(COALESCE(n.new_users, 0)) OVER (
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
          ORDER BY a.day ROWS UNBOUNDED PRECEDING
-       ) AS cumulative_reach
+       ) AS BIGINT) AS cumulative_reach
 FROM actives a LEFT JOIN news n ON a.day = n.day
 """,
 )
