@@ -37,6 +37,10 @@ _DEFAULTS: dict[str, str] = {
     # this equals DuckDB's naive semantics and keeps unix_timestamp/
     # long-cast arithmetic legal everywhere.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as int64 micros, not legacy INT96: INT96 row
+    # groups carry NO min/max footer stats, which silently disables
+    # row-group skipping on every timestamp sort/filter key.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Don't let tiny local files create thousands of tasks at bench SFs.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",

@@ -77,6 +77,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # TIMESTAMP (LTZ) at the scan instead of TIMESTAMP_NTZ; under
         # the UTC session this matches DuckDB's naive semantics.
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Pair with int64-micros output so TIMESTAMP columns written
+        # back keep min/max stats (INT96 would drop them).
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         from pyspark.sql import functions as F

@@ -141,6 +141,94 @@ def test_insight_analyzers_and_report(spark, gold, tmp_path):
     assert "Weekly Report" in open(path).read()
 
 
+def test_all_13_analyzers_contract(spark, gold):
+    """Every analyzer in the full roster (ref tests/test_insights.py:
+    27-168 contract) returns an InsightResult with populated
+    statistics + narrative on the 150-day fixture gold."""
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products.insights import default_analyzers
+
+    all_gold = build_gold(spark, f"{BIO_ROOT}/silver")
+    analyzers = default_analyzers(
+        spark, gold, silver_root=f"{BIO_ROOT}/silver",
+        recovery_windows=all_gold["workout_recovery_windows"],
+    )
+    assert len(analyzers) == 13
+    results = {a.name: a.analyze() for a in analyzers}
+    assert set(results) == {
+        "sleep_readiness", "readiness_trend", "training_load",
+        "anomaly_detection", "hrv_trend", "rhr_trend",
+        "temperature_trend", "nutrition", "timing_correlation",
+        "workout_recovery", "sleep_architecture", "progressive_overload",
+        "recovery_windows",
+    }
+    for name, r in results.items():
+        assert r.narrative, name
+        assert isinstance(r.statistics, dict) and r.statistics, name
+
+    ad = results["anomaly_detection"].statistics
+    assert ad["threshold"] == pytest.approx(
+        ad["mean_readiness"] - 1.5 * ad["std_readiness"], abs=0.2
+    )
+    assert ad["anomaly_count"] == len(ad["anomaly_details"])
+    for d in ad["anomaly_details"]:
+        assert d["readiness"] < ad["threshold"]
+
+    for key in ("hrv_trend", "rhr_trend"):
+        s = results[key].statistics
+        assert s["status"] in ("suppressed", "elevated", "low", "normal")
+        assert s["n"] >= 100
+        assert s["current_7d"] is not None
+    assert "current_streak" in results["rhr_trend"].statistics
+
+    tt = results["temperature_trend"].statistics
+    assert tt["alert"] in ("normal", "caution", "warning")
+    assert tt["max_streak"] >= tt["current_streak"]
+
+    nut = results["nutrition"].statistics
+    assert nut["avg_calories"] > 0 and nut["avg_protein_g"] > 0
+    assert abs(nut["cal_readiness_r"] or 0) <= 1
+
+    tc = results["timing_correlation"].statistics
+    assert -1 <= tc["correlation"]["rho"] <= 1
+    assert all(g["n"] >= 2 for g in tc["groups"].values())
+
+    wr = results["workout_recovery"].statistics
+    assert all(g["n"] >= 5 for g in wr["groups"].values())
+    for c in wr["comparisons"].values():
+        assert 0 <= c["p_value"] <= 1
+
+    rw = results["recovery_windows"].statistics
+    assert rw["total_n"] >= 10
+    assert set(rw["avg_trajectory"]) <= {"d1", "d2", "d3"}
+
+    sa = results["sleep_architecture"].statistics
+    assert sa["deep_mean"] is not None and sa["rem_mean"] is not None
+    assert set(sa["correlations"]) <= {"deep_sleep", "rem_sleep"}
+
+    po = results["progressive_overload"].statistics
+    assert po["latest_week_status"] in (
+        "Baseline", "Progressing", "Maintaining", "Regressing"
+    )
+    assert po["n_weeks"] >= 4 and po["ctl_current"] >= 0
+
+
+def test_weekly_report_covers_all_sections(spark, gold):
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products.insights import default_analyzers
+
+    all_gold = build_gold(spark, f"{BIO_ROOT}/silver")
+    analyzers = default_analyzers(
+        spark, gold, silver_root=f"{BIO_ROOT}/silver",
+        recovery_windows=all_gold["workout_recovery_windows"],
+    )
+    gen = WeeklyReportGenerator(analyzers)
+    html, rendered = gen.generate("2025-W41")
+    assert len(rendered) == 13
+    for r in rendered:
+        assert f"<h2>{r.name}</h2>" in html
+
+
 # -- experiments ------------------------------------------------------------
 
 
