@@ -194,6 +194,9 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     threshold: float = 0.5,
     min_band_matches: int = 2,
+    max_bucket_size: int = 256,
+    return_stats: bool = False,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """MinHash LSH candidate generation + exact verification.
 
@@ -221,6 +224,20 @@ def minhash_lsh_pairs(
     table is localCheckpoint'ed once for the two verify-join sides —
     on a cluster this stage would be a written table; the checkpoint
     is the single-app analog.
+
+    Hot-bucket cap: a (band, value) bucket of b docs expands to
+    b·(b−1)/2 candidate pairs — boilerplate-heavy corpora (constant
+    headers/footers, licence blocks) create buckets of millions of
+    docs whose expansion is quadratic and would OOM an executor long
+    before 100 TB. Buckets larger than ``max_bucket_size`` are
+    DROPPED before expansion (cap 256 → ≤32 640 pairs/bucket). Safe
+    at the default: a pair whose only collisions are in oversized
+    buckets shares nothing but corpus-wide boilerplate — true
+    near-dups collide in their content bands too, and byte-identical
+    docs belong to the exact-dedup pass. Set
+    ``return_stats=True`` to get ``(pairs, stats)`` where stats has
+    one row per multi-doc bucket (band, value, size, dropped) so a
+    pipeline can monitor how much the cap bit.
     """
     sig = minhash_signatures_raw(df, id_col, text_col, n, num_hashes)
     bands = F.array(
@@ -237,13 +254,34 @@ def minhash_lsh_pairs(
     # Pair generation via ONE aggregation on the bucket key instead of
     # a bucket self-join: a self-join evaluates the whole signature
     # lineage twice and shuffles both sides; groupBy scans it once.
-    # Bucket fan-out is bounded (docs sharing a band value are near-
-    # dups by construction), so the per-group pair expansion is small;
-    # at 100 TB a hot bucket would be capped/salted before expansion.
+    # The bucket-size window runs on the SAME partitioning the groupBy
+    # needs, so Spark inserts one exchange for both: oversized buckets
+    # are filtered row-wise BEFORE collect_list ever materializes
+    # their id arrays — the hot bucket never exists as an array, let
+    # alone as b²/2 pairs.
+    from pyspark.sql import Window
+
+    sized = exploded.withColumn(
+        "bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
+    )
+    stats = None
+    if return_stats:
+        # Stats share the sized lineage via one checkpoint so the
+        # signature pipeline isn't recomputed for monitoring.
+        sized = sized.localCheckpoint()
+        stats = (
+            sized.groupBy("band", "value")
+            .agg(F.max("bsize").alias("size"))
+            .filter(F.col("size") > 1)
+            .withColumn("dropped", F.col("size") > max_bucket_size)
+        )
     cand = (
-        exploded.groupBy("band", "value")
+        sized.filter(
+            (F.col("bsize") > 1) & (F.col("bsize") <= max_bucket_size)
+        )
+        .groupBy("band", "value")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
         .select(
             F.explode(
                 F.flatten(
@@ -263,21 +301,24 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= min_band_matches)
         .select("doc_a", "doc_b")
-        # Eager cut: the candidate set is tiny but its lineage holds
-        # the whole signature pipeline — without this, the two verify
-        # consumers and the id projection would re-run it three times.
-        .localCheckpoint()
     )
+    # Eager cut: the candidate set is tiny but its lineage holds
+    # the whole signature pipeline — without this, the two verify
+    # consumers and the id projection would re-run it three times.
+    # (eager_checkpoint=False keeps the full lineage visible for
+    # plan-shape tests.)
+    if eager_checkpoint:
+        cand = cand.localCheckpoint()
     # One scan of cand (explode, not a two-branch union); no distinct
     # — the left_semi probe dedups by construction.
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    shingled = (
-        shingle_sets(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
-        .withColumn("sz", F.size("shingles"))
-        .localCheckpoint()
-    )
+    shingled = shingle_sets(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    ).withColumn("sz", F.size("shingles"))
+    if eager_checkpoint:
+        shingled = shingled.localCheckpoint()
     # |A∪B| = |A| + |B| − |A∩B| with precomputed set sizes — avoids
     # materializing the union array per candidate pair.
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -294,6 +335,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if return_stats:
+        return verified, stats
     return verified
 
 

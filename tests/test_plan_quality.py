@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.suite import REGISTRY
 
@@ -297,6 +299,81 @@ def test_minhash_signatures_no_exchange(spark, sf_dir):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "Aggregate" not in plan
+
+
+def test_lsh_hot_bucket_cap_no_quadratic_blowup(spark, sf_dir):
+    """Adversarial boilerplate corpus: 600 documents with IDENTICAL
+    text collide in every band, so every (band, value) bucket holds
+    all 600 docs — uncapped, that expands to 16·600·599/2 ≈ 2.9M
+    candidate pairs from 600 rows. With the cap the oversized buckets
+    are dropped row-wise before any id array or pair is built: the
+    query returns no pairs, completes fast, and the stats side
+    reports every bucket as dropped."""
+    from bio_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "subscribe to our newsletter all rights reserved terms of "
+            "service privacy policy copyright twenty twenty five"
+        ).alias("text"),
+    )
+    pairs, stats = minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket_size=64, return_stats=True
+    )
+    srows = stats.collect()
+    assert srows and all(r["dropped"] and r["size"] == 600 for r in srows)
+    assert pairs.count() == 0
+    # Mixed corpus: the boilerplate flood is capped away while a real
+    # near-dup pair (distinct from the flood) still comes through.
+    mixed = docs.union(
+        spark.createDataFrame(
+            [
+                (1000, "the quick brown fox jumps over the lazy dog "
+                       "near the quiet river bank at dawn today"),
+                (1001, "the quick brown fox jumps over the lazy dog "
+                       "near the quiet river bank at dusk today"),
+            ],
+            schema="doc_id long, text string",
+        )
+    )
+    got = minhash_lsh_pairs(
+        mixed, "doc_id", "text", max_bucket_size=64
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1000, 1001)]
+
+
+def test_lsh_bucket_path_single_exchange_no_self_join(spark, sf_dir):
+    """The capped bucket path must stay ONE exchange (the window's
+    partitioning is reused by the collect_list groupBy) and must not
+    reintroduce a bucket self-join."""
+    import contextlib
+    import io
+
+    from bio_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from bio_lakehouse_spark.suite.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    df = minhash_lsh_pairs(
+        docs, "doc_id", "text", eager_checkpoint=False
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # One band/value exchange per pipeline copy: the bucket-size
+    # Window and the collect_list groupBy share it (without the
+    # checkpoint the candidate lineage is replayed once per verify
+    # consumer, so the whole pipeline appears ~3×; within each copy
+    # the count must be exactly one or the cap added a shuffle).
+    n_bucket_exchanges = len(
+        re.findall(r"hashpartitioning\(band[^)]*value", plan)
+    )
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows >= 1
+    assert n_bucket_exchanges == n_windows, plan
 
 
 def test_no_unintended_cartesian_anywhere(spark, sf_dir):
