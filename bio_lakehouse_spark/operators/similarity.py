@@ -278,30 +278,39 @@ def kmeans_lloyd(
     is deterministic (first k by id), so the result is reproducible.
     Returns (centroid_id, centroid array<double>, n_members).
     """
-    spark = corpus.sparkSession
     v = _spread(corpus, id_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     )
-    dim = len(v.select("vec").first()["vec"])
-    cents = [
-        [float(x) for x in r["vec"]]
-        for r in v.orderBy("vid").limit(k).collect()
-    ]
-    for _ in range(n_iters):
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("cid"),
-                    F.array(*[F.lit(x) for x in c]).alias("cv"),
-                )
-                for i, c in enumerate(cents)
-            ]
+    # Deterministic init: first k rows by id. Centroids live as a
+    # k-row DataFrame for the whole loop — NEVER as k×dim literals in
+    # the plan (at k=1024·dim=512 literal embedding makes a
+    # multi-hundred-MB plan and kills codegen) and never collected to
+    # the driver between iterations.
+    wid = Window.orderBy("vid")
+    cents_df = (
+        v.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(wid) - 1).alias("cid"),
+            F.transform("vec", lambda x: x.cast("double")).alias("cv"),
+            F.lit(0).cast("long").alias("n_members"),
         )
-        # argmin over centroids per row: transform to (dist, cid)
-        # structs, array_min picks lexicographically smallest (dist
-        # first, cid tie-break) — no per-centroid join needed.
+        .localCheckpoint()
+    )
+    for _ in range(n_iters):
+        # Pack the k centroids into ONE row and broadcast it onto the
+        # corpus: assignment stays a row-local argmin (array_min over
+        # (dist, cid) structs — lexicographic min, cid tie-break),
+        # zero corpus shuffle.
+        packed = F.broadcast(
+            cents_df.agg(
+                F.sort_array(
+                    F.collect_list(F.struct("cid", "cv"))
+                ).alias("cents")
+            )
+        )
         dist_structs = F.transform(
-            cent_lit,
+            F.col("cents"),
             lambda c: F.struct(
                 F.aggregate(
                     F.zip_with(
@@ -316,33 +325,49 @@ def kmeans_lloyd(
                 c["cid"].alias("cid"),
             ),
         )
-        assigned = v.select(
+        assigned = v.crossJoin(packed).select(
             "vid", "vec", F.array_min(dist_structs)["cid"].alias("cid")
         )
         # Per-cluster coordinate means: one posexplode + groupBy.
-        sums = (
+        # Empty clusters keep their previous centroid (left join +
+        # coalesce). The tiny k-row result is localCheckpoint'ed:
+        # cuts the per-iteration lineage so the plan doesn't grow
+        # exponentially across iterations.
+        new = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
-                    F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+                    F.collect_list(
+                        F.struct("pos", (F.col("s") / F.col("n")).alias("m"))
+                    )
                 ).alias("coords"),
-                F.first("n").alias("n_members"),
+                F.first("n").alias("n_new"),
             )
-            .collect()
+            .select(
+                "cid",
+                F.transform("coords", lambda c: c["m"]).alias("cv_new"),
+                "n_new",
+            )
         )
-        new_cents = list(cents)
-        for r in sums:
-            new_cents[r["cid"]] = [c["m"] for c in r["coords"]]
-        cents = new_cents
-    rows = [(i, c) for i, c in enumerate(cents)]
-    counts = {r["cid"]: r["n_members"] for r in sums}
-    return spark.createDataFrame(
-        [(i, c, int(counts.get(i, 0))) for i, c in rows],
-        schema="centroid_id int, centroid array<double>, n_members long",
-    )
+        cents_df = (
+            cents_df.join(new, on="cid", how="left")
+            .select(
+                "cid",
+                F.coalesce("cv_new", "cv").alias("cv"),
+                F.coalesce("n_new", F.lit(0)).cast("long").alias(
+                    "n_members"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return cents_df.select(
+        F.col("cid").cast("int").alias("centroid_id"),
+        F.col("cv").alias("centroid"),
+        "n_members",
+    ).orderBy("centroid_id")
 
 
 def ivf_neardup_pairs(

@@ -150,6 +150,30 @@ def test_kmeans_lloyd_converges_and_matches_numpy(spark, sf_dir):
     assert d3 < d0
 
 
+def test_kmeans_large_k_no_literal_centroids(spark, sf_dir):
+    """k=64: the trainer must not embed k×dim centroid literals in
+    any plan (codegen/plan-size blowup at production k·dim) — the
+    centroids flow as a broadcast one-row packed DataFrame. The
+    returned frame is a checkpoint scan with a bounded plan, and all
+    64 clusters come back with every corpus row assigned."""
+    import contextlib
+    import io
+
+    from bio_lakehouse_spark.operators.similarity import kmeans_lloyd
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, k=64, n_iters=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert len(plan) < 20_000, len(plan)
+    rows = out.collect()
+    assert len(rows) == 64
+    assert sum(r["n_members"] for r in rows) == emb.count()
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """Replayed event_ids (at-least-once redelivery) are dropped by
     the stateful dedup; distinct ids all survive."""
