@@ -12,6 +12,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.products import numerics
 from bio_lakehouse_spark.products.nl_sql import (
@@ -337,3 +338,89 @@ def test_fhir_bundle(spark):
     assert a == b != c
     with pytest.raises(ValueError, match="missing required"):
         fhir.validate_observation({"resourceType": "Observation"})
+
+
+def test_morning_briefing_fresh_and_stale(spark, tmp_path):
+    """Morning briefing (ref lambda/morning_briefing/handler.py):
+    fresh gold → 4+ numbered bullets with vitals, energy guidance,
+    workout recommendation and TSS context; stale gold → the
+    DATA STALE alert; discovery runs table feeds bullet 5."""
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products import briefing, discovery
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    latest = gold.agg(F.max("date")).collect()[0][0]
+
+    # Fresh: as_of the day after the newest gold row.
+    import datetime
+
+    as_of = (
+        datetime.date.fromisoformat(str(latest)[:10])
+        + datetime.timedelta(days=1)
+    ).isoformat()
+    # Persisted-runs table with one finding (the fixture gold has no
+    # significant non-trivial correlation, so plant the payload the
+    # discover() sink writes — same schema).
+    payload = json.dumps(
+        {
+            "run_date": as_of,
+            "correlations": [
+                {"metric_a": "sleep_score", "metric_b": "readiness_score",
+                 "lag": 1, "rho": 0.62, "strength": "strong"}
+            ],
+        }
+    )
+    runs = spark.createDataFrame(
+        [(as_of, 150, payload)],
+        schema="run_date string, total_rows long, payload string",
+    )
+    # discover()'s own sink writes the identical schema — round-trip it.
+    run_path = str(tmp_path / "runs")
+    discovery.discover(
+        gold, ["readiness_score", "sleep_score", "total_output_kj"],
+        run_date=as_of, persist_path=run_path,
+    )
+    assert spark.read.parquet(run_path).columns == runs.columns
+    date_str, bullets = briefing.build_briefing(
+        gold, as_of=as_of, discovery_runs=runs
+    )
+    assert date_str == str(latest)
+    assert len(bullets) >= 4
+    assert bullets[0].startswith("Readiness ")
+    assert "RHR" in bullets[0] and "HRV" in bullets[0]
+    assert bullets[1].startswith("Energy: ")
+    assert bullets[2].startswith("Workout: ")
+    assert any(b.startswith("Yesterday's TSS") for b in bullets)
+    assert any(b.startswith("Discovery: ") for b in bullets)
+
+    text = briefing.render_briefing(date_str, bullets, as_of=as_of)
+    assert "Morning Briefing" in text and "1. " in text
+    out = briefing.publish_briefing(text, tmp_path / "briefing.txt")
+    assert "bio-optimization" in open(out).read()
+
+    # Stale: as_of far past the newest row → alert, not a briefing.
+    date_str, bullets = briefing.build_briefing(gold, as_of="2030-01-01")
+    assert any("DATA STALE" in b for b in bullets)
+    assert "Action needed" in bullets[1]
+    assert "STALE DATA" in briefing.render_briefing(date_str, bullets)
+
+
+def test_energy_guidance_states_and_trend():
+    from bio_lakehouse_spark.products.briefing import energy_guidance
+
+    got = energy_guidance(
+        {"energy_state": "peak", "readiness_score": 92, "sleep_score": 90,
+         "hrv_balance": 80, "readiness_delta": 6, "sleep_delta": 0,
+         "readiness_3day_avg": 88}
+    )
+    assert "All systems go" in got
+    assert "readiness up +6" in got
+    assert "ride the wave" in got
+    got = energy_guidance(
+        {"energy_state": "recovery_needed", "readiness_score": 40,
+         "sleep_score": 45, "readiness_delta": -8, "sleep_delta": -6,
+         "readiness_3day_avg": 50}
+    )
+    assert "Rest day recommended" in got
+    assert "readiness down -8" in got and "sleep down -6" in got
+    assert "prioritize recovery" in got
