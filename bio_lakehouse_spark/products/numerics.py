@@ -173,17 +173,174 @@ def ridge_closed_form(
     return np.linalg.solve(Xb.T @ Xb + reg, Xb.T @ y)
 
 
+def _tree_fit(
+    X: np.ndarray,
+    residual: np.ndarray,
+    max_depth: int,
+    min_samples_leaf: int,
+    importances: np.ndarray,
+) -> dict:
+    """Greedy variance-reduction regression tree (the GBM base
+    learner). Accumulates each split's weighted SSE decrease into
+    ``importances[feature]`` — sklearn's impurity-based importance."""
+    n = len(residual)
+    node = {"value": float(residual.mean())}
+    if max_depth == 0 or n < 2 * min_samples_leaf:
+        return node
+    sse = float(((residual - residual.mean()) ** 2).sum())
+    best = None
+    for f in range(X.shape[1]):
+        order = np.argsort(X[:, f], kind="stable")
+        xs, rs = X[order, f], residual[order]
+        csum = np.cumsum(rs)
+        csq = np.cumsum(rs**2)
+        total, total_sq = csum[-1], csq[-1]
+        for i in range(min_samples_leaf, n - min_samples_leaf + 1):
+            if xs[i - 1] == xs[min(i, n - 1)]:
+                continue  # can't split between equal values
+            ls, lsq = csum[i - 1], csq[i - 1]
+            rs_, rsq = total - ls, total_sq - lsq
+            child_sse = (lsq - ls**2 / i) + (rsq - rs_**2 / (n - i))
+            gain = sse - child_sse
+            if best is None or gain > best[0] + 1e-12:
+                thresh = (xs[i - 1] + xs[i]) / 2.0
+                best = (gain, f, thresh)
+    if best is None or best[0] <= 1e-12:
+        return node
+    gain, f, thresh = best
+    importances[f] += gain
+    left = X[:, f] <= thresh
+    node.update(
+        feature=int(f),
+        threshold=float(thresh),
+        left=_tree_fit(X[left], residual[left], max_depth - 1,
+                       min_samples_leaf, importances),
+        right=_tree_fit(X[~left], residual[~left], max_depth - 1,
+                        min_samples_leaf, importances),
+    )
+    return node
+
+
+def _tree_predict(node: dict, X: np.ndarray) -> np.ndarray:
+    out = np.full(len(X), node["value"])
+    if "feature" in node:
+        left = X[:, node["feature"]] <= node["threshold"]
+        if left.any():
+            out[left] = _tree_predict(node["left"], X[left])
+        if (~left).any():
+            out[~left] = _tree_predict(node["right"], X[~left])
+    return out
+
+
+def gbm_fit(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_estimators: int = 50,
+    learning_rate: float = 0.1,
+    max_depth: int = 2,
+    min_samples_leaf: int = 10,
+) -> dict:
+    """Least-squares gradient boosting with shallow trees +
+    impurity-based feature importances — the numpy stand-in for the
+    reference's GradientBoostingRegressor (ref models/
+    readiness_predictor/train.py:95-464; sklearn is not in this
+    container). Deterministic: no subsampling, stable sorts."""
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    f0 = float(y.mean())
+    pred = np.full(len(y), f0)
+    trees: list[dict] = []
+    importances = np.zeros(X.shape[1])
+    for _ in range(n_estimators):
+        tree = _tree_fit(X, y - pred, max_depth, min_samples_leaf,
+                         importances)
+        pred = pred + learning_rate * _tree_predict(tree, X)
+        trees.append(tree)
+    total = importances.sum()
+    return {
+        "f0": f0,
+        "learning_rate": learning_rate,
+        "trees": trees,
+        "importances": (importances / total if total > 0
+                        else importances).tolist(),
+    }
+
+
+def gbm_predict(model: dict, X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, dtype=float)
+    pred = np.full(len(X), model["f0"])
+    for tree in model["trees"]:
+        pred = pred + model["learning_rate"] * _tree_predict(tree, X)
+    return pred
+
+
+def elastic_net_cd(
+    X: np.ndarray,
+    y: np.ndarray,
+    alpha: float = 0.1,
+    l1_ratio: float = 0.5,
+    n_iters: int = 300,
+) -> np.ndarray:
+    """ElasticNet via cyclic coordinate descent on standardized
+    features (sklearn's objective: 1/(2n)·SSE + α·l1_ratio·|w| +
+    α(1−l1_ratio)/2·w²). Returns coefficients on the ORIGINAL scale
+    with the intercept last, so ``X @ w[:-1] + w[-1]`` predicts."""
+    X = np.asarray(X, dtype=float)
+    y = np.asarray(y, dtype=float)
+    n, d = X.shape
+    mx, sx = X.mean(axis=0), X.std(axis=0)
+    sx = np.where(sx > 0, sx, 1.0)
+    Xs = (X - mx) / sx
+    my = y.mean()
+    ys = y - my
+    w = np.zeros(d)
+    l1 = alpha * l1_ratio
+    l2 = alpha * (1 - l1_ratio)
+    col_sq = (Xs**2).sum(axis=0) / n
+    resid = ys - Xs @ w
+    for _ in range(n_iters):
+        for j in range(d):
+            rho = (Xs[:, j] @ (resid + Xs[:, j] * w[j])) / n
+            wj = np.sign(rho) * max(abs(rho) - l1, 0.0) / (
+                col_sq[j] + l2
+            )
+            resid += Xs[:, j] * (w[j] - wj)
+            w[j] = wj
+    w_orig = w / sx
+    intercept = my - float(mx @ w_orig)
+    return np.append(w_orig, intercept)
+
+
+def _fit_predict(
+    model: str, Xtr: np.ndarray, ytr: np.ndarray, Xte: np.ndarray,
+    alpha: float,
+) -> np.ndarray:
+    if model == "ridge":
+        w = ridge_closed_form(Xtr, ytr, alpha)
+        return Xte @ w[:-1] + w[-1]
+    if model == "elastic_net":
+        w = elastic_net_cd(Xtr, ytr, alpha=max(alpha, 1e-6) * 0.1)
+        return Xte @ w[:-1] + w[-1]
+    if model == "gbm":
+        m = gbm_fit(Xtr, ytr)
+        return gbm_predict(m, Xte)
+    raise ValueError(f"unknown model {model!r}")
+
+
 def walk_forward_cv(
     X: np.ndarray,
     y: np.ndarray,
     min_train: int = 30,
     test_window: int = 7,
     alpha: float = 1.0,
+    model: str = "ridge",
 ) -> dict:
     """ST14: expanding-window CV — train on [0, t), test on the next
     ``test_window`` rows, slide; plus the naive 7-day-mean baseline the
     reference benchmarks against (train.py: naive MAE 4.7 vs model
-    4.65). Returns per-fold and aggregate MAE/RMSE/R²."""
+    4.65). ``model`` ∈ {ridge, elastic_net, gbm} — the reference's
+    model zoo minus sklearn. Returns per-fold and aggregate
+    MAE/RMSE/R²."""
     n = len(y)
     folds = []
     preds, actuals, naives = [], [], []
@@ -195,9 +352,8 @@ def walk_forward_cv(
         col_mean = np.nanmean(Xtr, axis=0)
         col_mean = np.where(np.isfinite(col_mean), col_mean, 0.0)
         Xtr = np.where(np.isfinite(Xtr), Xtr, col_mean)
-        w = ridge_closed_form(Xtr, ytr, alpha)
         Xte = np.where(np.isfinite(X[t:end]), X[t:end], col_mean)
-        p = Xte @ w[:-1] + w[-1]
+        p = _fit_predict(model, Xtr, ytr, Xte, alpha)
         naive = np.full(end - t, y[max(0, t - 7): t].mean())
         folds.append(
             {
@@ -227,3 +383,37 @@ def walk_forward_cv(
         "naive_mae": float(np.abs(naives - actuals).mean()),
         "n_folds": len(folds),
     }
+
+
+def model_zoo_cv(
+    X: np.ndarray,
+    y: np.ndarray,
+    feature_names: list[str],
+    min_train: int = 30,
+    test_window: int = 7,
+) -> dict:
+    """The reference trainer's comparison table (ref models/
+    readiness_predictor/train.py:95-464): naive 7-day-mean baseline +
+    Ridge + ElasticNet + GBM under the same walk-forward folds, plus
+    GBM feature importances from a full-data fit. Returns
+    {models: {name: {mae, rmse, r2, naive_mae, n_folds}},
+     best_model, importances: [(feature, weight) desc]}."""
+    results = {}
+    for name in ("ridge", "elastic_net", "gbm"):
+        res = walk_forward_cv(
+            X, y, min_train=min_train, test_window=test_window, model=name
+        )
+        results[name] = {
+            k: res[k] for k in ("mae", "rmse", "r2", "naive_mae", "n_folds")
+        }
+    scored = {k: v["mae"] for k, v in results.items()
+              if v["mae"] is not None}
+    best = min(scored, key=scored.get) if scored else None
+    col_mean = np.nanmean(np.asarray(X, dtype=float), axis=0)
+    col_mean = np.where(np.isfinite(col_mean), col_mean, 0.0)
+    Xi = np.where(np.isfinite(X), X, col_mean)
+    model = gbm_fit(Xi, np.asarray(y, dtype=float))
+    imp = sorted(
+        zip(feature_names, model["importances"]), key=lambda t: -t[1]
+    )
+    return {"models": results, "best_model": best, "importances": imp}

@@ -648,6 +648,204 @@ def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="metric string, value double")
 
 
+@register(
+    "walk_forward_naive_audit",
+    survey=("ST14",),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT y, ROW_NUMBER() OVER (ORDER BY date) AS rn FROM d
+), p AS (
+  SELECT rn, y,
+         AVG(y) OVER (ORDER BY rn
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail7
+  FROM r
+), f AS (
+  SELECT rn, y, CAST((rn - 11) // 5 AS BIGINT) AS fold
+  FROM p WHERE rn >= 11
+)
+SELECT f.fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(s.trail7, 6) AS naive_pred,
+       ROUND(AVG(ABS(f.y - s.trail7)), 6) AS naive_mae
+FROM f JOIN p s ON s.rn = 11 + 5 * f.fold
+GROUP BY f.fold, s.trail7
+""",
+)
+def walk_forward_naive_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE audit of the walk-forward fold machinery
+    (ST14): the naive 7-day-trailing-mean baseline per expanding-
+    window fold (min_train=10, test_window=5 over the daily series)
+    IS SQL-expressible, so the fold boundaries, trailing-mean
+    prediction and MAE arithmetic get a hard cross-engine row — the
+    ridge/GBM solvers on the same folds stay rows-only
+    (walk_forward_cv_daily) but now share audited scaffolding."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("y")
+    )
+    r = d.select(
+        "y", F.row_number().over(Window.orderBy("date")).alias("rn")
+    )
+    p = r.select(
+        "rn",
+        "y",
+        F.avg("y")
+        .over(Window.orderBy("rn").rowsBetween(-7, -1))
+        .alias("trail7"),
+    )
+    f = p.filter(F.col("rn") >= 11).select(
+        "rn", "y",
+        F.floor((F.col("rn") - 11) / 5).cast("long").alias("fold"),
+    )
+    starts = p.select(F.col("rn").alias("srn"), "trail7")
+    return (
+        f.join(starts, F.col("srn") == 11 + 5 * F.col("fold"))
+        .groupBy("fold", "trail7")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            R6(F.avg(F.abs(F.col("y") - F.col("trail7")))).alias(
+                "naive_mae"
+            ),
+        )
+        .select(
+            "fold", "n_test", R6(F.col("trail7")).alias("naive_pred"),
+            "naive_mae",
+        )
+    )
+
+
+@register(
+    "mutual_information_audit",
+    survey=("ST13",),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(COUNT(*) AS DOUBLE) AS x,
+         ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT x, y,
+         MIN(x) OVER () AS mnx, MAX(x) OVER () AS mxx,
+         MIN(y) OVER () AS mny, MAX(y) OVER () AS mxy
+  FROM d
+), b AS (
+  SELECT LEAST(CAST(FLOOR((x - mnx) * 8 / NULLIF(mxx - mnx, 0)) AS BIGINT), 7) AS bx,
+         LEAST(CAST(FLOOR((y - mny) * 8 / NULLIF(mxy - mny, 0)) AS BIGINT), 7) AS byy
+  FROM s
+), j AS (
+  SELECT bx, byy, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY 1, 2
+), t AS (
+  SELECT c, SUM(c) OVER () AS n,
+         SUM(c) OVER (PARTITION BY bx) AS cx,
+         SUM(c) OVER (PARTITION BY byy) AS cy
+  FROM j
+)
+SELECT ROUND(SUM((c / n) * LN((c / n) / ((cx / n) * (cy / n)))), 6) AS mi,
+       CAST(MAX(n) AS BIGINT) AS n_days
+FROM t
+""",
+)
+def mutual_information_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE audit for the MI estimator (ST13): the 8×8
+    equal-width joint histogram and Σ p·ln(p/(px·py)) are plain SQL,
+    so the exact binning + MI arithmetic used by select_features gets
+    a hard cross-engine row (numerics.mutual_information implements
+    the identical histogram MI; np.histogram2d's right-inclusive last
+    bin == the LEAST(floor(..·8/range), 7) clamp)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        R6(F.sum("value")).alias("y"),
+    )
+    wall = Window.partitionBy()
+    s = d.select(
+        "x", "y",
+        F.min("x").over(wall).alias("mnx"),
+        F.max("x").over(wall).alias("mxx"),
+        F.min("y").over(wall).alias("mny"),
+        F.max("y").over(wall).alias("mxy"),
+    )
+
+    def bin8(v, mn, mx):
+        return F.least(
+            F.floor(
+                (F.col(v) - F.col(mn)) * 8
+                / F.nullif(F.col(mx) - F.col(mn), F.lit(0))
+            ).cast("long"),
+            F.lit(7),
+        )
+
+    b = s.select(
+        bin8("x", "mnx", "mxx").alias("bx"),
+        bin8("y", "mny", "mxy").alias("byy"),
+    )
+    j = b.groupBy("bx", "byy").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    t = j.select(
+        "c",
+        F.sum("c").over(wall).alias("n"),
+        F.sum("c").over(Window.partitionBy("bx")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("byy")).alias("cy"),
+    )
+    p = F.col("c") / F.col("n")
+    return t.agg(
+        R6(
+            F.sum(
+                p * F.log(p / ((F.col("cx") / F.col("n"))
+                               * (F.col("cy") / F.col("n"))))
+            )
+        ).alias("mi"),
+        F.max("n").cast("long").alias("n_days"),
+    )
+
+
+@register("model_zoo_cv_daily", survey=("ST14",), oracle=None)
+def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward model zoo (ref models/readiness_predictor/
+    train.py:95-464): naive baseline + ridge + elastic_net + gbm under
+    identical expanding-window folds on the daily events series, plus
+    GBM feature importances. Feature build distributed; solvers on the
+    collected daily-grain frame. Deterministic → rows-only (the naive
+    scaffolding is driver-hashed via walk_forward_naive_audit)."""
+    from bio_lakehouse_spark.products.numerics import model_zoo_cv
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    names = ["total_value", "n_events", "avg_value"]
+    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
+    X = daily[names].to_numpy(dtype=float)[:-1]
+    zoo = model_zoo_cv(X, y, names, min_train=10, test_window=5)
+    rows = [
+        {
+            "model": name,
+            "mae": round(m["mae"], 6),
+            "rmse": round(m["rmse"], 6),
+            "naive_mae": round(m["naive_mae"], 6),
+            "n_folds": m["n_folds"],
+            "is_best": name == zoo["best_model"],
+        }
+        for name, m in sorted(zoo["models"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="model string, mae double, rmse double, naive_mae double,"
+        " n_folds long, is_best boolean",
+    )
+
+
 @register("discovery_scan_per_user", survey=("ST4", "ST2"), oracle=None)
 def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity correlation-discovery scan (ST4 at scale): daily

@@ -424,3 +424,126 @@ def test_energy_guidance_states_and_trend():
     assert "Rest day recommended" in got
     assert "readiness down -8" in got and "sleep down -6" in got
     assert "prioritize recovery" in got
+
+
+def test_gbm_beats_ridge_on_nonlinear_signal():
+    """Planted step×interaction signal: GBM (axis-aligned splits) must
+    beat ridge under identical walk-forward folds, and the full-data
+    GBM importances must concentrate on the two true features."""
+    rng = np.random.RandomState(3)
+    n = 160
+    X = rng.uniform(0, 1, (n, 4))
+    y = (
+        10.0 * (X[:, 0] > 0.5)
+        + 6.0 * (X[:, 1] > 0.3) * (X[:, 0] > 0.5)
+        + rng.normal(0, 0.3, n)
+    )
+    zoo = numerics.model_zoo_cv(
+        X, y, ["a", "b", "noise1", "noise2"],
+        min_train=60, test_window=10,
+    )
+    assert zoo["models"]["gbm"]["mae"] < zoo["models"]["ridge"]["mae"]
+    assert zoo["models"]["gbm"]["mae"] < zoo["models"]["gbm"]["naive_mae"]
+    assert zoo["best_model"] == "gbm"
+    imp = dict(zoo["importances"])
+    assert imp["a"] + imp["b"] > 0.9
+    assert imp["a"] > imp["noise1"] and imp["b"] > imp["noise2"]
+
+
+def test_elastic_net_recovers_sparse_coefficients():
+    rng = np.random.RandomState(4)
+    n = 200
+    X = rng.normal(0, 1, (n, 5))
+    y = 3.0 * X[:, 0] - 2.0 * X[:, 2] + rng.normal(0, 0.1, n)
+    w = numerics.elastic_net_cd(X, y, alpha=0.01, l1_ratio=0.5)
+    assert w[0] == pytest.approx(3.0, abs=0.2)
+    assert w[2] == pytest.approx(-2.0, abs=0.2)
+    assert abs(w[1]) < 0.1 and abs(w[3]) < 0.1 and abs(w[4]) < 0.1
+    pred = X @ w[:-1] + w[-1]
+    assert float(np.abs(pred - y).mean()) < 0.3
+
+
+def test_gbm_fit_predict_reduces_training_error():
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-2, 2, (120, 2))
+    y = np.sin(X[:, 0] * 2) * 3 + X[:, 1] ** 2
+    m = numerics.gbm_fit(X, y, n_estimators=80, max_depth=3,
+                         min_samples_leaf=5)
+    mae = float(np.abs(numerics.gbm_predict(m, X) - y).mean())
+    base = float(np.abs(y - y.mean()).mean())
+    assert mae < base / 4
+    assert sum(m["importances"]) == pytest.approx(1.0)
+
+
+def test_lowess_reproduces_exact_line():
+    """Local LINEAR regression reproduces a linear function exactly,
+    whatever the tricube weights — a sharp value gate for ST8."""
+    x = np.arange(50, dtype=float)
+    y = 2.5 * x - 7.0
+    fit = numerics.lowess(x, y, frac=0.4)
+    assert np.allclose(fit, y, atol=1e-8)
+
+
+def test_walk_forward_cv_model_dispatch_matches_ridge_default():
+    rng = np.random.RandomState(6)
+    X = rng.normal(0, 1, (80, 3))
+    y = X @ np.array([1.0, -2.0, 0.5]) + rng.normal(0, 0.2, 80)
+    a = numerics.walk_forward_cv(X, y, min_train=30, test_window=7)
+    b = numerics.walk_forward_cv(X, y, min_train=30, test_window=7,
+                                 model="ridge")
+    assert a["mae"] == b["mae"]
+    en = numerics.walk_forward_cv(X, y, min_train=30, test_window=7,
+                                  model="elastic_net")
+    assert en["mae"] < en["naive_mae"]
+
+
+def test_model_zoo_report_on_fixture_gold(spark):
+    """The reference trainer's model comparison (naive + ridge +
+    elastic_net + gbm, walk-forward) on the fixture feature table —
+    every model produces a finite MAE, the report names a best model,
+    and importances cover the feature set (ref models/
+    readiness_predictor/train.py:95-464)."""
+    from bio_lakehouse_spark.bio.gold import build_gold
+
+    feat = (
+        build_gold(spark, f"{BIO_ROOT}/silver")["feature_readiness_daily"]
+        .filter(F.col("next_day_readiness").isNotNull())
+        .orderBy("date")
+    )
+    names = ["readiness_score", "sleep_score", "hrv_ms", "tss",
+             "readiness_7d_avg", "sleep_score_3d_avg"]
+    pdf = feat.select(*names, "next_day_readiness").toPandas()
+    X = pdf[names].to_numpy(dtype=float)
+    y = pdf["next_day_readiness"].to_numpy(dtype=float)
+    zoo = numerics.model_zoo_cv(X, y, names, min_train=60, test_window=14)
+    for name, m in zoo["models"].items():
+        assert m["mae"] is not None and np.isfinite(m["mae"]), name
+        assert m["n_folds"] >= 3
+    assert zoo["best_model"] in zoo["models"]
+    imp = dict(zoo["importances"])
+    assert set(imp) == set(names)
+    assert all(v >= 0 for v in imp.values())
+
+
+def test_mi_audit_query_matches_numerics(spark):
+    """The SQL-expressible MI audit must equal
+    numerics.mutual_information on the same daily pairs — pinning the
+    np.histogram2d binning semantics the SQL mirrors."""
+    from bio_lakehouse_spark.suite.registry import REGISTRY, load
+
+    sf = "/root/testdata/sf0.01"
+    got = REGISTRY["mutual_information_audit"].fn(spark, sf).collect()[0]
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(F.sum("value"), 6).alias("y"),
+        )
+        .toPandas()
+    )
+    expect = numerics.mutual_information(
+        daily["x"].to_numpy(), daily["y"].to_numpy(), bins=8
+    )
+    assert got["mi"] == pytest.approx(expect, abs=1e-6)
+    assert got["n_days"] == len(daily)
