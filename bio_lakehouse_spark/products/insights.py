@@ -1297,8 +1297,21 @@ REPORT_TEMPLATE = """<html><body>
 
 SECTION_TEMPLATE = """<h2>{name}</h2>
 <p>{narrative}</p>
+{stats}
 {caveats}
 """
+
+
+def _stats_table(stats: dict) -> str:
+    """Scalar statistics as the reference report's per-section metric
+    table (ref reports/weekly_report.py:121-205 renders metric cards;
+    nested dicts/lists are summarized by size)."""
+    rows = []
+    for k, v in stats.items():
+        if isinstance(v, (dict, list)):
+            v = f"[{len(v)} entries]"
+        rows.append(f"<tr><td>{k}</td><td>{v}</td></tr>")
+    return "<table>" + "".join(rows) + "</table>" if rows else ""
 
 
 class WeeklyReportGenerator:
@@ -1318,7 +1331,8 @@ class WeeklyReportGenerator:
             )
             sections.append(
                 SECTION_TEMPLATE.format(
-                    name=r.name, narrative=r.narrative, caveats=caveats
+                    name=r.name, narrative=r.narrative,
+                    stats=_stats_table(r.statistics), caveats=caveats
                 )
             )
         return (

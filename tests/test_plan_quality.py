@@ -376,6 +376,32 @@ def test_lsh_bucket_path_single_exchange_no_self_join(spark, sf_dir):
     assert n_bucket_exchanges == n_windows, plan
 
 
+def test_bench_noop_plans_keep_work_nodes(spark, sf_dir):
+    """Regression net for the round-1 count() lesson: under the noop
+    sink the bench queries' optimized plans must RETAIN their
+    Window/Join/Aggregate work nodes — if a future harness change (or
+    optimizer conf) lets Catalyst prune the measured work again, this
+    fails at plan level instead of silently flattering BENCH_r{N}."""
+    EXPECT = {
+        "sessionize_gap30": ("Window", "Aggregate"),
+        "rolling_avg_windows": ("Window",),
+        "lag_lead_deltas": ("Window",),
+        "top_orders": ("Join", "Aggregate"),
+        "full_outer_coalesce_chain": ("Join",),
+        # (localCheckpoint truncates the candidate lineage, so only
+        # the verify-join stage is visible in the final plan)
+        "dedup_minhash_lsh": ("Join",),
+        "interpolate_daily_gaps": ("Window",),
+    }
+    for name, nodes in EXPECT.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        # queryExecution.optimizedPlan — same plan the noop sink
+        # executes (noop adds only WriteFiles-less OverwriteByExpr).
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for node in nodes:
+            assert node in plan, f"{name} lost its {node} node:\n{plan}"
+
+
 def test_no_unintended_cartesian_anywhere(spark, sf_dir):
     """Suite-wide regression net: no registered query may plan a
     cartesian / broadcast-nested-loop join except the whitelisted
