@@ -281,3 +281,91 @@ def embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ivf_neardup_pairs(emb, centroids, threshold=0.35, nprobe=2)
     return out.select("vec_a", "vec_b", R6(F.col("cos_sim")).alias("cos_sim"))
+
+
+_L2SQ = (
+    "list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+)
+
+
+@register(
+    "kmeans_assign_audit",
+    survey=("ST14", "F9", "J5"),
+    oracle=f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT v.vec_id, cent.cid,
+           {_L2SQ.format(a='v.embedding', b='cent.cv')} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_L2SQ.format(a='v.embedding', b='cent.cv')}, cent.cid) AS rn
+    FROM embeddings v, cent
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(SUM(dist), 6) AS inertia
+FROM assigned GROUP BY cid
+""",
+)
+def kmeans_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE audit of the Lloyd assignment step (the half of
+    kmeans_lloyd a non-iterative oracle CAN check): deterministic
+    centroids (first 8 vectors by id), squared-L2 argmin with cid
+    tie-break — exactly the trainer's per-iteration assignment — and
+    per-cell membership + inertia. Spark side uses the same packed-
+    broadcast row-local argmin as kmeans_lloyd (zero corpus shuffle);
+    the full trainer stays rows-only (kmeans_ivf_centroids) but its
+    inner step now has a hard cross-engine row."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "cv"
+            ),
+        )
+    )
+    packed = F.broadcast(
+        cents.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias(
+                "cents"
+            )
+        )
+    )
+    dist_structs = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c["cv"],
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dist_structs)
+    return (
+        load(spark, sf_dir, "embeddings")
+        .crossJoin(packed)
+        .select(best["cid"].alias("centroid_id"), best["dist"].alias("dist"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            R6(F.sum("dist")).alias("inertia"),
+        )
+    )

@@ -415,6 +415,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "ann_ivf_topk",
         "embedding_neardup_ivf",
         "kmeans_ivf_centroids",
+        "kmeans_assign_audit",  # corpus × ONE packed-centroid row
         "embedding_neardup",
         # scaffolds: one-row span × small literal/dimension side
         "interpolate_daily_gaps",
