@@ -846,6 +846,64 @@ def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spearman_per_user_audit",
+    survey=("ST2", "ST4"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         CAST(ts AS DATE) AS date,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click_value,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view_value
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id,
+         RANK() OVER (PARTITION BY user_id ORDER BY click_value)
+           + (COUNT(*) OVER (PARTITION BY user_id, click_value) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY user_id ORDER BY view_value)
+           + (COUNT(*) OVER (PARTITION BY user_id, view_value) - 1) / 2.0 AS ry
+  FROM daily
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CORR(rx, ry), 6) AS rho
+FROM ranked GROUP BY user_id HAVING COUNT(*) >= 10
+""",
+)
+def spearman_per_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE audit for the per-entity discovery scan (ST4):
+    the per-user Spearman ρ (average ranks partitioned by user + one
+    corr aggregate — the exact statistic discovery_scan_per_user's
+    applyInPandas computes per entity at lag 0) is SQL-expressible, so
+    the entity-partitioned ranking machinery gets a hard cross-engine
+    row; the lagged/Bonferroni scan remains rows-only."""
+    from bio_lakehouse_spark.operators.stats import spearman
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        R6(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "click", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("click_value"),
+        R6(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "view", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("view_value"),
+    )
+    out = spearman(daily, "click_value", "view_value",
+                   group_cols=("user_id",))
+    return out.filter(F.col("n") >= 10).select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        R6(F.col("rho")).alias("rho"),
+    )
+
+
 @register("discovery_scan_per_user", survey=("ST4", "ST2"), oracle=None)
 def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity correlation-discovery scan (ST4 at scale): daily
