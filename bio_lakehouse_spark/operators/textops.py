@@ -224,3 +224,42 @@ def repetition_profile(
         "top_word_frac",
         keep.alias("keep"),
     )
+
+
+# PII redaction — the standard corpus-prep scrub before training-data
+# release. Patterns are deliberately RE2-compatible (no lookbehind) so
+# the DuckDB oracle applies the IDENTICAL regexes; all JVM-side
+# regexp_replace/regexp_count, no Python in the row path.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # order matters: ssn before phone (both match ddd-dd-dddd-ish
+    # shapes), email before ip (user@1.2.3.4 hosts).
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "phone": (
+        r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
+    "ipv4": (
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IP>",
+    ),
+}
+
+
+def redact_pii(col: Column | str) -> dict[str, Column]:
+    """Chained regexp_replace over ``PII_PATTERNS`` plus per-type match
+    counts (counted on the ORIGINAL text, before any replacement can
+    shadow a later pattern). Returns {"redacted": .., "n_<type>": ..}.
+    One projection, zero shuffles — the scan-level scrub shape that
+    runs at 100 TB as a mapper."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    red = c
+    for name, (pat, repl) in PII_PATTERNS.items():
+        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat)).cast("long")
+        red = F.regexp_replace(red, pat, repl)
+    out["redacted"] = red
+    return out

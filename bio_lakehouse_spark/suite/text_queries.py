@@ -896,3 +896,74 @@ def source_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mean_quality") >= 0.5) & (F.col("frac_good") >= 0.5)
         ).alias("keep_source"),
     )
+
+
+@register(
+    "pii_redaction",
+    survey=("F1", "F8"),
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              || ' ssn 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t, '\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+       ) AS redacted_md5
+FROM aug
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the standard corpus-prep redaction pass (emails,
+    SSNs, phone numbers, IPv4) as one chained-regexp_replace scan
+    projection (operators/textops.redact_pii): zero shuffles, JVM
+    regex, RE2-compatible patterns so the oracle applies the IDENTICAL
+    regexes. The corpus text carries no natural PII, so deterministic
+    PII is injected per row from doc_id on BOTH engines; the driver
+    hashes the per-type counts and the md5 of the redacted text."""
+    from bio_lakehouse_spark.operators.textops import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            did.cast("string"),
+            F.lit("@mail.example.com or (555) 010-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+            F.lit(" from 192.168."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = redact_pii("t")
+    return aug.select(
+        "doc_id",
+        red["n_email"].alias("n_email"),
+        red["n_ssn"].alias("n_ssn"),
+        red["n_phone"].alias("n_phone"),
+        red["n_ipv4"].alias("n_ipv4"),
+        F.md5(red["redacted"]).alias("redacted_md5"),
+    )
