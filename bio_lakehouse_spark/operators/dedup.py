@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.operators.textops import word_ngrams, words
@@ -389,6 +389,59 @@ def simhash32(
     )
 
 
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves (sim_hi, sim_lo) — the
+    Manku/Jain/Sarma web-dedup signature width (Detecting
+    Near-Duplicates for Web Crawling, WWW'07: 64-bit simhash,
+    hamming ≤ 3), kept as two ints so neither engine needs unsigned
+    64-bit arithmetic. Bit p of the HI half votes on the top bit
+    (mask 8) of md5-hex nibble p+1; the LO half votes on the second
+    bit (mask 4) of the same nibble — 64 independent votes from one
+    md5 per shingle, one aggregate pass."""
+    from bio_lakehouse_spark.operators.textops import let
+
+    sh = shingle_sets(df, id_col, text_col, n)
+
+    def vote_bits(h, charset: str):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.when(
+                F.substring(h, p.cast("int"), 1).isin(*charset), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    powers = F.array(*[F.lit(2**p).cast("long") for p in range(32)])
+
+    def half(hashes, charset: str):
+        votes = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, h: F.zip_with(
+                acc, vote_bits(h, charset), lambda a, v: a + v
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda v, pw: F.when(v > 0, pw).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    hashes_expr = F.transform(F.col("shingles"), lambda s: F.md5(s))
+    return sh.select(
+        "doc_id",
+        let(hashes_expr, lambda h: half(h, "89abcdef")).alias("sim_hi"),
+        let(hashes_expr, lambda h: half(h, "4567cdef")).alias("sim_lo"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -418,6 +471,88 @@ def simhash_pairs(
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_hamming: int = 3,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """SimHash near-dup pairs WITHOUT a blocked self-join — the
+    100 TB path, per Manku/Jain/Sarma (WWW'07): 64-bit signature,
+    hamming ≤ 3, split into 4 × 16-bit bands. Pigeonhole: a pair
+    within hamming ≤ 3 differs in at most 3 bands, so it matches
+    EXACTLY (recall 1 by construction, not probabilistically) on at
+    least one band; a random pair collides on a 16-bit band with
+    p = 2⁻¹⁶, so candidates stay near-linear in corpus size.
+    Candidates come from one explode + (band, value)-keyed
+    aggregation — the same single-exchange hot-bucket-capped shape as
+    the MinHash LSH path — then exact xor+bit_count verification.
+    Compare ``simhash_pairs``: quadratic within its blocking column,
+    unusable when blocks are corpus-sized (an 'en' block IS the
+    corpus). Requires ``max_hamming`` ≤ 3 to keep the 4-band
+    pigeonhole guarantee."""
+    if max_hamming > 3:
+        raise ValueError("4-band pigeonhole guarantee requires ≤ 3")
+    sig = simhash64(df, id_col, text_col, n).localCheckpoint()
+    halves = {"hi": F.col("sim_hi"), "lo": F.col("sim_lo")}
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(col, shift)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("value"),
+            )
+            for j, (col, shift) in enumerate(
+                [(halves["hi"], 16), (halves["hi"], 0),
+                 (halves["lo"], 16), (halves["lo"], 0)]
+            )
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.value").alias("value")
+    )
+    sized = exploded.withColumn(
+        "bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
+    )
+    cand = (
+        sized.filter(
+            (F.col("bsize") > 1) & (F.col("bsize") <= max_bucket_size)
+        )
+        .groupBy("band", "value")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("doc_a"), b.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return (
+        cand.join(sig.toDF("doc_a", "hi_a", "lo_a"), on="doc_a")
+        .join(sig.toDF("doc_b", "hi_b", "lo_b"), on="doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

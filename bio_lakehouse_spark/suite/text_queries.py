@@ -127,14 +127,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
 
 
-def _simhash_sql_expr() -> str:
-    """DuckDB expression mirroring operators.dedup.simhash32."""
+def _simhash_sql_expr(charset: tuple[str, ...] = tuple("89abcdef")) -> str:
+    """DuckDB expression mirroring operators.dedup.simhash32 (and,
+    with charset '4567cdef', the low half of simhash64)."""
+    cs = ", ".join(repr(c) for c in charset)
     terms = []
     for p in range(1, 33):
         bit = (
             f"CASE WHEN list_sum(list_transform(hashes, h -> "
             f"CASE WHEN substr(h, {p}, 1) IN "
-            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+            f"({cs}) THEN 1 ELSE -1 END)) > 0 "
             f"THEN CAST({2 ** (p - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
         terms.append(bit)
@@ -966,4 +968,41 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         red["n_phone"].alias("n_phone"),
         red["n_ipv4"].alias("n_ipv4"),
         F.md5(red["redacted"]).alias("redacted_md5"),
+    )
+
+
+@register(
+    "dedup_simhash_banded",
+    survey=("J6", "F9", "A11"),
+    oracle=_SHINGLES_CTE
+    + f""", hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes FROM sh
+), sig AS (
+  SELECT doc_id,
+         {_simhash_sql_expr()} AS sim_hi,
+         {_simhash_sql_expr(tuple('4567cdef'))} AS sim_lo
+  FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+""",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 64-bit SimHash near-dup pairs — the 100 TB form per
+    Manku/Jain/Sarma (WWW'07: 64-bit simhash, hamming ≤ 3, 4 × 16-bit
+    bands; pigeonhole ⇒ recall 1, random band collision 2⁻¹⁶):
+    candidates via ONE hot-bucket-capped (band, value) aggregation,
+    xor+bit_count verification. The oracle is the UNBLOCKED
+    brute-force pair scan — the banded pipeline must reproduce it
+    exactly, corpus-wide, with no quadratic join."""
+    from bio_lakehouse_spark.operators.dedup import simhash_pairs_banded
+
+    docs = load(spark, sf_dir, "documents")
+    out = simhash_pairs_banded(docs, "doc_id", "text", n=3, max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
