@@ -52,6 +52,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_banded",
+    "pii_redaction",
     "text_quality",
     "text_token_counts",
     "text_rolling_hash",

@@ -547,3 +547,24 @@ def test_mi_audit_query_matches_numerics(spark):
     )
     assert got["mi"] == pytest.approx(expect, abs=1e-6)
     assert got["n_days"] == len(daily)
+
+
+def test_redact_pii_patterns(spark):
+    from bio_lakehouse_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.co.uk or call (555) 123-4567, "
+             "ssn 123-45-6789, host 10.0.255.7 end")],
+        schema="id long, t string",
+    )
+    red = redact_pii("t")
+    row = df.select(
+        red["n_email"].alias("e"), red["n_phone"].alias("p"),
+        red["n_ssn"].alias("s"), red["n_ipv4"].alias("ip"),
+        red["redacted"].alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["s"], row["ip"]) == (1, 1, 1, 1)
+    assert "<EMAIL>" in row["r"] and "<PHONE>" in row["r"]
+    assert "<SSN>" in row["r"] and "<IP>" in row["r"]
+    assert "a.b+c@" not in row["r"] and "123-45-6789" not in row["r"]
+    assert row["r"].startswith("mail ") and row["r"].endswith(" end")
