@@ -62,12 +62,46 @@ def _last_green_round() -> dict[str, int]:
     return last
 
 
+def _round_file_mtime() -> dict[int, float]:
+    out: dict[int, float] = {}
+    for path in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            out[rnd] = os.path.getmtime(path)
+        except (ValueError, OSError):
+            continue
+    return out
+
+
 def _ordered_names() -> list[str]:
     last = _last_green_round()
+    round_mtime = _round_file_mtime()
     names = list(REGISTRY)
-    # Stable sort: never-green first (registry order), then by how long
-    # ago the last green row was recorded (oldest re-checked first).
-    return sorted(names, key=lambda n: last.get(n, -1))
+
+    def key(n: str) -> tuple[int, int]:
+        rnd = last.get(n, -1)
+        if rnd < 0:
+            # Tier 0: never green — always swept first.
+            return (0, 0)
+        # Tier 1: green once, but the implementing module changed
+        # after that round's correctness file was written — the row
+        # no longer certifies this code, re-check before rotating
+        # old greens.
+        try:
+            import inspect
+
+            mod_file = inspect.getfile(REGISTRY[n].fn)
+            if os.path.getmtime(mod_file) > round_mtime.get(
+                rnd, float("inf")
+            ):
+                return (1, rnd)
+        except (OSError, TypeError):
+            pass
+        # Tier 2: green and unchanged — rotate oldest-first.
+        return (2, rnd)
+
+    # Stable sort within tiers (registry order breaks ties).
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
