@@ -41,3 +41,52 @@ def test_simhash64_halves_consistent(spark, sf_dir):
     for k in s32:
         assert s64[k][0] == s32[k], k
         assert 0 <= s64[k][1] < 2**32
+
+
+def test_entry_sweep_ordering_tiers(tmp_path, monkeypatch):
+    """__spark_entry__ sweep order: never-green first, then greens
+    whose implementing module changed since their green round, then
+    stable greens rotated oldest-first — and only a FULLY green row
+    (rows+schema+hash) counts."""
+    import importlib
+    import json
+    import os
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    e = importlib.import_module("__spark_entry__")
+
+    names = list(e.REGISTRY)
+    a, b, c, d = names[0], names[1], names[2], names[3]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "err": None, "spark_rows": 1, "oracle_rows": 1}
+    hashfail = dict(green, hash_match=False)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({a: green, b: green, c: hashfail})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({b: green})
+    )
+    # Make the correctness files NEWER than every module so no query
+    # lands in the module-changed tier in this fixture.
+    future = time.time() + 3600
+    os.utime(tmp_path / "CORRECTNESS_r01.json", (future, future))
+    os.utime(tmp_path / "CORRECTNESS_r02.json", (future, future))
+    monkeypatch.setattr(e, "_ROOT", str(tmp_path))
+
+    order = e._ordered_names()
+    pos = {n: i for i, n in enumerate(order)}
+    # c's hash-fail row is NOT green → stays in the never-green tier.
+    assert pos[c] < pos[a] < pos[b]  # a green r1 rotates before b (r2)
+    assert pos[d] < pos[a]  # d has no row at all → front tier
+
+    # Now mark a's module as changed after r1 → a re-enters ahead of
+    # the stable rotation (but behind never-green).
+    mod_file = __import__("inspect").getfile(e.REGISTRY[a].fn)
+    past = time.time() - 3600
+    os.utime(tmp_path / "CORRECTNESS_r01.json", (past, past))
+    os.utime(tmp_path / "CORRECTNESS_r02.json", (future, future))
+    order2 = e._ordered_names()
+    pos2 = {n: i for i, n in enumerate(order2)}
+    assert pos2[d] < pos2[a] < pos2[b]
