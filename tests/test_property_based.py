@@ -194,3 +194,62 @@ def test_batch_sessionizer_invariants(spark, rows, gap):
             if (b - a).total_seconds() > gap:
                 expected_sessions += 1
         assert len(closed) + (1 if state.exists else 0) == expected_sessions
+
+
+# Random word-doc corpora with planted near-dup mutations: a base
+# vocabulary keeps docs plausibly colliding; each doc is 8-20 words,
+# and some docs are 1-2-word mutations of earlier docs (true near-dups
+# at small hamming).
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+          "theta", "iota", "kappa"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=8, max_size=20),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=docs_strategy, seed=st.integers(min_value=0, max_value=99))
+def test_banded_simhash_equals_bruteforce(spark, docs, seed):
+    """Pigeonhole recall: the banded 64-bit simhash pipeline must
+    return EXACTLY the brute-force hamming<=3 pair set — banding is a
+    pure candidate-generation optimization, never a semantics change.
+    Mutated copies of random docs plant true near-dup pairs."""
+    import random
+
+    from bio_lakehouse_spark.operators.dedup import (
+        simhash64,
+        simhash_pairs_banded,
+    )
+
+    rng = random.Random(seed)
+    all_docs = list(docs)
+    for i, d in enumerate(docs):
+        if rng.random() < 0.5:
+            mut = list(d)
+            mut[rng.randrange(len(mut))] = rng.choice(_VOCAB)
+            all_docs.append(mut)
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(all_docs)],
+        schema="doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_banded(
+            df, "doc_id", "text", n=3, max_hamming=3
+        ).collect()
+    )
+    sig = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+           for r in simhash64(df, "doc_id", "text", n=3).collect()}
+    ids = sorted(sig)
+    expect = sorted(
+        (a, b,
+         bin(sig[a][0] ^ sig[b][0]).count("1")
+         + bin(sig[a][1] ^ sig[b][1]).count("1"))
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if bin(sig[a][0] ^ sig[b][0]).count("1")
+        + bin(sig[a][1] ^ sig[b][1]).count("1") <= 3
+    )
+    assert got == expect
