@@ -340,6 +340,107 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    threshold: float = 0.5,
+    min_band_matches: int = 2,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — today's crawl against the corpus
+    without rescanning the corpus (the minhash twin of the exact
+    fingerprint-store anti-join).
+
+    Candidates = (batch × corpus∪batch) pairs sharing ≥
+    ``min_band_matches`` bands, found by broadcasting the (small) new
+    batch's band table against the corpus band table — at production
+    scale the corpus side IS the stored (band, value, doc_id) index
+    maintained by the ingestion pipeline (here derived from
+    ``corpus``; the derivation is the same zero-exchange signature
+    projection). The corpus TEXT is touched only for docs that appear
+    in a candidate pair (left-semi probe), so per-batch cost is
+    O(batch + candidates), never O(corpus). Hot corpus buckets
+    (boilerplate band values) are dropped at ``max_bucket_size``
+    before the join, same rationale as ``minhash_lsh_pairs``.
+    Output pairs are oriented (doc_a < doc_b with doc_b in the
+    batch); verification is exact Jaccard ≥ ``threshold``."""
+    sig_c = minhash_signatures_raw(corpus, id_col, text_col, n, num_hashes)
+    sig_b = minhash_signatures_raw(batch, id_col, text_col, n, num_hashes)
+
+    def bands_of(sig: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"), F.col(f"mh_{j}").alias("value")
+                )
+                for j in range(num_hashes)
+            ]
+        )
+        return sig.select("doc_id", F.explode(bands).alias("b")).select(
+            "doc_id", F.col("b.band").alias("band"),
+            F.col("b.value").alias("value"),
+        )
+
+    corpus_bands = bands_of(sig_c).withColumn(
+        "bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
+    ).filter(F.col("bsize") <= max_bucket_size).drop("bsize")
+    batch_bands = bands_of(sig_b)
+    left = corpus_bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "value",
+        F.lit(False).alias("a_new"),
+    ).unionByName(
+        batch_bands.select(
+            F.col("doc_id").alias("doc_a"), "band", "value",
+            F.lit(True).alias("a_new"),
+        )
+    )
+    right = F.broadcast(
+        batch_bands.select(
+            F.col("doc_id").alias("doc_b"), "band", "value"
+        )
+    )
+    cand = (
+        left.join(right, on=["band", "value"])
+        # corpus-batch keeps every pair; batch-batch oriented a < b.
+        .filter(
+            (~F.col("a_new")) | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_band_matches)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    all_docs = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).unionByName(
+        batch.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        )
+    )
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    shingled = shingle_sets(
+        all_docs.join(cand_ids, "doc_id", "left_semi"),
+        "doc_id", "__text", n,
+    ).withColumn("sz", F.size("shingles")).localCheckpoint()
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
+    return (
+        cand.join(shingled.toDF("doc_a", "sh_a", "sz_a"), on="doc_a")
+        .join(shingled.toDF("doc_b", "sh_b", "sz_b"), on="doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash32(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

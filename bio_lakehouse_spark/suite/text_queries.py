@@ -1006,3 +1006,37 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    survey=("J6", "A11", "F9"),
+    oracle=_SHINGLES_CTE
+    + f"""
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400
+) WHERE jac_raw >= 0.5
+""",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (doc_id ≥ 400 stands in for today's
+    crawl): the new batch's band table broadcasts against the stored
+    corpus band index, corpus text touched only for candidate docs —
+    per-batch cost O(batch + candidates), never O(corpus). Oracle is
+    the brute-force Jaccard scan over exactly the pairs with a
+    new-batch member (same ≥2-of-16-band recall argument as
+    dedup_minhash_lsh)."""
+    from bio_lakehouse_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        "doc_id", "text", n=3, num_hashes=16, threshold=0.5,
+    )
+    return out.select(
+        "doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard")
+    )
