@@ -66,6 +66,7 @@ HEADLINE = [
     "gopher_repetition",
     "decontaminate_eval_overlap",
     "dedup_incremental_batch",
+    "dedup_incremental_minhash",
     "source_level_filter",
     "constraint_check_orders",
     "interpolate_daily_gaps",
