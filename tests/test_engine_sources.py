@@ -429,3 +429,61 @@ def test_schema_evolution_append(spark, tmp_path):
     # Evolution is append-only: first batch's files untouched, so a
     # plain scan of them still works with the original schema.
     assert len(rows) == 3
+
+
+def test_write_zorder_parquet_tiles_both_columns(spark, sf_dir, tmp_path):
+    """Z-order write: every file covers a ~square tile of the 2-D key
+    space, so row-group footer stats are narrow on BOTH columns — vs a
+    single-key sort where the second column's spans cover ~the whole
+    range. Mean span fraction per column must stay under 0.5 for the
+    z-order write and the single-sort control must be worse on the
+    second key."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from bio_lakehouse_spark.sources.sinks import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+    from bio_lakehouse_spark.suite.registry import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def spans(root, col):
+        lo = hi = None
+        fracs = []
+        metas = []
+        for f in Path(root).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                metas.append((st.min, st.max))
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        total = (hi - lo) or 1
+        return [float(mx - mn) / float(total) for mn, mx in metas]
+
+    zpath = str(tmp_path / "li_z")
+    write_zorder_parquet(li, zpath, "l_orderkey", "l_extendedprice",
+                         num_files=16)
+    spath = str(tmp_path / "li_s")
+    write_sorted_parquet(li, spath, ["l_orderkey"], num_files=16)
+
+    z_a = sum(spans(zpath, "l_orderkey")) / len(spans(zpath, "l_orderkey"))
+    z_b = sum(spans(zpath, "l_extendedprice")) / len(
+        spans(zpath, "l_extendedprice")
+    )
+    s_b = sum(spans(spath, "l_extendedprice")) / len(
+        spans(spath, "l_extendedprice")
+    )
+    assert z_a < 0.5 and z_b < 0.5, (z_a, z_b)
+    assert z_b < s_b * 0.6, (z_b, s_b)
+    # same rows round-trip
+    got = spark.read.parquet(zpath)
+    assert got.count() == li.count()
