@@ -192,6 +192,113 @@ def assign_cells(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: the assigned corpus written as parquet
+    PARTITIONED BY centroid_id, plus the centroid table under
+    ``<path>/_centroids``. Serving then never scans the corpus — a
+    query probing ``nprobe`` cells reads exactly those partition
+    directories (Hive partition pruning at the file-listing level,
+    before any footer is opened). This is the production ANN layout:
+    index build is one pass (assign + shuffle on cell), search cost is
+    nprobe/ncells of the data regardless of corpus size."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/cells")
+    )
+    centroids.select("centroid_id", vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF index (see
+    ``build_ivf_index``): probe cells are decided from the (tiny)
+    centroid table, then the cell scan carries an ``isin`` partition
+    filter, so only nprobe of ncells partition DIRECTORIES are listed
+    and read — `.explain` shows the pruned ``PartitionFilters``. The
+    probed-cell ids are collected from the centroid table (k·nprobe
+    rows — a driver-side constant, not corpus data)."""
+    cent = spark.read.parquet(f"{index_path}/_centroids").select(
+        "centroid_id",
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    q_cells = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "q_vec", "q_norm", "centroid_id",
+        (dot(F.col("q_vec"), F.col("cent_vec"))
+         / (F.col("q_norm") * F.col("cent_norm"))).alias("cent_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("centroid_id")
+    )
+    probed = (
+        q_cells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", "centroid_id")
+    )
+    # The probe set is tiny (|queries|·nprobe cell ids); collecting the
+    # DISTINCT cell ids lets the cell scan prune partitions at file
+    # listing — a join predicate would not push below the scan.
+    cells = [
+        r["centroid_id"]
+        for r in probed.select("centroid_id").distinct().collect()
+    ]
+    cell_scan = spark.read.parquet(f"{index_path}/cells")
+    if dict(cell_scan.dtypes).get("centroid_id") == "string":
+        # partitionColumnTypeInference off (session default) leaves
+        # partition values as strings: filter on the string form so
+        # the predicate prunes at file listing, THEN restore the type.
+        corpus_cells = cell_scan.filter(
+            F.col("centroid_id").isin([str(c) for c in cells])
+        ).withColumn("centroid_id", F.col("centroid_id").cast("int"))
+    else:
+        corpus_cells = cell_scan.filter(F.col("centroid_id").isin(cells))
+    cand = probed.join(
+        corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            "centroid_id",
+        ),
+        on="centroid_id",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec"))
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

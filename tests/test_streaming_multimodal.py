@@ -307,3 +307,46 @@ def test_stream_upsert_cdc_apply(spark, tmp_path):
     assert got[9].event_id == 4          # newer seq replaced
     assert got[7].event_id == 2          # stale update did NOT regress
     assert got[11].event_type == "click"  # new key inserted
+
+
+def test_ivf_persisted_index_serving(spark, sf_dir, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: the persisted-index serving
+    path must return EXACTLY the in-memory ivf_topk answer, and the
+    probed-cell scan must carry a partition filter (Hive pruning — the
+    reason search cost is nprobe/ncells of the data)."""
+    import contextlib
+    import io
+
+    from bio_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, centroids, idx)
+
+    served = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    assert "PartitionFilters: [centroid_id" in buf.getvalue()
+
+    expect = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cos_sim"], 9))
+        for r in ivf_topk(emb, queries, centroids, k=5, nprobe=3)
+        .collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"],
+         round(r["cos_sim"], 9))
+        for r in served.collect()
+    )
+    assert got == expect
