@@ -16,7 +16,7 @@ from bio_lakehouse_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
 )
-from bio_lakehouse_spark.suite.registry import load, register
+from bio_lakehouse_spark.suite.registry import REGISTRY, load, register
 
 R6 = lambda c: F.round(c, 6)  # noqa: E731
 
@@ -368,4 +368,44 @@ def kmeans_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_members"),
             R6(F.sum("dist")).alias("inertia"),
         )
+    )
+
+
+@register(
+    "ann_ivf_indexed",
+    survey=("O4", "F9", "J5"),
+    # Identical semantics to ann_ivf_topk — the persisted index must
+    # not change a single result row, so it shares the oracle.
+    oracle=REGISTRY["ann_ivf_topk"].oracle,
+)
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 served from the PERSISTED index (build_ivf_index /
+    ivf_topk_indexed): assigned corpus written partitioned by cell,
+    probe reads only the nprobe probed partition directories (Hive
+    pruning at file listing). Same centroids/nprobe as ann_ivf_topk →
+    the driver hash must match the same oracle exactly."""
+    from pathlib import Path
+
+    from bio_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from bio_lakehouse_spark.suite.pipeline_queries import (
+        _FIXTURE_ROOT,
+        _sf_tag,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+    )
+    idx = str(_FIXTURE_ROOT / f"ivf_index_{_sf_tag(sf_dir)}")
+    if not Path(idx + "_DONE").exists():
+        build_ivf_index(emb, centroids, idx)
+        Path(idx + "_DONE").touch()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        R6(F.col("cos_sim")).alias("cos_sim"),
     )

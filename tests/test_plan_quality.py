@@ -413,6 +413,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # vector scorers: corpus × broadcast centroid/query set
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "ann_ivf_indexed",  # query set × broadcast centroid table
         "embedding_neardup_ivf",
         "kmeans_ivf_centroids",
         "kmeans_assign_audit",  # corpus × ONE packed-centroid row
