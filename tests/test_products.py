@@ -568,3 +568,77 @@ def test_redact_pii_patterns(spark):
     assert "<SSN>" in row["r"] and "<IP>" in row["r"]
     assert "a.b+c@" not in row["r"] and "123-45-6789" not in row["r"]
     assert row["r"].startswith("mail ") and row["r"].endswith(" end")
+
+
+def test_ingestion_routing_and_header_validation(tmp_path):
+    """Ingestion-trigger parity (ref lambda/ingestion_trigger): source
+    detection by path prefix, header validation under the SYNC'd
+    snake_case rule, drift alert with cooldown, arrival debounce."""
+    from bio_lakehouse_spark.products import pipeline as P
+
+    p = tmp_path / "peloton" / "workouts.csv"
+    p.parent.mkdir(parents=True)
+    p.write_text(
+        "Workout Timestamp,Fitness Discipline,Total Output,"
+        "Calories Burned,New Mystery Col\n2025-01-01,cycling,100,300,x\n"
+    )
+    assert P.detect_source(str(p)) == "peloton"
+    assert P.detect_source("/x/unknown.csv") == "unknown"
+
+    alerts = []
+    check = P.validate_csv_headers(
+        p, "peloton", alert_sink=lambda s, b: alerts.append(s), now=1000.0
+    )
+    assert check["valid"]  # all expected headers present
+    assert check["unexpected_headers"] == ["new_mystery_col"]
+    assert alerts == ["Schema drift detected: peloton"]
+    # cooldown: second validation within 6h does not re-alert
+    P.validate_csv_headers(
+        p, "peloton", alert_sink=lambda s, b: alerts.append(s), now=2000.0
+    )
+    assert len(alerts) == 1
+
+    # routing verdicts: ingest, then debounced skip
+    r1 = P.route_file(p, now=3000.0)
+    assert r1["action"] == "ingest" and r1["source"] == "peloton"
+    r2 = P.route_file(p, now=3100.0)
+    assert r2 == {"action": "skip", "reason": "recently_processed",
+                  "source": "peloton"}
+    # missing required header → invalid
+    bad = tmp_path / "peloton" / "bad.csv"
+    bad.write_text("Workout Timestamp,Fitness Discipline\n2025,x\n")
+    r3 = P.route_file(bad, now=9000.0)
+    assert r3["action"] == "skip" and r3["reason"] == "invalid_headers"
+    assert "total_output" in r3["validation"]["missing_headers"]
+
+
+def test_run_daily_pipeline_end_to_end(spark, tmp_path):
+    """Orchestrator parity (ref lambda/pipeline_orchestrator): silver →
+    gold → views → briefing chained with per-stage status; a failed
+    stage stops the chain with failed status."""
+    from bio_lakehouse_spark.products import pipeline as P
+
+    res = P.run_daily_pipeline(
+        spark,
+        bronze_root=f"{BIO_ROOT}/bronze",
+        silver_root=str(tmp_path / "silver"),
+        gold_root=str(tmp_path / "gold"),
+        briefing_path=str(tmp_path / "briefing.txt"),
+        as_of="2030-01-01",  # stale vs fixture → briefing still builds
+    )
+    assert res["status"] == "complete", res
+    assert [s["stage"] for s in res["stages"]] == [
+        "silver", "gold", "views", "briefing"
+    ]
+    assert all(s["ok"] for s in res["stages"])
+    assert "DATA STALE" in open(tmp_path / "briefing.txt").read()
+
+    # broken bronze → silver stage fails, chain stops
+    res2 = P.run_daily_pipeline(
+        spark,
+        bronze_root=str(tmp_path / "nonexistent"),
+        silver_root=str(tmp_path / "s2"),
+    )
+    assert res2["status"] == "failed"
+    assert res2["failed_stage"] == "silver"
+    assert len(res2["stages"]) == 1
