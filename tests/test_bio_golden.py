@@ -570,3 +570,29 @@ def test_view_golden(bio, name):
     odf = bio["con"].execute(VIEW_SQLS[name]).fetchdf()
     problems = compare(sdf, odf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_gold_data_constraints(spark):
+    """The reference's dbt data test (tests/
+    assert_readiness_score_range.sql) plus the implicit score-range
+    contracts, run through the one-scan constraint checker on the
+    fixture gold — every rule must hold on every row."""
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.operators.profiling import check_constraints
+
+    gold = build_gold(spark, f"{BIO_ROOT}/silver")["gold_daily_rollup"]
+    rules = [
+        ("readiness_0_100",
+         "readiness_score IS NULL OR (readiness_score >= 0 AND readiness_score <= 100)"),
+        ("sleep_0_100",
+         "sleep_score IS NULL OR (sleep_score >= 0 AND sleep_score <= 100)"),
+        ("date_not_null", "date IS NOT NULL"),
+        ("calories_non_negative",
+         "total_calories_all_sources IS NULL OR total_calories_all_sources >= 0"),
+        ("workout_flag_consistent",
+         "NOT had_workout OR total_workout_count > 0"),
+    ]
+    res = {r["constraint"]: r for r in check_constraints(gold, rules).collect()}
+    for name in [n for n, _ in rules]:
+        assert res[name]["passed"], (name, res[name]["n_violations"])
+    assert res["date_not_null"]["n_rows"] == 150
