@@ -233,3 +233,72 @@ def run_daily_pipeline(
             return {"status": "failed", "failed_stage": name,
                     "stages": stages}
     return {"status": "complete", "stages": stages}
+
+
+_DATE_COLS = ("day", "date", "workout_date")
+
+
+# Sparse-by-nature sources lag without being broken: weigh-ins,
+# mindfulness sessions and workouts don't happen daily.
+DEFAULT_AGE_OVERRIDES: dict[str, int] = {
+    "healthkit_body": 7,
+    "healthkit_mindfulness": 7,
+    "healthkit_workouts": 7,
+}
+
+
+def check_pipeline_health(
+    spark: SparkSession,
+    silver_root: str,
+    gold_root: str | None = None,
+    as_of: str | None = None,
+    max_age_days: int = 2,
+    age_overrides: dict[str, int] | None = None,
+) -> dict:
+    """Pipeline health check (ref scripts/check_pipeline_health.sh +
+    the briefing's freshness guard, done at the DATA level instead of
+    log-grepping): per-table latest date + row count, flagged stale
+    when more than ``max_age_days`` behind ``as_of``
+    (``age_overrides`` per table for sparse-by-nature sources,
+    default ``DEFAULT_AGE_OVERRIDES``). The per-table probe is a MAX
+    aggregate over the date column — column-pruned,
+    partial-aggregated, one tiny row back per table."""
+    from datetime import date as _date
+
+    from pyspark.sql import functions as F
+
+    today = _date.fromisoformat(as_of) if as_of else _date.today()
+    tables: dict[str, dict] = {}
+    roots = [("silver", p) for p in sorted(Path(silver_root).iterdir())
+             if p.is_dir()]
+    if gold_root and Path(gold_root).exists():
+        roots += [("gold", p) for p in sorted(Path(gold_root).iterdir())
+                  if p.is_dir()]
+    for layer, p in roots:
+        name = f"{layer}.{p.name}"
+        try:
+            df = spark.read.parquet(str(p))
+            col = next((c for c in _DATE_COLS if c in df.columns), None)
+            if col is not None:
+                row = df.agg(
+                    F.max(F.col(col).cast("date")).alias("latest"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                latest, n = row["latest"], int(row["n"])
+            else:
+                latest, n = None, df.count()
+            age = (today - latest).days if latest is not None else None
+            overrides = (DEFAULT_AGE_OVERRIDES if age_overrides is None
+                         else age_overrides)
+            bound = overrides.get(p.name, max_age_days)
+            tables[name] = {
+                "rows": n,
+                "latest": str(latest) if latest else None,
+                "age_days": age,
+                "stale": bool(age is not None and age > bound),
+            }
+        except Exception as exc:  # noqa: BLE001 — a broken table IS a finding
+            tables[name] = {"error": f"{type(exc).__name__}: {exc}"[:200],
+                            "stale": True}
+    stale = sorted(k for k, v in tables.items() if v.get("stale"))
+    return {"healthy": not stale, "stale_tables": stale, "tables": tables}

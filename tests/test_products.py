@@ -642,3 +642,26 @@ def test_run_daily_pipeline_end_to_end(spark, tmp_path):
     assert res2["status"] == "failed"
     assert res2["failed_stage"] == "silver"
     assert len(res2["stages"]) == 1
+
+
+def test_check_pipeline_health(spark):
+    from bio_lakehouse_spark.products.pipeline import check_pipeline_health
+
+    # as_of pinned one day after the fixture's newest data → healthy.
+    import datetime
+
+    silver = f"{BIO_ROOT}/silver"
+    latest = spark.read.parquet(f"{silver}/oura_daily_readiness").agg(
+        F.max("day")
+    ).collect()[0][0]
+    fresh = (
+        datetime.date.fromisoformat(str(latest)[:10])
+        + datetime.timedelta(days=1)
+    ).isoformat()
+    res = check_pipeline_health(spark, silver, as_of=fresh)
+    assert res["healthy"], res["stale_tables"]
+    assert res["tables"]["silver.oura_daily_readiness"]["rows"] > 0
+    # far-future as_of → everything dated goes stale
+    res2 = check_pipeline_health(spark, silver, as_of="2031-01-01")
+    assert not res2["healthy"]
+    assert "silver.oura_daily_readiness" in res2["stale_tables"]
