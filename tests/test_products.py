@@ -665,3 +665,80 @@ def test_check_pipeline_health(spark):
     res2 = check_pipeline_health(spark, silver, as_of="2031-01-01")
     assert not res2["healthy"]
     assert "silver.oura_daily_readiness" in res2["stale_tables"]
+
+
+def _alert_gold(spark, rhr_last=55.0, hrv_last=60.0, readiness=None):
+    """30 normal days (RHR 55±~1, HRV 60±~2) then a final day whose
+    vitals/readiness the test controls — the crafted-frame pattern of
+    the reference's per-condition alert tests (ref tests/
+    test_health_alerts.py:56-181)."""
+    import datetime
+
+    rows = []
+    d0 = datetime.date(2025, 6, 1)
+    for i in range(30):
+        rows.append((
+            (d0 + datetime.timedelta(days=i)).isoformat(),
+            55.0 + (i % 3) - 1,          # rhr: 54/55/56
+            60.0 + (i % 5) - 2,          # hrv: 58..62
+            80.0,
+        ))
+    rs = readiness or [80.0, 80.0, 80.0]
+    for j, r in enumerate(rs):
+        rows.append((
+            (d0 + datetime.timedelta(days=30 + j)).isoformat(),
+            rhr_last if j == len(rs) - 1 else 55.0,
+            hrv_last if j == len(rs) - 1 else 60.0,
+            r,
+        ))
+    return spark.createDataFrame(
+        rows,
+        schema="date string, resting_heart_rate_bpm double, "
+               "hrv_ms double, readiness_score double",
+    )
+
+
+def _risk(spark, level="low_risk"):
+    return spark.createDataFrame(
+        [("2025-07-03", level)],
+        schema="date string, overtraining_risk string",
+    )
+
+
+def test_alert_conditions_trigger_individually(spark):
+    from bio_lakehouse_spark.products.alerts import check_alerts
+
+    # Elevated RHR: final-day RHR far above the 30-day norm.
+    a = check_alerts(_alert_gold(spark, rhr_last=70.0), _risk(spark))
+    assert [x["condition"] for x in a] == ["Elevated Resting Heart Rate"]
+    assert a[0]["severity"] == "warning" and "70 bpm" in a[0]["message"]
+
+    # Depressed HRV.
+    a = check_alerts(_alert_gold(spark, hrv_last=40.0), _risk(spark))
+    assert [x["condition"] for x in a] == ["Depressed HRV"]
+
+    # High overtraining risk → critical.
+    a = check_alerts(_alert_gold(spark), _risk(spark, "high_risk"))
+    assert [x["condition"] for x in a] == ["High Overtraining Risk"]
+    assert a[0]["severity"] == "critical"
+
+    # Readiness declining 3 days in a row → info.
+    a = check_alerts(
+        _alert_gold(spark, readiness=[85.0, 75.0, 65.0]), _risk(spark)
+    )
+    assert [x["condition"] for x in a] == ["Readiness Declining"]
+    assert "85 -> 75 -> 65" in a[0]["message"]
+
+    # All normal → no alerts.
+    assert check_alerts(_alert_gold(spark), _risk(spark)) == []
+
+    # Multiple conditions can stack.
+    a = check_alerts(
+        _alert_gold(spark, rhr_last=70.0, hrv_last=40.0,
+                    readiness=[85.0, 75.0, 65.0]),
+        _risk(spark, "high_risk"),
+    )
+    assert {x["condition"] for x in a} == {
+        "Elevated Resting Heart Rate", "Depressed HRV",
+        "High Overtraining Risk", "Readiness Declining",
+    }
