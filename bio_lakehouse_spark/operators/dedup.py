@@ -340,6 +340,32 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """The stored LSH index: one (doc_id, band, value) row per band
+    per doc — what an ingestion pipeline persists (partitioned or
+    bucketed by (band, value) at scale) so incremental dedup never
+    recomputes corpus signatures."""
+    sig = minhash_signatures_raw(df, id_col, text_col, n, num_hashes)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"), F.col(f"mh_{j}").alias("value")
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"),
+        F.col("b.value").alias("value"),
+    )
+
+
 def minhash_incremental_pairs(
     corpus: DataFrame,
     batch: DataFrame,
@@ -350,10 +376,14 @@ def minhash_incremental_pairs(
     threshold: float = 0.5,
     min_band_matches: int = 2,
     max_bucket_size: int = 256,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup — today's crawl against the corpus
     without rescanning the corpus (the minhash twin of the exact
-    fingerprint-store anti-join).
+    fingerprint-store anti-join). Pass ``corpus_bands`` — the stored
+    (doc_id, band, value) index the ingestion pipeline maintains — to
+    skip recomputing corpus signatures entirely; without it the index
+    is derived from ``corpus`` (same zero-exchange projection).
 
     Candidates = (batch × corpus∪batch) pairs sharing ≥
     ``min_band_matches`` bands, found by broadcasting the (small) new
@@ -368,28 +398,15 @@ def minhash_incremental_pairs(
     before the join, same rationale as ``minhash_lsh_pairs``.
     Output pairs are oriented (doc_a < doc_b with doc_b in the
     batch); verification is exact Jaccard ≥ ``threshold``."""
-    sig_c = minhash_signatures_raw(corpus, id_col, text_col, n, num_hashes)
-    sig_b = minhash_signatures_raw(batch, id_col, text_col, n, num_hashes)
-
-    def bands_of(sig: DataFrame) -> DataFrame:
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"), F.col(f"mh_{j}").alias("value")
-                )
-                for j in range(num_hashes)
-            ]
+    if corpus_bands is None:
+        corpus_bands = minhash_band_table(
+            corpus, id_col, text_col, n, num_hashes
         )
-        return sig.select("doc_id", F.explode(bands).alias("b")).select(
-            "doc_id", F.col("b.band").alias("band"),
-            F.col("b.value").alias("value"),
-        )
-
-    corpus_bands = bands_of(sig_c).withColumn(
+    corpus_bands = corpus_bands.withColumn(
         "bsize",
         F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
     ).filter(F.col("bsize") <= max_bucket_size).drop("bsize")
-    batch_bands = bands_of(sig_b)
+    batch_bands = minhash_band_table(batch, id_col, text_col, n, num_hashes)
     left = corpus_bands.select(
         F.col("doc_id").alias("doc_a"), "band", "value",
         F.lit(False).alias("a_new"),

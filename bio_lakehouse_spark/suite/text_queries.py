@@ -1021,21 +1021,36 @@ SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup dedup (doc_id ≥ 400 stands in for today's
-    crawl): the new batch's band table broadcasts against the stored
-    corpus band index, corpus text touched only for candidate docs —
-    per-batch cost O(batch + candidates), never O(corpus). Oracle is
-    the brute-force Jaccard scan over exactly the pairs with a
-    new-batch member (same ≥2-of-16-band recall argument as
-    dedup_minhash_lsh)."""
+    crawl): the new batch's band table broadcasts against the STORED
+    corpus band index (persisted parquet, built once — exactly what an
+    ingestion pipeline maintains), corpus text touched only for
+    candidate docs — per-batch cost O(batch + candidates), never
+    O(corpus). Oracle is the brute-force Jaccard scan over exactly the
+    pairs with a new-batch member (same ≥2-of-16-band recall argument
+    as dedup_minhash_lsh)."""
+    from pathlib import Path
+
     from bio_lakehouse_spark.operators.dedup import (
+        minhash_band_table,
         minhash_incremental_pairs,
+    )
+    from bio_lakehouse_spark.suite.pipeline_queries import (
+        _FIXTURE_ROOT,
+        _sf_tag,
     )
 
     docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    idx = str(_FIXTURE_ROOT / f"minhash_bands_{_sf_tag(sf_dir)}")
+    if not Path(idx + "_DONE").exists():
+        minhash_band_table(corpus, "doc_id", "text", n=3,
+                           num_hashes=16).write.mode("overwrite").parquet(idx)
+        Path(idx + "_DONE").touch()
     out = minhash_incremental_pairs(
-        docs.filter(F.col("doc_id") < 400),
+        corpus,
         docs.filter(F.col("doc_id") >= 400),
         "doc_id", "text", n=3, num_hashes=16, threshold=0.5,
+        corpus_bands=spark.read.parquet(idx),
     )
     return out.select(
         "doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard")
