@@ -742,3 +742,25 @@ def test_alert_conditions_trigger_individually(spark):
         "Elevated Resting Heart Rate", "Depressed HRV",
         "High Overtraining Risk", "Readiness Declining",
     }
+
+
+def test_route_file_semicolon_and_real_bronze(tmp_path):
+    """Semicolon-delimited files sniff correctly (ref test_ingestion
+    semicolon detection), and the real bronze fixtures route as
+    valid ingests for their sources."""
+    from bio_lakehouse_spark.products import pipeline as P
+
+    p = tmp_path / "oura" / "readiness" / "data.csv"
+    p.parent.mkdir(parents=True)
+    p.write_text("id;day;score;timestamp\n1;2025-01-01;80;t\n")
+    r = P.route_file(p, now=50_000.0)
+    assert r["action"] == "ingest" and r["source"] == "oura/readiness"
+    assert r["validation"]["header_count"] == 4
+
+    import glob
+
+    real = sorted(glob.glob(f"{BIO_ROOT}/bronze/oura/readiness/**/*.csv",
+                            recursive=True))[:1]
+    assert real
+    r2 = P.route_file(real[0], now=60_000.0)
+    assert r2["action"] == "ingest", r2
