@@ -27,7 +27,18 @@ _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return Path(sf_dir).name.replace(".", "_")
+    """Fixture tag = sf name + a fingerprint of the source parquet
+    files (size + mtime). Derived fixtures (CSV variants, partitioned
+    sinks, LSH band tables, IVF indexes) persist across rounds under
+    .fixtures/; if the driver regenerates the testdata, a stale
+    fixture would silently diverge from the fresh oracle — the
+    fingerprint forces a rebuild instead."""
+    p = Path(sf_dir)
+    sig = 0
+    for f in sorted(p.glob("*.parquet")):
+        st = f.stat()
+        sig = (sig * 1000003 + st.st_size + int(st.st_mtime)) & 0xFFFFFFFF
+    return f"{p.name.replace('.', '_')}_{sig:08x}"
 
 
 # ---------------------------------------------------------------------------
