@@ -211,3 +211,66 @@ def kmv_set_estimates(
             F.round(F.col("n_union") * scale).cast("long").alias("est_union"),
         )
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    value_col: str,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch frequency estimates for a candidate key set
+    (heavy-hitter verification — CM completes the sketch family next
+    to HLL/KMV/theta/histogram; Cormode & Muthukrishnan 2005).
+
+    Build: d×w counters as (row, bucket, count) rows — the exchange
+    carries ≤ d·w rows per partition whatever the input size (same
+    bounded-state shape as the HLL register build). Row j's bucket is
+    carved from the SAME md5-derived 60-bit hash (bits j·8..j·8+8 for
+    w=256), so both engines reproduce the sketch bit-for-bit.
+    Estimate: min over the d counters addressed by each candidate key
+    — a ≤ d·w broadcast joined onto the (small) candidate set. CM
+    never underestimates: est ≥ exact, with overshoot bounded by
+    ~2n/w per row at depth-4 union bound."""
+    h = hash60(F.col(value_col))
+    rows = F.array(*[F.lit(j) for j in range(depth)])
+    cm = (
+        df.select(h.alias("__h"))
+        .select(F.explode(rows).alias("__row"), "__h")
+        .select(
+            "__row",
+            # SQL shiftright accepts a column shift amount; the
+            # PySpark builtin requires a literal.
+            F.expr("shiftright(__h, __row * 8)")
+            .bitwiseAND(F.lit(width - 1))
+            .alias("__bucket"),
+        )
+        .groupBy("__row", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    ch = hash60(F.col(value_col))
+    cand = candidates.select(
+        value_col,
+        *[
+            F.shiftright(ch, j * 8)
+            .bitwiseAND(F.lit(width - 1))
+            .alias(f"__b{j}")
+            for j in range(depth)
+        ],
+    )
+    out = cand
+    for j in range(depth):
+        cmj = F.broadcast(
+            cm.filter(F.col("__row") == j).select(
+                F.col("__bucket").alias(f"__b{j}"),
+                F.col("__cnt").alias(f"__c{j}"),
+            )
+        )
+        out = out.join(cmj, on=f"__b{j}", how="left")
+    est = F.least(
+        *[F.coalesce(F.col(f"__c{j}"), F.lit(0)) for j in range(depth)]
+    )
+    return out.select(
+        value_col, est.cast("long").alias("cm_estimate")
+    )

@@ -264,3 +264,65 @@ def approx_distinct_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("approx_within_5pct"),
     )
+
+
+_H60 = (
+    "CAST(concat('0x', substr(md5(CAST({v} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "cm_heavy_hitters",
+    survey=("A13", "A11"),
+    oracle=f"""
+WITH h AS (
+  SELECT {_H60.format(v='o_custkey')} AS hh FROM orders
+), cm AS (
+  SELECT j.r, (hh >> (j.r * 8)) & 255 AS bucket, COUNT(*) AS c
+  FROM h, (SELECT unnest(range(4)) AS r) j
+  GROUP BY 1, 2
+), exact AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders
+  GROUP BY 1 ORDER BY n DESC, o_custkey LIMIT 20
+), cand AS (
+  SELECT o_custkey, n, {_H60.format(v='o_custkey')} AS hh FROM exact
+)
+SELECT c.o_custkey,
+       CAST(c.n AS BIGINT) AS exact_count,
+       CAST(LEAST(c0.c, c1.c, c2.c, c3.c) AS BIGINT) AS cm_estimate,
+       LEAST(c0.c, c1.c, c2.c, c3.c) >= c.n AS never_underestimates
+FROM cand c
+JOIN cm c0 ON c0.r = 0 AND c0.bucket = (c.hh >> 0) & 255
+JOIN cm c1 ON c1.r = 1 AND c1.bucket = (c.hh >> 8) & 255
+JOIN cm c2 ON c2.r = 2 AND c2.bucket = (c.hh >> 16) & 255
+JOIN cm c3 ON c3.r = 3 AND c3.bucket = (c.hh >> 24) & 255
+""",
+)
+def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter verification (completes the sketch
+    family — Cormode & Muthukrishnan 2005): d=4 × w=256 counters
+    carved from the shared md5-derived 60-bit hash, estimates for the
+    exact top-20 customers by order count. The oracle reproduces the
+    sketch bit-for-bit and pins the one-sided error guarantee
+    (cm_estimate ≥ exact on every row)."""
+    from bio_lakehouse_spark.operators.sketches import count_min_estimates
+
+    orders = load(spark, sf_dir, "orders")
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "o_custkey")
+        .limit(20)
+    )
+    est = count_min_estimates(
+        orders, "o_custkey", exact.select("o_custkey"),
+        depth=4, width=256,
+    )
+    return exact.join(est, on="o_custkey").select(
+        "o_custkey",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )
