@@ -202,3 +202,57 @@ def range_join_bucketed(
         .withColumnRenamed("__lts", left_ts)
         .withColumnRenamed("__rts", f"right_{right_ts}")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str],
+    right_cols: tuple[str, str, str],
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Two-sided interval-overlap join — pairs whose [start, end]
+    spans intersect (inclusive): the generalization of the band range
+    join to interval×interval (concurrency analysis, meeting overlap,
+    session co-presence).
+
+    ``left_cols``/``right_cols`` are (id, start, end). Scale shape:
+    each interval is exploded to every ``bucket_s`` bin it covers, the
+    join is a (bin) hash equi-join, the exact overlap predicate
+    filters, and bucket-duplicate pairs collapse with one distinct.
+    Candidate fan-out per row is |interval|/bucket + 1, independent of
+    table size; a naive inequality join would plan a nested loop over
+    the full cross product."""
+    lid, ls, le = left_cols
+    rid, rs, re_ = right_cols
+
+    def bins(df, id_c, s_c, e_c, prefix):
+        return df.select(
+            F.col(id_c).alias(f"{prefix}_id"),
+            F.unix_timestamp(F.col(s_c)).alias(f"{prefix}_start"),
+            F.unix_timestamp(F.col(e_c)).alias(f"{prefix}_end"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}_start") / bucket_s).cast(
+                        "long"
+                    ),
+                    F.floor(F.col(f"{prefix}_end") / bucket_s).cast(
+                        "long"
+                    ),
+                )
+            ).alias("__bin"),
+        )
+
+    l = bins(left, lid, ls, le, "l")
+    r = bins(right, rid, rs, re_, "r")
+    overlap = (F.col("l_start") <= F.col("r_end")) & (
+        F.col("r_start") <= F.col("l_end")
+    )
+    return (
+        l.join(r, on="__bin")
+        .filter(overlap)
+        .select("l_id", "r_id", "l_start", "l_end", "r_start", "r_end")
+        .distinct()
+    )

@@ -941,3 +941,82 @@ def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples", "strength",
         F.round("confidence", 6).alias("confidence"),
     )
+
+
+@register(
+    "concurrent_sessions",
+    survey=("J7", "W4", "A1"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS e
+  FROM sessions GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_concurrent
+FROM per_session a JOIN per_session b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1, 2
+""",
+)
+def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session co-presence: gap-30min sessions per user
+    (the sessionize_gap30 machinery), then an interval-OVERLAP
+    self-join counting concurrent session pairs per user pair. The
+    Spark side is the bucketized interval join
+    (operators/joins.interval_overlap_join — bin equi-join + exact
+    predicate + distinct, fan-out |interval|/bucket + 1 per row);
+    the oracle is DuckDB's native inequality join over the same
+    sessions — results must match exactly."""
+    from bio_lakehouse_spark.operators.joins import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag(F.col("ts")).over(w))
+                > 1800
+            )
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    ).select(
+        (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid"),
+        "s", "e",
+    )
+    pairs = interval_overlap_join(
+        per_session, per_session, ("sid", "s", "e"), ("sid", "s", "e"),
+        bucket_s=3600,
+    )
+    user_a = F.floor(F.col("l_id") / 1_000_000).cast("long")
+    user_b = F.floor(F.col("r_id") / 1_000_000).cast("long")
+    return (
+        pairs.filter(user_a < user_b)
+        .select(user_a.alias("user_a"), user_b.alias("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
+    )
