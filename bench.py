@@ -42,6 +42,7 @@ HEADLINE = [
     "lag_lead_deltas",
     "forward_fill_gaps",
     "sessionize_gap30",
+    "concurrent_sessions",
     "percentile_stats",
     "pearson_ols_lagged",
     "spearman_rho",

@@ -376,6 +376,21 @@ def test_lsh_bucket_path_single_exchange_no_self_join(spark, sf_dir):
     assert n_bucket_exchanges == n_windows, plan
 
 
+def test_interval_overlap_join_is_hash_on_bins(spark, sf_dir):
+    """The interval-overlap self-join must plan as a hash equi-join on
+    the exploded bin key — never a nested-loop over the interval
+    cross product."""
+    df = REGISTRY["concurrent_sessions"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bin" in plan  # bins are the join key
+    assert "Join" in plan
+
+
 def test_bench_noop_plans_keep_work_nodes(spark, sf_dir):
     """Regression net for the round-1 count() lesson: under the noop
     sink the bench queries' optimized plans must RETAIN their
