@@ -253,3 +253,45 @@ def test_banded_simhash_equals_bruteforce(spark, docs, seed):
         + bin(sig[a][1] ^ sig[b][1]).count("1") <= 3
     )
     assert got == expect
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),   # start offset s
+        st.integers(min_value=0, max_value=8_000),    # duration s
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=intervals_strategy, right=intervals_strategy)
+def test_interval_overlap_join_matches_naive(spark, left, right):
+    """Bucketized interval-overlap join ≡ the O(n²) scan on random
+    intervals — binning is a pure candidate optimization, never a
+    semantics change (inclusive overlap, all bucket boundaries)."""
+    from bio_lakehouse_spark.operators.joins import interval_overlap_join
+
+    ldf = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (s, d) in enumerate(left)],
+        schema="id long, s timestamp, e timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (s, d) in enumerate(right)],
+        schema="id long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, ("id", "s", "e"), ("id", "s", "e"), bucket_s=3600
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(left)
+        for j, (rs, rd) in enumerate(right)
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == expect
