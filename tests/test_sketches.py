@@ -104,3 +104,33 @@ def test_histogram_quantile_duplicate_scaling_invariant(spark):
     once = sorted(map(tuple, histogram_quantiles(df, "v", (0.5, 0.9), 64).collect()))
     twice = sorted(map(tuple, histogram_quantiles(df.unionAll(df), "v", (0.5, 0.9), 64).collect()))
     assert once == twice
+
+
+def test_count_min_one_sided_error_random(spark):
+    """CM guarantee on adversarially-collapsed key space: estimates
+    never underestimate, never exceed the stream length, and are
+    exact when the candidate's buckets hold no colliding keys."""
+    import collections
+    import random
+
+    from bio_lakehouse_spark.operators.sketches import count_min_estimates
+
+    rng = random.Random(17)
+    keys = [str(rng.randrange(40)) for _ in range(3000)]
+    exact = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], schema="v string")
+    cand = spark.createDataFrame(
+        [(k,) for k in exact], schema="v string"
+    )
+    got = {
+        r["v"]: r["cm_estimate"]
+        for r in count_min_estimates(df, "v", cand, depth=4,
+                                     width=64).collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert got[k] >= n, (k, got[k], n)
+        assert got[k] <= len(keys)
+    # depth-4 min over 64 buckets on 40 keys: most estimates exact
+    exact_frac = sum(got[k] == n for k, n in exact.items()) / len(exact)
+    assert exact_frac > 0.5
