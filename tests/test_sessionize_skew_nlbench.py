@@ -157,3 +157,86 @@ def test_nl_benchmark_10_questions(spark):
     # The reference's bar is 7/10 with a live LLM; with hand-written
     # SQL every question must execute.
     assert passed == 10, failures
+
+
+def test_stream_sessions_equal_batch_on_real_events(spark, sf_dir, tmp_path):
+    """Batch↔stream equivalence on real data: the stateful streaming
+    sessionizer over the sf0.001 events (replayed as a file stream,
+    flushed by a far-future sentinel) must produce EXACTLY the batch
+    gap-sessionization's (user, start, n_events, total_value) set —
+    the structured-streaming guarantee that matters."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.streaming.sessionize import stream_sessions
+    from bio_lakehouse_spark.suite.registry import load
+
+    small_sf = "/root/testdata/sf0.001"
+    ev = load(spark, small_sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    pdf = ev.toPandas()
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    body = "\n".join(
+        f"{r.event_id},{r.ts},{r.user_id},{r.event_type},{r.value}"
+        for r in pdf.itertuples()
+    )
+    (landing / "events.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n" + body + "\n"
+    )
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_sessions(spark, str(landing), out, ckpt, EVENT_SCHEMA,
+                        gap_s=1800)
+    assert q.awaitTermination(600)
+    # Sentinel far past every event flushes open sessions by watermark.
+    (landing / "zz_sentinel.csv").write_text(
+        "event_id,ts,user_id,event_type,value\n"
+        "999999999,2030-01-01 00:00:00,999999,click,0.0\n"
+    )
+    q2 = stream_sessions(spark, str(landing), out, ckpt, EVENT_SCHEMA,
+                         gap_s=1800)
+    assert q2.awaitTermination(600)
+    streamed = {
+        (r["user_id"], str(r["session_start"])):
+            (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 999999
+    }
+    # Batch twin over the SAME csv (identical parsing path).
+    batch_ev = (
+        spark.read.option("header", True).schema(EVENT_SCHEMA)
+        .csv(str(landing / "events.csv"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        batch_ev.withColumn(
+            "new_session",
+            F.when(
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+                | F.lag("ts").over(w).isNull(), 1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    batch = {
+        (r["user_id"], str(r["session_start"])):
+            (r["n_events"], round(r["total_value"], 6))
+        for r in sess.collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 50
