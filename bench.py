@@ -90,8 +90,23 @@ def main() -> None:
     # JVM + reader warmup (excluded from timings).
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
-    timings: dict[str, float | None] = {}
+    # Fixture prebuild (excluded from timings): several queries
+    # materialize persisted fixtures on first call (LSH band index,
+    # CSV variants, partitioned sinks) as eager driver-side writes
+    # *inside the query function*, before the returned DataFrame ever
+    # runs. Calling every headline fn once and discarding the result
+    # builds all fixtures now, so run1 measures the query, not fixture
+    # I/O (round-3 drift postmortem: fixture builds inside the first
+    # timed run inflated it unpredictably).
     errors: dict[str, str] = {}
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — recorded in timed loop
+            errors[f"{name}:prebuild"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    timings: dict[str, float | None] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         # Failure isolation: one broken query must never zero out the
@@ -111,6 +126,7 @@ def main() -> None:
                 materialize(fn(spark, sf_dir))
                 runs.append(time.perf_counter() - t0)
             timings[name] = round(min(runs), 3)
+            all_runs[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 — always emit the line
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -144,6 +160,11 @@ def main() -> None:
         "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
         "queries": timings,
+        # Per-query raw runs (run1 = first timed execution of the
+        # shape, pays whole-stage-codegen classgen + JIT; later runs =
+        # steady state). Makes JIT-vs-plan regressions diagnosable
+        # from the JSON alone.
+        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

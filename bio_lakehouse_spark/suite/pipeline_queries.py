@@ -14,6 +14,7 @@ their oracles can still be expressed against the original tables.
 from __future__ import annotations
 
 import os
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -25,20 +26,53 @@ R6 = lambda c: F.round(c, 6)  # noqa: E731
 
 _FIXTURE_ROOT = Path(__file__).resolve().parents[2] / ".fixtures"
 
+# Bump whenever the *code or session confs* that bake bytes into a
+# fixture change (e.g. parquet timestamp confs, writer layout). The
+# testdata fingerprint alone can't see those: a conf change with
+# unchanged testdata would silently reuse a semantically stale fixture
+# (the round-3 red row on `partitioned_sink_pruned_read` was exactly
+# this — fixtures written under pre-`outputTimestampType` confs).
+_FIXTURE_VERSION = 2
+
 
 def _sf_tag(sf_dir: str) -> str:
     """Fixture tag = sf name + a fingerprint of the source parquet
-    files (size + mtime). Derived fixtures (CSV variants, partitioned
-    sinks, LSH band tables, IVF indexes) persist across rounds under
-    .fixtures/; if the driver regenerates the testdata, a stale
-    fixture would silently diverge from the fresh oracle — the
-    fingerprint forces a rebuild instead."""
+    files (size + mtime) + the fixture-format version. Derived
+    fixtures (CSV variants, partitioned sinks, LSH band tables, IVF
+    indexes) persist across rounds under .fixtures/; if the driver
+    regenerates the testdata OR the building code changes format
+    (_FIXTURE_VERSION), a stale fixture would silently diverge from
+    the fresh oracle — the fingerprint forces a rebuild instead."""
     p = Path(sf_dir)
-    sig = 0
+    sig = _FIXTURE_VERSION
     for f in sorted(p.glob("*.parquet")):
         st = f.stat()
         sig = (sig * 1000003 + st.st_size + int(st.st_mtime)) & 0xFFFFFFFF
     return f"{p.name.replace('.', '_')}_{sig:08x}"
+
+
+def fixture_path(prefix: str, sf_dir: str) -> Path:
+    """Resolve `.fixtures/<prefix>_<tag>` and purge stale siblings of
+    the same family+sf (older fingerprints, pre-fingerprint names, and
+    their `_DONE` sentinels). Old dirs are actively dangerous, not
+    just wasteful: any older code path that still resolves the
+    unfingerprinted name reads bytes written under different confs and
+    hash-mismatches the oracle."""
+    tag = _sf_tag(sf_dir)
+    current = f"{prefix}_{tag}"
+    sf_name = Path(sf_dir).name.replace(".", "_")
+    family = f"{prefix}_{sf_name}"
+    if _FIXTURE_ROOT.exists():
+        for entry in _FIXTURE_ROOT.iterdir():
+            name = entry.name
+            if name in (current, current + "_DONE"):
+                continue
+            if name == family or name.startswith(family + "_"):
+                if entry.is_dir():
+                    shutil.rmtree(entry, ignore_errors=True)
+                else:
+                    entry.unlink(missing_ok=True)
+    return _FIXTURE_ROOT / current
 
 
 # ---------------------------------------------------------------------------
@@ -51,7 +85,7 @@ def _build_csv_fixture(spark: SparkSession, sf_dir: str) -> Path:
     comma/alphabetical order, semicolon/Title-Case headers — plus
     duplicated rows (doc_id % 10 == 0 repeated) for the dedup path.
     Idempotent via a _DONE sentinel."""
-    root = _FIXTURE_ROOT / f"csvscan_{_sf_tag(sf_dir)}"
+    root = fixture_path("csvscan", sf_dir)
     done = root / "_DONE"
     if done.exists():
         return root
@@ -138,7 +172,9 @@ def csv_header_group_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
        strftime(ts, '%d') AS day,
-       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
 FROM events
 WHERE strftime(ts, '%d') BETWEEN '10' AND '20'
 GROUP BY 1, 2, 3
@@ -149,13 +185,20 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionBy(year, month, day) (string partition columns, the
     reference's Silver layout — oura_normalizer.py:289-297), read back
     with a day-range predicate that prunes partitions at planning time
-    (file listing drops ~2/3 of directories before any IO)."""
+    (file listing drops ~2/3 of directories before any IO).
+
+    Hash contract: values sum as integer micro-units (per-row
+    round(value*1e6) then integer SUM), not ROUND(SUM(double),6) —
+    the Spark side sums doubles from *re-partitioned* files while the
+    oracle sums the original table, and double-sum order sensitivity
+    made the old contract a coin-flip at the 6th decimal (the single
+    red row in CORRECTNESS_r03). Integer sums are order-exact."""
     from bio_lakehouse_spark.sources.sinks import (
         read_partitioned_parquet,
         write_partitioned_parquet,
     )
 
-    path = str(_FIXTURE_ROOT / f"events_part_{_sf_tag(sf_dir)}")
+    path = str(fixture_path("events_part", sf_dir))
     done = Path(path + "_DONE")
     if not done.exists():
         ev = load(spark, sf_dir, "events").select(
@@ -168,12 +211,13 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_parquet(ev, path, ["year", "month", "day"])
         done.touch()
     back = read_partitioned_parquet(spark, path)
+    micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
     return (
         back.filter((F.col("day") >= "10") & (F.col("day") <= "20"))
         .groupBy("year", "month", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            R6(F.sum("value")).alias("total_value"),
+            F.sum(micros).cast("long").alias("total_value_micros"),
         )
     )
 
@@ -208,7 +252,7 @@ def ctas_gold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS daily_value
             FROM events_src_{tag} GROUP BY user_id, CAST(ts AS DATE)
         """,
-        path=str(_FIXTURE_ROOT / f"ctas_gold_{tag}"),
+        path=str(fixture_path("ctas_gold", sf_dir)),
     )
 
 

@@ -390,16 +390,13 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index,
         ivf_topk_indexed,
     )
-    from bio_lakehouse_spark.suite.pipeline_queries import (
-        _FIXTURE_ROOT,
-        _sf_tag,
-    )
+    from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
 
     emb = load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
     )
-    idx = str(_FIXTURE_ROOT / f"ivf_index_{_sf_tag(sf_dir)}")
+    idx = str(fixture_path("ivf_index", sf_dir))
     if not Path(idx + "_DONE").exists():
         build_ivf_index(emb, centroids, idx)
         Path(idx + "_DONE").touch()

@@ -1034,14 +1034,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_band_table,
         minhash_incremental_pairs,
     )
-    from bio_lakehouse_spark.suite.pipeline_queries import (
-        _FIXTURE_ROOT,
-        _sf_tag,
-    )
+    from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
 
     docs = load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
-    idx = str(_FIXTURE_ROOT / f"minhash_bands_{_sf_tag(sf_dir)}")
+    idx = str(fixture_path("minhash_bands", sf_dir))
     if not Path(idx + "_DONE").exists():
         minhash_band_table(corpus, "doc_id", "text", n=3,
                            num_hashes=16).write.mode("overwrite").parquet(idx)
