@@ -197,7 +197,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int = 256,
     return_stats: bool = False,
     eager_checkpoint: bool = True,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """MinHash LSH candidate generation + exact verification.
 
     Candidates = pairs sharing at least ``min_band_matches`` of the
@@ -377,7 +377,8 @@ def minhash_incremental_pairs(
     min_band_matches: int = 2,
     max_bucket_size: int = 256,
     corpus_bands: DataFrame | None = None,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup — today's crawl against the corpus
     without rescanning the corpus (the minhash twin of the exact
     fingerprint-store anti-join). Pass ``corpus_bands`` — the stored
@@ -395,7 +396,11 @@ def minhash_incremental_pairs(
     in a candidate pair (left-semi probe), so per-batch cost is
     O(batch + candidates), never O(corpus). Hot corpus buckets
     (boilerplate band values) are dropped at ``max_bucket_size``
-    before the join, same rationale as ``minhash_lsh_pairs``.
+    before the join, same rationale — and same recall caveat — as
+    ``minhash_lsh_pairs``: a true near-dup pair whose only matching
+    bands live in oversized buckets is missed. ``return_stats=True``
+    returns ``(pairs, stats)`` with one row per dropped corpus bucket
+    so the pipeline can see how much the cap bit.
     Output pairs are oriented (doc_a < doc_b with doc_b in the
     batch); verification is exact Jaccard ≥ ``threshold``."""
     if corpus_bands is None:
@@ -405,7 +410,19 @@ def minhash_incremental_pairs(
     corpus_bands = corpus_bands.withColumn(
         "bsize",
         F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
-    ).filter(F.col("bsize") <= max_bucket_size).drop("bsize")
+    )
+    stats = None
+    if return_stats:
+        corpus_bands = corpus_bands.localCheckpoint()
+        stats = (
+            corpus_bands.groupBy("band", "value")
+            .agg(F.max("bsize").alias("size"))
+            .filter(F.col("size") > max_bucket_size)
+            .withColumn("dropped", F.lit(True))
+        )
+    corpus_bands = corpus_bands.filter(
+        F.col("bsize") <= max_bucket_size
+    ).drop("bsize")
     batch_bands = minhash_band_table(batch, id_col, text_col, n, num_hashes)
     left = corpus_bands.select(
         F.col("doc_id").alias("doc_a"), "band", "value",
@@ -450,12 +467,15 @@ def minhash_incremental_pairs(
     ).withColumn("sz", F.size("shingles")).localCheckpoint()
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter)
-    return (
+    verified = (
         cand.join(shingled.toDF("doc_a", "sh_a", "sz_a"), on="doc_a")
         .join(shingled.toDF("doc_b", "sh_b", "sz_b"), on="doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    if return_stats:
+        return verified, stats
+    return verified
 
 
 def simhash32(
@@ -600,17 +620,24 @@ def simhash_pairs_banded(
     n: int = 3,
     max_hamming: int = 3,
     max_bucket_size: int = 256,
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """SimHash near-dup pairs WITHOUT a blocked self-join — the
     100 TB path, per Manku/Jain/Sarma (WWW'07): 64-bit signature,
     hamming ≤ 3, split into 4 × 16-bit bands. Pigeonhole: a pair
     within hamming ≤ 3 differs in at most 3 bands, so it matches
-    EXACTLY (recall 1 by construction, not probabilistically) on at
-    least one band; a random pair collides on a 16-bit band with
-    p = 2⁻¹⁶, so candidates stay near-linear in corpus size.
-    Candidates come from one explode + (band, value)-keyed
-    aggregation — the same single-exchange hot-bucket-capped shape as
-    the MinHash LSH path — then exact xor+bit_count verification.
+    exactly on at least one band; a random pair collides on a 16-bit
+    band with p = 2⁻¹⁶, so candidates stay near-linear in corpus
+    size. The pigeonhole argument gives recall 1 ONLY while no
+    matching band bucket exceeds ``max_bucket_size``: buckets larger
+    than the cap are dropped before pair expansion (boilerplate
+    protection, same as the MinHash path), so a true hamming≤3 pair
+    whose every matching band lands in an oversized bucket is missed.
+    ``return_stats=True`` returns ``(pairs, stats)`` with one row per
+    oversized bucket so a pipeline can monitor that boundary instead
+    of assuming it away. Candidates come from one explode +
+    (band, value)-keyed aggregation — the same single-exchange shape
+    as the MinHash LSH path — then exact xor+bit_count verification.
     Compare ``simhash_pairs``: quadratic within its blocking column,
     unusable when blocks are corpus-sized (an 'en' block IS the
     corpus). Requires ``max_hamming`` ≤ 3 to keep the 4-band
@@ -640,6 +667,15 @@ def simhash_pairs_banded(
         "bsize",
         F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
     )
+    stats = None
+    if return_stats:
+        sized = sized.localCheckpoint()
+        stats = (
+            sized.groupBy("band", "value")
+            .agg(F.max("bsize").alias("size"))
+            .filter(F.col("size") > max_bucket_size)
+            .withColumn("dropped", F.lit(True))
+        )
     cand = (
         sized.filter(
             (F.col("bsize") > 1) & (F.col("bsize") <= max_bucket_size)
@@ -667,12 +703,15 @@ def simhash_pairs_banded(
     hamming = F.bit_count(
         F.col("hi_a").bitwiseXOR(F.col("hi_b"))
     ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    return (
+    verified = (
         cand.join(sig.toDF("doc_a", "hi_a", "lo_a"), on="doc_a")
         .join(sig.toDF("doc_b", "hi_b", "lo_b"), on="doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if return_stats:
+        return verified, stats
+    return verified
 
 
 def ngram_overlap_contamination(

@@ -210,6 +210,7 @@ def interval_overlap_join(
     left_cols: tuple[str, str, str],
     right_cols: tuple[str, str, str],
     bucket_s: int = 3600,
+    max_bins_per_row: int = 4096,
 ) -> DataFrame:
     """Two-sided interval-overlap join — pairs whose [start, end]
     spans intersect (inclusive): the generalization of the band range
@@ -222,28 +223,45 @@ def interval_overlap_join(
     filters, and bucket-duplicate pairs collapse with one distinct.
     Candidate fan-out per row is |interval|/bucket + 1, independent of
     table size; a naive inequality join would plan a nested loop over
-    the full cross product."""
+    the full cross product.
+
+    Fan-out guard (the LSH hot-bucket-cap philosophy applied here): a
+    single pathological interval — one year at the default 1-hour
+    bucket is ~8 760 bins, a mis-parsed epoch-0 start is millions —
+    would silently explode the candidate table. Rows needing more
+    than ``max_bins_per_row`` bins fail the job LOUDLY (raise_error
+    inside the plan) instead: clamping would drop true overlaps, and
+    the right fix is a coarser ``bucket_s`` for that data, which the
+    error message says."""
     lid, ls, le = left_cols
     rid, rs, re_ = right_cols
 
     def bins(df, id_c, s_c, e_c, prefix):
+        lo = F.floor(F.col(f"{prefix}_start") / bucket_s).cast("long")
+        hi = F.floor(F.col(f"{prefix}_end") / bucket_s).cast("long")
+        n_bins = hi - lo + 1
+        guarded = F.when(
+            n_bins <= max_bins_per_row, F.sequence(lo, hi)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval needs "
+                    ),
+                    n_bins.cast("string"),
+                    F.lit(
+                        f" bins (> max_bins_per_row={max_bins_per_row}"
+                        f" at bucket_s={bucket_s}); raise bucket_s or"
+                        " filter degenerate intervals"
+                    ),
+                )
+            )
+        )
         return df.select(
             F.col(id_c).alias(f"{prefix}_id"),
             F.unix_timestamp(F.col(s_c)).alias(f"{prefix}_start"),
             F.unix_timestamp(F.col(e_c)).alias(f"{prefix}_end"),
-        ).select(
-            "*",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{prefix}_start") / bucket_s).cast(
-                        "long"
-                    ),
-                    F.floor(F.col(f"{prefix}_end") / bucket_s).cast(
-                        "long"
-                    ),
-                )
-            ).alias("__bin"),
-        )
+        ).select("*", F.explode(guarded).alias("__bin"))
 
     l = bins(left, lid, ls, le, "l")
     r = bins(right, rid, rs, re_, "r")

@@ -232,7 +232,23 @@ def count_min_estimates(
     Estimate: min over the d counters addressed by each candidate key
     — a ≤ d·w broadcast joined onto the (small) candidate set. CM
     never underestimates: est ≥ exact, with overshoot bounded by
-    ~2n/w per row at depth-4 union bound."""
+    ~2n/w per row at depth-4 union bound.
+
+    Each depth row must address DISJOINT bits of the 60-bit hash or
+    the rows stop being independent and the union-bound error
+    guarantee quietly degrades — so ``width`` must be a power of two
+    and ``depth·log2(width)`` must fit in the 60 hash bits (validated
+    here; the per-row shift is log2(width), not a fixed 8)."""
+    bits = width.bit_length() - 1
+    if width <= 1 or (width & (width - 1)) != 0:
+        raise ValueError(
+            f"count-min width must be a power of two > 1, got {width}"
+        )
+    if depth * bits > 60:
+        raise ValueError(
+            f"depth {depth} x log2(width) {bits} exceeds the 60 "
+            "available hash bits; rows would reuse overlapping bits"
+        )
     h = hash60(F.col(value_col))
     rows = F.array(*[F.lit(j) for j in range(depth)])
     cm = (
@@ -242,7 +258,7 @@ def count_min_estimates(
             "__row",
             # SQL shiftright accepts a column shift amount; the
             # PySpark builtin requires a literal.
-            F.expr("shiftright(__h, __row * 8)")
+            F.expr(f"shiftright(__h, __row * {bits})")
             .bitwiseAND(F.lit(width - 1))
             .alias("__bucket"),
         )
@@ -253,7 +269,7 @@ def count_min_estimates(
     cand = candidates.select(
         value_col,
         *[
-            F.shiftright(ch, j * 8)
+            F.shiftright(ch, j * bits)
             .bitwiseAND(F.lit(width - 1))
             .alias(f"__b{j}")
             for j in range(depth)

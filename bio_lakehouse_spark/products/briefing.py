@@ -63,8 +63,18 @@ def energy_guidance(e: dict) -> str:
         elif r_3day < 65:
             streak = " Multiple low days — prioritize recovery."
 
+    # Vitals string from whatever scores are present — a row can carry
+    # an energy_state with a null readiness/sleep score (partial
+    # sources), and '{:.0f}'.format(None) raises.
+    vital_parts = []
+    if readiness is not None:
+        vital_parts.append(f"Readiness {readiness:.0f}")
+    if sleep is not None:
+        vital_parts.append(f"sleep {sleep:.0f}")
+    vitals = ", ".join(vital_parts) or f"Energy {state}"
+
     if state == "peak":
-        base = f"Readiness {readiness:.0f}, sleep {sleep:.0f}"
+        base = vitals
         if hrv_bal is not None:
             base += f", HRV balance {hrv_bal:.0f}"
         base += (
@@ -74,19 +84,19 @@ def energy_guidance(e: dict) -> str:
         return base + streak
     if state == "high":
         return (
-            f"Readiness {readiness:.0f}, sleep {sleep:.0f}.{trend}"
+            f"{vitals}.{trend}"
             " Strong day — great for hard cycling, bootcamp, or deep "
             "focus work." + streak
         )
     if state == "moderate":
         return (
-            f"Readiness {readiness:.0f}, sleep {sleep:.0f}.{trend}"
+            f"{vitals}.{trend}"
             " Solid but not peak — good for endurance rides, strength "
             "training, or steady work." + streak
         )
     if state == "low":
         return (
-            f"Readiness {readiness:.0f}, sleep {sleep:.0f}.{trend}"
+            f"{vitals}.{trend}"
             " Keep it light — yoga, stretching, or an easy walk."
             + streak
         )

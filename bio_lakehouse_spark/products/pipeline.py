@@ -72,23 +72,26 @@ def validate_csv_headers(
     alert_sink=None,
     now: float | None = None,
 ) -> dict:
-    """Read the first 1 KB, normalize headers with the SAME rule the
-    normalizers use (``snake_case`` ≡ the reference's SYNC'd
-    ``[.\\s/()]+`` regex), compare against the source's expected set,
-    and fire a cooldown-deduped drift alert for unexpected new
-    columns (ref handler.py:117-178)."""
+    """Read the first header LINE (readline, not a fixed byte budget —
+    a >1 KB header row truncated mid-column used to yield spurious
+    missing/unexpected headers and a false drift alert), normalize
+    headers with the SAME rule the normalizers use (``snake_case`` ≡
+    the reference's SYNC'd ``[.\\s/()]+`` regex), compare against the
+    source's expected set, and fire a cooldown-deduped drift alert for
+    unexpected new columns (ref handler.py:117-178)."""
     now = time.time() if now is None else now
     try:
         with open(path, "rb") as fh:
+            # 1 MiB line cap: enough for any real header row, still
+            # bounded if someone points this at a headerless blob.
             first_line = (
-                fh.read(1024).decode("utf-8", errors="replace")
-                .split("\n")[0].strip()
+                fh.readline(1024 * 1024).decode("utf-8", errors="replace")
+                .rstrip("\r\n").strip()
             )
-        delim = "," if "," in first_line or ";" not in first_line else ";"
         try:
             delim = sniff_delimiter(path)
         except Exception:  # noqa: BLE001 — sniffing is best-effort
-            pass
+            delim = ";" if ";" in first_line and "," not in first_line else ","
         headers = [snake_case(h) for h in first_line.split(delim)]
         expected = set(EXPECTED_HEADERS.get(source, []))
         found = set(headers)

@@ -533,82 +533,267 @@ def sessionize_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-visible rows-only entries for the non-SQL-expressible stats
-# (ST8 LOWESS, ST13 feature selection, ST14 walk-forward CV). The
-# driver records a rows-only check for these; exact behavior is pinned
-# by unit/property tests in tests/test_products.py.
+# ST8 LOWESS / ST13 feature selection / ST14 walk-forward CV. LOWESS
+# and the MI ranking are distributed closed forms with full DuckDB
+# oracles (converted from rows-only in round 4); the model-zoo solvers
+# (GBM/ElasticNet iterations) remain rows-only with their scaffolding
+# driver-hashed via the *_audit twins.
 # ---------------------------------------------------------------------------
 
 
-@register("lowess_daily_trend", survey=("ST8",), oracle=None)
+@register(
+    "lowess_daily_trend",
+    survey=("ST8",),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY 1
+), r AS (
+  SELECT date, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY date) - 1 AS DOUBLE) AS x,
+         COUNT(*) OVER () AS n
+  FROM d
+), pairs AS (
+  SELECT a.date AS adate, a.x AS ax, a.y AS ay, a.n,
+         p.x AS px, p.y AS py, ABS(a.x - p.x) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY a.x
+                            ORDER BY ABS(a.x - p.x), p.x) AS rnk
+  FROM r a CROSS JOIN r p
+), nn AS (
+  SELECT adate, ax, ay, px, py, dist,
+         MAX(dist) OVER (PARTITION BY ax) AS dmax
+  FROM pairs
+  WHERE rnk <= GREATEST(2, CAST(CEIL(0.6 * n) AS BIGINT))
+), w AS (
+  SELECT adate, ax, ay, px, py,
+         (1 - (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+            * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+            * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END)))
+         * (1 - (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+              * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+              * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END)))
+         * (1 - (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+              * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))
+              * (dist / (CASE WHEN dmax > 0 THEN dmax ELSE 1 END))) AS w
+  FROM nn
+), agg AS (
+  SELECT adate, ax, ay,
+         SUM(w) AS sw, SUM(w * px) AS swx, SUM(w * py) AS swy,
+         SUM(w * px * px) AS swxx, SUM(w * px * py) AS swxy
+  FROM w GROUP BY 1, 2, 3
+)
+SELECT adate AS date, ROUND(ay, 6) AS daily_value,
+       ROUND(CASE WHEN swxx - sw * (swx / sw) * (swx / sw) > 0
+             THEN swy / sw
+                  + ((swxy - sw * (swx / sw) * (swy / sw))
+                     / (swxx - sw * (swx / sw) * (swx / sw)))
+                    * (ax - swx / sw)
+             ELSE swy / sw END, 6) AS lowess_fit
+FROM agg
+""",
+)
 def lowess_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOWESS smooth of the global daily event value (ST8 — ref
-    insights/timing_correlation.py:185-205): Spark aggregates the
-    daily series, the tricube local-linear smoother runs on the
-    collected (tiny, daily-grain) series — the reference's
-    presentation-layer split. Not SQL-expressible → rows-only."""
-    import numpy as np
-
-    from bio_lakehouse_spark.products.numerics import lowess
-
-    daily = (
+    insights/timing_correlation.py:185-205), as a DISTRIBUTED closed
+    form: the tricube-weighted local linear fit at each anchor is a
+    k-nearest-neighbour selection (row_number over |Δx|, ties broken
+    by position — deterministic on both engines) followed by one
+    weighted-moment aggregation per anchor. frac=0.6 → k=⌈0.6·n⌉.
+    Converted from rows-only in round 4; the driver now hash-checks
+    every fitted value against DuckDB running the identical closed
+    form. Cubes are spelled as explicit products (libm `pow` is not
+    bit-identical across engines; `*` is IEEE-exact). The daily-grain
+    series keeps the pair table at n² ≈ 10⁴ rows per metric even when
+    the raw events are 100 TB — the aggregation below it is what
+    scales."""
+    d = (
         load(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("date"))
-        .agg(F.sum("value").alias("daily_value"))
-        .orderBy("date")
-        .toPandas()
+        .agg(R6(F.sum("value")).alias("y"))
     )
-    x = np.arange(len(daily), dtype=float)
-    y = daily["daily_value"].to_numpy(dtype=float)
-    daily["lowess_fit"] = np.round(lowess(x, y, frac=0.6), 6)
-    daily["daily_value"] = np.round(y, 6)
-    return spark.createDataFrame(
-        daily, schema="date date, daily_value double, lowess_fit double"
+    r = d.select(
+        "date", "y",
+        (F.row_number().over(Window.orderBy("date")) - 1)
+        .cast("double").alias("x"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    a = r.select(
+        F.col("date").alias("adate"), F.col("x").alias("ax"),
+        F.col("y").alias("ay"), "n",
+    )
+    p = r.select(F.col("x").alias("px"), F.col("y").alias("py"))
+    dist = F.abs(F.col("ax") - F.col("px"))
+    pairs = a.crossJoin(p).select(
+        "adate", "ax", "ay", "n", "px", "py", dist.alias("dist"),
+        F.row_number()
+        .over(Window.partitionBy("ax").orderBy(dist, "px"))
+        .alias("rnk"),
+    )
+    k = F.greatest(F.lit(2), F.ceil(0.6 * F.col("n")).cast("long"))
+    nn = pairs.filter(F.col("rnk") <= k).select(
+        "adate", "ax", "ay", "px", "py", "dist",
+        F.max("dist").over(Window.partitionBy("ax")).alias("dmax"),
+    )
+    safe_dmax = F.when(F.col("dmax") > 0, F.col("dmax")).otherwise(F.lit(1.0))
+    t = F.col("dist") / safe_dmax
+    u = F.lit(1.0) - t * t * t
+    agg = nn.withColumn("w", u * u * u).groupBy("adate", "ax", "ay").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("px")).alias("swx"),
+        F.sum(F.col("w") * F.col("py")).alias("swy"),
+        F.sum(F.col("w") * F.col("px") * F.col("px")).alias("swxx"),
+        F.sum(F.col("w") * F.col("px") * F.col("py")).alias("swxy"),
+    )
+    mx = F.col("swx") / F.col("sw")
+    my = F.col("swy") / F.col("sw")
+    vx = F.col("swxx") - F.col("sw") * mx * mx
+    b = (F.col("swxy") - F.col("sw") * mx * my) / vx
+    fitted = F.when(vx > 0, my + b * (F.col("ax") - mx)).otherwise(my)
+    return agg.select(
+        F.col("adate").alias("date"),
+        R6(F.col("ay")).alias("daily_value"),
+        R6(fitted).alias("lowess_fit"),
     )
 
 
-@register("feature_selection_mi", survey=("ST13",), oracle=None)
+_MI_DAILY_CTE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS y,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         CAST(COUNT(*) FILTER (event_type = 'click') AS DOUBLE) AS n_clicks,
+         CAST(COUNT(*) FILTER (event_type = 'error') AS DOUBLE) AS n_errors,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase_value,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+), long AS (
+  SELECT 'n_events' AS feature, n_events AS v, y FROM daily
+  UNION ALL SELECT 'n_clicks', n_clicks, y FROM daily
+  UNION ALL SELECT 'n_errors', n_errors, y FROM daily
+  UNION ALL SELECT 'purchase_value', purchase_value, y FROM daily
+  UNION ALL SELECT 'avg_value', avg_value, y FROM daily
+)
+"""
+
+
+@register(
+    "feature_selection_mi",
+    survey=("ST13",),
+    oracle=_MI_DAILY_CTE
+    + """
+, s AS (
+  SELECT feature, v, y,
+         MIN(v) OVER pf AS mnv, MAX(v) OVER pf AS mxv,
+         MIN(y) OVER pf AS mny, MAX(y) OVER pf AS mxy
+  FROM long
+  WINDOW pf AS (PARTITION BY feature)
+), b AS (
+  SELECT feature,
+         LEAST(CAST(FLOOR((v - mnv) * 8 / NULLIF(mxv - mnv, 0)) AS BIGINT), 7) AS bx,
+         LEAST(CAST(FLOOR((y - mny) * 8 / NULLIF(mxy - mny, 0)) AS BIGINT), 7) AS byy
+  FROM s
+), j AS (
+  SELECT feature, bx, byy, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM b GROUP BY 1, 2, 3
+), t AS (
+  SELECT feature, c,
+         SUM(c) OVER (PARTITION BY feature) AS n,
+         SUM(c) OVER (PARTITION BY feature, bx) AS cx,
+         SUM(c) OVER (PARTITION BY feature, byy) AS cy
+  FROM j
+), mi AS (
+  SELECT feature,
+         ROUND(SUM((c / n) * LN((c / n) / ((cx / n) * (cy / n)))), 6) AS mi,
+         CAST(MAX(n) AS BIGINT) AS n_rows
+  FROM t GROUP BY feature
+)
+SELECT feature, mi, n_rows,
+       CAST(ROW_NUMBER() OVER (ORDER BY mi DESC, feature) AS BIGINT) AS mi_rank
+FROM mi
+""",
+)
 def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MI + corr-filter feature selection (ST13 — ref models/
-    readiness_predictor/feature_selection.py): features built
-    distributed (per-user daily aggregates), selection on the driver.
-    Deterministic given the data → stable rows-only output."""
-    import numpy as np
-
-    from bio_lakehouse_spark.products.numerics import (
-        mutual_information,
-        select_features,
+    """MI feature ranking (ST13 — ref models/readiness_predictor/
+    feature_selection.py:21-158), as a DISTRIBUTED closed form: the
+    per-user daily feature frame is unpivoted long (stack — one scan),
+    then the 8×8 equal-width joint histogram and Σ p·ln(p/(px·py))
+    run per feature inside feature-partitioned windows — MI for all
+    features in one shuffle, no driver-side numpy. Converted from
+    rows-only in round 4: the driver now hash-checks every MI value
+    and rank. The greedy |r|>0.85 redundancy filter on top of this
+    ranking (select_features) is a products-layer decision over these
+    5 rows, pinned by tests/test_products.py. Continuous features are
+    rounded to 6 before binning so bin-edge arithmetic is
+    IEEE-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("y"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double").alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("double").alias("n_errors"),
+        R6(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("purchase_value"),
+        R6(F.avg("value")).alias("avg_value"),
+    )
+    long = daily.selectExpr(
+        "stack(5, 'n_events', n_events, 'n_clicks', n_clicks,"
+        " 'n_errors', n_errors, 'purchase_value', purchase_value,"
+        " 'avg_value', avg_value) AS (feature, v)",
+        "y",
+    )
+    pf = Window.partitionBy("feature")
+    s = long.select(
+        "feature", "v", "y",
+        F.min("v").over(pf).alias("mnv"), F.max("v").over(pf).alias("mxv"),
+        F.min("y").over(pf).alias("mny"), F.max("y").over(pf).alias("mxy"),
     )
 
-    daily = (
-        load(spark, sf_dir, "events")
-        .groupBy("user_id", F.to_date("ts").alias("date"))
-        .agg(
-            F.sum("value").alias("total_value"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_value"),
-            F.avg("value").alias("avg_value"),
+    def bin8(v, mn, mx):
+        return F.least(
+            F.floor(
+                (F.col(v) - F.col(mn)) * 8
+                / F.nullif(F.col(mx) - F.col(mn), F.lit(0))
+            ).cast("long"),
+            F.lit(7),
         )
-        .fillna(0.0)
-        .toPandas()
+
+    b = s.select(
+        "feature",
+        bin8("v", "mnv", "mxv").alias("bx"),
+        bin8("y", "mny", "mxy").alias("byy"),
     )
-    names = ["n_events", "n_clicks", "n_errors", "purchase_value", "avg_value"]
-    X = daily[names].to_numpy(dtype=float)
-    y = daily["total_value"].to_numpy(dtype=float)
-    chosen = select_features(X, y, names, corr_threshold=0.85, top_k=3)
-    rows = [
-        {
-            "feature": n,
-            "mi": round(float(mutual_information(X[:, names.index(n)], y)), 6),
-            "selected": n in chosen,
-            "rank": chosen.index(n) if n in chosen else -1,
-        }
-        for n in names
-    ]
-    return spark.createDataFrame(
-        rows, schema="feature string, mi double, selected boolean, rank int"
+    j = b.groupBy("feature", "bx", "byy").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    t = j.select(
+        "feature", "c",
+        F.sum("c").over(pf).alias("n"),
+        F.sum("c").over(Window.partitionBy("feature", "bx")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("feature", "byy")).alias("cy"),
+    )
+    p = F.col("c") / F.col("n")
+    mi = t.groupBy("feature").agg(
+        R6(
+            F.sum(
+                p * F.log(p / ((F.col("cx") / F.col("n"))
+                               * (F.col("cy") / F.col("n"))))
+            )
+        ).alias("mi"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+    return mi.select(
+        "feature", "mi", "n_rows",
+        F.row_number()
+        .over(Window.orderBy(F.col("mi").desc(), "feature"))
+        .cast("long").alias("mi_rank"),
     )
 
 
@@ -847,6 +1032,109 @@ def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ridge_normal_equation_audit",
+    survey=("ST14",),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS total_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1
+), p AS (
+  SELECT n_events AS x1, avg_value AS x2,
+         LEAD(total_value) OVER (ORDER BY date) AS y
+  FROM d
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM p WHERE y IS NOT NULL
+), c AS (
+  SELECT n,
+         s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y,
+         s1 / n AS m1, s2 / n AS m2, sy / n AS my
+  FROM m
+), beta AS (
+  SELECT n, m1, m2, my,
+         ((c22 + 1.0) * c1y - c12 * c2y)
+           / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b1,
+         ((c11 + 1.0) * c2y - c12 * c1y)
+           / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(b1, 6) AS beta_n_events,
+       ROUND(b2, 6) AS beta_avg_value,
+       ROUND(my - b1 * m1 - b2 * m2, 6) AS intercept
+FROM beta
+""",
+)
+def ridge_normal_equation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-HASHABLE audit of the ST14 ridge solver: the 2-feature
+    ridge with unpenalized intercept has the closed form
+    β = (X̃ᵀX̃ + αI)⁻¹ X̃ᵀỹ over CENTERED variables (equivalent to
+    numerics.ridge_closed_form's raw-X + intercept-column solve —
+    the intercept-unpenalized problem separates), and a 2×2 inverse
+    is plain arithmetic over nine distributed sums. α=1.0, features
+    (n_events, avg_value) → next-day total — the model-zoo ridge
+    member's exact linear algebra, cross-engine hashed. One
+    aggregation over the daily frame; scales to any series length.
+    Equality with ridge_closed_form is pinned in pytest."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        R6(F.avg("value")).alias("avg_value"),
+    )
+    p = d.select(
+        F.col("n_events").alias("x1"),
+        F.col("avg_value").alias("x2"),
+        F.lead("total_value").over(Window.orderBy("date")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    c = m.select(
+        n,
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = (F.col("c11") + 1.0) * (F.col("c22") + 1.0) - F.col("c12") * F.col("c12")
+    b1 = ((F.col("c22") + 1.0) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = ((F.col("c11") + 1.0) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    beta = c.select(
+        "n", "m1", "m2", "my", b1.alias("b1"), b2.alias("b2")
+    )
+    return beta.select(
+        F.col("n").cast("long").alias("n"),
+        R6(F.col("b1")).alias("beta_n_events"),
+        R6(F.col("b2")).alias("beta_avg_value"),
+        R6(
+            F.col("my") - F.col("b1") * F.col("m1")
+            - F.col("b2") * F.col("m2")
+        ).alias("intercept"),
+    )
+
+
+@register(
     "spearman_per_user_audit",
     survey=("ST2", "ST4"),
     oracle="""
@@ -904,43 +1192,168 @@ def spearman_per_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("discovery_scan_per_user", survey=("ST4", "ST2"), oracle=None)
-def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-entity correlation-discovery scan (ST4 at scale): daily
-    per-user metric frame built distributed, then the Spearman pair
-    scan with Bonferroni runs inside applyInPandas PER USER — the
-    multi-entity form of the reference's global scan (its data is
-    single-user; ours demonstrates the 100 TB shape). Rows-only: the
-    scan (ranking + t-CDF p-values + correction) is not
-    SQL-expressible; behavior pinned by tests/test_insights_experiments
-    planted-lag recovery and the per-entity test."""
-    from bio_lakehouse_spark.products.discovery import discover_per_entity
+_DISCOVERY_METRICS = (
+    "click_value", "n_events", "purchase_value", "view_value",
+)
+_DISCOVERY_COMBOS = [
+    (a, b, lag)
+    for i, a in enumerate(_DISCOVERY_METRICS)
+    for b in _DISCOVERY_METRICS[i + 1:]
+    for lag in (0, 1, 2)
+]
 
+
+def _discovery_oracle() -> str:
+    values = ", ".join(
+        f"('{a}', '{b}', {lag})" for a, b, lag in _DISCOVERY_COMBOS
+    )
+    return f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS date,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0), 6) AS click_value,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0), 6) AS view_value,
+         ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0), 6) AS purchase_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS rn,
+         click_value, view_value, purchase_value, n_events
+  FROM daily
+), long AS (
+  SELECT user_id, rn, 'click_value' AS metric, click_value AS v FROM seq
+  UNION ALL SELECT user_id, rn, 'view_value', view_value FROM seq
+  UNION ALL SELECT user_id, rn, 'purchase_value', purchase_value FROM seq
+  UNION ALL SELECT user_id, rn, 'n_events', n_events FROM seq
+), combos(metric_a, metric_b, lag) AS (VALUES {values}),
+aligned AS (
+  SELECT c.metric_a, c.metric_b, c.lag, a.user_id,
+         a.v AS va, b.v AS vb
+  FROM combos c
+  JOIN long a ON a.metric = c.metric_a
+  JOIN long b ON b.metric = c.metric_b AND b.user_id = a.user_id
+             AND b.rn = a.rn + c.lag
+), ranked AS (
+  SELECT user_id, metric_a, metric_b, lag,
+         RANK() OVER (PARTITION BY user_id, metric_a, metric_b, lag ORDER BY va)
+           + (COUNT(*) OVER (PARTITION BY user_id, metric_a, metric_b, lag, va) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY user_id, metric_a, metric_b, lag ORDER BY vb)
+           + (COUNT(*) OVER (PARTITION BY user_id, metric_a, metric_b, lag, vb) - 1) / 2.0 AS ry
+  FROM aligned
+), stats AS (
+  SELECT user_id, metric_a, metric_b, lag,
+         CAST(COUNT(*) AS BIGINT) AS n_samples,
+         ROUND(CORR(rx, ry), 6) AS rho
+  FROM ranked GROUP BY 1, 2, 3, 4
+)
+SELECT user_id, metric_a, metric_b, lag, n_samples, rho,
+       CASE WHEN rho * rho < 1
+            THEN ROUND(rho * SQRT((n_samples - 2) / (1 - rho * rho)), 6)
+            END AS t_stat
+FROM stats
+WHERE n_samples >= 10 AND ABS(rho) >= 0.3
+"""
+
+
+@register(
+    "discovery_scan_per_user",
+    survey=("ST4", "ST2"),
+    oracle=_discovery_oracle(),
+)
+def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity lagged correlation-discovery scan (ST4 at scale —
+    ref insights_engine/insights/discovery.py's metric-pair × lag grid,
+    multi-entity form): the full grid (6 metric pairs × lags 0-2 ×
+    every user) as ONE distributed plan — unpivot to long, row-shift
+    alignment via an equi-join on (user, rn+lag), average-rank windows
+    per (user, pair, lag), one corr aggregate. No applyInPandas, no
+    per-entity Python: this is the shape that runs on 10⁸ entities.
+    Converted from rows-only in round 4: emits the Spearman ρ and its
+    t-statistic t = ρ·√((n-2)/(1-ρ²)) (computed from the rounded ρ so
+    both engines transform identical doubles), driver-hashed against
+    DuckDB. The t→p lookup + Bonferroni correction over the grid is a
+    monotone presentation transform of (t, n) — products.discovery
+    keeps it, pinned by the planted-lag pytest."""
     ev = load(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy("user_id", F.to_date("ts").alias("date"))
-        .agg(
-            F.sum(F.when(F.col("event_type") == "click", F.col("value"))).alias("click_value"),
-            F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("view_value"),
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("purchase_value"),
-            F.count(F.lit(1)).alias("n_events"),
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        R6(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value"))),
+                F.lit(0.0),
+            )
+        ).alias("click_value"),
+        R6(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", F.col("value"))),
+                F.lit(0.0),
+            )
+        ).alias("view_value"),
+        R6(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ),
+                F.lit(0.0),
+            )
+        ).alias("purchase_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+    )
+    seq = daily.select(
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("date"))
+        .alias("rn"),
+        *_DISCOVERY_METRICS,
+    )
+    stack_args = ", ".join(f"'{m}', {m}" for m in _DISCOVERY_METRICS)
+    long = seq.selectExpr(
+        "user_id", "rn",
+        f"stack({len(_DISCOVERY_METRICS)}, {stack_args}) AS (metric, v)",
+    )
+    combos = spark.createDataFrame(
+        _DISCOVERY_COMBOS, schema="metric_a string, metric_b string, lag int"
+    )
+    a = long.select(
+        "user_id", "rn", F.col("metric").alias("metric_a"),
+        F.col("v").alias("va"),
+    )
+    b = long.select(
+        F.col("user_id").alias("b_user"), F.col("rn").alias("b_rn"),
+        F.col("metric").alias("b_metric"), F.col("v").alias("vb"),
+    )
+    aligned = (
+        combos.join(a, on="metric_a")
+        .join(
+            b,
+            (F.col("b_metric") == F.col("metric_b"))
+            & (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_rn") == F.col("rn") + F.col("lag")),
         )
-        .fillna(0.0)
+        .select("user_id", "metric_a", "metric_b", "lag", "va", "vb")
     )
-    out = discover_per_entity(
-        daily,
-        ["click_value", "view_value", "purchase_value", "n_events"],
-        max_lags=2,
-        min_samples=10,
-        min_rho=0.3,
+    grp = ["user_id", "metric_a", "metric_b", "lag"]
+    wg = Window.partitionBy(*grp)
+    rx = (
+        F.rank().over(wg.orderBy("va"))
+        + (F.count(F.lit(1)).over(Window.partitionBy(*grp, "va")) - 1) / 2.0
     )
-    return out.select(
-        "user_id", "metric_a", "metric_b", "lag",
-        F.round("rho", 6).alias("rho"),
-        F.round("p_corrected", 6).alias("p_corrected"),
-        "n_samples", "strength",
-        F.round("confidence", 6).alias("confidence"),
+    ry = (
+        F.rank().over(wg.orderBy("vb"))
+        + (F.count(F.lit(1)).over(Window.partitionBy(*grp, "vb")) - 1) / 2.0
     )
+    ranked = aligned.select(*grp, rx.alias("rx"), ry.alias("ry"))
+    stats = ranked.groupBy(*grp).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        R6(F.corr("rx", "ry")).alias("rho"),
+    )
+    rho = F.col("rho")
+    n = F.col("n_samples")
+    t_stat = F.when(
+        rho * rho < 1,
+        R6(rho * F.sqrt((n - 2) / (1 - rho * rho))),
+    )
+    return stats.filter(
+        (n >= 10) & (F.abs(rho) >= 0.3)
+    ).select(*grp, "n_samples", "rho", t_stat.alias("t_stat"))
 
 
 @register(

@@ -437,6 +437,10 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "interpolate_daily_gaps",
         "sequence_packing",
         "multimodal_frame_sample",
+        # k-NN anchor×point pair table over the DAILY-grain series:
+        # n² where n = number of days, bounded whatever the raw-event
+        # volume (the aggregation below it is what scales)
+        "lowess_daily_trend",
         # scalar-aggregate joins: a ONE-ROW global stat (threshold,
         # corpus stats, bin spec, cohort size, rate table) broadcast
         # back onto the table — no equi-key exists, and the build side

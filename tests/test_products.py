@@ -764,3 +764,68 @@ def test_route_file_semicolon_and_real_bronze(tmp_path):
     assert real
     r2 = P.route_file(real[0], now=60_000.0)
     assert r2["action"] == "ingest", r2
+
+
+def test_ridge_audit_matches_closed_form(spark, sf_dir):
+    """The SQL-expressible 2×2 centered normal equations in
+    ridge_normal_equation_audit must equal numerics.ridge_closed_form
+    (raw X + unpenalized intercept column) — the intercept-unpenalized
+    ridge separates into centered slopes + mean-recovered intercept."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.suite.registry import REGISTRY, load
+
+    row = (
+        REGISTRY["ridge_normal_equation_audit"].fn(spark, sf_dir)
+        .collect()[0]
+    )
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            "n_events", "avg_value",
+            F.lead("total_value").over(Window.orderBy("date")).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .toPandas()
+    )
+    X = d[["n_events", "avg_value"]].to_numpy(dtype=float)
+    y = d["y"].to_numpy(dtype=float)
+    beta = numerics.ridge_closed_form(X, y, alpha=1.0)
+    assert row["n"] == len(d)
+    assert row["beta_n_events"] == pytest.approx(beta[0], abs=2e-6)
+    assert row["beta_avg_value"] == pytest.approx(beta[1], abs=2e-6)
+    assert row["intercept"] == pytest.approx(beta[2], abs=2e-6)
+
+
+def test_distributed_lowess_exact_line(spark, tmp_path):
+    """Property: tricube-weighted local LINEAR fit reproduces exactly
+    linear data, whatever the weights — the distributed
+    lowess_daily_trend must return fit == value on a linear daily
+    series (same invariant test_lowess_reproduces_exact_line pins for
+    the numpy smoother)."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.suite.registry import REGISTRY
+
+    days = spark.range(40).select(
+        F.col("id").alias("event_id"),
+        (F.lit(100000) + F.col("id")).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int"))
+        ).alias("ts"),
+        (2.0 * F.col("id") + 5.0).alias("value"),
+    )
+    days.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["lowess_daily_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["lowess_fit"] == pytest.approx(r["daily_value"], abs=1e-5)

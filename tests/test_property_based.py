@@ -295,3 +295,32 @@ def test_interval_overlap_join_matches_naive(spark, left, right):
         if ls <= rs + rd and rs <= ls + ld
     )
     assert got == expect
+
+
+def test_interval_overlap_join_bin_explosion_fails_loudly(spark):
+    """Fan-out guard: a single pathological interval (a year at 1-hour
+    buckets → ~8 760 bins, or a mis-parsed epoch-0 start → millions)
+    must FAIL the job with a diagnostic, not silently explode the
+    candidate table; clamping would drop true overlaps. Raising
+    max_bins_per_row (or bucket_s) is the sanctioned escape hatch."""
+    import pytest as _pytest
+
+    from bio_lakehouse_spark.operators.joins import interval_overlap_join
+
+    year = 365 * 24 * 3600
+    ldf = spark.createDataFrame(
+        [(0, _ts(0), _ts(year))], schema="id long, s timestamp, e timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(1, _ts(100), _ts(200))], schema="id long, s timestamp, e timestamp"
+    )
+    with _pytest.raises(Exception, match="max_bins_per_row"):
+        interval_overlap_join(
+            ldf, rdf, ("id", "s", "e"), ("id", "s", "e"), bucket_s=3600
+        ).collect()
+    # Same data passes once the guard is sized for it.
+    ok = interval_overlap_join(
+        ldf, rdf, ("id", "s", "e"), ("id", "s", "e"),
+        bucket_s=3600, max_bins_per_row=10_000,
+    ).collect()
+    assert [(r["l_id"], r["r_id"]) for r in ok] == [(0, 1)]
