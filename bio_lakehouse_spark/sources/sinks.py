@@ -9,6 +9,7 @@ the reference) become append-only parquet tables.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,6 +140,123 @@ def append_log(
     ).parquet(path)
 
 
+# Rename hook: tests patch this to simulate a crash between partition
+# swaps; production code never should.
+_rename = _os.rename
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    expected_rows: int | None = None,
+    audit_fn=None,
+) -> dict:
+    """Write-Audit-Publish commit for plain parquet — the
+    parquet-only mitigation for the missing table-format ACID layer
+    (SCALE.md §5): without a commit protocol, a crash mid-overwrite
+    leaves a torn table that READERS CANNOT DETECT. WAP makes every
+    failure mode either invisible or loud:
+
+    1. WRITE  — ``df`` is materialized into a sibling staging dir
+       (``<path>.__stage__<token>``); the target is not touched, so
+       plans that READ the target (merge, compaction) need no
+       checkpoint — the staging write is the materialization barrier.
+    2. AUDIT  — the staged files are re-read and counted (validates
+       every footer exists and parses); optional ``expected_rows``
+       equality and a caller ``audit_fn(staged_df)`` (raise to veto).
+       Any audit failure deletes the stage and leaves the target
+       byte-identical.
+    3. PUBLISH — directory-level renames only, never file copies:
+       each staged leaf partition atomically replaces its target
+       directory (old dir first renamed to a dot-prefixed retire name
+       — Hadoop/Spark listings ignore dot/underscore entries, so a
+       reader racing the swap sees the old OR the new partition,
+       never both and never a half-written mix). Unpartitioned tables
+       swap as one directory. A crash between the two renames of one
+       partition leaves that partition absent-but-recoverable (the
+       retire dir holds the complete old data) — an explicit, loud
+       state, unlike the silent mixed-files state a plain overwrite
+       crash produces. Leftover stage/retire dirs from crashed runs
+       are swept on the next publish.
+
+    Concurrent WRITERS to the same table still need an external lock
+    or a real table format — WAP serializes crash-vs-reader, not
+    writer-vs-writer (documented limitation, SCALE.md §5).
+
+    Returns ``{"rows": staged_count, "partitions_published": n}``.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    spark = df.sparkSession
+    token = uuid.uuid4().hex[:12]
+    stage = f"{path}.__stage__{token}"
+
+    # 1. WRITE
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(stage)
+
+    # 2. AUDIT
+    try:
+        staged = spark.read.parquet(stage)
+        n = staged.count()
+        if expected_rows is not None and n != expected_rows:
+            raise ValueError(
+                f"WAP audit: staged {n} rows, expected {expected_rows}"
+            )
+        if audit_fn is not None:
+            audit_fn(staged)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    # 3. PUBLISH
+    tgt_root = Path(path)
+    stage_root = Path(stage)
+    # Sweep debris from previously crashed runs (their retire dirs are
+    # dot-prefixed → invisible to readers, but they hold disk).
+    if tgt_root.parent.exists():
+        for junk in tgt_root.parent.glob(f"{tgt_root.name}.__stage__*"):
+            if junk != stage_root:
+                shutil.rmtree(junk, ignore_errors=True)
+
+    def swap(staged_dir: Path, target_dir: Path) -> None:
+        target_dir.parent.mkdir(parents=True, exist_ok=True)
+        for junk in target_dir.parent.glob(".__retire__*"):
+            shutil.rmtree(junk, ignore_errors=True)
+        retire = None
+        if target_dir.exists():
+            retire = target_dir.parent / f".__retire__{token}_{target_dir.name}"
+            _rename(target_dir, retire)
+        _rename(staged_dir, target_dir)
+        if retire is not None:
+            shutil.rmtree(retire, ignore_errors=True)
+
+    if not partition_cols:
+        swap(stage_root, tgt_root)
+        return {"rows": n, "partitions_published": 1}
+
+    leaves: list[Path] = []
+
+    def find_leaves(d: Path, depth: int) -> None:
+        if depth == len(partition_cols):
+            leaves.append(d)
+            return
+        for child in sorted(d.iterdir()):
+            if child.is_dir() and "=" in child.name:
+                find_leaves(child, depth + 1)
+
+    find_leaves(stage_root, 0)
+    for leaf in leaves:
+        swap(leaf, tgt_root / leaf.relative_to(stage_root))
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return {"rows": n, "partitions_published": len(leaves)}
+
+
 def refresh_partitions(
     df: DataFrame,
     path: str,
@@ -149,19 +267,14 @@ def refresh_partitions(
     merge noted as the scaling fix"; dbt_gold_refresh.py rebuilds all
     3 tables daily).
 
-    With ``partitionOverwriteMode=dynamic``, an overwrite replaces
-    ONLY the partitions present in ``df`` — recompute yesterday's
-    (year, month) slice and write it, leaving history untouched. On
-    Delta/Iceberg this becomes a true MERGE; on plain parquet, dynamic
-    partition overwrite is the transactional-enough equivalent (each
-    partition swap is atomic at the directory level)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    Replaces ONLY the partitions present in ``df`` (dynamic-overwrite
+    semantics), leaving history untouched — and does it through
+    ``write_audit_publish``, so the staged slice is validated before
+    any target directory moves and each partition swap is one atomic
+    rename (a crash can no longer leave a torn partition, which plain
+    ``partitionOverwriteMode=dynamic`` permits mid-commit). On
+    Delta/Iceberg this becomes a true MERGE."""
+    write_audit_publish(df, path, partition_cols)
 
 
 def write_bucketed_table(
@@ -258,9 +371,9 @@ def compact_partitions(
         part_df = spark.read.parquet(part_dir).repartition(n_target)
         for c, v in vals.items():
             part_df = part_df.withColumn(c, F.lit(v))
-        # Materialize BEFORE overwriting: source and destination are the
-        # same directory, and a lazy plan would re-list files mid-swap.
-        part_df = part_df.localCheckpoint(eager=True)
+        # No checkpoint needed: refresh_partitions stages via WAP, so
+        # the source directory is read in full (stage write) before
+        # any target rename happens.
         refresh_partitions(part_df, path, partition_cols)
         n_rewritten += 1
     return n_rewritten
@@ -287,10 +400,11 @@ def merge_upsert(
     be key-unique — dedupe upstream, this function won't guess which
     duplicate wins.
 
-    The merged frame is localCheckpoint'ed (eager) before the write
-    because the write overwrites the very files the plan reads — the
-    single-app analog of staging to a temp table, which is what a
-    cluster deployment would do (or skip entirely via Delta MERGE).
+    Commits through ``write_audit_publish``: the merged frame stages
+    to a sibling dir (which is also what materializes the plan that
+    reads the target's own files — no checkpoint needed), is audited,
+    and lands via atomic directory renames, so a crash anywhere
+    leaves the target either fully old or fully new per partition.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -320,12 +434,8 @@ def merge_upsert(
     kept = scoped.join(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
-    merged = kept.unionByName(updates).localCheckpoint()
-
-    if partition_cols:
-        refresh_partitions(merged, path, partition_cols)
-    else:
-        merged.write.mode("overwrite").parquet(path)
+    merged = kept.unionByName(updates)
+    write_audit_publish(merged, path, partition_cols)
 
 
 def write_sorted_parquet(

@@ -169,10 +169,8 @@ def test_refresh_partitions_incremental(spark, tmp_path):
         ("2025-07", 3): 99.0,
         ("2025-07", 4): 40.0,
     }
-    # static mode restored
-    assert spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode"
-    ) == "static"
+    # WAP leaves no staging debris behind a successful publish.
+    assert not list(tmp_path.glob("part_table.__stage__*"))
 
 
 def test_compact_partitions(spark, tmp_path):
@@ -487,3 +485,128 @@ def test_write_zorder_parquet_tiles_both_columns(spark, sf_dir, tmp_path):
     # same rows round-trip
     got = spark.read.parquet(zpath)
     assert got.count() == li.count()
+
+
+def _part_counts(spark, path):
+    from pyspark.sql import functions as F
+
+    return {
+        tuple(r["k"]): r["n"]
+        for r in (
+            spark.read.parquet(str(path))
+            .groupBy(F.array("year", "month").alias("k"))
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        )
+    }
+
+
+def test_wap_audit_failure_leaves_target_untouched(spark, tmp_path):
+    """WAP step 2: a vetoed audit must delete the stage and leave the
+    target byte-identical — the torn-table window of a plain
+    overwrite (write starts, THEN validation fails) cannot exist."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import write_audit_publish
+
+    path = tmp_path / "t"
+    base = spark.range(100).select(
+        "id",
+        F.lit("2024").alias("year"),
+        (F.col("id") % 2).cast("string").alias("month"),
+    )
+    write_audit_publish(base, str(path), ["year", "month"])
+    before = _part_counts(spark, path)
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+
+    def veto(staged):
+        raise RuntimeError("rows out of policy")
+
+    bad = base.withColumn("id", F.col("id") + 1000)
+    with pytest.raises(RuntimeError, match="out of policy"):
+        write_audit_publish(bad, str(path), ["year", "month"], audit_fn=veto)
+    # Wrong expected_rows vetoes the publish the same way.
+    with pytest.raises(ValueError, match="expected 7"):
+        write_audit_publish(
+            bad, str(path), ["year", "month"], expected_rows=7
+        )
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+    assert files_after == files_before
+    assert _part_counts(spark, path) == before
+    assert not list(tmp_path.glob("t.__stage__*")), "stage not cleaned"
+
+
+def test_wap_crash_mid_publish_never_tears_a_partition(spark, tmp_path):
+    """Kill the publisher between partition swaps: every partition the
+    reader can see must be ENTIRELY old or ENTIRELY new — the mixed
+    old+new file soup a crashed dynamic overwrite can leave is the
+    failure mode WAP exists to kill. The crashed run's debris must
+    also be invisible to readers (dot-prefixed) and swept by the next
+    successful publish."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources import sinks
+
+    path = tmp_path / "t"
+    old = spark.range(60).select(
+        "id",
+        F.lit("2024").alias("year"),
+        (F.col("id") % 3).cast("string").alias("month"),
+    )
+    sinks.write_audit_publish(old, str(path), ["year", "month"])
+    # New data: different row count per partition so origin is
+    # distinguishable (40 rows/partition new vs 20 old).
+    new = spark.range(120).select(
+        (F.col("id") + 10_000).alias("id"),
+        F.lit("2024").alias("year"),
+        (F.col("id") % 3).cast("string").alias("month"),
+    )
+
+    real_rename = sinks._rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        # Let the first partition fully swap (2 renames: retire + land),
+        # then die mid-way through the SECOND partition's swap — after
+        # its retire rename, before its landing rename: the worst spot.
+        if calls["n"] == 3:
+            raise OSError("simulated crash between partition swaps")
+        calls["n"] += 1
+        real_rename(src, dst)
+
+    sinks._rename = crashing_rename
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            sinks.write_audit_publish(new, str(path), ["year", "month"])
+    finally:
+        sinks._rename = real_rename
+
+    seen = _part_counts(spark, path)
+    assert seen, "reader must still see a table"
+    for part, n in seen.items():
+        assert n in (20, 40), f"torn partition {part}: {n} rows"
+    # All visible rows parse; no duplicate ids (old+new mix would dup
+    # the partition's key space size).
+    df = spark.read.parquet(str(path))
+    assert df.count() == df.select("id").distinct().count()
+
+    # Recovery: the next successful publish sweeps stage debris and
+    # converges the table to fully-new.
+    sinks.write_audit_publish(new, str(path), ["year", "month"])
+    assert _part_counts(spark, path) == {
+        ("2024", "0"): 40, ("2024", "1"): 40, ("2024", "2"): 40,
+    }
+    assert not list(tmp_path.glob("t.__stage__*"))
