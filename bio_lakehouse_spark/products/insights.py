@@ -1290,6 +1290,66 @@ def default_analyzers(spark, gold: DataFrame,
     return analyzers
 
 
+# ---------------------------------------------------------------------------
+# Plot-spec → renderer adapter contract. The reference renders plotly
+# PNGs into a WeasyPrint PDF (ref reports/weekly_report.py:121-456,
+# delivery.py:17-66); this repo emits renderer-agnostic spec dicts so
+# any figure backend can consume them. validate_plot_spec IS the
+# contract: a spec that passes is guaranteed renderable against the
+# InsightResult's data frame (pinned for every analyzer in pytest via
+# a fake renderer).
+# ---------------------------------------------------------------------------
+
+PLOT_SPEC_KINDS = ("table", "line", "scatter+threshold")
+
+
+def validate_plot_spec(spec: dict, data: pd.DataFrame | None) -> None:
+    """Raise ValueError on any spec a renderer could not consume:
+    unknown kind, missing/empty title, or data-bound kinds whose
+    x/y don't name columns of the result's data frame."""
+    kind = spec.get("kind")
+    if kind not in PLOT_SPEC_KINDS:
+        raise ValueError(f"unknown plot kind {kind!r}")
+    title = spec.get("title")
+    if not isinstance(title, str) or not title:
+        raise ValueError("plot spec needs a non-empty str title")
+    if kind == "table":
+        return
+    if data is None:
+        raise ValueError(f"kind {kind!r} needs result data, got None")
+    cols = set(data.columns)
+    x = spec.get("x")
+    if not isinstance(x, str) or x not in cols:
+        raise ValueError(f"x={x!r} is not a data column of {sorted(cols)}")
+    y = spec.get("y")
+    ys = [y] if isinstance(y, str) else y
+    if not isinstance(ys, list) or not ys or any(
+        not isinstance(c, str) or c not in cols for c in ys
+    ):
+        raise ValueError(f"y={y!r} must name data columns of {sorted(cols)}")
+    if kind == "scatter+threshold":
+        th = spec.get("threshold")
+        if not isinstance(th, (int, float)):
+            raise ValueError(f"threshold must be numeric, got {th!r}")
+
+
+def render_figures(
+    analyzers: list[InsightAnalyzer],
+    results: list[InsightResult],
+    renderer,
+) -> list:
+    """Route every analyzer's (spec, data) pair through a figure
+    backend: ``renderer(spec, data) -> figure``. Each spec is
+    contract-validated first, so a backend can trust its inputs —
+    the seam where a plotly/matplotlib adapter plugs in."""
+    figs = []
+    for a, r in zip(analyzers, results):
+        spec = a.visualize(r)
+        validate_plot_spec(spec, r.data)
+        figs.append(renderer(spec, r.data))
+    return figs
+
+
 REPORT_TEMPLATE = """<html><body>
 <h1>Weekly Report — {week}</h1>
 {sections}

@@ -349,3 +349,80 @@ def test_approx_sketches_within_error(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
     assert row["p75_approx"] == pytest.approx(row["p75_exact"], abs=1.0)
+
+
+# -- plot-spec renderer contract --------------------------------------------
+
+
+class FakeRenderer:
+    """Test double for a figure backend (plotly/matplotlib adapter):
+    consumes a validated spec + data frame and 'draws' by resolving
+    every referenced series — exactly what a real backend does before
+    styling. Any spec naming a missing column or omitting a needed
+    field dies here, pinning the visualize() surface (ref
+    weekly_report.py:121-456 parity)."""
+
+    def __init__(self):
+        self.figures = []
+
+    def __call__(self, spec, data):
+        fig = {"kind": spec["kind"], "title": spec["title"], "series": {}}
+        if spec["kind"] != "table":
+            xs = data[spec["x"]].tolist()
+            fig["series"]["x"] = xs
+            y = spec["y"]
+            for col in [y] if isinstance(y, str) else y:
+                series = data[col].tolist()
+                assert len(series) == len(xs)
+                fig["series"][col] = series
+            if spec["kind"] == "scatter+threshold":
+                fig["threshold"] = float(spec["threshold"])
+        self.figures.append(fig)
+        return fig
+
+
+def test_every_analyzer_spec_renders_through_the_double(spark, gold):
+    """Every analyzer in the full weekly-report roster must emit a
+    plot spec the renderer contract accepts AND a fake backend can
+    actually draw from the result's data — the spec→figure adapter
+    is pinned, not assumed."""
+    from bio_lakehouse_spark.bio.gold import build_gold
+    from bio_lakehouse_spark.products.insights import (
+        default_analyzers,
+        render_figures,
+        validate_plot_spec,
+    )
+
+    tables = build_gold(spark, f"{BIO_ROOT}/silver")
+    analyzers = default_analyzers(
+        spark,
+        tables["gold_daily_rollup"],
+        silver_root=f"{BIO_ROOT}/silver",
+        recovery_windows=tables["workout_recovery_windows"],
+    )
+    assert len(analyzers) == 13, "full reference roster"
+    results = [a.analyze() for a in analyzers]
+    renderer = FakeRenderer()
+    figs = render_figures(analyzers, results, renderer)
+    assert len(figs) == 13
+    # Data-bound kinds must have drawn non-empty series.
+    for fig in figs:
+        if fig["kind"] != "table":
+            assert fig["series"]["x"], f"empty x series in {fig['title']}"
+
+    # The contract rejects what a backend couldn't draw.
+    import pandas as pd
+
+    good = pd.DataFrame({"date": [1, 2], "m7": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="unknown plot kind"):
+        validate_plot_spec({"kind": "pie", "title": "t"}, good)
+    with pytest.raises(ValueError, match="not a data column"):
+        validate_plot_spec(
+            {"kind": "line", "title": "t", "x": "nope", "y": "m7"}, good
+        )
+    with pytest.raises(ValueError, match="threshold must be numeric"):
+        validate_plot_spec(
+            {"kind": "scatter+threshold", "title": "t", "x": "date",
+             "y": "m7", "threshold": None},
+            good,
+        )
