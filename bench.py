@@ -73,6 +73,10 @@ HEADLINE = [
     "interpolate_daily_gaps",
     "rolling_7d_range_window",
     "fuzzy_name_match",
+    # round-4 distributed conversions (formerly driver-side numpy):
+    "lowess_daily_trend",
+    "discovery_scan_per_user",
+    "feature_selection_mi",
 ]
 
 

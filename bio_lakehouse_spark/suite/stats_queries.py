@@ -1263,10 +1263,14 @@ def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity lagged correlation-discovery scan (ST4 at scale —
     ref insights_engine/insights/discovery.py's metric-pair × lag grid,
     multi-entity form): the full grid (6 metric pairs × lags 0-2 ×
-    every user) as ONE distributed plan — unpivot to long, row-shift
-    alignment via an equi-join on (user, rn+lag), average-rank windows
-    per (user, pair, lag), one corr aggregate. No applyInPandas, no
-    per-entity Python: this is the shape that runs on 10⁸ entities.
+    every user) as ONE distributed plan — lag alignment via LEAD
+    columns in a single window pass over the wide daily frame (zero
+    self-joins: the oracle's rn+lag equi-join formulation would scan
+    and shuffle the series twice; lead(b, lag) is the same pairing
+    from one scan), one explode to the 18 (pair, lag) combos, then
+    average-rank windows per (user, pair, lag) and one corr
+    aggregate. No applyInPandas, no per-entity Python: this is the
+    shape that runs on 10⁸ entities.
     Converted from rows-only in round 4: emits the Spearman ρ and its
     t-statistic t = ρ·√((n-2)/(1-ρ²)) (computed from the rounded ρ so
     both engines transform identical doubles), driver-hashed against
@@ -1297,38 +1301,37 @@ def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_value"),
         F.count(F.lit(1)).cast("double").alias("n_events"),
     )
-    seq = daily.select(
-        "user_id",
-        F.row_number()
-        .over(Window.partitionBy("user_id").orderBy("date"))
-        .alias("rn"),
-        *_DISCOVERY_METRICS,
-    )
-    stack_args = ", ".join(f"'{m}', {m}" for m in _DISCOVERY_METRICS)
-    long = seq.selectExpr(
-        "user_id", "rn",
-        f"stack({len(_DISCOVERY_METRICS)}, {stack_args}) AS (metric, v)",
-    )
-    combos = spark.createDataFrame(
-        _DISCOVERY_COMBOS, schema="metric_a string, metric_b string, lag int"
-    )
-    a = long.select(
-        "user_id", "rn", F.col("metric").alias("metric_a"),
-        F.col("v").alias("va"),
-    )
-    b = long.select(
-        F.col("user_id").alias("b_user"), F.col("rn").alias("b_rn"),
-        F.col("metric").alias("b_metric"), F.col("v").alias("vb"),
+    wd = Window.partitionBy("user_id").orderBy("date")
+    lead_cols = [
+        F.lead(m, lag).over(wd).alias(f"__{m}_l{lag}")
+        for m in _DISCOVERY_METRICS
+        for lag in (1, 2)
+    ]
+    wide = daily.select("user_id", *_DISCOVERY_METRICS, *lead_cols)
+
+    def vcol(m: str, lag: int):
+        return F.col(m) if lag == 0 else F.col(f"__{m}_l{lag}")
+
+    combo_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("metric_a"),
+                F.lit(b).alias("metric_b"),
+                F.lit(lag).alias("lag"),
+                vcol(a, 0).alias("va"),
+                vcol(b, lag).alias("vb"),
+            )
+            for a, b, lag in _DISCOVERY_COMBOS
+        ]
     )
     aligned = (
-        combos.join(a, on="metric_a")
-        .join(
-            b,
-            (F.col("b_metric") == F.col("metric_b"))
-            & (F.col("b_user") == F.col("user_id"))
-            & (F.col("b_rn") == F.col("rn") + F.col("lag")),
+        wide.select("user_id", F.explode(combo_structs).alias("c"))
+        .select(
+            "user_id", "c.metric_a", "c.metric_b", "c.lag", "c.va", "c.vb"
         )
-        .select("user_id", "metric_a", "metric_b", "lag", "va", "vb")
+        # lead() past the series end is NULL — exactly the rows the
+        # oracle's rn+lag join excludes.
+        .filter(F.col("vb").isNotNull())
     )
     grp = ["user_id", "metric_a", "metric_b", "lag"]
     wg = Window.partitionBy(*grp)
