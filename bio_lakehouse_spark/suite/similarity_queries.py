@@ -138,15 +138,66 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_a", "vec_b", R6(F.col("cos_sim")).alias("cos_sim"))
 
 
-@register("kmeans_ivf_centroids", survey=("ST14",), oracle=None)
+# Unrolled-Lloyd oracle: a FIXED iteration count is SQL-expressible by
+# unrolling each (assign → coordinate-mean → carry-forward) step as a
+# CTE triple. Squared L2 is fold-left double arithmetic in both
+# engines (Spark F.aggregate / DuckDB list_sum over the transformed
+# list), so assignments agree exactly; means are ROUND(6)-stable.
+_L2 = (
+    "list_sum(list_transform(list_zip(v.vec, c.cv),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _lloyd_oracle(k: int, iters: int) -> str:
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vec AS cv
+  FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+  SELECT vec_id, vec, cid FROM (
+    SELECT v.vec_id, v.vec, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY {_L2} ASC, c.cid ASC) AS rn
+    FROM v CROSS JOIN c{i-1} c) WHERE rn = 1
+), g{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv_new, MAX(n) AS n_new FROM (
+    SELECT cid, pos, SUM(x)/COUNT(*) AS m, COUNT(*) AS n FROM (
+      SELECT cid, unnest(vec) AS x, generate_subscripts(vec, 1) AS pos
+      FROM a{i}
+    ) GROUP BY cid, pos
+  ) GROUP BY cid
+), c{i} AS (
+  SELECT c.cid, COALESCE(g.cv_new, c.cv) AS cv,
+         CAST(COALESCE(g.n_new, 0) AS BIGINT) AS n_members
+  FROM c{i-1} c LEFT JOIN g{i} g ON c.cid = g.cid
+)""")
+    parts.append(f"""
+SELECT cid AS centroid_id, ROUND(cv[1], 6) AS c0, ROUND(cv[2], 6) AS c1,
+       ROUND(cv[3], 6) AS c2, n_members
+FROM c{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_ivf_centroids", survey=("ST14",), oracle=_lloyd_oracle(8, 3)
+)
 def kmeans_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's KMeans (k=8, 3 iterations, deterministic
     init) over the embedding corpus — the iterative-algorithm shape on
     DataFrames and the trainer for real IVF centroids (upgrade path
     from ann_ivf_topk's id-sampled cells). Two shuffles per iteration
-    independent of corpus size. Rows-only: iterative, not
-    SQL-expressible; pinned against a numpy twin in
-    tests/test_streaming_multimodal.py."""
+    independent of corpus size. Hash-gated: the fixed iteration count
+    unrolls into CTE triples (_lloyd_oracle), so the full trainer —
+    init, argmin assignment, empty-cluster carry-forward, final
+    membership counts — is verified against DuckDB end to end; also
+    pinned against a numpy twin in tests/test_streaming_multimodal.py."""
     from bio_lakehouse_spark.operators.similarity import kmeans_lloyd
 
     emb = load(spark, sf_dir, "embeddings")
@@ -318,8 +369,9 @@ def kmeans_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — exactly the trainer's per-iteration assignment — and
     per-cell membership + inertia. Spark side uses the same packed-
     broadcast row-local argmin as kmeans_lloyd (zero corpus shuffle);
-    the full trainer stays rows-only (kmeans_ivf_centroids) but its
-    inner step now has a hard cross-engine row."""
+    the full trainer is ALSO hash-gated now (kmeans_ivf_centroids,
+    unrolled-Lloyd oracle); this audit pins the inner step alone so a
+    trainer regression localizes to assign vs update."""
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
