@@ -66,6 +66,7 @@ HEADLINE = [
     "sequence_packing",
     "gopher_repetition",
     "decontaminate_eval_overlap",
+    "dedup_frequent_lines",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

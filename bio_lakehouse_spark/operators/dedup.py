@@ -759,3 +759,86 @@ def ngram_overlap_contamination(
             ).alias("contamination_frac"),
         )
     )
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_seg: int = 8,
+    min_docs: int = 2,
+    delim: str | None = None,
+) -> DataFrame:
+    """Corpus-frequency segment removal — the RefinedWeb/CCNet
+    line-level dedup shape: split every document into segments, count
+    how many DISTINCT documents each segment appears in corpus-wide,
+    strip segments above the threshold, and reassemble the remaining
+    text in original order.
+
+    ``delim`` splits on a literal delimiter (newline for real web
+    text); ``delim=None`` chunks the word stream into fixed
+    ``words_per_seg``-word segments (the deterministic stand-in when
+    the corpus has no line structure). Removal is decided on
+    ``xxhash64(segment)`` so the frequency shuffle and the frequent
+    set carry 8-byte keys, never segment text.
+
+    Shape at 100 TB: three keyed exchanges of the segment table and
+    nothing quadratic — (1) explode → groupBy(seg_hash) with map-side
+    partial aggregation for the distinct-doc count, (2) the frequent
+    set (count ≥ min_docs) is the heavy-hitter MINORITY of segments,
+    broadcast back as a left join flag (fallback: drop the hint and
+    let AQE pick a shuffle join if a pathological corpus makes it
+    large), (3) groupBy(doc) to reassemble. Fully-removed documents
+    return clean_text NULL (not ''), matching SQL string_agg FILTER.
+
+    Returns (id_col, n_segs, n_removed, clean_text).
+    """
+    base = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    if delim is not None:
+        segs = F.split(F.col("__text"), F.lit(delim).cast("string"))
+    else:
+        w = F.split(F.col("__text"), " ")
+        n_chunks = F.ceil(F.size(w) / F.lit(words_per_seg)).cast("int")
+        segs = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda g: F.array_join(
+                F.slice(w, g * words_per_seg + 1, words_per_seg), " "
+            ),
+        )
+    ex = base.select(
+        id_col, F.posexplode(segs).alias("pos", "seg")
+    ).withColumn("h", F.xxhash64("seg"))
+    hot = (
+        ex.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("rm"))
+    )
+    flagged = ex.join(F.broadcast(hot), on="h", how="left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count("rm").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rm").isNull(),
+                                F.struct("pos", "seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("__clean"),
+        )
+        .select(
+            id_col,
+            "n_segs",
+            "n_removed",
+            F.nullif(F.col("__clean"), F.lit("")).alias("clean_text"),
+        )
+    )

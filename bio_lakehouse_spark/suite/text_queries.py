@@ -1052,3 +1052,52 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard")
     )
+
+
+@register(
+    "dedup_frequent_lines",
+    survey=("A11", "F9"),
+    oracle="""
+WITH segs AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(words[g*8+1 : g*8+8], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       unnest(generate_series(0, CAST(ceil(len(words)/8.0) AS INT) - 1)) AS t(g)
+), freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       COUNT(*) FILTER (f.n_docs >= 2) AS n_removed,
+       CAST(length(string_agg(s.seg, ' ' ORDER BY s.pos)
+                   FILTER (f.n_docs < 2)) AS BIGINT) AS clean_n_chars,
+       md5(string_agg(s.seg, ' ' ORDER BY s.pos)
+           FILTER (f.n_docs < 2)) AS clean_md5
+FROM segs s JOIN freq f USING (seg)
+GROUP BY s.doc_id
+""",
+)
+def dedup_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line-level dedup: segments (8-word chunks —
+    the deterministic stand-in for newline-split lines in this
+    corpus) appearing in ≥2 distinct documents corpus-wide are
+    stripped and the text reassembled in order. Removal keys on
+    xxhash64(segment) so shuffles carry 8-byte keys; the frequent set
+    is the heavy-hitter minority → broadcast flag join. Output hashes
+    the cleaned text (md5) so the oracle pins the exact reassembly,
+    not just counts."""
+    from bio_lakehouse_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = remove_frequent_segments(
+        docs, "doc_id", "text", words_per_seg=8, min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_removed",
+        F.length("clean_text").cast("long").alias("clean_n_chars"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -471,3 +471,15 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
             bnlj.append(name)
     assert not cartesian, f"shuffle cartesian in: {cartesian}"
     assert not bnlj, f"unwhitelisted nested-loop broadcast in: {bnlj}"
+
+
+def test_frequent_lines_broadcasts_hot_set(spark, sf_dir):
+    """Line-level dedup's frequent-segment set must come back as a
+    broadcast flag join (the corpus side never shuffles for the
+    removal decision), with no sort-merge join and no cartesian —
+    the segment table pays keyed hash exchanges only."""
+    plan = _plan(spark, sf_dir, "dedup_frequent_lines")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

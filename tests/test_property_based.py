@@ -324,3 +324,65 @@ def test_interval_overlap_join_bin_explosion_fails_loudly(spark):
         bucket_s=3600, max_bins_per_row=10_000,
     ).collect()
     assert [(r["l_id"], r["r_id"]) for r in ok] == [(0, 1)]
+
+
+def test_remove_frequent_segments_newline_mode(spark):
+    """Line-delimiter mode on crafted multi-line docs: the boilerplate
+    line shared by 3 docs is stripped everywhere, unique lines
+    survive in order, and a doc made ENTIRELY of boilerplate returns
+    clean_text NULL (not '') — the SQL string_agg FILTER contract."""
+    from bio_lakehouse_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha unique opening\n{boiler}\nclosing thoughts alpha"),
+        (1, f"{boiler}\nbeta body text"),
+        (2, f"gamma solo line\n{boiler}"),
+        (3, boiler),                      # fully boilerplate
+        (4, "delta never repeated\nsecond delta line"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_segments(
+            df, "doc_id", "text", min_docs=2, delim="\n"
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "alpha unique opening closing thoughts alpha"
+    assert out[0]["n_segs"] == 3 and out[0]["n_removed"] == 1
+    assert out[1]["clean_text"] == "beta body text"
+    assert out[2]["clean_text"] == "gamma solo line"
+    assert out[3]["clean_text"] is None
+    assert out[3]["n_removed"] == out[3]["n_segs"] == 1
+    assert out[4]["clean_text"] == "delta never repeated second delta line"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_frequent_segments_fixed_width_roundtrip(spark):
+    """Fixed-width mode with no frequent segments is the identity on
+    text (chunk + reassemble must round-trip, including a ragged last
+    chunk shorter than words_per_seg)."""
+    from bio_lakehouse_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    texts = [
+        "one two three four five six seven eight nine",   # 9 words: 8+1
+        "a b c",                                          # single ragged chunk
+        " ".join(f"w{i}" for i in range(16)),             # exact multiple
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_frequent_segments(
+            df, "doc_id", "text", words_per_seg=8, min_docs=2
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i]["clean_text"] == t, (i, out[i]["clean_text"])
+        assert out[i]["n_removed"] == 0
