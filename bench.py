@@ -67,6 +67,7 @@ HEADLINE = [
     "gopher_repetition",
     "decontaminate_eval_overlap",
     "dedup_frequent_lines",
+    "temperature_mixture_sample",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

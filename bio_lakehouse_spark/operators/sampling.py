@@ -144,3 +144,55 @@ def balanced_downsample(
     return sample_by_hash(
         df.join(F.broadcast(rates), strata_col), key, F.col("__rate"), salt
     ).drop("__rate")
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: Column,
+    strata_col: str,
+    alpha: float = 0.5,
+    total_target: int | None = None,
+    salt: str = "temp:",
+) -> DataFrame:
+    """Temperature-flattened source mixture (the multilingual-LM
+    upsampling rule: sampling probability for stratum s ∝ n_s^alpha,
+    alpha<1 flattens the source distribution toward uniform — alpha
+    0.7 in mBERT, 0.3 in XLM-R). Per-stratum acceptance rate is
+    min(1, target·n_s^alpha / (Σ n^alpha · n_s)) with target the
+    corpus size (or ``total_target``), applied as a content-addressed
+    hash filter — reproducible across runs/engines/partitionings,
+    stable membership, no RNG.
+
+    alpha=0.5 routes through sqrt (IEEE correctly-rounded, bit-equal
+    across engines); other alphas use pow (libm 1-ulp, still safe —
+    acceptance compares a 2^-60-granular hash against the rate, so a
+    last-ulp rate wobble flips a row with probability ~1e-16).
+
+    Shape at 100 TB: the rate table is one row per stratum broadcast
+    onto the scan; the only full-data pass is scan + filter. Same
+    cost envelope as balanced_downsample.
+    """
+    amp = (
+        (lambda c: F.sqrt(c)) if alpha == 0.5
+        else (lambda c: F.pow(c, F.lit(alpha)))
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.groupBy().agg(
+        F.sum("__n").alias("__total"),
+        F.sum(amp(F.col("__n").cast("double"))).alias("__z"),
+    )
+    target = (
+        F.lit(float(total_target)) if total_target is not None
+        else F.col("__total").cast("double")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            target * amp(F.col("__n").cast("double"))
+            / (F.col("__z") * F.col("__n").cast("double")),
+        ).alias("mix_rate"),
+    )
+    return sample_by_hash(
+        df.join(F.broadcast(rates), strata_col), key, F.col("mix_rate"), salt
+    )

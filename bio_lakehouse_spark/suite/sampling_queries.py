@@ -167,3 +167,59 @@ def eval_set_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     picked = group_sample(docs, F.col("doc_id"), ["lang"], k=20)
     return picked.select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "temperature_mixture_sample",
+    survey=("A1", "J5"),
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total,
+         SUM(sqrt(CAST(n AS DOUBLE))) AS z
+  FROM counts
+), rates AS (
+  SELECT source, n,
+         LEAST(1.0, total * sqrt(CAST(n AS DOUBLE)) / (z * n)) AS rate
+  FROM counts, tot
+), sampled AS (
+  SELECT d.source, d.n_chars, r.rate, r.n
+  FROM documents d JOIN rates r USING (source)
+  WHERE {_U(salt='temp:', two60=float(1 << 60))} < r.rate
+)
+SELECT source,
+       ANY_VALUE(n) AS n_total,
+       COUNT(*) AS n_sampled,
+       ROUND(ANY_VALUE(rate), 6) AS mix_rate,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM sampled GROUP BY source
+""",
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture at alpha=0.5 (the
+    multilingual-LM upsampling rule: rate_s ∝ n_s^alpha / n_s, so
+    rare sources keep everything and dominant sources downsample).
+    Content-addressed membership → the oracle reproduces the EXACT
+    sampled set, and a document's fate never changes when other
+    sources grow. One broadcast rate row per source; the only
+    full-data pass is scan + filter."""
+    from bio_lakehouse_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sampled = temperature_mixture_sample(
+        docs, F.col("doc_id"), "source", alpha=0.5
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.first("mix_rate"), 6).alias("mix_rate"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .join(F.broadcast(totals), "source")
+        .select("source", "n_total", "n_sampled", "mix_rate", "avg_chars")
+    )

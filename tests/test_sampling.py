@@ -123,3 +123,38 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_temperature_mixture_flattens_sources(docs):
+    """alpha=0.5 flattening: acceptance rate is DEcreasing in source
+    size (rare sources keep more), all rates ≤ 1, expected total ≈
+    corpus size, and membership is deterministic across calls."""
+    from bio_lakehouse_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    s1 = temperature_mixture_sample(docs, F.col("doc_id"), "source", alpha=0.5)
+    s2 = temperature_mixture_sample(docs, F.col("doc_id"), "source", alpha=0.5)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in s2.select("doc_id").collect()}
+    assert ids1 == ids2 and ids1
+
+    rates = {
+        r["source"]: (r["mix_rate"], r["n"])
+        for r in s1.groupBy("source")
+        .agg(F.first("mix_rate").alias("mix_rate"))
+        .join(
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")),
+            "source",
+        )
+        .collect()
+    }
+    by_size = sorted(rates.values(), key=lambda t: t[1])
+    for (r_small, n_small), (r_big, n_big) in zip(by_size, by_size[1:]):
+        assert r_small <= 1.0 + 1e-12 and r_big <= 1.0 + 1e-12
+        if n_small < n_big:
+            assert r_small >= r_big  # flattening: rare keeps more
+    # expected sample size equals the corpus size (target default)
+    expected = sum(r * n for r, n in rates.values())
+    total = docs.count()
+    assert abs(expected - total) / total < 0.05
