@@ -68,6 +68,7 @@ HEADLINE = [
     "decontaminate_eval_overlap",
     "dedup_frequent_lines",
     "temperature_mixture_sample",
+    "chunk_overlap_windows",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

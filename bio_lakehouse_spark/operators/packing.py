@@ -87,3 +87,55 @@ def pack_sequences(
         .otherwise(chunk_last - chunk_first + 1)
         .alias("n_chunks"),
     )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunker — the RAG / long-context prep
+    step: split each document's token stream into ``chunk_size``-token
+    windows advancing by ``stride = chunk_size - overlap``, so
+    consecutive chunks share ``overlap`` tokens and every token is
+    covered. Chunk count per doc is 1 when n ≤ chunk_size, else
+    ceil((n - chunk_size)/stride) + 1 (the standard sliding-window
+    formula; the last chunk may be short but never empty).
+
+    Pure per-row array expressions (split → sequence → slice →
+    posexplode): zero shuffles, runs at the scan, output rows ≈
+    corpus_tokens / stride. Returns (id, chunk_id, start_tok, n_tok,
+    chunk_text).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}"
+        )
+    stride = chunk_size - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))).cast("int")
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start_tok"),
+            F.array_join(
+                F.slice(w, i * stride + 1, chunk_size), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_size), n - i * stride).alias("n_tok"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -1101,3 +1101,45 @@ def dedup_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").cast("long").alias("clean_n_chars"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@register(
+    "chunk_overlap_windows",
+    survey=("F9", "O4"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n, g AS chunk_id, g*24 AS start_tok,
+         array_to_string(w[g*24+1 : g*24+32], ' ') AS chunk
+  FROM t, unnest(generate_series(0,
+         CASE WHEN n <= 32 THEN 0
+              ELSE CAST(ceil((n - 32) / 24.0) AS INT) END)) AS u(g)
+)
+SELECT doc_id, chunk_id,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(LEAST(32, n - start_tok) AS INT) AS n_tok,
+       md5(chunk) AS chunk_md5
+FROM c
+""",
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 32, overlap 8): the RAG /
+    long-context prep step. Pure per-row array expressions — zero
+    shuffles, runs at the scan; the md5 output pins the exact chunk
+    text and boundaries cross-engine, not just counts."""
+    from bio_lakehouse_spark.operators.packing import chunk_with_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    out = chunk_with_overlap(
+        docs, "doc_id", "text", chunk_size=32, overlap=8
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )

@@ -386,3 +386,52 @@ def test_remove_frequent_segments_fixed_width_roundtrip(spark):
     for i, t in enumerate(texts):
         assert out[i]["clean_text"] == t, (i, out[i]["clean_text"])
         assert out[i]["n_removed"] == 0
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_words=st.integers(min_value=1, max_value=200),
+    chunk_size=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunk_overlap_invariants(spark, n_words, chunk_size, data):
+    """Sliding-window chunker invariants for arbitrary sizes: full
+    token coverage in order (reassembling chunk[i][overlap:] after
+    chunk[0] reproduces the doc), consecutive chunks share exactly
+    `overlap` tokens, no empty chunk, and the standard count formula
+    holds."""
+    import math
+
+    from bio_lakehouse_spark.operators.packing import chunk_with_overlap
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk_size - 1))
+    stride = chunk_size - overlap
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], schema="doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_with_overlap(
+            df, "doc_id", "text", chunk_size=chunk_size, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    expect_n = (
+        1 if n_words <= chunk_size
+        else math.ceil((n_words - chunk_size) / stride) + 1
+    )
+    assert len(rows) == expect_n
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for prev, cur in zip(rows, rows[1:]):
+        p, c = prev["chunk_text"].split(" "), cur["chunk_text"].split(" ")
+        shared = min(overlap, len(c))
+        assert cur["start_tok"] == prev["start_tok"] + stride
+        assert p[stride:stride + shared] == c[:shared]  # overlap agrees
+        rebuilt.extend(c[shared:] if len(p) == chunk_size else [])
+    if all(len(r["chunk_text"].split(" ")) == chunk_size
+           for r in rows[:-1]):
+        assert rebuilt == words  # full in-order coverage
+    for r in rows:
+        assert 1 <= r["n_tok"] <= chunk_size
+        assert len(r["chunk_text"].split(" ")) == r["n_tok"]
