@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_frequent_lines",
     "temperature_mixture_sample",
     "chunk_overlap_windows",
+    "unigram_lm_quality",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -263,3 +263,60 @@ def redact_pii(col: Column | str) -> dict[str, Column]:
         red = F.regexp_replace(red, pat, repl)
     out["redacted"] = red
     return out
+
+
+def unigram_lm_score(df, id_col: str, text_col: str, ref=None,
+                     top_v: int | None = None):
+    """CCNet-style LM quality scoring: mean per-token negative log2
+    probability under an add-one-smoothed unigram LM trained on a
+    reference corpus (CCNet trains KenLM on Wikipedia and buckets web
+    text head/middle/tail by perplexity; the unigram LM is the same
+    contract with an oracle-checkable closed form).
+
+    p(w) = (c_ref(w)+1)/(N+V+1) for in-vocab w, 1/(N+V+1) for OOV —
+    so out-of-vocabulary tokens take the maximum surprisal and junk
+    text scores high (worse). Returns (id, n_tok, mean_nll) with
+    mean_nll in bits/token; perplexity proxy = 2^mean_nll.
+
+    Shape at 100 TB: the vocab is a broadcast table (cap it with
+    ``top_v`` most-frequent reference words — the standard LM vocab
+    truncation — when the reference corpus is itself web-scale); the
+    scoring side is explode → broadcast-left-join → one partial-
+    aggregated groupBy on the doc id. The (N, V) scalar rides along
+    as a one-row broadcast.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 — signature doc
+
+    ref = df if ref is None else ref
+    counts = (
+        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if top_v is not None:
+        counts = counts.orderBy(F.desc("c"), F.asc("w")).limit(top_v)
+    stats = counts.groupBy().agg(
+        F.sum("c").alias("n_ref"), F.count(F.lit(1)).alias("v_ref")
+    )
+    denom = (F.col("n_ref") + F.col("v_ref") + 1).cast("double")
+    vocab = counts.crossJoin(F.broadcast(stats)).select(
+        "w", F.log2((F.col("c") + 1) / denom).alias("logp")
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    scored = (
+        ex.join(F.broadcast(vocab), on="w", how="left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (-F.coalesce(F.col("logp"), F.log2(F.lit(1.0) / denom))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.avg("nll").alias("mean_nll"),
+    )

@@ -1143,3 +1143,70 @@ def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tok").cast("int").alias("n_tok"),
         F.md5("chunk_text").alias("chunk_md5"),
     )
+
+
+@register(
+    "unigram_lm_quality",
+    survey=("A1", "F9", "J5"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), ref AS (
+  SELECT w, COUNT(*) AS c FROM tok WHERE doc_id < 100 GROUP BY w
+), stats AS (
+  SELECT CAST(SUM(c) AS DOUBLE) + COUNT(*) + 1 AS denom FROM ref
+), vocab AS (
+  SELECT w, log2((c + 1.0) / denom) AS logp FROM ref, stats
+), scored AS (
+  SELECT t.doc_id,
+         -COALESCE(v.logp, (SELECT log2(1.0 / denom) FROM stats)) AS nll
+  FROM tok t LEFT JOIN vocab v USING (w)
+), d AS (
+  SELECT doc_id, COUNT(*) AS n_tok, ROUND(AVG(nll), 6) AS mean_nll
+  FROM scored GROUP BY doc_id
+), cuts AS (
+  SELECT v[CAST(ceil(len(v) / 3.0) AS INT)] AS c1,
+         v[CAST(ceil(len(v) * 2 / 3.0) AS INT)] AS c2
+  FROM (SELECT list_sort(list(mean_nll)) AS v FROM d)
+)
+SELECT doc_id, n_tok, mean_nll,
+       CASE WHEN mean_nll <= c1 THEN 'head'
+            WHEN mean_nll <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d, cuts
+""",
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing: score every document by mean
+    token surprisal under an add-one unigram LM trained on the
+    doc_id<100 reference slice, then label head/middle/tail by exact
+    tercile ORDER STATISTICS of the rounded score (value-based
+    cutoffs, so ties land in the same bucket in both engines — no
+    interpolation formula to disagree on; at 100 TB the cutoffs come
+    from approx_percentile instead, same CASE). Vocab broadcast,
+    scoring side explode → broadcast join → one keyed aggregate."""
+    from bio_lakehouse_spark.operators.textops import unigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    s = unigram_lm_score(
+        docs, "doc_id", "text", ref=docs.filter(F.col("doc_id") < 100)
+    ).select(
+        "doc_id", "n_tok", F.round("mean_nll", 6).alias("mean_nll")
+    )
+    cut = s.groupBy().agg(
+        F.sort_array(F.collect_list("mean_nll")).alias("v")
+    ).select(
+        F.element_at("v", F.ceil(F.size("v") / 3).cast("int")).alias("c1"),
+        F.element_at(
+            "v", F.ceil(F.size("v") * 2 / 3).cast("int")
+        ).alias("c2"),
+    )
+    return s.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "n_tok",
+        "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -459,6 +459,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "quantile_histogram_by_group",
         "balanced_lang_downsample",
         "temperature_mixture_sample",  # counts × ONE-ROW (total, z) stat
+        "unigram_lm_quality",  # vocab/scores × ONE-ROW (denom / cutoffs)
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():

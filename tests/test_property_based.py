@@ -435,3 +435,28 @@ def test_chunk_overlap_invariants(spark, n_words, chunk_size, data):
     for r in rows:
         assert 1 <= r["n_tok"] <= chunk_size
         assert len(r["chunk_text"].split(" ")) == r["n_tok"]
+
+
+def test_unigram_lm_oov_scores_worse(spark):
+    """LM quality contract: a document of out-of-vocabulary junk must
+    score strictly higher mean surprisal than one built from the
+    reference corpus's most common words, and OOV tokens take the
+    maximum per-token nll (uniform-smoothed floor)."""
+    import math
+
+    from bio_lakehouse_spark.operators.textops import unigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(0, "the the the cat"), (1, "zxqv wvut qqqq")],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_score(docs, "doc_id", "text", ref=ref).collect()}
+    assert out[1]["mean_nll"] > out[0]["mean_nll"]
+    # OOV floor: every token of doc 1 is OOV -> mean_nll == log2(N+V+1)
+    n_ref, v_ref = 30, 5
+    assert abs(out[1]["mean_nll"] - math.log2(n_ref + v_ref + 1)) < 1e-9
