@@ -1069,10 +1069,10 @@ WITH segs AS (
 SELECT s.doc_id,
        COUNT(*) AS n_segs,
        COUNT(*) FILTER (f.n_docs >= 2) AS n_removed,
-       CAST(length(string_agg(s.seg, ' ' ORDER BY s.pos)
-                   FILTER (f.n_docs < 2)) AS BIGINT) AS clean_n_chars,
-       md5(string_agg(s.seg, ' ' ORDER BY s.pos)
-           FILTER (f.n_docs < 2)) AS clean_md5
+       CAST(COALESCE(length(string_agg(s.seg, ' ' ORDER BY s.pos)
+                     FILTER (f.n_docs < 2)), 0) AS BIGINT) AS clean_n_chars,
+       COALESCE(md5(string_agg(s.seg, ' ' ORDER BY s.pos)
+                FILTER (f.n_docs < 2)), '') AS clean_md5
 FROM segs s JOIN freq f USING (seg)
 GROUP BY s.doc_id
 """,
@@ -1094,12 +1094,19 @@ def dedup_frequent_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = remove_frequent_segments(
         docs, "doc_id", "text", words_per_seg=8, min_docs=2
     )
+    # Fully-removed docs carry clean_text NULL; the GATE columns
+    # coalesce to (0, '') so the compared frame has no NULL-bearing
+    # numerics — NULL float representation is the one hash-contract
+    # ambiguity the driver burned a round on (r03 S12). The removed
+    # state stays observable as n_removed == n_segs.
     return out.select(
         "doc_id",
         "n_segs",
         "n_removed",
-        F.length("clean_text").cast("long").alias("clean_n_chars"),
-        F.md5("clean_text").alias("clean_md5"),
+        F.coalesce(F.length("clean_text").cast("long"), F.lit(0)).alias(
+            "clean_n_chars"
+        ),
+        F.coalesce(F.md5("clean_text"), F.lit("")).alias("clean_md5"),
     )
 
 
