@@ -70,6 +70,7 @@ HEADLINE = [
     "temperature_mixture_sample",
     "chunk_overlap_windows",
     "unigram_lm_quality",
+    "nb_quality_filter",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

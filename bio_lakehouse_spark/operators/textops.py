@@ -320,3 +320,77 @@ def unigram_lm_score(df, id_col: str, text_col: str, ref=None,
         F.count(F.lit(1)).alias("n_tok"),
         F.avg("nll").alias("mean_nll"),
     )
+
+
+def hashed_ngram_features(col: Column | str, dim: int = 4096) -> Column:
+    """Unigram + word-bigram features hashed into ``dim`` buckets
+    (the fastText feature map): array<long> of bucket ids, duplicates
+    kept (term frequency matters to the NB likelihood). Hash is the
+    md5-derived 60-bit bigint, so any engine computes identical
+    buckets."""
+    from bio_lakehouse_spark.operators.sketches import hash60
+
+    c = F.col(col) if isinstance(col, str) else col
+    return let(
+        F.split(c, " "),
+        lambda w: F.concat(
+            F.transform(w, lambda t: hash60(t) % dim),
+            F.transform(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda t, i: hash60(
+                    F.concat(t, F.lit(" "), F.element_at(w, i + 2))
+                )
+                % dim,
+            ),
+        ),
+    )
+
+
+def nb_quality_classifier(
+    df, id_col: str, text_col: str, label_col: str, dim: int = 4096
+):
+    """Model-based quality filtering (the fastText/FineWeb-Edu stage)
+    as a closed-form multinomial Naive Bayes over hashed n-gram
+    features — trained AND applied inside the engine, no sklearn.
+
+    Train: per-bucket positive/negative counts with add-one smoothing
+    → per-bucket log-odds weight w(b) = log((c⁺+1)/(N⁺+dim)) −
+    log((c⁻+1)/(N⁻+dim)). Apply: score(doc) = mean w over the doc's
+    feature stream; label keep = score > 0. ``label_col`` is a
+    boolean column marking the positive training examples (in
+    production: LLM/human-labeled seed docs — the distilled-
+    classifier seam; the pipeline is identical).
+
+    Scale shape: the weight table is bounded by ``dim`` rows no
+    matter the corpus (THE point of feature hashing) → broadcast;
+    training is one groupBy(bucket) with map-side partial counts;
+    scoring is explode → broadcast join → one keyed aggregate.
+    Returns (id, n_feat, nb_logodds).
+    """
+    feats = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("boolean").alias("__pos"),
+        F.explode(hashed_ngram_features(text_col, dim)).alias("b"),
+    )
+    counts = feats.groupBy("b").agg(
+        F.count_if(F.col("__pos")).alias("cp"),
+        F.count_if(~F.col("__pos")).alias("cn"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("cp").alias("np"), F.sum("cn").alias("nn")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("cp") + 1) / (F.col("np") + dim).cast("double"))
+            - F.log((F.col("cn") + 1) / (F.col("nn") + dim).cast("double"))
+        ).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(weights), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.avg("w").alias("nb_logodds"),
+        )
+    )

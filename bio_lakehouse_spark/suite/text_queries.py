@@ -1217,3 +1217,59 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+_H60 = "CAST(concat('0x', substr(md5({v}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "nb_quality_filter",
+    survey=("A1", "F9", "J5"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, pos, {_H60.format(v='unnest(w)')} % 4096 AS b FROM t
+  UNION ALL
+  SELECT doc_id, pos,
+         {_H60.format(v="w[g] || ' ' || w[g+1]")} % 4096 AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
+), counts AS (
+  SELECT b, COUNT(*) FILTER (pos) AS cp,
+         COUNT(*) FILTER (NOT pos) AS cn
+  FROM f GROUP BY b
+), tot AS (
+  SELECT SUM(cp) AS np, SUM(cn) AS nn FROM counts
+), wt AS (
+  SELECT b, ln((cp + 1) / (np + 4096.0))
+          - ln((cn + 1) / (nn + 4096.0)) AS w
+  FROM counts, tot
+), d AS (
+  SELECT doc_id, COUNT(*) AS n_feat, ROUND(AVG(w), 6) AS nb_logodds
+  FROM f JOIN wt USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_feat, nb_logodds, nb_logodds > 0 AS keep FROM d
+""",
+)
+def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (fastText/FineWeb-Edu stage):
+    closed-form multinomial NB over hashed unigram+bigram features
+    (dim 4096), trained on lang='en' as the positive seed and applied
+    to every document. The weight table is bounded by dim rows
+    regardless of corpus size (the point of feature hashing) →
+    broadcast; verdict keep = mean log-odds > 0 on the rounded score
+    so both engines agree at the boundary."""
+    from bio_lakehouse_spark.operators.textops import (
+        nb_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__pos", F.col("lang") == "en"
+    )
+    out = nb_quality_classifier(
+        docs, "doc_id", "text", "__pos", dim=4096
+    ).select(
+        "doc_id", "n_feat", F.round("nb_logodds", 6).alias("nb_logodds")
+    )
+    return out.withColumn("keep", F.col("nb_logodds") > 0)
