@@ -71,6 +71,7 @@ HEADLINE = [
     "chunk_overlap_windows",
     "unigram_lm_quality",
     "nb_quality_filter",
+    "repeated_span_flags",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -62,11 +62,17 @@ def word_ngram_stream(w: Column, n: int) -> Column:
     Documents shorter than ``n`` words yield their full text as one
     (possibly partial) gram — same fallback as ``word_ngrams``."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    # try_element_at, not element_at: the short-document fallback
+    # (doc < n words -> one partial gram) reads past the array end,
+    # which ANSI-mode element_at raises on instead of returning NULL.
     return F.transform(
         idx,
         lambda i: F.concat_ws(
             " ",
-            *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)],
+            *[
+                F.try_element_at(w, (i + k + 1).cast("int"))
+                for k in range(n)
+            ],
         ),
     )
 

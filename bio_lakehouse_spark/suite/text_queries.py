@@ -1273,3 +1273,41 @@ def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_feat", F.round("nb_logodds", 6).alias("nb_logodds")
     )
     return out.withColumn("keep", F.col("nb_logodds") > 0)
+
+
+@register(
+    "repeated_span_flags",
+    survey=("A11", "F9"),
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(w) - 16, 0) + 1),
+                  i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7], w[i+8], w[i+9], w[i+10], w[i+11], w[i+12], w[i+13], w[i+14], w[i+15], w[i+16]))) AS gram
+    FROM t
+  )
+), freq AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(*) FILTER (f.nd >= 2) AS n_shared,
+       ROUND(COUNT(*) FILTER (f.nd >= 2)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac,
+       COUNT(*) FILTER (f.nd >= 2) > 0 AS flagged
+FROM g JOIN freq f USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (Lee et al. 2022
+    exact-substring dedup signal): stride-1 16-token windows catch
+    verbatim spans duplicated at ANY alignment — the case disjoint
+    chunkers miss. Linear explode (same envelope as decontamination),
+    8-byte hash exchange keys, broadcast shared-window flag."""
+    from bio_lakehouse_spark.operators.dedup import repeated_window_flags
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_window_flags(docs, "doc_id", "text", window=16)

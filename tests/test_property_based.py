@@ -460,3 +460,29 @@ def test_unigram_lm_oov_scores_worse(spark):
     # OOV floor: every token of doc 1 is OOV -> mean_nll == log2(N+V+1)
     n_ref, v_ref = 30, 5
     assert abs(out[1]["mean_nll"] - math.log2(n_ref + v_ref + 1)) < 1e-9
+
+
+def test_repeated_span_catches_unaligned_copy(spark):
+    """The defining property vs chunk-based dedup: a 20-token span
+    pasted into another doc at a DIFFERENT word offset must flag both
+    docs (stride-1 windows align at any offset); unrelated docs stay
+    unflagged."""
+    from bio_lakehouse_spark.operators.dedup import repeated_window_flags
+
+    span = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (0, "aa bb cc " + span + " dd ee"),          # span at offset 3
+        (1, "xx " + span + " yy zz qq rr tt"),       # span at offset 1
+        (2, " ".join(f"u{i}" for i in range(30))),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_window_flags(
+            df, "doc_id", "text", window=16
+        ).collect()
+    }
+    assert out[0]["flagged"] and out[1]["flagged"]
+    assert not out[2]["flagged"] and out[2]["n_shared"] == 0
+    # both copies share exactly the 5 complete 16-windows of the span
+    assert out[0]["n_shared"] == out[1]["n_shared"] == 5
