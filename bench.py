@@ -72,6 +72,7 @@ HEADLINE = [
     "unigram_lm_quality",
     "nb_quality_filter",
     "repeated_span_flags",
+    "corpus_filter_pipeline",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -1311,3 +1311,101 @@ def repeated_span_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return repeated_window_flags(docs, "doc_id", "text", window=16)
+
+
+def _langid_case() -> str:
+    """The predicted-language CASE over a bound word array `w` —
+    shared by text_langid's oracle and the filter pipeline."""
+    scores = {
+        lang: (
+            f"len(list_filter(w, x -> x IN "
+            f"({', '.join(repr(s) for s in sw)})))"
+        )
+        for lang, sw in STOPWORDS.items()
+    }
+    langs = list(STOPWORDS)
+    whens = []
+    for lang in langs:
+        others = ", ".join(scores[o] for o in langs if o != lang)
+        whens.append(
+            f"WHEN {scores[lang]} >= greatest({others}) THEN '{lang}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@register(
+    "corpus_filter_pipeline",
+    survey=("F6", "F7", "A11", "P5"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_W} AS w,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY fp) <> doc_id AS is_dup,
+         ROUND(CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN length(array_to_string(w, ''))::DOUBLE
+                    / greatest(len(w), 1) BETWEEN 3 AND 10
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE
+                    / greatest(len(w), 1) >= 0.05 THEN 0.2 ELSE 0.0 END
+             + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) <= 0.2
+                    THEN 0.1 ELSE 0.0 END, 6) >= 0.7 AS quality_ok,
+         {_langid_case()} = lang AS lang_ok
+  FROM base
+)
+SELECT doc_id, is_dup, quality_ok, lang_ok,
+       (NOT is_dup) AND quality_ok AND lang_ok AS keep,
+       COALESCE(array_to_string(list_filter([
+           CASE WHEN is_dup THEN 'dup' END,
+           CASE WHEN NOT quality_ok THEN 'quality' END,
+           CASE WHEN NOT lang_ok THEN 'lang' END
+       ], x -> x IS NOT NULL), ','), '') AS reject_reasons
+FROM feat
+""",
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style end-to-end filter chain as ONE per-document
+    verdict frame: exact-dup demotion (keeper = min doc_id per
+    normalized-text fingerprint), heuristic quality gate
+    (quality_score ≥ 0.7), language-agreement gate (stopword langid
+    == labeled lang), composed into keep + reject_reasons. One
+    fingerprint-keyed window shuffle; everything else is scan-level
+    expressions — the whole chain is a single pass plus one exchange
+    at 100 TB."""
+    from pyspark.sql import Window
+
+    from bio_lakehouse_spark.operators.textops import fingerprint_exact
+
+    docs = load(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    w = Window.partitionBy(fingerprint_exact("text"))
+    feat = docs.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.col("doc_id")).alias("is_dup"),
+        (R6(m["quality_score"]) >= 0.7).alias("quality_ok"),
+        (predicted_lang(words("text")) == F.col("lang")).alias("lang_ok"),
+    )
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("is_dup"), F.lit("dup")),
+                F.when(~F.col("quality_ok"), F.lit("quality")),
+                F.when(~F.col("lang_ok"), F.lit("lang")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return feat.select(
+        "doc_id",
+        "is_dup",
+        "quality_ok",
+        "lang_ok",
+        (~F.col("is_dup") & F.col("quality_ok") & F.col("lang_ok")).alias(
+            "keep"
+        ),
+        reasons.alias("reject_reasons"),
+    )
