@@ -73,6 +73,7 @@ HEADLINE = [
     "nb_quality_filter",
     "repeated_span_flags",
     "corpus_filter_pipeline",
+    "ann_ivf_recall",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

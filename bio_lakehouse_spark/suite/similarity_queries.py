@@ -458,3 +458,76 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "rank",
         R6(F.col("cos_sim")).alias("cos_sim"),
     )
+
+
+@register(
+    "ann_ivf_recall",
+    survey=("O4", "J6", "A1"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC, cent.centroid_id) AS rn
+    FROM embeddings v, cent
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+), probed AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='cent.cv')} DESC, cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= 3
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY {_COS.format(a='p.qv', b='a.embedding')} DESC, a.vec_id) AS rank
+    FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rank <= 5
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='c.embedding')} DESC, c.vec_id) AS rank
+    FROM embeddings c, q
+    WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       COUNT(i.neighbor_id) AS n_hits,
+       ROUND(COUNT(i.neighbor_id) / 5.0, 6) AS recall_at_5
+FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the IVF index (nprobe=3)
+    against the exact brute-force ranking, per query — the metric an
+    ANN deployment is tuned on (nprobe/ncells trade recall for the
+    scan fraction). Both rankings reuse the production operators;
+    the comparison is one equi-join on (query, neighbor)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(emb, queries, centroids, k=5, nprobe=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+    )
