@@ -74,6 +74,7 @@ HEADLINE = [
     "repeated_span_flags",
     "corpus_filter_pipeline",
     "ann_ivf_recall",
+    "seasonal_decompose_weekly",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -240,3 +240,64 @@ def bayesian_effect(
         pre_n.alias("n_pre"),
         post_n.alias("n_post"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of per-entity daily
+    series: observed = trend + seasonal + residual, with trend = the
+    centered ``period``-row rolling mean, seasonal = the per-phase
+    mean detrended residual re-centered to sum 0 over a period (the
+    classical-decomposition construction), residual = what's left.
+    Phase is pure date arithmetic (days since epoch mod period), so
+    every engine agrees on weekday alignment without dialect-specific
+    DOW numbering.
+
+    Scale shape: one window partitioned BY ENTITY (series
+    parallelism = entity count; no global sort), one tiny per-(entity,
+    phase) aggregate broadcast back. Health-data seasonality (weekday
+    effects in readiness/training load) is the reference's analytics
+    domain; this gives its views a decomposition primitive.
+    """
+    w7 = (
+        Window.partitionBy(entity_col)
+        .orderBy(date_col)
+        .rowsBetween(-(period // 2), period // 2)
+    )
+    base = df.select(
+        entity_col,
+        date_col,
+        F.col(value_col).alias("observed"),
+    ).withColumn("trend", F.avg("observed").over(w7))
+    phase = (
+        F.datediff(F.col(date_col), F.to_date(F.lit("1970-01-05"))) % period
+    ).alias("phase")  # 1970-01-05 is a Monday: phase 0 = Monday
+    detr = base.withColumn("phase", phase).withColumn(
+        "detr", F.col("observed") - F.col("trend")
+    )
+    smeans = detr.groupBy(entity_col, "phase").agg(
+        F.avg("detr").alias("s_raw")
+    )
+    scentered = smeans.withColumn(
+        "seasonal",
+        F.col("s_raw")
+        - F.avg("s_raw").over(Window.partitionBy(entity_col)),
+    ).select(entity_col, "phase", "seasonal")
+    return (
+        detr.join(F.broadcast(scentered), on=[entity_col, "phase"])
+        .select(
+            entity_col,
+            date_col,
+            "observed",
+            "trend",
+            "seasonal",
+            (F.col("observed") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )

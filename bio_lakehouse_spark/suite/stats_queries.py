@@ -1436,3 +1436,60 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
     )
+
+
+@register(
+    "seasonal_decompose_weekly",
+    survey=("W2", "A1", "ST7"),
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS date, AVG(value) AS observed
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, date, observed,
+         AVG(observed) OVER (PARTITION BY event_type ORDER BY date
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+         (date - DATE '1970-01-05') % 7 AS phase
+  FROM d
+), s AS (
+  SELECT event_type, phase, AVG(observed - trend) AS s_raw
+  FROM t GROUP BY 1, 2
+), sc AS (
+  SELECT event_type, phase,
+         s_raw - AVG(s_raw) OVER (PARTITION BY event_type) AS seasonal
+  FROM s
+)
+SELECT t.event_type, t.date,
+       ROUND(t.observed, 6) AS observed,
+       ROUND(t.trend, 6) AS trend,
+       ROUND(sc.seasonal, 6) AS seasonal,
+       ROUND(t.observed - t.trend - sc.seasonal, 6) AS residual
+FROM t JOIN sc USING (event_type, phase)
+""",
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive weekly decomposition of each event type's daily mean
+    (STL-lite): observed = centered 7-row trend + zero-sum weekday
+    seasonal + residual. Phase is pure epoch-day arithmetic so both
+    engines agree on weekday alignment. One entity-partitioned
+    window + a tiny per-(entity, phase) broadcast — series
+    parallelism = entity count at scale. Weekday effects in
+    readiness/training-load series are exactly the reference's
+    analytics domain (insights trends, ref insights_engine)."""
+    from bio_lakehouse_spark.operators.stats import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.avg("value").alias("observed"))
+    out = seasonal_decompose(
+        daily, "event_type", "date", "observed", period=7
+    )
+    return out.select(
+        "event_type",
+        "date",
+        F.round("observed", 6).alias("observed"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )

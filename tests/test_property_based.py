@@ -486,3 +486,31 @@ def test_repeated_span_catches_unaligned_copy(spark):
     assert not out[2]["flagged"] and out[2]["n_shared"] == 0
     # both copies share exactly the 5 complete 16-windows of the span
     assert out[0]["n_shared"] == out[1]["n_shared"] == 5
+
+
+def test_seasonal_decompose_identity_and_zero_sum(spark):
+    """Decomposition invariants on a crafted series with a known
+    weekly pattern: observed == trend + seasonal + residual exactly
+    per row, seasonal sums to ~0 over the 7 phases, and a strong
+    planted weekday spike surfaces as the max seasonal phase."""
+    import datetime as dt
+
+    from bio_lakehouse_spark.operators.stats import seasonal_decompose
+
+    base = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    for i in range(70):
+        d = base + dt.timedelta(days=i)
+        v = 100.0 + i * 0.5 + (25.0 if d.weekday() == 5 else 0.0)
+        rows.append(("hr", d, v))
+    df = spark.createDataFrame(rows, "entity string, date date, v double")
+    out = seasonal_decompose(df, "entity", "date", "v").collect()
+    assert len(out) == 70
+    for r in out:
+        assert abs(r["observed"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+    by_phase = {}
+    for r in out:
+        ph = (r["date"] - dt.date(1970, 1, 5)).days % 7
+        by_phase[ph] = r["seasonal"]
+    assert abs(sum(by_phase.values())) < 1e-9
+    assert max(by_phase, key=by_phase.get) == 5  # Saturday spike
