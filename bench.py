@@ -75,6 +75,7 @@ HEADLINE = [
     "corpus_filter_pipeline",
     "ann_ivf_recall",
     "seasonal_decompose_weekly",
+    "pq_adc_topk",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -556,3 +556,169 @@ def ivf_neardup_pairs(
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Fold-left squared L2 between two double arrays — sequential
+    element order, so engines agree bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook_sampled(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    stride: int = 60,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al. TPAMI'11): the
+    ``dim``-dim space splits into ``m`` subspaces of dim/m; codewords
+    are the sub-vectors of ``k`` deterministic id-sampled corpus
+    vectors (the same sampled-seed convention as ann_ivf_topk's
+    centroids — swap in kmeans_lloyd per subspace for trained
+    codebooks, identical downstream shape). Returns (s, j, cw)."""
+    dsub = dim // m
+    w = Window.orderBy(id_col)
+    samp = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("j"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "vec"
+            ),
+        )
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice("vec", s * dsub + 1, dsub).alias("cw"),
+            )
+            for s in range(m)
+        ]
+    )
+    return samp.select("j", F.explode(subs).alias("c")).select(
+        F.col("c.s").alias("s"), "j", F.col("c.cw").alias("cw")
+    )
+
+
+def _packed_codebook(codebook: DataFrame) -> DataFrame:
+    """ONE broadcast row with the codebook sorted by (s, j) — index
+    s*k + j addresses it; never k·m literals in the plan."""
+    return F.broadcast(
+        codebook.groupBy().agg(
+            F.sort_array(
+                F.collect_list(F.struct("s", "j", "cw"))
+            ).alias("cb")
+        )
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ encoding: per subspace, the argmin-L2 codeword id (tie →
+    smaller j). dim·log2(k)·m bits per vector instead of dim·32 — the
+    4-16× memory cut that lets a 100 TB embedding corpus serve from
+    RAM. Codebook rides as one packed broadcast row; encoding is a
+    row-local projection, zero shuffles. Returns (id, codes[m])."""
+    dsub = dim // m
+    v = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "vec"
+        ),
+    ).crossJoin(_packed_codebook(codebook))
+
+    def code_for(s: int) -> Column:
+        cwords = F.filter(F.col("cb"), lambda c: c["s"] == F.lit(s))
+        sub = F.slice("vec", s * dsub + 1, dsub)
+        return F.array_min(
+            F.transform(
+                cwords,
+                lambda c: F.struct(
+                    _l2sq(sub, c["cw"]).alias("d"), c["j"].alias("j")
+                ),
+            )
+        )["j"]
+
+    return v.select(
+        id_col, F.array(*[code_for(s) for s in range(m)]).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k_results: int = 5,
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m·k lookup table of sub-distances to every
+    codeword, then scanning a candidate costs m table lookups — no
+    float vector is touched during the scan. LUTs are built query-
+    side against the packed broadcast codebook and broadcast onto the
+    code scan (|Q|·m·k doubles — batch the query set to bound it);
+    distance accumulates over subspaces in ascending s (fold order
+    fixed → engines agree). Returns (query_id, neighbor_id, rank,
+    adc_dist)."""
+    dsub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "qv"
+        ),
+    ).crossJoin(_packed_codebook(codebook))
+    qlut = q.select(
+        "query_id",
+        F.transform(
+            "cb",
+            lambda c: _l2sq(
+                F.slice(F.col("qv"), c["s"] * dsub + 1, dsub), c["cw"]
+            ),
+        ).alias("lut"),
+    )
+    pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("lut"),
+            (s * k + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
+            .cast("int"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_results)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

@@ -531,3 +531,82 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
         )
     )
+
+
+_SUB_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+@register(
+    "pq_adc_topk",
+    survey=("O4", "F9", "J5"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), samp AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vec
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id % 60 = 0
+        ORDER BY vec_id LIMIT 8)
+), cb AS (
+  SELECT s, j, vec[s*16+1 : s*16+16] AS cw
+  FROM samp, unnest([0, 1, 2, 3]) AS t(s)
+), enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, cb.s, cb.j,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+        {_SUB_L2.format(a='v.vec[cb.s*16+1 : cb.s*16+16]', b='cb.cw')},
+        cb.j) AS rn
+    FROM v CROSS JOIN cb
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id % 50 = 0
+), lut AS (
+  SELECT q.query_id, cb.s, cb.j,
+         {_SUB_L2.format(a='q.qv[cb.s*16+1 : cb.s*16+16]', b='cb.cw')} AS d
+  FROM q CROSS JOIN cb
+), scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_sum(list(l.d ORDER BY l.s)) AS adc
+  FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(adc, 6) AS adc_dist
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adc ASC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance top-5 (Jégou et al.
+    TPAMI'11): 4 subspaces × 8 id-sampled codewords compress each
+    64-dim float vector to 4 code bytes (16× memory cut — what lets a
+    100 TB embedding corpus serve from RAM); queries precompute a 4×8
+    sub-distance LUT against the packed broadcast codebook and the
+    scan costs 4 array lookups per candidate, touching no float
+    vectors. Distance accumulates in ascending-subspace fold order so
+    both engines agree bit-for-bit before the ROUND."""
+    from bio_lakehouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_sampled,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = pq_adc_topk(codes, queries, cb, k_results=5, m=4, k=8, dim=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        R6(F.col("adc_dist")).alias("adc_dist"),
+    )
