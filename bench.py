@@ -76,6 +76,7 @@ HEADLINE = [
     "ann_ivf_recall",
     "seasonal_decompose_weekly",
     "pq_adc_topk",
+    "pagerank_cust_supplier",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -77,3 +77,69 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank by fixed-iteration power method — the second
+    iterative-graph shape (after connected_components), with full
+    dangling-mass handling: nodes without out-edges redistribute
+    their rank uniformly each round (the standard stochastic-matrix
+    completion), so rank mass is conserved on ANY directed graph.
+
+    Per iteration: ONE keyed join (edges ⋈ ranks on src) + one
+    groupBy(dst) partial-aggregated sum + a one-row dangling-mass
+    aggregate broadcast back — no driver round-trip, lineage
+    truncated per round via localCheckpoint exactly as
+    connected_components/kmeans_lloyd do. A fixed ``iters`` makes the
+    whole computation SQL-unrollable, so the oracle checks the
+    algorithm end to end. Returns (node, rank) over all nodes
+    appearing in the edge list; Σ rank = 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    vtx = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_row = F.broadcast(vtx.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    ranks = vtx.crossJoin(n_row).select(
+        "v", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["v"])
+            .join(deg, on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("insum"))
+        )
+        dangle = F.broadcast(
+            ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
+            .groupBy()
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dng"))
+        )
+        ranks = (
+            vtx.join(contrib, vtx["v"] == contrib["dst"], "left")
+            .crossJoin(n_row)
+            .crossJoin(dangle)
+            .select(
+                "v",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("insum"), F.lit(0.0))
+                        + F.col("dng") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("v").alias("node"), F.col("r").alias("rank"))

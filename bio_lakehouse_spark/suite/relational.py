@@ -972,3 +972,69 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (metric, value)"
         ),
     ).filter(F.col("value").isNotNull())
+
+
+def _pagerank_oracle(iters: int = 3, d: str = "0.85") -> str:
+    """Unrolled power-iteration PageRank over the symmetrized
+    customer-supplier graph — fixed iteration count makes the full
+    algorithm (degree normalization, dangling-mass redistribution,
+    damping) SQL-expressible, same pattern as the unrolled-Lloyd
+    KMeans oracle."""
+    parts = [f"""WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base
+), deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+vtx AS (SELECT DISTINCT v FROM
+        (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vtx),
+r0 AS (SELECT v, 1.0 / n.n AS r FROM vtx, n)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+  SELECT e.dst AS v, SUM(r.r / deg.deg) AS insum
+  FROM e JOIN r{i-1} r ON r.v = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), d{i} AS (
+  SELECT COALESCE(SUM(r.r), 0) AS dng
+  FROM r{i-1} r LEFT JOIN deg ON deg.src = r.v WHERE deg.src IS NULL
+), r{i} AS (
+  SELECT vtx.v, (1 - {d}) / n.n + {d} * (COALESCE(c.insum, 0)
+         + dd.dng / n.n) AS r
+  FROM vtx CROSS JOIN n CROSS JOIN d{i} dd LEFT JOIN c{i} c ON c.v = vtx.v
+)""")
+    parts.append(f"""
+SELECT v AS node, ROUND(r, 9) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "pagerank_cust_supplier",
+    survey=("J4", "A1"),
+    oracle=_pagerank_oracle(3),
+)
+def pagerank_cust_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85, dangling mass
+    redistributed) over the symmetrized customer-supplier trade
+    graph — entity-importance ranking, the second iterative-graph
+    operator after connected_components. One keyed join + one
+    partial-aggregated groupBy + a one-row dangling broadcast per
+    iteration, lineage checkpoint-truncated; rank mass sums to 1."""
+    from bio_lakehouse_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    out = pagerank(e, iters=3, damping=0.85)
+    return out.select("node", F.round("rank", 9).alias("rank"))

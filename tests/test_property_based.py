@@ -514,3 +514,20 @@ def test_seasonal_decompose_identity_and_zero_sum(spark):
         by_phase[ph] = r["seasonal"]
     assert abs(sum(by_phase.values())) < 1e-9
     assert max(by_phase, key=by_phase.get) == 5  # Saturday spike
+
+
+def test_pagerank_mass_and_dangling(spark):
+    """PageRank invariants on a crafted graph WITH a dangling node:
+    rank mass sums to 1 every time, a node with more in-links
+    outranks one with fewer, and the dangling node still holds the
+    teleport floor."""
+    from bio_lakehouse_spark.operators.graph import pagerank
+
+    # 1->3, 2->3, 4->1 ; 3 is dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (4, 1)], "src long, dst long"
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
+    assert rows[3] > rows[1] > rows[2]  # 2 in-links > 1 > 0-ish
+    assert min(rows.values()) > 0.15 / 4 - 1e-12  # teleport floor
