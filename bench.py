@@ -77,6 +77,7 @@ HEADLINE = [
     "seasonal_decompose_weekly",
     "pq_adc_topk",
     "pagerank_cust_supplier",
+    "text_char_entropy",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -400,3 +400,28 @@ def nb_quality_classifier(
             F.avg("w").alias("nb_logodds"),
         )
     )
+
+
+# Fixed scoring alphabet for scan-level entropy: normalized corpora
+# (lowercase + digits + space) cover it; symbols outside contribute
+# length but no term, keeping the expression closed-form.
+ENTROPY_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits) of the character distribution over the
+    fixed alphabet — the repetitiveness signal quality filters use
+    (near-zero → 'aaaa...' boilerplate; English text ≈ 4 bits). Pure
+    scan-level expression: one length-difference count per symbol
+    (codegen-friendly replace, no explode, no shuffle), summed in
+    fixed alphabet order so engines agree bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    expr = F.lit(0.0)
+    for ch in ENTROPY_ALPHABET:
+        cnt = (
+            F.length(c) - F.length(F.replace(c, F.lit(ch), F.lit("")))
+        ).cast("double")
+        p = cnt / n
+        expr = expr + F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+    return expr

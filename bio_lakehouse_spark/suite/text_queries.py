@@ -1409,3 +1409,43 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         reasons.alias("reject_reasons"),
     )
+
+
+def _entropy_sql() -> str:
+    terms = []
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789 ":
+        lit = "' '" if ch == " " else f"'{ch}'"
+        cnt = f"(length(text) - length(replace(text, {lit}, '')))::DOUBLE"
+        terms.append(
+            f"CASE WHEN {cnt} > 0 THEN -({cnt} / length(text)::DOUBLE)"
+            f" * log2({cnt} / length(text)::DOUBLE) ELSE 0.0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "text_char_entropy",
+    survey=("F7", "F11"),
+    oracle=f"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND({_entropy_sql()}, 6) AS entropy_bits,
+       ROUND({_entropy_sql()}, 6) < 3.5 AS low_entropy
+FROM documents
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    repetitiveness signal quality filters pair with the Gopher rules
+    (near-zero → boilerplate runs; English ≈ 4 bits). Scan-level
+    closed form (one replace-count per alphabet symbol, fixed
+    summation order), no explode, no shuffle."""
+    from bio_lakehouse_spark.operators.textops import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    ent = F.round(char_entropy("text"), 6)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        ent.alias("entropy_bits"),
+        (ent < 3.5).alias("low_entropy"),
+    )
