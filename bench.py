@@ -78,6 +78,7 @@ HEADLINE = [
     "pq_adc_topk",
     "pagerank_cust_supplier",
     "text_char_entropy",
+    "pq_rerank_topk",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -610,3 +610,110 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         R6(F.col("adc_dist")).alias("adc_dist"),
     )
+
+
+@register(
+    "pq_rerank_topk",
+    survey=("O4", "F9", "J5"),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), samp AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vec
+  FROM (SELECT vec_id, vec FROM v WHERE vec_id % 60 = 0
+        ORDER BY vec_id LIMIT 8)
+), cb AS (
+  SELECT s, j, vec[s*16+1 : s*16+16] AS cw
+  FROM samp, unnest([0, 1, 2, 3]) AS t(s)
+), enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT v.vec_id, cb.s, cb.j,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.s ORDER BY
+        {_SUB_L2.format(a='v.vec[cb.s*16+1 : cb.s*16+16]', b='cb.cw')},
+        cb.j) AS rn
+    FROM v CROSS JOIN cb
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id % 50 = 0
+), lut AS (
+  SELECT q.query_id, cb.s, cb.j,
+         {_SUB_L2.format(a='q.qv[cb.s*16+1 : cb.s*16+16]', b='cb.cw')} AS d
+  FROM q CROSS JOIN cb
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY l.query_id
+             ORDER BY list_sum(list(l.d ORDER BY l.s)) ASC,
+                      e.vec_id) AS crank
+    FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+    WHERE e.vec_id <> l.query_id
+    GROUP BY l.query_id, e.vec_id
+  ) WHERE crank <= 20
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT c.query_id, c.neighbor_id,
+         {_COS.format(a='q.qv', b='n.vec')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+           ORDER BY {_COS.format(a='q.qv', b='n.vec')} DESC,
+                    c.neighbor_id) AS rank
+  FROM cand c JOIN q ON q.query_id = c.query_id
+              JOIN v n ON n.vec_id = c.neighbor_id
+) WHERE rank <= 5
+""",
+)
+def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving pattern:
+    PQ-ADC prefilter to 20 candidates per query (4 LUT lookups per
+    candidate, no float vectors touched), then exact-cosine rerank of
+    only those candidates to top-5. The rerank joins float vectors
+    for |Q|·20 rows instead of |Q|·N — the stage split that makes
+    RAM-resident codes + disk-resident vectors serve at 100 TB."""
+    from bio_lakehouse_spark.operators.similarity import (
+        dot,
+        norm,
+        pq_adc_topk,
+        pq_codebook_sampled,
+        pq_encode,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cand = pq_adc_topk(
+        codes, queries, cb, k_results=20, m=4, k=8, dim=64
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm(F.col("embedding")).alias("qn"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        norm(F.col("embedding")).alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank", R6(F.col("cos_sim")).alias("cos_sim")
+        )
+    )
