@@ -79,6 +79,7 @@ HEADLINE = [
     "pagerank_cust_supplier",
     "text_char_entropy",
     "pq_rerank_topk",
+    "pack_pairs_minpad",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

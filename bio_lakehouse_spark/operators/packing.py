@@ -139,3 +139,75 @@ def chunk_with_overlap(
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def pack_pairs_minimal_padding(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column | str,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Paired packing: within each shard, rank documents by token
+    count and pair the i-th longest with the i-th shortest. For even
+    shard sizes this PROVABLY minimizes the maximum bin load over all
+    perfect matchings (sorted two-partition pairing — brute-force-
+    verified by the property test); an odd shard leaves the median
+    document alone, a heuristic that can be off optimum (e.g.
+    [1,1,2]: singling out the 2 would be better), accepted because
+    choosing the optimal singleton needs an O(n) search per shard
+    that no window expression gives. Padding variance still
+    collapses versus arrival-order packing. The multi-item
+    generalization (first-fit decreasing) is inherently sequential;
+    pairing is the rung of that ladder that stays a pure window
+    expression.
+
+    One window per shard (shards are the parallelism unit, as in
+    pack_sequences — no global sort). Odd shard counts leave the
+    median document alone in its bin (partner id -1). Returns
+    (shard, bin_id, long_id, short_id, pair_tok).
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        t.cast("long").alias("n_tok"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("n_tok"), F.asc("doc")
+    )
+    ranked = base.select(
+        "shard",
+        "doc",
+        "n_tok",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("n"),
+    )
+    binned = ranked.select(
+        "shard",
+        F.least(F.col("r"), F.col("n") - F.col("r") + 1).alias("bin_id"),
+        (F.col("r") * 2 <= F.col("n")).alias("is_long"),
+        # strictly-lower half = long side; upper half = short side;
+        # the exact middle of an odd shard sits alone (is_long false,
+        # bin has one member).
+        "doc",
+        "n_tok",
+    )
+    return (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.max(F.when(F.col("is_long"), F.col("doc"))).alias("__long"),
+            F.max(F.when(~F.col("is_long"), F.col("doc"))).alias("__short"),
+            F.sum("n_tok").alias("pair_tok"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            # a 1-member bin (odd middle) carries its doc on the
+            # short side; promote it to long and mark no partner.
+            F.coalesce(F.col("__long"), F.col("__short")).alias("long_id"),
+            F.when(F.col("__long").isNull(), F.lit(-1))
+            .otherwise(F.coalesce(F.col("__short"), F.lit(-1)))
+            .alias("short_id"),
+            "pair_tok",
+        )
+    )

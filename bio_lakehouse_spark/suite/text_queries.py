@@ -1449,3 +1449,56 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("entropy_bits"),
         (ent < 3.5).alias("low_entropy"),
     )
+
+
+@register(
+    "pack_pairs_minpad",
+    survey=("W2", "A1", "O4"),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id AS doc, CAST(len({_W}) AS BIGINT) AS n_tok,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM documents
+), ranked AS (
+  SELECT shard, doc, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY shard
+           ORDER BY n_tok DESC, doc) AS r,
+         COUNT(*) OVER (PARTITION BY shard) AS n
+  FROM base
+), binned AS (
+  SELECT shard, LEAST(r, n - r + 1) AS bin_id,
+         r * 2 <= n AS is_long, doc, n_tok
+  FROM ranked
+)
+SELECT shard, CAST(bin_id AS INT) AS bin_id,
+       COALESCE(MAX(CASE WHEN is_long THEN doc END),
+                MAX(CASE WHEN NOT is_long THEN doc END)) AS long_id,
+       CASE WHEN MAX(CASE WHEN is_long THEN doc END) IS NULL THEN -1
+            ELSE COALESCE(MAX(CASE WHEN NOT is_long THEN doc END), -1)
+       END AS short_id,
+       SUM(n_tok) AS pair_tok
+FROM binned GROUP BY shard, bin_id
+""",
+)
+def pack_pairs_minpad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired packing (longest-with-shortest per shard): the
+    deterministic two-per-bin strategy that minimizes max bin load —
+    padding variance collapses vs arrival order, and unlike full
+    first-fit-decreasing it stays a pure per-shard window
+    expression. Shards are the parallelism unit; no global sort."""
+    from bio_lakehouse_spark.operators.packing import (
+        pack_pairs_minimal_padding,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(words("text")).cast("long").alias("n_tok")
+    )
+    out = pack_pairs_minimal_padding(toks, "doc_id", "n_tok", n_shards=8)
+    return out.select(
+        "shard",
+        F.col("bin_id").cast("int").alias("bin_id"),
+        "long_id",
+        "short_id",
+        "pair_tok",
+    )

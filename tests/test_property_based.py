@@ -531,3 +531,51 @@ def test_pagerank_mass_and_dangling(spark):
     assert abs(sum(rows.values()) - 1.0) < 1e-9
     assert rows[3] > rows[1] > rows[2]  # 2 in-links > 1 > 0-ish
     assert min(rows.values()) > 0.15 / 4 - 1e-12  # teleport floor
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(toks=st.lists(st.integers(min_value=1, max_value=500),
+                     min_size=2, max_size=6))
+def test_pack_pairs_sorted_matching_is_optimal(spark, toks):
+    """EVEN shards: sorted longest-with-shortest pairing minimizes
+    the maximum bin load over ALL perfect matchings — verified
+    against brute force. Odd shards use the median-singleton
+    heuristic (documented off-optimal, e.g. [1,1,2]), so only
+    membership is asserted there. Every doc appears in exactly one
+    bin either way."""
+    import itertools
+
+    from bio_lakehouse_spark.operators.packing import (
+        pack_pairs_minimal_padding,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 8, t) for i, t in enumerate(toks)],  # one shard (all %8==0)
+        "doc_id long, n_tok long",
+    )
+    bins = pack_pairs_minimal_padding(df, "doc_id", "n_tok", n_shards=8).collect()
+    seen = [b["long_id"] for b in bins] + [
+        b["short_id"] for b in bins if b["short_id"] != -1
+    ]
+    assert sorted(seen) == sorted(i * 8 for i in range(len(toks)))
+    if len(toks) % 2 == 1:
+        return  # odd: heuristic, membership already checked
+    got_max = max(b["pair_tok"] for b in bins)
+
+    def best_max(vals):
+        n = len(vals)
+        if n <= 2:
+            return sum(vals)
+        if n % 2 == 1:  # odd: one singleton, try each
+            return min(
+                max(vals[i], best_max(vals[:i] + vals[i + 1:]))
+                for i in range(n)
+            )
+        first, rest = vals[0], vals[1:]
+        return min(
+            max(first + rest[i], best_max(rest[:i] + rest[i + 1:]))
+            for i in range(len(rest))
+        )
+
+    assert got_max == best_max(list(toks))
