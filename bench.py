@@ -80,6 +80,7 @@ HEADLINE = [
     "text_char_entropy",
     "pq_rerank_topk",
     "pack_pairs_minpad",
+    "dataset_manifest",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

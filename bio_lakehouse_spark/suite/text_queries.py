@@ -1502,3 +1502,38 @@ def pack_pairs_minpad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "short_id",
         "pair_tok",
     )
+
+
+@register(
+    "dataset_manifest",
+    survey=("A1", "F9", "P10"),
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+               ':', text)), 1, 15)) AS BIGINT)) AS content_fingerprint
+FROM documents
+GROUP BY source
+""",
+)
+def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset manifest — the versioning record a
+    training pipeline stores next to each materialized corpus: per
+    source, doc count, char volume, and an ORDER-INSENSITIVE content
+    fingerprint (bit_xor of per-row md5-derived 60-bit hashes — XOR
+    commutes, so any partitioning/engine/row order yields the same
+    id; paired with the count so a cancelling duplicate pair still
+    changes the record). Two materializations match iff their
+    manifests match — the cheap drift check before diffing data."""
+    from bio_lakehouse_spark.operators.sketches import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    h = hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.bit_xor(h).alias("content_fingerprint"),
+    )
