@@ -81,6 +81,7 @@ HEADLINE = [
     "pq_rerank_topk",
     "pack_pairs_minpad",
     "dataset_manifest",
+    "dedup_containment",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

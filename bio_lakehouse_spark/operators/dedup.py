@@ -918,3 +918,53 @@ def repeated_window_flags(
             (F.col("n_shared") > 0).alias("flagged"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A|
+    over word n-gram shingle sets. The quote/embedding case Jaccard
+    structurally misses — a 50-word doc pasted verbatim inside a
+    2000-word doc has Jaccard ≈ 0.025 but containment ≈ 1.0 (Broder's
+    original resemblance/containment pair, STOC'97 framing). Kept as
+    the blocked exact form (quadratic within a block, like
+    ngram_jaccard_pairs); at corpus scale candidates come from the
+    same LSH band machinery with a lowered band-match bar, then this
+    measure verifies.
+
+    Returns pairs (doc_a < doc_b) where EITHER direction's
+    containment clears ``threshold``, with both directions reported.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        *block_cols,
+        word_ngrams(words(text_col), n).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ).cast("double")
+    c_ab = inter / F.size(F.col("a.shingles"))
+    c_ba = inter / F.size(F.col("b.shingles"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            c_ab.alias("cont_a_in_b"),
+            c_ba.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )

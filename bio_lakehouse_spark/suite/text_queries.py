@@ -1537,3 +1537,44 @@ def dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.bit_xor(h).alias("content_fingerprint"),
     )
+
+
+@register(
+    "dedup_containment",
+    survey=("J6", "F9"),
+    oracle=_SHINGLES_CTE
+    + """
+SELECT doc_a, doc_b, ROUND(c_ab, 6) AS cont_a_in_b,
+       ROUND(c_ba, 6) AS cont_b_in_a
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(a.shingles) AS c_ab,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(b.shingles) AS c_ba
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+) WHERE c_ab >= 0.8 OR c_ba >= 0.8
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (Broder's resemblance/
+    containment pair): C(A→B) = |A∩B|/|A| over word 3-gram shingles,
+    flagged when either direction clears 0.8 — catches a short doc
+    pasted verbatim inside a long one, which Jaccard structurally
+    misses (50 words inside 2000 → Jaccard 0.025, containment 1.0).
+    Blocked by lang; at scale candidates come from the same LSH band
+    machinery with this measure as the verifier."""
+    from bio_lakehouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=0.8
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        R6(F.col("cont_a_in_b")).alias("cont_a_in_b"),
+        R6(F.col("cont_b_in_a")).alias("cont_b_in_a"),
+    )

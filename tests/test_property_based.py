@@ -579,3 +579,35 @@ def test_pack_pairs_sorted_matching_is_optimal(spark, toks):
         )
 
     assert got_max == best_max(list(toks))
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """The defining case: a short doc pasted verbatim inside a long
+    one — containment ≈ 1, Jaccard tiny — must be flagged by
+    ngram_containment_pairs and absent from ngram_jaccard_pairs at
+    matched thresholds."""
+    from bio_lakehouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"quote{i}" for i in range(12))
+    long_doc = (
+        " ".join(f"body{i}" for i in range(150))
+        + " " + short + " "
+        + " ".join(f"tail{i}" for i in range(150))
+    )
+    df = spark.createDataFrame(
+        [(0, short, "en"), (1, long_doc, "en"),
+         (2, " ".join(f"other{i}" for i in range(40)), "en")],
+        "doc_id long, text string, lang string",
+    )
+    cont = ngram_containment_pairs(
+        df, "doc_id", "text", ["lang"], n=3, threshold=0.8
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(0, 1)]
+    assert cont[0]["cont_a_in_b"] == 1.0  # fully embedded
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], n=3, threshold=0.5
+    ).collect()
+    assert jac == []  # Jaccard structurally blind to the embedding
