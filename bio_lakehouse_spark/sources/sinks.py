@@ -507,3 +507,126 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     """Scan with per-file footer merging: the union schema across
     every appended batch (old rows null-fill the new columns)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def versioned_write(
+    df: DataFrame,
+    path: str,
+    audit_fn=None,
+    max_attempts: int = 16,
+) -> dict:
+    """Versioned snapshot commit — Delta-style time travel AND
+    optimistic writer-vs-writer concurrency on plain parquet, closing
+    the limitation write_audit_publish documents:
+
+    1. WRITE  — stage into ``<path>/.__stage__<token>`` (invisible to
+       readers: dot-prefixed), then AUDIT (re-read counts every
+       footer; ``audit_fn(staged_df)`` may raise to veto — the stage
+       is deleted and no version is claimed).
+    2. CLAIM  — pick N = max existing version + 1 and atomically
+       ``rename(stage, <path>/v<N>)``. POSIX rename onto an existing
+       non-empty directory FAILS, so the rename IS the compare-and-
+       swap: of two racing writers exactly one owns v<N>; the loser
+       retries with N+1. Version directories are immutable forever
+       after — no reader ever observes a partial version.
+    3. POINT  — write ``_latest.<token>`` and ``os.replace`` it onto
+       ``_latest`` (atomic file swap). Readers resolve the pointer or
+       pin an explicit version; a crash before POINT leaves a
+       claimed-but-unreferenced version (invisible, swept by vacuum),
+       never a torn table.
+
+    Returns ``{"version": N, "rows": n}``.
+    """
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    spark = df.sparkSession
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = root / f".__stage__{token}"
+    df.write.mode("overwrite").parquet(str(stage))
+    try:
+        n = spark.read.parquet(str(stage)).count()
+        if audit_fn is not None:
+            audit_fn(spark.read.parquet(str(stage)))
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    def existing_versions() -> list[int]:
+        return sorted(
+            int(d.name[1:])
+            for d in root.iterdir()
+            if d.is_dir() and d.name.startswith("v")
+            and d.name[1:].isdigit()
+        )
+
+    claimed = None
+    for _ in range(max_attempts):
+        vs = existing_versions()
+        nxt = (vs[-1] + 1) if vs else 1
+        try:
+            _os.rename(stage, root / f"v{nxt}")  # CAS: fails if taken
+            claimed = nxt
+            break
+        except OSError:
+            continue
+    if claimed is None:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"versioned_write: lost the version race {max_attempts} times"
+        )
+    tmp = root / f"_latest.{token}"
+    tmp.write_text(str(claimed))
+    _os.replace(tmp, root / "_latest")
+    return {"version": claimed, "rows": n}
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a versioned table at the published pointer (default) or a
+    pinned historical version — time travel. Raises FileNotFoundError
+    for a missing pointer/version rather than reading debris."""
+    from pathlib import Path
+
+    root = Path(path)
+    if version is None:
+        ptr = root / "_latest"
+        if not ptr.exists():
+            raise FileNotFoundError(f"no published version at {path}")
+        version = int(ptr.read_text().strip())
+    vdir = root / f"v{version}"
+    if not vdir.is_dir():
+        raise FileNotFoundError(f"version {version} not found at {path}")
+    return spark.read.parquet(str(vdir))
+
+
+def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions (never the one
+    ``_latest`` points to) plus any crashed stage debris. Returns the
+    removed version numbers."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    ptr = root / "_latest"
+    pinned = int(ptr.read_text().strip()) if ptr.exists() else None
+    versions = sorted(
+        int(d.name[1:])
+        for d in root.iterdir()
+        if d.is_dir() and d.name.startswith("v") and d.name[1:].isdigit()
+    )
+    keep = set(versions[-keep_last:])
+    if pinned is not None:
+        keep.add(pinned)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(root / f"v{v}", ignore_errors=True)
+            removed.append(v)
+    for junk in root.glob(".__stage__*"):
+        shutil.rmtree(junk, ignore_errors=True)
+    return removed

@@ -610,3 +610,64 @@ def test_wap_crash_mid_publish_never_tears_a_partition(spark, tmp_path):
         ("2024", "0"): 40, ("2024", "1"): 40, ("2024", "2"): 40,
     }
     assert not list(tmp_path.glob("t.__stage__*"))
+
+
+def test_versioned_write_time_travel_and_cas(spark, tmp_path):
+    """Versioned commits: sequential writes claim v1/v2 with the
+    pointer following; pinning v1 reads the OLD snapshot byte-true
+    (time travel); a squatter on the next version number forces the
+    CAS rename to retry and claim the number after; vacuum removes
+    old versions but never the pointer target."""
+    from bio_lakehouse_spark.sources.sinks import (
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt")
+    d1 = spark.range(5).withColumnRenamed("id", "k")
+    d2 = spark.range(9).withColumnRenamed("id", "k")
+    r1 = versioned_write(d1, path)
+    r2 = versioned_write(d2, path)
+    assert (r1["version"], r2["version"]) == (1, 2)
+    assert read_versioned(spark, path).count() == 9
+    assert read_versioned(spark, path, version=1).count() == 5  # travel
+
+    # CAS: squat v3 so the next writer must retry and land on v4.
+    import pathlib
+
+    (pathlib.Path(path) / "v3" / "occupied").mkdir(parents=True)
+    r3 = versioned_write(spark.range(2).withColumnRenamed("id", "k"), path)
+    assert r3["version"] == 4
+    assert read_versioned(spark, path).count() == 2
+
+    removed = vacuum_versions(path, keep_last=1)
+    assert 1 in removed and 4 not in removed
+    assert read_versioned(spark, path).count() == 2  # pointer intact
+
+
+def test_versioned_write_audit_veto_leaves_pointer(spark, tmp_path):
+    """A vetoing audit_fn must delete the stage, claim NO version,
+    and leave the published pointer untouched."""
+    import pytest as _pytest
+
+    from bio_lakehouse_spark.sources.sinks import (
+        read_versioned,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "vt2")
+    versioned_write(spark.range(3).withColumnRenamed("id", "k"), path)
+
+    def veto(df):
+        raise ValueError("bad batch")
+
+    with _pytest.raises(ValueError):
+        versioned_write(
+            spark.range(7).withColumnRenamed("id", "k"), path, audit_fn=veto
+        )
+    assert read_versioned(spark, path).count() == 3
+    import pathlib
+
+    names = {p.name for p in pathlib.Path(path).iterdir()}
+    assert names == {"v1", "_latest"}  # no v2, no stage debris
