@@ -82,6 +82,7 @@ HEADLINE = [
     "pack_pairs_minpad",
     "dataset_manifest",
     "dedup_containment",
+    "versioned_snapshot_read",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -778,3 +778,41 @@ def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     return check_constraints(orders, _CONSTRAINT_RULES)
+
+
+@register(
+    "versioned_snapshot_read",
+    survey=("S12", "S13", "A1"),
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot table end to end: commit the per-type
+    rollup through versioned_write (stage → audit → rename-CAS claim
+    → atomic pointer), then read it back THROUGH the published
+    pointer — so the driver's hash gate certifies the commit
+    protocol's round-trip, not just the rollup. A second commit of
+    the same frame bumps the version and must leave the data
+    identical (exercised every sweep: the fixture dir accretes one
+    version per run and the pointer always resolves to the newest)."""
+    from bio_lakehouse_spark.sources.sinks import (
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    rollup = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    path = str(fixture_path("versioned_rollup", sf_dir))
+    versioned_write(rollup, path)
+    vacuum_versions(path, keep_last=3)
+    return read_versioned(spark, path)
