@@ -83,6 +83,8 @@ HEADLINE = [
     "dataset_manifest",
     "dedup_containment",
     "versioned_snapshot_read",
+    "dataset_diff",
+    "psi_drift_monitor",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

@@ -816,3 +816,132 @@ def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     versioned_write(rollup, path)
     vacuum_versions(path, keep_last=3)
     return read_versioned(spark, path)
+
+
+@register(
+    "dataset_diff",
+    survey=("J1", "A11", "P10"),
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+), v2 AS (
+  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+                          THEN concat(text, ' edited')
+                          ELSE text END) AS h
+  FROM documents WHERE doc_id % 10 <> 1
+)
+SELECT status, COUNT(*) AS n_docs FROM (
+  SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.h <> v2.h THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+) GROUP BY status
+""",
+)
+def dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version dataset diff — the change audit run between
+    two corpus materializations (pairs with versioned_write/
+    dataset_manifest): FULL OUTER join on doc id, rows classified
+    added / removed / modified (content hash differs) / unchanged.
+    One keyed shuffle; the two 'versions' here are deterministic
+    slices with planted edits so every class is populated."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" edited"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    joined = v1.join(v2, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "psi_drift_monitor",
+    survey=("A6", "ST6", "P10"),
+    oracle="""
+WITH ref AS (
+  SELECT CAST(LEAST(9, GREATEST(0, floor(n_chars / 100))) AS INT) AS bucket,
+         COUNT(*) AS c
+  FROM documents WHERE doc_id < 250 GROUP BY 1
+), cur AS (
+  SELECT CAST(LEAST(9, GREATEST(0, floor(n_chars / 100))) AS INT) AS bucket,
+         COUNT(*) AS c
+  FROM documents WHERE doc_id >= 250 GROUP BY 1
+), tot AS (
+  SELECT (SELECT SUM(c) FROM ref) AS nr, (SELECT SUM(c) FROM cur) AS nc
+), b AS (
+  SELECT COALESCE(ref.bucket, cur.bucket) AS bucket,
+         (COALESCE(ref.c, 0) + 0.5) / (nr + 5.0) AS p,
+         (COALESCE(cur.c, 0) + 0.5) / (nc + 5.0) AS q
+  FROM ref FULL OUTER JOIN cur USING (bucket), tot
+)
+SELECT bucket, ROUND(p, 6) AS p_ref, ROUND(q, 6) AS q_cur,
+       ROUND((q - p) * ln(q / p), 6) AS psi_term
+FROM b
+""",
+)
+def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bucket — the standard
+    distribution-drift monitor between a reference corpus slice and
+    the current batch (PSI > 0.2 conventionally = action). Doc-length
+    deciles with add-half smoothing so empty buckets stay finite;
+    per-bucket terms returned (Σ is the PSI) so the alert can name
+    WHICH bucket moved. Two partial-aggregated groupBys + a tiny
+    full-outer on 10 buckets."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor(F.col("n_chars") / 100))
+    ).cast("int")
+    ref = (
+        docs.filter(F.col("doc_id") < 250)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    cur = (
+        docs.filter(F.col("doc_id") >= 250)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    nr = ref.groupBy().agg(F.sum("cr").alias("nr"))
+    nc = cur.groupBy().agg(F.sum("cc").alias("nc"))
+    b = (
+        ref.join(cur, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "bucket",
+            (
+                (F.coalesce(F.col("cr"), F.lit(0)) + 0.5)
+                / (F.col("nr") + 5.0)
+            ).alias("p"),
+            (
+                (F.coalesce(F.col("cc"), F.lit(0)) + 0.5)
+                / (F.col("nc") + 5.0)
+            ).alias("q"),
+        )
+    )
+    return b.select(
+        "bucket",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("q_cur"),
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6).alias(
+            "psi_term"
+        ),
+    )

@@ -464,6 +464,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "temperature_mixture_sample",  # counts × ONE-ROW (total, z) stat
         "unigram_lm_quality",  # vocab/scores × ONE-ROW (denom / cutoffs)
         "nb_quality_filter",  # dim-bounded counts × ONE-ROW totals
+        "psi_drift_monitor",  # 10-bucket table × ONE-ROW totals
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
