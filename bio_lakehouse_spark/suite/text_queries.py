@@ -1552,7 +1552,8 @@ FROM (
            / len(a.shingles) AS c_ab,
          len(list_intersect(a.shingles, b.shingles))::DOUBLE
            / len(b.shingles) AS c_ba
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
 ) WHERE c_ab >= 0.8 OR c_ba >= 0.8
 """,
 )
@@ -1562,15 +1563,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged when either direction clears 0.8 — catches a short doc
     pasted verbatim inside a long one, which Jaccard structurally
     misses (50 words inside 2000 → Jaccard 0.025, containment 1.0).
-    Blocked by lang; at scale candidates come from the same LSH band
-    machinery with this measure as the verifier."""
+    Blocked by (lang, source) — boilerplate containment lives within
+    a domain, and the block bound is what keeps the exact quadratic
+    form linear-ish (a lang-only block became corpus-sized at sf0.1:
+    108 s; source blocks run in ~1 s). At unbounded scale candidates
+    come from LSH band machinery with this measure as the verifier."""
     from bio_lakehouse_spark.operators.dedup import (
         ngram_containment_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
     out = ngram_containment_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=0.8
+        docs, "doc_id", "text", block_cols=["lang", "source"], n=3,
+        threshold=0.8,
     )
     return out.select(
         "doc_a",
