@@ -941,11 +941,15 @@ def ngram_containment_pairs(
     Returns pairs (doc_a < doc_b) where EITHER direction's
     containment clears ``threshold``, with both directions reported.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        *block_cols,
-        word_ngrams(words(text_col), n).alias("shingles"),
+    # Materialize the shingle table once: a self-join duplicates the
+    # lineage, so without this every pair pays the words/array_distinct
+    # build TWICE (measured 6.6 s → ~4 s at sf0.1). shingle_sets'
+    # input-spread applies for single-split corpora.
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    blocks = df.select(
+        F.col(id_col).alias("doc_id"), *block_cols
     )
+    sh = sh.join(blocks, on="doc_id").localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     for c in block_cols:
