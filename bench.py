@@ -85,6 +85,7 @@ HEADLINE = [
     "versioned_snapshot_read",
     "dataset_diff",
     "psi_drift_monitor",
+    "bitext_mining_mutual",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

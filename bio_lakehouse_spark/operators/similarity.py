@@ -722,3 +722,81 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_results)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+def bitext_mine_mutual(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_margin: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19; the
+    CCMatrix/LASER pipeline): candidate translation pairs are MUTUAL
+    nearest neighbors across two embedding sets, scored by the ratio
+    margin cos(a,b) / mean(cos to each side's k nearest) — the
+    normalization that kills hub vectors plain cosine thresholds
+    keep. Returns mutual pairs with margin > threshold.
+
+    Shape: one broadcast cross-score of A×B (at corpus scale the
+    candidate generation is the IVF/PQ index instead — identical
+    downstream: per-side rank windows, one equi-join for mutuality).
+    Ranks and k-NN means are per-side windows; mutuality is a single
+    (a_id, b_id) equi-join of the two top-1 tables.
+    """
+    a = side_a.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+    )
+    b = side_b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("bv"),
+        norm(F.col(vec_col)).alias("bn"),
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias(
+            "cos_sim"
+        ),
+    )
+    wa = Window.partitionBy("a_id").orderBy(
+        F.desc("cos_sim"), F.asc("b_id")
+    )
+    wb = Window.partitionBy("b_id").orderBy(
+        F.desc("cos_sim"), F.asc("a_id")
+    )
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "cos_sim",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    denom_a = (
+        ranked.filter(F.col("ra") <= k_margin)
+        .groupBy("a_id")
+        .agg(F.avg("cos_sim").alias("knn_a"))
+    )
+    denom_b = (
+        ranked.filter(F.col("rb") <= k_margin)
+        .groupBy("b_id")
+        .agg(F.avg("cos_sim").alias("knn_b"))
+    )
+    mutual = (
+        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .join(denom_a, on="a_id")
+        .join(denom_b, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cos_sim",
+            (
+                F.col("cos_sim")
+                / ((F.col("knn_a") + F.col("knn_b")) / 2.0)
+            ).alias("margin"),
+        )
+    )
+    return mutual.filter(F.col("margin") > margin_threshold)

@@ -717,3 +717,61 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "rank", R6(F.col("cos_sim")).alias("cos_sim")
         )
     )
+
+
+@register(
+    "bitext_mining_mutual",
+    survey=("J6", "O4", "W9"),
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS a_id, embedding AS av FROM embeddings WHERE label = 0
+), b AS (
+  SELECT vec_id AS b_id, embedding AS bv FROM embeddings WHERE label = 1
+), scored AS (
+  SELECT a.a_id, b.b_id,
+         {_COS.format(a='a.av', b='b.bv')} AS cos_sim
+  FROM a, b
+), ranked AS (
+  SELECT a_id, b_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY a_id
+           ORDER BY cos_sim DESC, b_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY b_id
+           ORDER BY cos_sim DESC, a_id) AS rb
+  FROM scored
+), da AS (
+  SELECT a_id, AVG(cos_sim) AS knn_a FROM ranked WHERE ra <= 4 GROUP BY a_id
+), db AS (
+  SELECT b_id, AVG(cos_sim) AS knn_b FROM ranked WHERE rb <= 4 GROUP BY b_id
+)
+SELECT r.a_id, r.b_id, ROUND(r.cos_sim, 6) AS cos_sim,
+       ROUND(r.cos_sim / ((da.knn_a + db.knn_b) / 2.0), 6) AS margin
+FROM ranked r JOIN da USING (a_id) JOIN db USING (b_id)
+WHERE r.ra = 1 AND r.rb = 1
+  AND r.cos_sim / ((da.knn_a + db.knn_b) / 2.0) > 1.0
+""",
+)
+def bitext_mining_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    CCMatrix/LASER parallel-corpus pipeline): mutual nearest
+    neighbors between the label-0 and label-1 embedding sets (proxy
+    for two languages), scored by the ratio margin cos / mean-kNN-cos
+    that suppresses hub vectors. Per-side rank windows + one
+    mutuality equi-join; at corpus scale candidate generation swaps
+    to the IVF/PQ index with identical downstream shape."""
+    from bio_lakehouse_spark.operators.similarity import (
+        bitext_mine_mutual,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = bitext_mine_mutual(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k_margin=4,
+        margin_threshold=1.0,
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        R6(F.col("cos_sim")).alias("cos_sim"),
+        R6(F.col("margin")).alias("margin"),
+    )
