@@ -86,6 +86,7 @@ HEADLINE = [
     "dataset_diff",
     "psi_drift_monitor",
     "bitext_mining_mutual",
+    "hybrid_rrf_fusion",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

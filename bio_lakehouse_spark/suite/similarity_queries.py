@@ -775,3 +775,73 @@ def bitext_mining_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("cos_sim")).alias("cos_sim"),
         R6(F.col("margin")).alias("margin"),
     )
+
+
+def _rrf_oracle() -> str:
+    from bio_lakehouse_spark.suite.text_queries import _bm25_sql
+
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM ({_bm25_sql()})
+), er AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS re
+  FROM (
+    SELECT c.vec_id AS doc_id,
+           {_COS.format(a='q.qv', b='c.embedding')} AS cos
+    FROM embeddings c,
+         (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE c.vec_id <> 0
+    ORDER BY cos DESC, c.vec_id LIMIT 15
+  )
+)
+SELECT doc_id,
+       CAST(COALESCE(rb, -1) AS INT) AS bm25_rank,
+       CAST(COALESCE(re, -1) AS INT) AS emb_rank,
+       ROUND(COALESCE(1.0 / (60 + rb), 0)
+           + COALESCE(1.0 / (60 + re), 0), 6) AS rrf_score
+FROM bm FULL OUTER JOIN er USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "hybrid_rrf_fusion",
+    survey=("O4", "J1", "W9"),
+    oracle=_rrf_oracle(),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09, k=60): the lexical BM25 top-15 and the dense embedding
+    top-15 (query = vector 0, same id space) fuse as
+    Σ 1/(60 + rank) — rank-based, so the two scorers' incomparable
+    scales never need calibration; docs surfaced by only one ranker
+    keep that single term. The modern search stack's default fusion;
+    both input rankings are the production operators, the fusion is
+    one tiny full-outer join on 15-row frames."""
+    from pyspark.sql import Window as W
+
+    from bio_lakehouse_spark.suite.registry import REGISTRY as _R
+
+    bm = _R["text_bm25_topk"].fn(spark, sf_dir)
+    wb = W.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = bm.select(
+        "doc_id", F.row_number().over(wb).alias("rb")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    er = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=15
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("re"))
+    fused = bm_rank.join(er, on="doc_id", how="full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("rb"), F.lit(-1)).cast("int").alias("bm25_rank"),
+        F.coalesce(F.col("re"), F.lit(-1)).cast("int").alias("emb_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("re")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
