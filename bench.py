@@ -87,6 +87,7 @@ HEADLINE = [
     "psi_drift_monitor",
     "bitext_mining_mutual",
     "hybrid_rrf_fusion",
+    "mmr_diversified_topk",
     "dedup_incremental_batch",
     "dedup_incremental_minhash",
     "source_level_filter",

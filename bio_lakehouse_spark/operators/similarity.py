@@ -800,3 +800,80 @@ def bitext_mine_mutual(
         )
     )
     return mutual.filter(F.col("margin") > margin_threshold)
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec_row: DataFrame,
+    k_candidates: int = 10,
+    k_select: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98): greedily select ``k_select`` results maximizing
+    λ·rel(c) − (1−λ)·max sim(c, already-selected) — the
+    diversification stage after retrieval. Greedy selection is
+    inherently sequential, but each step touches only the
+    ``k_candidates``-row frame: argmax via orderBy().limit(1) (a
+    TakeOrdered on k rows), the winner broadcast back as the next
+    penalty column. A fixed ``k_select`` unrolls to SQL exactly like
+    the Lloyd/PageRank oracles. Returns (pick, id, mmr_score) with
+    pick = selection order.
+    """
+    q = query_vec_row.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            norm(F.col(vec_col)).alias("cn"),
+            (dot(F.col(vec_col), F.col("qv")) / (norm(F.col(vec_col)) * F.col("qn"))).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("cid"))
+        .limit(k_candidates)
+        .localCheckpoint()
+    )
+    picked = []
+    remaining = cand
+    penalty = F.lit(0.0)
+    for step in range(k_select):
+        score = (lam * F.col("rel") - (1 - lam) * penalty).alias("mmr")
+        winner = (
+            remaining.select("cid", "cv", "cn", "rel", score)
+            .orderBy(F.desc("mmr"), F.asc("cid"))
+            .limit(1)
+            .select(
+                F.lit(step + 1).alias("pick"),
+                F.col("cid").alias("sel_id"),
+                F.col("cv").alias("sel_v"),
+                F.col("cn").alias("sel_n"),
+                F.col("mmr").alias("mmr_score"),
+            )
+            .localCheckpoint()
+        )
+        picked.append(winner.select("pick", F.col("sel_id").alias("id"), "mmr_score"))
+        sel = F.broadcast(winner.select("sel_v", "sel_n"))
+        remaining = (
+            remaining.join(
+                F.broadcast(winner.select(F.col("sel_id"))),
+                remaining["cid"] == F.col("sel_id"),
+                "left_anti",
+            )
+            .crossJoin(sel)
+            .withColumn(
+                f"__sim{step}",
+                dot(F.col("cv"), F.col("sel_v"))
+                / (F.col("cn") * F.col("sel_n")),
+            )
+            .drop("sel_v", "sel_n")
+        )
+        sims = [F.col(f"__sim{j}") for j in range(step + 1)]
+        penalty = sims[0] if len(sims) == 1 else F.greatest(*sims)
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.union(p)
+    return out

@@ -845,3 +845,66 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+def _mmr_oracle() -> str:
+    cos = _COS.format
+    return f"""
+WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT c.vec_id AS cid, c.embedding AS cv,
+         {cos(a='c.embedding', b='q.qv')} AS rel
+  FROM embeddings c, q WHERE c.vec_id <> 0
+  ORDER BY rel DESC, cid LIMIT 10
+), w1 AS (
+  SELECT cid, cv, 0.7 * rel - (1 - 0.7) * 0.0 AS mmr FROM cand
+  ORDER BY mmr DESC, cid LIMIT 1
+), r1 AS (
+  SELECT c.cid, c.cv, c.rel, {cos(a='c.cv', b='w.cv')} AS sim0
+  FROM cand c, w1 w WHERE c.cid <> w.cid
+), w2 AS (
+  SELECT cid, cv, 0.7 * rel - (1 - 0.7) * sim0 AS mmr FROM r1
+  ORDER BY mmr DESC, cid LIMIT 1
+), r2 AS (
+  SELECT r.cid, r.rel, r.sim0, {cos(a='r.cv', b='w.cv')} AS sim1
+  FROM r1 r, w2 w WHERE r.cid <> w.cid
+), w3 AS (
+  SELECT cid, 0.7 * rel - (1 - 0.7) * greatest(sim0, sim1) AS mmr FROM r2
+  ORDER BY mmr DESC, cid LIMIT 1
+)
+SELECT CAST(1 AS INT) AS pick, cid AS id, ROUND(mmr, 6) AS mmr_score FROM w1
+UNION ALL SELECT 2, cid, ROUND(mmr, 6) FROM w2
+UNION ALL SELECT 3, cid, ROUND(mmr, 6) FROM w3
+"""
+
+
+@register(
+    "mmr_diversified_topk",
+    survey=("O4", "W9", "J6"),
+    oracle=_mmr_oracle(),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein SIGIR'98, λ=0.7):
+    greedy re-rank of the cosine top-10 for query vector 0, each step
+    maximizing λ·relevance − (1−λ)·max-similarity-to-selected — the
+    anti-redundancy stage of the retrieval stack. Greedy is
+    inherently sequential but every step is a TakeOrdered over the
+    10-row candidate frame with the winner broadcast back; the fixed
+    selection count unrolls to CTEs exactly like the Lloyd and
+    PageRank oracles."""
+    from bio_lakehouse_spark.operators.similarity import mmr_select
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = mmr_select(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        k_candidates=10,
+        k_select=3,
+        lam=0.7,
+    )
+    return out.select(
+        F.col("pick").cast("int").alias("pick"),
+        "id",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -435,6 +435,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "pq_rerank_topk",  # same ADC prefilter feeding the exact rerank
         "bitext_mining_mutual",  # A × broadcast B cross-score (index at scale)
         "hybrid_rrf_fusion",  # BM25 corpus-stat row + dense scorer inputs
+        "mmr_diversified_topk",  # 10-row candidate frame × one-row winner
         "kmeans_ivf_centroids",
         "kmeans_assign_audit",  # corpus × ONE packed-centroid row
         "embedding_neardup",
