@@ -611,3 +611,69 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
         df, "doc_id", "text", ["lang"], n=3, threshold=0.5
     ).collect()
     assert jac == []  # Jaccard structurally blind to the embedding
+
+
+def _unit_vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_mmr_skips_redundant_near_duplicate(spark):
+    """The defining MMR property: given a top candidate and its
+    near-duplicate, plain top-k returns both; MMR's second pick must
+    be the DIVERSE item instead of the redundant twin."""
+    from bio_lakehouse_spark.operators.similarity import mmr_select
+
+    q = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    cands = [
+        (1, [0.99, 0.14, 0.0, 0.0], 0),   # best match
+        (2, [0.985, 0.17, 0.0, 0.0], 0),  # near-dup of 1, 2nd by rel
+        (3, [0.8, 0.0, 0.6, 0.0], 0),     # diverse, 3rd by rel
+    ]
+    def picks(lam):
+        return [
+            r["id"]
+            for r in sorted(
+                mmr_select(
+                    _unit_vecs(spark, cands), _unit_vecs(spark, q),
+                    k_candidates=3, k_select=2, lam=lam,
+                ).collect(),
+                key=lambda r: r["pick"],
+            )
+        ]
+
+    # λ=0.5 weighs redundancy enough to skip the twin; λ→1 degrades
+    # to plain relevance order and takes it — the dial MMR exists for.
+    assert picks(0.5) == [1, 3]
+    assert picks(0.99) == [1, 2]
+
+
+def test_rrf_consistent_midrank_beats_single_list_top():
+    """RRF arithmetic: rank 2 in BOTH lists (2/62) outscores rank 1
+    in only one list (1/61) — the consensus property that makes RRF
+    the default fusion."""
+    both_second = 1 / 62 + 1 / 62
+    single_first = 1 / 61
+    assert both_second > single_first
+
+
+def test_bitext_mutual_margin_finds_planted_pair(spark):
+    """A planted translation pair (identical vectors across the two
+    sides) must surface as a mutual top-1 with the highest margin;
+    a hub-ish vector close to everything must NOT pair."""
+    from bio_lakehouse_spark.operators.similarity import bitext_mine_mutual
+
+    side_a = _unit_vecs(spark, [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # planted pair member
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.5, 0.5, 0.5, 0.5], 0),   # hub: mid-similar to all
+    ])
+    side_b = _unit_vecs(spark, [
+        (10, [1.0, 0.02, 0.0, 0.0], 1),  # ~translation of 0
+        (11, [0.0, 1.0, 0.05, 0.0], 1),  # ~translation of 1
+        (12, [0.4, 0.45, 0.55, 0.5], 1),
+    ])
+    out = {(r["a_id"], r["b_id"]): r["margin"]
+           for r in bitext_mine_mutual(side_a, side_b, k_margin=2,
+                                       margin_threshold=1.0).collect()}
+    assert (0, 10) in out and (1, 11) in out
+    assert out[(0, 10)] > 1.0
