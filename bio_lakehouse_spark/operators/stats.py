@@ -301,3 +301,332 @@ def seasonal_decompose(
             ),
         )
     )
+
+
+def welch_t(
+    df: DataFrame,
+    value: str,
+    group: str,
+    g1: str,
+    g2: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups, closed form
+    (the scipy.ttest_ind(equal_var=False) twin of the reference's
+    pre/post comparisons, experiments/analyzer.py:105-171 family).
+
+    t = (m1 − m2) / sqrt(v1/n1 + v2/n2); the Welch–Satterthwaite
+    degrees of freedom df = (v1/n1 + v2/n2)² /
+    ((v1/n1)²/(n1−1) + (v2/n2)²/(n2−1)). One pivot aggregate —
+    map-side partials, a single one-row result; nothing to shuffle
+    but two partial-state rows per partition at any scale.
+    """
+    agg = (
+        df.filter(F.col(group).isin(g1, g2) & F.col(value).isNotNull())
+        .groupBy()
+        .pivot(group, [g1, g2])
+        .agg(
+            F.avg(value).alias("mean"),
+            F.var_samp(value).alias("var"),
+            F.count(value).alias("n"),
+        )
+    )
+    m1, v1, n1 = F.col(f"{g1}_mean"), F.col(f"{g1}_var"), F.col(f"{g1}_n")
+    m2, v2, n2 = F.col(f"{g2}_mean"), F.col(f"{g2}_var"), F.col(f"{g2}_n")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    )
+    return agg.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        m1.alias("mean1"),
+        m2.alias("mean2"),
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson χ² test of independence over an R×C contingency table.
+
+    Observed counts come from ONE groupBy over the fact table (the
+    only full-data pass); row/column margins are windows over the
+    tiny R·C-row contingency frame, so the fact table is never
+    re-shuffled. Returns (chi2, dof, n).
+    """
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy(row_col)
+    wc = Window.partitionBy(col_col)
+    wall = Window.partitionBy()
+    cells = obs.select(
+        row_col,
+        col_col,
+        "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wall).alias("n"),
+    ).withColumn("e", F.col("rt") * F.col("ct") / F.col("n"))
+    return cells.agg(
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+        ).alias("chi2"),
+        (
+            (F.count_distinct(F.col(row_col)) - 1)
+            * (F.count_distinct(F.col(col_col)) - 1)
+        ).alias("dof"),
+        F.sum("o").alias("n"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value: str,
+    group: str,
+    g1: str,
+    g2: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D = sup |F1(x) − F2(x)|, exact
+    under ties (scipy.ks_2samp twin).
+
+    Shape: the full data collapses to per-DISTINCT-value counts in
+    one groupBy (map-side combine), then one cumulative window over
+    the distinct-value frame — |distinct values| rows, not |rows| —
+    computes both ECDFs and their sup-gap. The single-partition
+    window is bounded by the distinct-value cardinality; for
+    continuous measures, quantize first (the classical binned-KS
+    trade-off).
+    """
+    pool = df.filter(
+        F.col(group).isin(g1, g2) & F.col(value).isNotNull()
+    ).select(F.col(value).alias("v"), F.col(group).alias("g"))
+    per_v = pool.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("g") == g2, 1).otherwise(0)).alias("c2"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ecdf = per_v.select(
+        (F.sum("c1").over(wcum) / F.sum("c1").over(wall)).alias("f1"),
+        (F.sum("c2").over(wcum) / F.sum("c2").over(wall)).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return ecdf.agg(
+        F.max(F.abs(F.col("f1") - F.col("f2"))).alias("ks_d"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str] = (),
+    k_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust anomaly counts via Median Absolute Deviation: a point is
+    anomalous when |x − median| > k · 1.4826 · MAD (the Gaussian-
+    consistent robust z-score; Leys et al. 2013 — the robust twin of
+    zscore_anomalies/ST6, immune to the anomalies inflating σ).
+
+    Two exact-percentile aggregates with the tiny per-group stats
+    broadcast back between passes; the fact side is scanned, never
+    shuffled. At 100 TB swap ``percentile`` for ``approx_percentile``
+    (same plan shape, sketch-mergeable partials).
+    """
+    byl = list(by)
+    med = df.filter(F.col(value).isNotNull()).groupBy(*byl).agg(
+        F.percentile(F.col(value), F.lit(0.5)).alias("med"),
+        F.count(value).alias("n"),
+    )
+    base = df.filter(F.col(value).isNotNull())
+    j1 = (
+        base.join(F.broadcast(med), on=byl)
+        if byl
+        else base.crossJoin(F.broadcast(med))
+    )
+    madf = j1.groupBy(*byl).agg(
+        F.percentile(F.abs(F.col(value) - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        ),
+        F.first("med").alias("med"),
+        F.first("n").alias("n"),
+    )
+    j2 = (
+        base.join(F.broadcast(madf), on=byl)
+        if byl
+        else base.crossJoin(F.broadcast(madf))
+    )
+    return j2.groupBy(*byl).agg(
+        F.first("med").alias("median"),
+        F.first("mad").alias("mad"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col(value) - F.col("med"))
+                > F.lit(k_sigmas) * F.lit(1.4826) * F.col("mad"),
+                1,
+            ).otherwise(0)
+        ).alias("n_anomalies"),
+    )
+
+
+def acf(
+    df: DataFrame,
+    order_col: str,
+    value: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function at lags 1..max_lag with the standard
+    biased estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² (the
+    statsmodels.acf default, shared denominator — NOT per-lag
+    Pearson).
+
+    Global mean broadcast back (one tiny aggregate), then ONE window
+    pass producing all lag columns, then one aggregate unpivoted to
+    (lag, acf) rows. The series frame is the already-aggregated
+    daily rollup, so the single-partition order window is bounded.
+    """
+    stats = df.agg(F.avg(value).alias("xbar"))
+    dev = df.crossJoin(F.broadcast(stats)).select(
+        F.col(order_col).alias("t"),
+        (F.col(value) - F.col("xbar")).alias("d"),
+    )
+    w = Window.orderBy("t")
+    lagged = dev.select(
+        "d",
+        *[F.lag("d", k).over(w).alias(f"d{k}") for k in range(1, max_lag + 1)],
+    )
+    agg = lagged.agg(
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+        *[
+            F.sum(F.col("d") * F.col(f"d{k}")).alias(f"s{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = ", ".join(f"{k}, s{k} / ss" for k in range(1, max_lag + 1))
+    return agg.select(
+        F.expr(f"stack({max_lag}, {pairs}) AS (lag, acf)")
+    ).select(F.col("lag").cast("int").alias("lag"), "acf")
+
+
+def cusum_changepoint(
+    df: DataFrame, order_col: str, value: str
+) -> DataFrame:
+    """CUSUM mean-shift changepoint: S_t = Σ_{i≤t}(x_i − x̄); the
+    changepoint is the argmax of |S_t| and the normalized statistic
+    max|S|/(σ̂·√n) (Page 1954 / the standard bootstrap-CUSUM pivot).
+    Ties break on the earliest timestamp so every engine agrees.
+
+    One broadcast stats row + one cumulative window over the (already
+    aggregated, bounded) series + TakeOrderedAndProject — no full
+    sort materialized.
+    """
+    stats = df.agg(
+        F.avg(value).alias("xbar"),
+        F.stddev(value).alias("sd"),
+        F.count(value).alias("n"),
+    )
+    wcum = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("s", F.sum(F.col(value) - F.col("xbar")).over(wcum))
+        .select(
+            F.col(order_col).alias("cp"),
+            F.abs(F.col("s")).alias("max_abs_s"),
+            (F.abs(F.col("s")) / (F.col("sd") * F.sqrt(F.col("n")))).alias(
+                "stat"
+            ),
+            F.col("n"),
+        )
+    )
+    return s.orderBy(F.col("max_abs_s").desc(), F.col("cp").asc()).limit(1)
+
+
+def theil_sen(
+    df: DataFrame,
+    entity_col: str,
+    x: str,
+    y: str,
+    max_points: int = 512,
+) -> DataFrame:
+    """Per-entity Theil–Sen robust slope: the median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i < x_j (the scipy.theilslopes
+    estimator, robust to ~29% outliers — the robust twin of
+    trend_slope/ST7).
+
+    The O(n²) pair expansion happens INSIDE each entity's series
+    (equi-join on the entity key, pairs filtered x_i < x_j), so the
+    shuffle is one hash partition by entity and the blow-up is
+    bounded by the per-entity series length — enforced: series longer
+    than ``max_points`` raise rather than silently exploding
+    (max_points² pairs/entity is the cost ceiling a planner can
+    budget; same philosophy as the LSH hot-bucket cap).
+    """
+    base = df.select(
+        F.col(entity_col).alias("e"),
+        F.col(x).alias("x"),
+        F.col(y).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    guard = base.groupBy("e").agg(F.count(F.lit(1)).alias("cnt"))
+    # The guard is a FILTER (not a projected column) so Catalyst can't
+    # prune it away: every row must pass the when(), and an oversized
+    # series hits raise_error before the pair expansion runs.
+    checked = (
+        base.join(F.broadcast(guard), "e")
+        .filter(
+            F.when(F.col("cnt") <= max_points, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "theil_sen: series exceeds "
+                            f"max_points={max_points} for entity "
+                        ),
+                        F.col("e").cast("string"),
+                    )
+                ).cast("boolean")
+            )
+        )
+        .select("e", "x", "y")
+    )
+    a = checked.alias("a")
+    b = checked.alias("b")
+    pairs = a.join(b, on=F.col("a.e") == F.col("b.e")).filter(
+        F.col("a.x") < F.col("b.x")
+    )
+    slope = (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+    return (
+        pairs.select(F.col("a.e").alias(entity_col), slope.alias("sl"))
+        .groupBy(entity_col)
+        .agg(
+            F.percentile(F.col("sl"), F.lit(0.5)).alias("sen_slope"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
+def normal_sf_approx(z: Column) -> Column:
+    """Upper-tail normal probability P(Z > z) for z ≥ 0 via the
+    Zelen–Severo 26.2.17 polynomial (|ε| < 7.5e-8): pure arithmetic
+    (exp + polynomial), so ANY engine reproduces it bit-comparably —
+    the property that lets p-values participate in cross-engine hash
+    contracts where erf/erfc builtins differ or don't exist.
+    """
+    t = 1.0 / (1.0 + 0.2316419 * z)
+    phi = F.exp(-z * z / 2.0) / F.lit(2.5066282746310002)  # sqrt(2π)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    return phi * poly

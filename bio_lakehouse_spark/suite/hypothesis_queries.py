@@ -1,0 +1,469 @@
+"""Hypothesis-test / robust-stats / time-series diagnostics queries.
+
+Extends SURVEY.md §2.9's closed-form statistics family (ST1-ST7) with
+the standard test-statistic toolkit the reference reaches to scipy
+for: Welch's t, χ² independence, two-sample Kolmogorov–Smirnov, MAD
+robust anomalies, the autocorrelation function, CUSUM changepoint
+detection, Theil–Sen robust slopes, and Benjamini–Hochberg FDR over a
+discovery grid (the multiple-comparison upgrade of ST4's Bonferroni,
+ref discovery/scanner.py:138-277). Every one is a distributed
+aggregate/window closed form — no scipy, no driver math — and every
+one is DuckDB-oracle-gated including the p-value arithmetic (the
+Zelen–Severo polynomial is pure exp+poly, reproducible bit-for-bit on
+any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.stats import (
+    acf,
+    chi_square_independence,
+    cusum_changepoint,
+    ks_two_sample,
+    mad_anomalies,
+    normal_sf_approx,
+    theil_sen,
+    welch_t,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+_DAILY_CTE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, SUM(value) AS v
+  FROM events GROUP BY 1
+)
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("v")
+    )
+
+
+@register(
+    "welch_ttest_groups",
+    survey=("ST1", "ST10"),
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         AVG(value) AS m, VAR_SAMP(value) AS v, COUNT(value) AS n
+  FROM events WHERE event_type IN ('click', 'error')
+  GROUP BY event_type
+), w AS (
+  SELECT
+    (SELECT n FROM g WHERE event_type = 'click') AS n1,
+    (SELECT n FROM g WHERE event_type = 'error') AS n2,
+    (SELECT m FROM g WHERE event_type = 'click') AS m1,
+    (SELECT m FROM g WHERE event_type = 'error') AS m2,
+    (SELECT v FROM g WHERE event_type = 'click') AS v1,
+    (SELECT v FROM g WHERE event_type = 'error') AS v2
+)
+SELECT n1, n2, ROUND(m1, 6) AS mean1, ROUND(m2, 6) AS mean2,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND(POWER(v1 / n1 + v2 / n2, 2) /
+             (POWER(v1 / n1, 2) / (n1 - 1) + POWER(v2 / n2, 2) / (n2 - 1)),
+             6) AS welch_df
+FROM w
+""",
+)
+def welch_ttest_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between click and error values —
+    one pivot aggregate, closed-form t and Welch–Satterthwaite df
+    (the scipy.ttest_ind(equal_var=False) twin of the reference's
+    group comparisons)."""
+    ev = load(spark, sf_dir, "events")
+    out = welch_t(ev, "value", "event_type", "click", "error")
+    return out.select(
+        "n1",
+        "n2",
+        R6(F.col("mean1")).alias("mean1"),
+        R6(F.col("mean2")).alias("mean2"),
+        R6(F.col("t_stat")).alias("t_stat"),
+        R6(F.col("welch_df")).alias("welch_df"),
+    )
+
+
+@register(
+    "chi_square_independence",
+    survey=("ST3", "A6"),
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS r,
+         CASE WHEN value < 50 THEN 'lo' WHEN value < 150 THEN 'mid'
+              WHEN value < 300 THEN 'hi' ELSE 'top' END AS c,
+         COUNT(*) AS o
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY r) * SUM(o) OVER (PARTITION BY c)
+           / SUM(o) OVER () AS e,
+         r, c
+  FROM obs
+)
+SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+       SUM(o) AS n
+FROM cells
+""",
+)
+def chi_square_ind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test: event_type × fixed value band.
+    One groupBy over the facts; margins are windows over the tiny
+    R×C contingency frame (operators/stats.chi_square_independence).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    band = (
+        F.when(F.col("value") < 50, "lo")
+        .when(F.col("value") < 150, "mid")
+        .when(F.col("value") < 300, "hi")
+        .otherwise("top")
+    )
+    out = chi_square_independence(
+        ev.withColumn("band", band), "event_type", "band"
+    )
+    return out.select(
+        R6(F.col("chi2")).alias("chi2"),
+        F.col("dof").cast("long").alias("dof"),
+        "n",
+    )
+
+
+@register(
+    "ks_two_sample",
+    survey=("ST3", "ST6"),
+    oracle="""
+WITH per_v AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('click', 'error') AND value IS NOT NULL
+  GROUP BY value
+), ecdf AS (
+  SELECT SUM(c1) OVER (ORDER BY v) * 1.0 / SUM(c1) OVER () AS f1,
+         SUM(c2) OVER (ORDER BY v) * 1.0 / SUM(c2) OVER () AS f2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM per_v
+)
+SELECT ROUND(MAX(ABS(f1 - f2)), 6) AS ks_d,
+       MAX(n1) AS n1, MAX(n2) AS n2
+FROM ecdf
+""",
+)
+def ks_two_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS D between click and error value distributions,
+    exact under ties: per-distinct-value counts (map-side combine)
+    then ONE cumulative window over the distinct-value frame — the
+    window is |distinct|, not |rows| (operators/stats.ks_two_sample).
+    """
+    ev = load(spark, sf_dir, "events")
+    out = ks_two_sample(ev, "value", "event_type", "click", "error")
+    return out.select(R6(F.col("ks_d")).alias("ks_d"), "n1", "n2")
+
+
+@register(
+    "mad_robust_anomaly",
+    survey=("ST6", "A10"),
+    oracle="""
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med, COUNT(value) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), madt AS (
+  SELECT e.event_type, QUANTILE_CONT(ABS(e.value - m.med), 0.5) AS mad,
+         MAX(m.med) AS med, MAX(m.n) AS n
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ROUND(MAX(t.med), 6) AS median,
+       ROUND(MAX(t.mad), 6) AS mad,
+       MAX(t.n) AS n,
+       SUM(CASE WHEN ABS(e.value - t.med) > 3.0 * 1.4826 * t.mad
+                THEN 1 ELSE 0 END) AS n_anomalies
+FROM events e JOIN madt t USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def mad_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust z-score anomaly counts per event type (|x−med| >
+    3·1.4826·MAD, Leys et al. 2013): two exact-percentile aggregates
+    with tiny stats broadcast back — the robust twin of ST6 that the
+    anomalies themselves can't skew. approx_percentile is the
+    drop-in at 100 TB (operators/stats.mad_anomalies)."""
+    ev = load(spark, sf_dir, "events")
+    out = mad_anomalies(ev, "value", by=("event_type",))
+    return out.select(
+        "event_type",
+        R6(F.col("median")).alias("median"),
+        R6(F.col("mad")).alias("mad"),
+        "n",
+        "n_anomalies",
+    ).orderBy("event_type")
+
+
+@register(
+    "acf_daily_lags",
+    survey=("ST7", "W4"),
+    oracle=_DAILY_CTE
+    + """, dev AS (
+  SELECT date AS t, v - (SELECT AVG(v) FROM daily) AS d FROM daily
+), lagged AS (
+  SELECT d,
+         LAG(d, 1) OVER (ORDER BY t) AS d1, LAG(d, 2) OVER (ORDER BY t) AS d2,
+         LAG(d, 3) OVER (ORDER BY t) AS d3, LAG(d, 4) OVER (ORDER BY t) AS d4,
+         LAG(d, 5) OVER (ORDER BY t) AS d5, LAG(d, 6) OVER (ORDER BY t) AS d6,
+         LAG(d, 7) OVER (ORDER BY t) AS d7
+  FROM dev
+), s AS (
+  SELECT SUM(d * d) AS ss,
+         SUM(d * d1) AS s1, SUM(d * d2) AS s2, SUM(d * d3) AS s3,
+         SUM(d * d4) AS s4, SUM(d * d5) AS s5, SUM(d * d6) AS s6,
+         SUM(d * d7) AS s7
+  FROM lagged
+)
+SELECT lag, ROUND(acf, 6) AS acf FROM (
+  SELECT 1 AS lag, s1 / ss AS acf FROM s UNION ALL
+  SELECT 2, s2 / ss FROM s UNION ALL SELECT 3, s3 / ss FROM s UNION ALL
+  SELECT 4, s4 / ss FROM s UNION ALL SELECT 5, s5 / ss FROM s UNION ALL
+  SELECT 6, s6 / ss FROM s UNION ALL SELECT 7, s7 / ss FROM s
+) ORDER BY lag
+""",
+)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the daily total-value series at lags 1–7, standard
+    shared-denominator estimator (statsmodels.acf default): one
+    broadcast mean, ONE window pass for all lags, one aggregate
+    unpivoted with stack (operators/stats.acf)."""
+    out = acf(_daily(spark, sf_dir), "date", "v", max_lag=7)
+    return out.select("lag", R6(F.col("acf")).alias("acf")).orderBy("lag")
+
+
+@register(
+    "cusum_changepoint",
+    survey=("ST6", "ST7"),
+    oracle=_DAILY_CTE
+    + """, s AS (
+  SELECT date AS cp,
+         ABS(SUM(v - (SELECT AVG(v) FROM daily))
+             OVER (ORDER BY date)) AS abs_s
+  FROM daily
+)
+SELECT cp, ROUND(abs_s, 6) AS max_abs_s,
+       ROUND(abs_s / ((SELECT STDDEV_SAMP(v) FROM daily)
+                      * SQRT((SELECT COUNT(*) FROM daily))), 6) AS stat,
+       (SELECT COUNT(*) FROM daily) AS n
+FROM s ORDER BY abs_s DESC, cp ASC LIMIT 1
+""",
+)
+def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint of the daily series: argmax |S_t|
+    with earliest-date tie-break, normalized pivot max|S|/(σ̂√n)
+    (Page 1954). Broadcast stats + one cumulative window +
+    TakeOrderedAndProject (operators/stats.cusum_changepoint)."""
+    out = cusum_changepoint(_daily(spark, sf_dir), "date", "v")
+    return out.select(
+        "cp",
+        R6(F.col("max_abs_s")).alias("max_abs_s"),
+        R6(F.col("stat")).alias("stat"),
+        "n",
+    )
+
+
+@register(
+    "theil_sen_slope",
+    survey=("ST7", "J7"),
+    oracle="""
+WITH ud AS (
+  SELECT user_id,
+         DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         AVG(value) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
+  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.x < b.x
+)
+SELECT user_id, ROUND(QUANTILE_CONT(sl, 0.5), 6) AS sen_slope,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY user_id ORDER BY user_id
+""",
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen robust slope of daily mean value: median of
+    pairwise slopes. The O(n²) expansion is INSIDE each user's
+    (bounded, max_points-guarded) series — one hash partition by
+    user, no global blow-up (operators/stats.theil_sen)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ud = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
+            "x"
+        ),
+    ).agg(F.avg("value").alias("y"))
+    out = theil_sen(ud, "user_id", "x", "y")
+    return out.select(
+        "user_id", R6(F.col("sen_slope")).alias("sen_slope"), "n_pairs"
+    ).orderBy("user_id")
+
+
+# --- Benjamini–Hochberg FDR over a lagged-correlation discovery grid.
+_BH_PAIRS = [("click", "purchase"), ("view", "purchase"), ("signup", "click")]
+_BH_LAGS = [0, 1, 2, 3]
+_BH_Q = 0.10
+
+# Zelen–Severo 26.2.17 upper-tail normal approximation, as SQL text —
+# pure exp+polynomial, so DuckDB reproduces Spark bit-comparably.
+_SF = (
+    "(EXP(-({z}) * ({z}) / 2.0) / 2.5066282746310002"
+    " * ((1.0 / (1.0 + 0.2316419 * ({z})))"
+    " * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ({z})))"
+    " * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ({z})))"
+    " * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ({z})))"
+    " * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ({z})))"
+    " * 1.330274429))))))"
+).format
+
+
+def _bh_oracle() -> str:
+    lead_cols = ",\n         ".join(
+        f"LEAD({y}, {k}) OVER (ORDER BY date) AS y_{x}_{y}_{k}"
+        for x, y in _BH_PAIRS
+        for k in _BH_LAGS
+    )
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT '{x}' AS xs, '{y}' AS ys, {k} AS lag,"
+        f" REGR_COUNT(y_{x}_{y}_{k}, {x}) AS n,"
+        f" CORR({x}, y_{x}_{y}_{k}) AS r FROM lagged"
+        for x, y in _BH_PAIRS
+        for k in _BH_LAGS
+    )
+    m = len(_BH_PAIRS) * len(_BH_LAGS)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS click,
+         SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS view,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchase,
+         SUM(CASE WHEN event_type = 'signup' THEN value ELSE 0 END) AS signup
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT date, click, view, purchase, signup,
+         {lead_cols}
+  FROM daily
+), grid AS (
+{branches}
+), scored AS (
+  SELECT xs, ys, lag, n, r,
+         2.0 * {_SF(z='ABS(r * SQRT((n - 2) / (1 - r * r)))')} AS p
+  FROM grid
+), ranked AS (
+  SELECT xs, ys, lag, n, r, p,
+         ROW_NUMBER() OVER (ORDER BY ROUND(p, 9), xs, ys, lag) AS rk
+  FROM scored
+), cut AS (
+  SELECT MAX(CASE WHEN p <= {_BH_Q} * rk / {m} THEN rk ELSE 0 END) AS kmax
+  FROM ranked
+)
+SELECT xs, ys, lag, n, ROUND(r, 6) AS r, ROUND(p, 6) AS p, rk,
+       CASE WHEN rk <= (SELECT kmax FROM cut) THEN 1 ELSE 0 END AS significant
+FROM ranked ORDER BY rk
+"""
+
+
+@register("bh_fdr_discovery", survey=("ST4",), oracle=_bh_oracle())
+def bh_fdr_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a lagged-correlation
+    discovery grid — the multiple-comparison upgrade of ST4's
+    Bonferroni (ref discovery/scanner.py:138-277): 3 metric pairs ×
+    lags 0–3, normal-approximation two-sided p from the t statistic
+    (Zelen–Severo polynomial, engine-portable arithmetic), then the
+    step-up procedure at q=0.10 as rank windows.
+
+    ONE events scan → daily pivot → ONE window pass materializing
+    every (pair, lag) lead column → ONE aggregate row fanned back
+    out with stack. The BH step-up runs on the m-row grid."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias(t)
+            for t in ("click", "view", "purchase", "signup")
+        ]
+    )
+    w = Window.orderBy("date")
+    lagged = daily.select(
+        "*",
+        *[
+            F.lead(y, k).over(w).alias(f"y_{x}_{y}_{k}")
+            for x, y in _BH_PAIRS
+            for k in _BH_LAGS
+        ],
+    )
+    agg = lagged.agg(
+        *[
+            expr
+            for x, y in _BH_PAIRS
+            for k in _BH_LAGS
+            for expr in (
+                F.regr_count(F.col(f"y_{x}_{y}_{k}"), F.col(x)).alias(
+                    f"n_{x}_{y}_{k}"
+                ),
+                F.corr(F.col(x), F.col(f"y_{x}_{y}_{k}")).alias(
+                    f"r_{x}_{y}_{k}"
+                ),
+            )
+        ]
+    )
+    m = len(_BH_PAIRS) * len(_BH_LAGS)
+    rows = ", ".join(
+        f"'{x}', '{y}', {k}, n_{x}_{y}_{k}, r_{x}_{y}_{k}"
+        for x, y in _BH_PAIRS
+        for k in _BH_LAGS
+    )
+    grid = agg.select(
+        F.expr(f"stack({m}, {rows}) AS (xs, ys, lag, n, r)")
+    ).select("xs", "ys", F.col("lag").cast("int").alias("lag"), "n", "r")
+    z = F.abs(
+        F.col("r")
+        * F.sqrt((F.col("n") - 2) / (1 - F.col("r") * F.col("r")))
+    )
+    scored = grid.withColumn("p", 2.0 * normal_sf_approx(z))
+    wrk = Window.orderBy(F.round("p", 9), "xs", "ys", "lag")
+    ranked = scored.withColumn("rk", F.row_number().over(wrk))
+    wall = Window.partitionBy()
+    kmax = F.max(
+        F.when(
+            F.col("p") <= F.lit(_BH_Q) * F.col("rk") / F.lit(m), F.col("rk")
+        ).otherwise(0)
+    ).over(wall)
+    return (
+        ranked.withColumn(
+            "significant",
+            F.when(F.col("rk") <= kmax, 1).otherwise(0),
+        )
+        .select(
+            "xs",
+            "ys",
+            "lag",
+            "n",
+            R6(F.col("r")).alias("r"),
+            R6(F.col("p")).alias("p"),
+            "rk",
+            "significant",
+        )
+        .orderBy("rk")
+    )

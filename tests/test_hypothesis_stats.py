@@ -1,0 +1,173 @@
+"""Brute-force NumPy cross-checks for the hypothesis-test / robust /
+time-series operators (suite/hypothesis_queries.py) — independent of
+the DuckDB oracles, these pin the math itself."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bio_lakehouse_spark.operators.stats import (
+    acf,
+    chi_square_independence,
+    cusum_changepoint,
+    ks_two_sample,
+    mad_anomalies,
+    normal_sf_approx,
+    theil_sen,
+    welch_t,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def two_groups(spark):
+    rows = [("a", float(v)) for v in RNG.normal(10, 3, 80)] + [
+        ("b", float(v)) for v in RNG.normal(12, 5, 60)
+    ]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_welch_t_matches_numpy(two_groups):
+    out = welch_t(two_groups, "v", "g", "a", "b").collect()[0]
+    pdf = two_groups.toPandas()
+    x = pdf[pdf.g == "a"].v.to_numpy()
+    y = pdf[pdf.g == "b"].v.to_numpy()
+    vx, vy = x.var(ddof=1), y.var(ddof=1)
+    se2 = vx / len(x) + vy / len(y)
+    t = (x.mean() - y.mean()) / math.sqrt(se2)
+    dof = se2**2 / (
+        (vx / len(x)) ** 2 / (len(x) - 1) + (vy / len(y)) ** 2 / (len(y) - 1)
+    )
+    assert out["n1"] == len(x) and out["n2"] == len(y)
+    assert out["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert out["welch_df"] == pytest.approx(dof, rel=1e-9)
+
+
+def test_ks_two_sample_matches_bruteforce(two_groups):
+    out = ks_two_sample(two_groups, "v", "g", "a", "b").collect()[0]
+    pdf = two_groups.toPandas()
+    x = np.sort(pdf[pdf.g == "a"].v.to_numpy())
+    y = np.sort(pdf[pdf.g == "b"].v.to_numpy())
+    grid = np.concatenate([x, y])
+    f1 = np.searchsorted(x, grid, side="right") / len(x)
+    f2 = np.searchsorted(y, grid, side="right") / len(y)
+    assert out["ks_d"] == pytest.approx(np.abs(f1 - f2).max(), abs=1e-12)
+
+
+def test_chi_square_matches_bruteforce(spark):
+    rows = [("r1", "c1")] * 30 + [("r1", "c2")] * 10 + [("r2", "c1")] * 15 + [
+        ("r2", "c2")
+    ] * 25
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    obs = np.array([[30, 10], [15, 25]], dtype=float)
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+    assert out["dof"] == 1
+    assert out["n"] == 80
+
+
+def test_mad_anomalies_matches_numpy(spark):
+    vals = list(RNG.normal(50, 5, 200)) + [500.0, -400.0, 900.0]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = mad_anomalies(df, "v").collect()[0]
+    arr = np.array(vals)
+    med = np.median(arr)
+    mad = np.median(np.abs(arr - med))
+    n_anom = int((np.abs(arr - med) > 3 * 1.4826 * mad).sum())
+    assert out["median"] == pytest.approx(med, rel=1e-12)
+    assert out["mad"] == pytest.approx(mad, rel=1e-12)
+    assert out["n_anomalies"] == n_anom >= 3  # at least the 3 injected
+
+
+def test_acf_matches_numpy(spark):
+    x = RNG.normal(0, 1, 60).cumsum()  # random walk → strong lag-1
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(x)], "t int, v double"
+    )
+    out = {r["lag"]: r["acf"] for r in acf(df, "t", "v", max_lag=3).collect()}
+    d = x - x.mean()
+    ss = (d * d).sum()
+    for k in (1, 2, 3):
+        rk = (d[k:] * d[:-k]).sum() / ss
+        assert out[k] == pytest.approx(rk, rel=1e-9), k
+    assert out[1] > 0.8  # random walk sanity
+
+
+def test_cusum_finds_injected_shift(spark):
+    x = np.concatenate([RNG.normal(0, 1, 40), RNG.normal(4, 1, 40)])
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(x)], "t int, v double"
+    )
+    out = cusum_changepoint(df, "t", "v").collect()[0]
+    d = x - x.mean()
+    s = np.abs(d.cumsum())
+    assert out["cp"] == int(s.argmax())
+    assert out["max_abs_s"] == pytest.approx(s.max(), rel=1e-9)
+    assert 35 <= out["cp"] <= 42  # the true break is at index 39/40
+
+
+def test_theil_sen_matches_bruteforce_and_robust(spark):
+    xs = np.arange(20, dtype=float)
+    ys = 2.0 * xs + 1.0
+    ys[3], ys[11] = 500.0, -300.0  # gross outliers
+    df = spark.createDataFrame(
+        [("u", float(a), float(b)) for a, b in zip(xs, ys)],
+        "e string, x double, y double",
+    )
+    out = theil_sen(df, "e", "x", "y").collect()[0]
+    slopes = [
+        (ys[j] - ys[i]) / (xs[j] - xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    ]
+    assert out["n_pairs"] == len(slopes)
+    assert out["sen_slope"] == pytest.approx(np.median(slopes), rel=1e-12)
+    assert out["sen_slope"] == pytest.approx(2.0, abs=0.05)  # outlier-proof
+
+
+def test_theil_sen_max_points_guard(spark):
+    df = spark.createDataFrame(
+        [("u", float(i), float(i)) for i in range(30)],
+        "e string, x double, y double",
+    )
+    with pytest.raises(Exception, match="max_points"):
+        theil_sen(df, "e", "x", "y", max_points=10).collect()
+
+
+def test_normal_sf_approx_vs_erfc(spark):
+    zs = [0.0, 0.5, 1.0, 1.645, 1.96, 2.575, 3.0, 4.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["z"]: r["sf"]
+        for r in df.select(
+            "z", normal_sf_approx(F.col("z")).alias("sf")
+        ).collect()
+    }
+    for z in zs:
+        exact = 0.5 * math.erfc(z / math.sqrt(2))
+        assert got[z] == pytest.approx(exact, abs=7.5e-8), z
+
+
+def test_bh_flags_match_reference_procedure(spark, sf_dir):
+    from bio_lakehouse_spark.suite.hypothesis_queries import (
+        _BH_Q,
+        bh_fdr_discovery,
+    )
+
+    rows = bh_fdr_discovery(spark, sf_dir).collect()
+    ps = [r["p"] for r in rows]  # already rank-ordered
+    m = len(ps)
+    kmax = max(
+        (i + 1 for i, p in enumerate(ps) if p <= _BH_Q * (i + 1) / m),
+        default=0,
+    )
+    for i, r in enumerate(rows):
+        assert r["significant"] == (1 if i + 1 <= kmax else 0)
