@@ -156,3 +156,158 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select(F.col("v").alias("node"), F.col("r").alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected edge list, by degree-ordered orientation (the
+    Suri–Vassilvitskii MR-triangle-counting shape, WWW'11).
+
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; wedges are enumerated only from each
+    node's OUT-neighbors, whose count is O(√m) per node under this
+    orientation regardless of raw degree — the property that makes
+    the wedge self-join survive power-law graphs where the naive
+    a<b enumeration explodes on hubs. Closing edges are probed by one
+    hash join against the canonical edge set. Returns one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    n_wedges = Σ C(deg,2) and clustering = 3·triangles / wedges.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient by (degree, id): from the lexicographically smaller
+    # endpoint to the larger. Degrees are a broadcast-sized frame
+    # (one row per node with an edge).
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        canon.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, on=F.col("o1.u") == F.col("o2.u")).filter(
+        F.col("o1.v") < F.col("o2.v")
+    )
+    closing = canon.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    tri = wedges.join(
+        closing,
+        on=(
+            (F.least("o1.v", "o2.v") == F.col("x"))
+            & (F.greatest("o1.v", "o2.v") == F.col("y"))
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias(
+            "n_wedges"
+        ),
+    )
+    return (
+        nodes_wedges.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                3.0 * F.col("n_triangles") / F.col("n_wedges")
+            ).alias("clustering"),
+        )
+    )
+
+
+def neighbor_jaccard_topk(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-k node pairs by neighbor-set Jaccard similarity
+    |N(a)∩N(b)| / |N(a)∪N(b)| — the structural-equivalence measure
+    (link prediction / entity-resolution primitive).
+
+    Common neighbors come from ONE self-join of the adjacency list on
+    the shared-neighbor column; the fan-out per center node n is
+    deg(n)², so ``max_degree`` (when set) drops super-hub CENTERS
+    before the join — the same bounded-blow-up philosophy as the LSH
+    hot-bucket cap: a hub shared by everything contributes near-zero
+    Jaccard pairs at quadratic cost. Degrees join back broadcast;
+    the result is TakeOrderedAndProject (deterministic ties:
+    jaccard desc, then node ids).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+        canon.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj.select(F.col("nb").alias("c"), F.col("node").alias("leaf"))
+    if max_degree is not None:
+        ok = deg.filter(F.col("d") <= max_degree).select(
+            F.col("node").alias("c")
+        )
+        centers = centers.join(F.broadcast(ok), "c")
+    l1 = centers.alias("l1")
+    l2 = centers.alias("l2")
+    common = (
+        l1.join(l2, on=F.col("l1.c") == F.col("l2.c"))
+        .filter(F.col("l1.leaf") < F.col("l2.leaf"))
+        .groupBy(
+            F.col("l1.leaf").alias("s1"), F.col("l2.leaf").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = deg.select(F.col("node").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("node").alias("s2"), F.col("d").alias("d2"))
+    scored = (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common",
+            (
+                F.col("common")
+                / (F.col("d1") + F.col("d2") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("s1").asc(), F.col("s2").asc()
+    ).limit(k)

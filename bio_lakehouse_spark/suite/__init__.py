@@ -21,5 +21,6 @@ from bio_lakehouse_spark.suite import quantile_queries  # noqa: F401
 from bio_lakehouse_spark.suite import sampling_queries  # noqa: F401
 from bio_lakehouse_spark.suite import pipeline_queries  # noqa: F401
 from bio_lakehouse_spark.suite import hypothesis_queries  # noqa: F401
+from bio_lakehouse_spark.suite import graph_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "load"]

@@ -1,0 +1,138 @@
+"""Graph-analytics queries over the supplier co-order trade graph.
+
+Extends the iterative-graph family (connected components for dedup
+clusters, PageRank) with the two standard NON-iterative graph
+measures — exact triangle counting / global clustering coefficient
+(degree-ordered orientation, Suri–Vassilvitskii WWW'11) and
+neighbor-set Jaccard similarity (structural equivalence / link
+prediction). Both run on a derived graph: suppliers are adjacent when
+they co-supply the same order materially more often than the average
+pair (co-count > 1.2 × mean), so the graph has real structure at
+every SF instead of collapsing to the complete graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.operators.graph import (
+    neighbor_jaccard_topk,
+    triangle_stats,
+)
+from bio_lakehouse_spark.suite.registry import load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+# Shared oracle CTE: distinct (order, supplier), co-order pair
+# counts, then the above-average-strength edge set.
+_EDGES_CTE = """
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+), cow AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS c
+  FROM lo a JOIN lo b ON a.o = b.o AND a.s < b.s
+  GROUP BY 1, 2
+), e AS (
+  SELECT s1, s2 FROM cow WHERE c > 1.2 * (SELECT AVG(c) FROM cow)
+)
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-strength supplier co-order edges.
+
+    The self-join fans out per order as (lines-per-order choose 2) —
+    bounded by order size, the same bounded-blow-up argument as the
+    interval join — and immediately collapses to per-pair counts with
+    map-side combine. The one-row mean joins back broadcast.
+    """
+    lo = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = lo.alias("a"), lo.alias("b")
+    cow = (
+        a.join(b, on=F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mean = cow.agg(F.avg("c").alias("cbar"))
+    return (
+        cow.crossJoin(F.broadcast(mean))
+        .filter(F.col("c") > 1.2 * F.col("cbar"))
+        .select("s1", "s2")
+    )
+
+
+@register(
+    "graph_triangle_stats",
+    survey=("J7", "A11"),
+    oracle=_EDGES_CTE
+    + """, deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT s1 AS n FROM e UNION ALL SELECT s2 FROM e
+  ) GROUP BY n
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+  JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT SUM(d * (d - 1)) // 2 FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       ROUND(3.0 * (SELECT n_triangles FROM tri)
+             / (SELECT SUM(d * (d - 1)) // 2 FROM deg), 6) AS clustering
+""",
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles + global clustering of the trade graph via
+    degree-ordered wedge enumeration — out-neighbor lists are O(√m)
+    under the orientation, so the wedge self-join survives power-law
+    hubs (operators/graph.triangle_stats)."""
+    out = triangle_stats(_trade_edges(spark, sf_dir), "s1", "s2")
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        R6(F.col("clustering")).alias("clustering"),
+    )
+
+
+@register(
+    "graph_neighbor_jaccard",
+    survey=("J6", "O4"),
+    oracle=_EDGES_CTE
+    + """, adj AS (
+  SELECT s1 AS node, s2 AS nb FROM e
+  UNION ALL SELECT s2, s1 FROM e
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+), common AS (
+  SELECT l1.node AS s1, l2.node AS s2, COUNT(*) AS common
+  FROM adj l1 JOIN adj l2 ON l1.nb = l2.nb AND l1.node < l2.node
+  GROUP BY 1, 2
+)
+SELECT c.s1, c.s2, c.common,
+       ROUND(c.common * 1.0 / (d1.d + d2.d - c.common), 6) AS jaccard
+FROM common c
+JOIN deg d1 ON d1.node = c.s1
+JOIN deg d2 ON d2.node = c.s2
+ORDER BY c.common * 1.0 / (d1.d + d2.d - c.common) DESC, c.s1, c.s2
+LIMIT 20
+""",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 supplier pairs by neighbor-set Jaccard: one adjacency
+    self-join on the shared neighbor (deg² fan-out per center,
+    max_degree-cappable), broadcast degree join, deterministic
+    TakeOrderedAndProject (operators/graph.neighbor_jaccard_topk)."""
+    out = neighbor_jaccard_topk(_trade_edges(spark, sf_dir), "s1", "s2", k=20)
+    return out.select(
+        "s1", "s2", "common", R6(F.col("jaccard")).alias("jaccard")
+    )

@@ -1,0 +1,111 @@
+"""Brute-force cross-checks for triangle counting and neighbor
+Jaccard (operators/graph.py) on adversarial small graphs — including
+a hub node, which is exactly what the degree-ordered orientation must
+survive."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from bio_lakehouse_spark.operators.graph import (
+    neighbor_jaccard_topk,
+    triangle_stats,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _random_graph_with_hub(n=30, p=0.2):
+    edges = {(i, j) for i, j in combinations(range(n), 2) if RNG.random() < p}
+    hub = n  # node connected to everyone — the orientation stress case
+    edges |= {(i, hub) for i in range(n)}
+    return sorted(edges)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    edges = _random_graph_with_hub()
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    return edges, df
+
+
+def _brute_triangles(edges):
+    es = set(edges)
+    nodes = sorted({x for e in edges for x in e})
+    adj = {u: set() for u in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[u]) * (len(adj[u]) - 1) // 2 for u in nodes)
+    return len(nodes), len(es), wedges, tri, adj
+
+
+def test_triangle_stats_matches_bruteforce(graph):
+    edges, df = graph
+    n_nodes, n_edges, wedges, tri, _ = _brute_triangles(edges)
+    row = triangle_stats(df, "src", "dst").collect()[0]
+    assert row["n_nodes"] == n_nodes
+    assert row["n_edges"] == n_edges
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
+    assert row["clustering"] == pytest.approx(3 * tri / wedges, rel=1e-12)
+
+
+def test_triangle_stats_dedupes_and_canonicalizes(spark):
+    # duplicate edges, reversed duplicates, and self-loops must not count
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (4, 4)],
+        "src long, dst long",
+    )
+    row = triangle_stats(df).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+    assert row["n_nodes"] == 3
+
+
+def test_neighbor_jaccard_matches_bruteforce(graph):
+    edges, df = graph
+    *_, adj = _brute_triangles(edges)
+    want = {}
+    for a, b in combinations(sorted(adj), 2):
+        common = len(adj[a] & adj[b])
+        if common:
+            want[(a, b)] = common / (len(adj[a]) + len(adj[b]) - common)
+    got = neighbor_jaccard_topk(df, k=10**6).collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert r["jaccard"] == pytest.approx(
+            want[(r["s1"], r["s2"])], rel=1e-12
+        )
+
+
+def test_neighbor_jaccard_hub_cap_drops_hub_centers(graph):
+    edges, df = graph
+    hub = max(x for e in edges for x in e)
+    # With the hub allowed as a center, many pairs share only the hub;
+    # capping max_degree below the hub's degree must remove every pair
+    # whose ONLY common neighbor is the hub.
+    full = {
+        (r["s1"], r["s2"]): r["common"]
+        for r in neighbor_jaccard_topk(df, k=10**6).collect()
+    }
+    capped = {
+        (r["s1"], r["s2"]): r["common"]
+        for r in neighbor_jaccard_topk(df, k=10**6, max_degree=25).collect()
+    }
+    only_hub = {p for p, c in full.items() if c == 1 and hub not in p}
+    # pairs whose single common neighbor was the hub disappear or keep
+    # non-hub neighbors; every surviving count is <= the uncapped one
+    for p, c in capped.items():
+        assert c <= full[p]
+    assert any(p not in capped for p in only_hub) or not only_hub
