@@ -877,3 +877,46 @@ def mmr_select(
     for p in picked[1:]:
         out = out.union(p)
     return out
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every item that has a cosine-``threshold`` neighbor with
+    a smaller id (deterministic keep-first policy; the paper keeps
+    the item farthest from the centroid — id-ordering is the
+    engine-portable equivalent and what makes the verdict frame
+    hash-comparable across engines).
+
+    Scale shape: the clusters ARE the blocking structure — the
+    pairwise cosine check is quadratic only within a cell, the
+    centroids broadcast, and the verdict comes back to the corpus as
+    one left join on the id. No all-pairs stage exists at any scale;
+    cluster granularity (|centroids|) is the knob that bounds cell
+    size, exactly as in the paper's k-means-over-shards setup.
+
+    Returns (id, centroid_id, is_dup) for every corpus row.
+    """
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dups = (
+        a.join(b, on=F.col("a.centroid_id") == F.col("b.centroid_id"))
+        .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))
+        .filter(sim >= threshold)
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dups, on=id_col, how="left")
+        .fillna({"is_dup": 0})
+    )

@@ -467,3 +467,98 @@ def bh_fdr_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# Poisson(1) inverse-CDF breakpoints (cumulative e^-1 Σ 1/k!).
+_POIS_CUM = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563)
+_BOOT_B = 100
+
+_BOOT_U = (
+    "(CAST(concat('0x', substr(md5(concat('boot:', CAST(event_id AS VARCHAR),"
+    " ':', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+)
+
+
+@register(
+    "bootstrap_ci_poisson",
+    survey=("ST10", "A13"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+), rep AS (
+  SELECT event_id, value, b FROM base, range(1, {_BOOT_B} + 1) AS t(b)
+), weighted AS (
+  SELECT b, value,
+         CASE WHEN {_BOOT_U} < {_POIS_CUM[0]!r} THEN 0
+              WHEN {_BOOT_U} < {_POIS_CUM[1]!r} THEN 1
+              WHEN {_BOOT_U} < {_POIS_CUM[2]!r} THEN 2
+              WHEN {_BOOT_U} < {_POIS_CUM[3]!r} THEN 3
+              WHEN {_BOOT_U} < {_POIS_CUM[4]!r} THEN 4
+              ELSE 5 END AS w
+  FROM rep
+), means AS (
+  SELECT b, SUM(w * value) / SUM(w) AS m FROM weighted GROUP BY b
+)
+SELECT (SELECT ROUND(AVG(value), 6) FROM base) AS point_mean,
+       ROUND(QUANTILE_CONT(m, 0.025), 6) AS ci_low,
+       ROUND(QUANTILE_CONT(m, 0.975), 6) AS ci_high,
+       COUNT(*) AS n_resamples
+FROM means
+""",
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean purchase value
+    (Chamandy et al. 2012, 'Estimating Uncertainty for Massive Data
+    Streams' — the bootstrap that distributes: each row draws its
+    per-resample multiplicity w ~ Poisson(1) independently, so no
+    resample ever needs the full dataset co-located).
+
+    Weights are DETERMINISTIC — Poisson inverse-CDF applied to the
+    md5-derived uniform already underpinning the sampling family —
+    which is what lets DuckDB reproduce the exact CI (the driver
+    hash-gates the interval itself, not just its shape). The B-fold
+    row replication collapses map-side: the exchange carries
+    B × partitions partial rows, never B × N.
+    """
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    rep = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = hash_unit(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        ),
+        salt="boot:",
+    )
+    w = (
+        F.when(u < _POIS_CUM[0], 0)
+        .when(u < _POIS_CUM[1], 1)
+        .when(u < _POIS_CUM[2], 2)
+        .when(u < _POIS_CUM[3], 3)
+        .when(u < _POIS_CUM[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    ci = means.agg(
+        R6(F.percentile(F.col("m"), F.lit(0.025))).alias("ci_low"),
+        R6(F.percentile(F.col("m"), F.lit(0.975))).alias("ci_high"),
+        F.count(F.lit(1)).alias("n_resamples"),
+    )
+    point = ev.agg(R6(F.avg("value")).alias("point_mean"))
+    return point.crossJoin(F.broadcast(ci)).select(
+        "point_mean", "ci_low", "ci_high", "n_resamples"
+    )

@@ -908,3 +908,43 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+@register(
+    "semdedup_verdicts",
+    survey=("A11", "J6"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC, cent.centroid_id) AS rn
+    FROM embeddings v, cent) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id > b.vec_id
+  WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+)
+SELECT s.vec_id, s.centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id
+""",
+)
+def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-then-dedup semantic
+    near-dup removal — clusters bound the quadratic check, verdicts
+    join back by id. The embedding-space sibling of MinHash-LSH:
+    same capped-block shape, geometric similarity
+    (operators/similarity.semdedup)."""
+    from bio_lakehouse_spark.operators.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = semdedup(emb, centroids, threshold=0.35)
+    return out.select("vec_id", "centroid_id", "is_dup").orderBy("vec_id")

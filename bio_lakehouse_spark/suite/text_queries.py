@@ -1583,3 +1583,155 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("cont_a_in_b")).alias("cont_a_in_b"),
         R6(F.col("cont_b_in_a")).alias("cont_b_in_a"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    survey=("F9", "W9", "A11"),
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, unnest({_W}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM dw WHERE w <> '' GROUP BY 1, 2
+), df AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS df FROM dw WHERE w <> '' GROUP BY w
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.w AS term, t.tf, df.df,
+         t.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf t JOIN df USING (w) CROSS JOIN n
+  WHERE t.doc_id < 50
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+           ORDER BY ROUND(score, 9) DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, ROUND(score, 6) AS score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF (sklearn's idf = ln((N+1)/(df+1))+1) top-3
+    terms per document: document frequencies aggregate over the FULL
+    corpus once and broadcast back to the restricted per-doc term
+    counts; ranks break float near-ties on rounded score + term so
+    every engine agrees. The keyword-extraction primitive BM25's
+    corpus stats already power (vocab_doc_frequency, text_bm25_topk).
+    """
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(words("text")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = dw.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = dw.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wrk = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wrk))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            R6(F.col("score")).alias("score"),
+            "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "crossdoc_ngram_spans",
+    survey=("A11", "F9"),
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(w) - 8, 0) + 1),
+                i -> concat_ws(' ', w[i+1], w[i+2], w[i+3], w[i+4],
+                               w[i+5], w[i+6], w[i+7], w[i+8]))) AS g
+  FROM dw
+), dupg AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+  FROM grams LEFT JOIN dupg d USING (g)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup_spans,
+       ROUND(n_dup_spans * 1.0 / n_grams, 6) AS dup_frac
+FROM per_doc ORDER BY doc_id
+""",
+)
+def crossdoc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the Lee et al. 2022
+    'Deduplicating Training Data' exact-substring signal, word-8-gram
+    granularity): a gram occurring in ≥2 distinct documents marks
+    every position it covers as duplicated text.
+
+    Shape: grams stream out of the scan (one transform per doc, let-
+    bound words array so the split runs once), collapse to per-gram
+    doc-frequency with map-side combine, and the df≥2 survivors join
+    back by gram — the fact side is the gram stream both times, no
+    all-pairs doc joins anywhere. The intra-doc sibling is
+    repeated_span_flags; the line-level one is dedup_frequent_lines.
+    """
+    from bio_lakehouse_spark.operators.textops import let, word_ngram_stream
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            let(words("text"), lambda w: word_ngram_stream(w, 8))
+        ).alias("g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(dupg, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_spans",
+        R6(F.col("n_dup_spans") / F.col("n_grams")).alias("dup_frac"),
+    ).orderBy("doc_id")

@@ -957,3 +957,52 @@ def rolling_7d_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("v").over(w), 6).alias("sum_7d"),
         F.count(F.lit(1)).over(w).cast("int").alias("days_present_7d"),
     )
+
+
+@register(
+    "rolling_distinct_users_7d",
+    survey=("W2", "A11"),
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+), spine AS (
+  SELECT DISTINCT d FROM du
+), cov AS (
+  SELECT CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS dd, u
+  FROM du
+)
+SELECT s.d AS date, COUNT(DISTINCT c.u) AS users_7d
+FROM cov c JOIN spine s ON s.d = c.dd
+GROUP BY s.d ORDER BY s.d
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) Spark windows can't express directly.
+
+    Shape: raw events collapse to distinct (day, user) FIRST (the
+    only full-data pass), then each pair explodes to the ≤7 future
+    days it covers — a fixed ×7 linear blow-up of the small daily
+    frame that turns the range join into a plain shuffle aggregate;
+    no nested-loop join, no per-day rescan. The day spine join is
+    broadcast. At any horizon the cost is |active-pairs| × window
+    days, independent of raw event volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), F.col("user_id").alias("u")
+    ).distinct()
+    spine = du.select("d").distinct()
+    cov = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "dd"
+        ),
+        "u",
+    )
+    return (
+        cov.join(F.broadcast(spine), cov.dd == spine.d)
+        .groupBy(F.col("d").alias("date"))
+        .agg(F.count_distinct("u").alias("users_7d"))
+        .orderBy("date")
+    )
