@@ -97,3 +97,55 @@ def check_constraints(
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+def key_skew_profile(df, cols):
+    """Partition-key skew diagnostics for each candidate key column:
+    the numbers that decide between a plain hash shuffle, AQE skew
+    splitting, and explicit salting (operators/skew.py) BEFORE the
+    job runs at scale.
+
+    Per column: distinct-key count, max and mean per-key frequency,
+    skew_ratio = max/mean (a ratio near 1 → uniform; ≫1 → the
+    biggest key dominates a reducer), normalized Shannon entropy
+    (1 = uniform), and the Gini coefficient of the frequency
+    distribution (0 = uniform, →1 = one key owns everything).
+
+    Each column costs ONE groupBy over the facts (map-side combined);
+    every other statistic is windows/aggregates over the small
+    per-key frequency frame. Gini uses the rank formulation
+    G = 2·Σ(i·fᵢ)/(n·Σf) − (n+1)/n over ascending-frequency ranks —
+    invariant under tie order, so engines can't disagree on ties.
+    """
+    from pyspark.sql import Window
+
+    out = None
+    for c in cols:
+        freq = df.groupBy(F.col(c).alias("k")).agg(
+            F.count(F.lit(1)).alias("f")
+        )
+        w = Window.orderBy("f")
+        ranked = freq.select(
+            "f",
+            F.row_number().over(w).alias("i"),
+            F.sum("f").over(Window.partitionBy()).alias("tot"),
+        )
+        p = F.col("f") / F.col("tot")
+        prof = ranked.agg(
+            F.lit(c).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("f").alias("max_freq"),
+            F.avg("f").alias("mean_freq"),
+            (F.max("f") / F.avg("f")).alias("skew_ratio"),
+            (
+                -F.sum(p * F.log(p))
+                / F.log(F.count(F.lit(1)).cast("double"))
+            ).alias("entropy_norm"),
+            (
+                2.0 * F.sum(F.col("i") * F.col("f"))
+                / (F.count(F.lit(1)) * F.sum("f"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+            ).alias("gini"),
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out

@@ -945,3 +945,56 @@ def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+def _skew_oracle_one(table: str, col: str) -> str:
+    return f"""
+  SELECT '{col}' AS key_col, COUNT(*) AS n_keys, MAX(f) AS max_freq,
+         ROUND(AVG(f), 6) AS mean_freq,
+         ROUND(MAX(f) / AVG(f), 6) AS skew_ratio,
+         ROUND(-SUM((f * 1.0 / tot) * LN(f * 1.0 / tot)) / LN(COUNT(*)), 6)
+           AS entropy_norm,
+         ROUND(2.0 * SUM(i * f) / (COUNT(*) * SUM(f))
+               - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+  FROM (
+    SELECT f, ROW_NUMBER() OVER (ORDER BY f) AS i, SUM(f) OVER () AS tot
+    FROM (SELECT {col} AS k, COUNT(*) AS f FROM {table} GROUP BY {col})
+  )"""
+
+
+@register(
+    "skew_profile_keys",
+    survey=("P10", "A10"),
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        [
+            _skew_oracle_one("events", "user_id"),
+            _skew_oracle_one("events", "event_type"),
+            _skew_oracle_one("orders", "o_custkey"),
+        ]
+    )
+    + "\n) ORDER BY key_col",
+)
+def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnostics (distinct keys, max/mean
+    frequency ratio, normalized entropy, Gini) for the three join/agg
+    keys the suite shuffles on most — the pre-flight check that
+    decides plain hash vs AQE skew split vs explicit salting
+    (operators/profiling.key_skew_profile; salting itself is
+    oracle-proven by salted_skew_agg)."""
+    from bio_lakehouse_spark.operators.profiling import key_skew_profile
+
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    prof = key_skew_profile(ev, ["user_id", "event_type"]).unionAll(
+        key_skew_profile(orders, ["o_custkey"])
+    )
+    return prof.select(
+        "key_col",
+        "n_keys",
+        "max_freq",
+        F.round("mean_freq", 6).alias("mean_freq"),
+        F.round("skew_ratio", 6).alias("skew_ratio"),
+        F.round("entropy_norm", 6).alias("entropy_norm"),
+        F.round("gini", 6).alias("gini"),
+    ).orderBy("key_col")

@@ -468,6 +468,13 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "unigram_lm_quality",  # vocab/scores × ONE-ROW (denom / cutoffs)
         "nb_quality_filter",  # dim-bounded counts × ONE-ROW totals
         "psi_drift_monitor",  # 10-bucket table × ONE-ROW totals
+        "tfidf_top_terms",  # per-doc term counts × ONE-ROW corpus size
+        "semdedup_verdicts",  # corpus × broadcast centroids (cell scorer)
+        "acf_daily_lags",  # daily series × ONE-ROW mean
+        "cusum_changepoint",  # daily series × ONE-ROW (mean, sd, n)
+        "bootstrap_ci_poisson",  # ONE-ROW point estimate × ONE-ROW CI
+        "graph_triangle_stats",  # three ONE-ROW count frames composed
+        "graph_neighbor_jaccard",  # pair counts × ONE-ROW mean threshold
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
@@ -493,3 +500,44 @@ def test_frequent_lines_broadcasts_hot_set(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The 100-TB join-prefilter knob: when a selective dimension
+    feeds a SHUFFLE join, Spark's InjectRuntimeFilter must plant a
+    bloom-filter semi-reduction on the fact side (fact rows that
+    can't match are dropped at the scan, before the exchange). The
+    rule is size-gated — at production scale the defaults
+    (creationSide <= 10 MB, applicationSide >= 10 GB) fire on their
+    own; here we lower the application-side threshold to prove the
+    plan shape is available and our join keys don't defeat it
+    (a type mismatch or expression-wrapped key would silently
+    disable the rule)."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        fact = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        dim = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
