@@ -630,3 +630,76 @@ def normal_sf_approx(z: Column) -> Column:
         )
     )
     return phi * poly
+
+
+def holt_linear(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing per entity:
+    l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},
+    initialized l₁=x₁, b₁=x₂−x₁; returns the final (level, trend) and
+    the h-step forecast level + h·trend (statsmodels Holt(damped=False)
+    recurrence).
+
+    The recurrence is inherently sequential PER SERIES but embarrass-
+    ingly parallel ACROSS series — so it runs as a JVM-side
+    ``F.aggregate`` fold over each entity's collected series array:
+    one shuffle to group, no Python, no window. Series length must be
+    driver-bounded like every collected-series op (daily grain:
+    years ≈ thousands of elements — fine); entities with <2 points
+    are dropped (the recursion is undefined).
+    """
+    series = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(entity_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(order_col).alias("o"),
+                            F.col(value).alias("x"),
+                        )
+                    )
+                ),
+                lambda s: s.x,
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+    )
+    a, b = float(alpha), float(beta)
+    init = F.struct(
+        F.element_at("xs", 1).alias("l"),
+        (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+    )
+
+    def _step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1 - a) * (acc.l + acc.b)
+        new_b = F.lit(b) * (new_l - acc.l) + F.lit(1 - b) * acc.b
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = series.select(
+        entity_col,
+        F.size("xs").alias("n_obs"),
+        F.aggregate(
+            F.slice(F.col("xs"), 3, F.greatest(F.size("xs") - 2, F.lit(0))),
+            init,
+            _step,
+        ).alias("st"),
+    )
+    return folded.select(
+        entity_col,
+        "n_obs",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.lit(float(horizon)) * F.col("st.b")).alias(
+            "forecast"
+        ),
+    )

@@ -562,3 +562,61 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.crossJoin(F.broadcast(ci)).select(
         "point_mean", "ci_low", "ci_high", "n_resamples"
     )
+
+
+@register(
+    "holt_linear_forecast",
+    survey=("ST9", "ST7"),
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ROUND(SUM(value), 6) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), s AS (
+  SELECT user_id, x,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM daily
+), rec AS (
+  SELECT s1.user_id, 2 AS rn, s1.n, s1.x AS l, s2.x - s1.x AS b
+  FROM s s1 JOIN s s2 ON s2.user_id = s1.user_id AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn + 1, r.n,
+         0.5 * s.x + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b
+  FROM rec r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+  WHERE r.rn < r.n
+)
+SELECT user_id, n AS n_obs, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       ROUND(l + 7.0 * b, 6) AS forecast
+FROM rec WHERE rn = n ORDER BY user_id
+""",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user
+    (α=0.5, β=0.25 — exact binary literals, so both engines fold
+    bit-identical doubles), 7-step-ahead forecast from the final
+    (level, trend) state.
+
+    The recurrence runs as a JVM-side ``F.aggregate`` fold over each
+    user's sorted series array — sequential within a series,
+    embarrassingly parallel across series, zero Python. The oracle
+    unrolls the same recursion as a recursive CTE (the unrolled-Lloyd
+    pattern): the driver hash-gates the full smoothing state, not a
+    summary (operators/stats.holt_linear)."""
+    from bio_lakehouse_spark.operators.stats import holt_linear
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.filter(F.col("value").isNotNull()).groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(R6(F.sum("value")).alias("x"))
+    out = holt_linear(
+        daily, "user_id", "d", "x", alpha=0.5, beta=0.25, horizon=7
+    )
+    return out.select(
+        "user_id",
+        "n_obs",
+        R6(F.col("level")).alias("level"),
+        R6(F.col("trend")).alias("trend"),
+        R6(F.col("forecast")).alias("forecast"),
+    ).orderBy("user_id")

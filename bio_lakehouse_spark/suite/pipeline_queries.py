@@ -998,3 +998,82 @@ def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("entropy_norm", 6).alias("entropy_norm"),
         F.round("gini", 6).alias("gini"),
     ).orderBy("key_col")
+
+
+@register(
+    "scd2_user_dimension",
+    survey=("S13", "W4", "W7"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(MAX_BY(value, ts), 6) AS attr
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT user_id, day, attr,
+         CASE WHEN attr IS DISTINCT FROM
+                   LAG(attr) OVER (PARTITION BY user_id ORDER BY day)
+              THEN 1 ELSE 0 END AS chg
+  FROM daily
+), grouped AS (
+  SELECT user_id, day, attr,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM flagged
+), intervals AS (
+  SELECT user_id, attr, grp, MIN(day) AS valid_from
+  FROM grouped GROUP BY user_id, attr, grp
+)
+SELECT user_id, attr, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         - INTERVAL 1 DAY AS valid_to,
+       CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM intervals ORDER BY user_id, valid_from
+""",
+)
+def scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 build (Kimball): collapse the
+    per-user daily attribute stream into validity intervals
+    [valid_from, valid_to] + is_current — the dimension-table shape
+    every lakehouse MERGE pipeline maintains (the interval construction
+    that merge_upsert/refresh_partitions would persist incrementally).
+
+    Pure gaps-and-islands: change flags (lag), running change-count
+    as the island id (one cumulative window), one groupBy for
+    interval starts, one lead window for the close dates. All windows
+    partition BY USER — series parallelism is user count; no global
+    sort anywhere.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.round(F.max_by("value", "ts"), 6).alias("attr"))
+    wu = Window.partitionBy("user_id").orderBy("day")
+    flagged = daily.withColumn(
+        "chg",
+        F.when(
+            ~F.col("attr").eqNullSafe(F.lag("attr").over(wu)), 1
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = grouped.groupBy("user_id", "attr", "grp").agg(
+        F.min("day").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "attr",
+        "valid_from",
+        F.date_sub(F.lead("valid_from").over(wv), 1).alias("valid_to"),
+        F.when(F.lead("valid_from").over(wv).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    ).orderBy("user_id", "valid_from")

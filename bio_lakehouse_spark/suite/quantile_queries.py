@@ -138,3 +138,68 @@ def quantile_histogram_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         li, "l_extendedprice", (0.5, 0.95), 128, by=["l_returnflag"]
     )
+
+
+@register(
+    "mode_median_by_type",
+    survey=("A10", "A13"),
+    oracle="""
+WITH binned AS (
+  SELECT event_type, CAST(FLOOR(value / 10) AS BIGINT) AS bin, value
+  FROM events WHERE value IS NOT NULL
+), freq AS (
+  SELECT event_type, bin, COUNT(*) AS f FROM binned GROUP BY 1, 2
+), mode AS (
+  SELECT event_type, bin AS mode_bin, f AS mode_freq FROM (
+    SELECT event_type, bin, f,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY f DESC, bin ASC) AS rn
+    FROM freq
+  ) WHERE rn = 1
+), med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS median, COUNT(*) AS n
+  FROM binned GROUP BY event_type
+)
+SELECT m.event_type, m.mode_bin, m.mode_freq,
+       ROUND(d.median, 6) AS median, d.n
+FROM mode m JOIN med d USING (event_type)
+ORDER BY m.event_type
+""",
+)
+def mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value decile-bin, deterministic smallest-
+    bin tie-break) + exact interpolated median per event type — the
+    two central-tendency measures mean-based rollups miss. Mode is
+    max_by over the per-bin frequency frame (map-side combined, no
+    window over the facts); median is one exact-percentile aggregate
+    with approx_percentile as the 100 TB drop-in."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    binned = ev.select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        "value",
+    )
+    freq = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    mode = freq.groupBy("event_type").agg(
+        F.max_by(
+            F.struct(F.col("bin").alias("mode_bin"), F.col("f")),
+            F.struct(F.col("f"), -F.col("bin")),
+        ).alias("_m")
+    ).select(
+        "event_type",
+        F.col("_m.mode_bin").alias("mode_bin"),
+        F.col("_m.f").alias("mode_freq"),
+    )
+    med = binned.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias(
+            "median"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        mode.join(med, "event_type")
+        .select("event_type", "mode_bin", "mode_freq", "median", "n")
+        .orderBy("event_type")
+    )

@@ -223,3 +223,145 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(totals), "source")
         .select("source", "n_total", "n_sampled", "mix_rate", "avg_chars")
     )
+
+
+# hash_unit over an ORDER key (the other macros hash doc_id).
+_UO = (
+    "(CAST(concat('0x', substr(md5(concat('{salt}',"
+    " CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) / {two60!r})"
+).format
+
+
+@register(
+    "target_encode_oof",
+    survey=("A1", "F5"),
+    oracle=f"""
+WITH folded AS (
+  SELECT o_orderpriority AS category, o_totalprice AS y,
+         CAST(FLOOR({_UO(salt='fold:', two60=float(1 << 60))} * 5) AS INTEGER)
+           AS fold
+  FROM orders
+), per_fold AS (
+  SELECT category, fold, SUM(y) AS s, COUNT(*) AS n
+  FROM folded GROUP BY 1, 2
+), with_tot AS (
+  SELECT category, fold, n, s,
+         SUM(s) OVER (PARTITION BY category) AS s_cat,
+         SUM(n) OVER (PARTITION BY category) AS n_cat
+  FROM per_fold
+)
+SELECT category, fold, n AS n_fold,
+       ROUND((s_cat - s) / (n_cat - n), 6) AS enc
+FROM with_tot ORDER BY category, fold
+""",
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target (mean) encoding — the leakage-free
+    categorical encoder every tabular-ML pipeline ships: each row's
+    category is encoded by the target mean computed WITHOUT its own
+    fold, enc(c, k) = (Σ_c − Σ_{{c,k}}) / (n_c − n_{{c,k}}).
+
+    Folds are deterministic md5-hash buckets (same contract as the
+    split/sampling family), so the oracle reproduces the exact
+    encodings. One groupBy over the facts; the out-of-fold arithmetic
+    is windows over the |C|×K frame.
+    """
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    folded = orders.select(
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("y"),
+        F.floor(hash_unit(F.col("o_orderkey"), salt="fold:") * 5)
+        .cast("int")
+        .alias("fold"),
+    )
+    per_fold = folded.groupBy("category", "fold").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("category")
+    return (
+        per_fold.select(
+            "category",
+            "fold",
+            F.col("n").alias("n_fold"),
+            F.round(
+                (F.sum("s").over(wc) - F.col("s"))
+                / (F.sum("n").over(wc) - F.col("n")),
+                6,
+            ).alias("enc"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+@register(
+    "neyman_stratified_sample",
+    survey=("A10", "P8"),
+    oracle=f"""
+WITH strata AS (
+  SELECT lang, COUNT(*) AS n_h, STDDEV_SAMP(n_chars) AS sd_h
+  FROM documents GROUP BY lang
+), alloc AS (
+  SELECT lang, n_h, sd_h,
+         100.0 * n_h * sd_h / SUM(n_h * sd_h) OVER () AS n_alloc
+  FROM strata
+), sampled AS (
+  SELECT d.lang, COUNT(*) AS n_sampled
+  FROM documents d JOIN alloc a USING (lang)
+  WHERE {_U(salt='ney:', two60=float(1 << 60))} < a.n_alloc / a.n_h
+  GROUP BY d.lang
+)
+SELECT a.lang, a.n_h, ROUND(a.sd_h, 6) AS sd_h,
+       ROUND(a.n_alloc, 6) AS n_alloc,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM alloc a LEFT JOIN sampled s USING (lang)
+ORDER BY a.lang
+""",
+)
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: a 100-row budget is
+    split across language strata ∝ N_h·σ_h (minimum-variance
+    allocation for estimating mean doc length), then drawn as a
+    deterministic hash-threshold filter at rate n_h_alloc/N_h per
+    stratum — the variance-optimal upgrade of proportional
+    stratified sampling, same reproducible-membership contract as
+    the rest of the sampling family. Stats aggregate once and join
+    back broadcast; the corpus is never shuffled.
+    """
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.stddev_samp("n_chars").alias("sd_h"),
+    )
+    alloc = strata.withColumn(
+        "n_alloc",
+        100.0
+        * F.col("n_h")
+        * F.col("sd_h")
+        / F.sum(F.col("n_h") * F.col("sd_h")).over(Window.partitionBy()),
+    )
+    sampled = (
+        docs.join(F.broadcast(alloc), "lang")
+        .filter(
+            hash_unit(F.col("doc_id"), salt="ney:")
+            < F.col("n_alloc") / F.col("n_h")
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        alloc.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_h",
+            F.round("sd_h", 6).alias("sd_h"),
+            F.round("n_alloc", 6).alias("n_alloc"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -1006,3 +1006,89 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("u").alias("users_7d"))
         .orderBy("date")
     )
+
+
+@register(
+    "attribution_last_touch",
+    survey=("J7", "W8", "A1"),
+    oracle="""
+WITH stream AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, ts, event_type, value,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_ts
+  FROM stream
+), conv AS (
+  SELECT CASE WHEN last_click_ts IS NOT NULL
+               AND ts - last_click_ts <= INTERVAL 72 HOUR
+              THEN CAST(last_click_ts AS DATE) END AS click_date,
+         value
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT COALESCE(CAST(click_date AS VARCHAR), 'direct') AS touch,
+       COUNT(*) AS n_conversions,
+       ROUND(SUM(value), 6) AS attributed_value
+FROM conv GROUP BY 1 ORDER BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution with a 72-hour lookback:
+    every purchase credits the user's most recent preceding click
+    (else 'direct'), aggregated to attributed conversions + value per
+    click date.
+
+    Zero-join shape (the asof_last_purchase idiom): clicks and
+    purchases interleave in ONE per-user ordered stream, the carried
+    click timestamp is a LAST_VALUE-ignore-nulls window, and the
+    72-hour attribution window is a row-local filter — no self-join,
+    no range join, one shuffle on user_id.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    stream = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = stream.withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    conv = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click_ts").isNotNull()
+            & (
+                F.col("ts").cast("long")
+                - F.col("last_click_ts").cast("long")
+                <= 72 * 3600
+            ),
+            F.to_date("last_click_ts"),
+        ).alias("click_date"),
+        "value",
+    )
+    return (
+        conv.groupBy(
+            F.coalesce(
+                F.col("click_date").cast("string"), F.lit("direct")
+            ).alias("touch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            R6(F.sum("value")).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )

@@ -171,3 +171,35 @@ def test_bh_flags_match_reference_procedure(spark, sf_dir):
     )
     for i, r in enumerate(rows):
         assert r["significant"] == (1 if i + 1 <= kmax else 0)
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    from bio_lakehouse_spark.operators.stats import holt_linear
+
+    x = list(RNG.normal(100, 10, 25).cumsum())
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate(x)],
+        "e string, t int, v double",
+    )
+    out = holt_linear(df, "e", "t", "v", alpha=0.5, beta=0.25, horizon=7)
+    row = out.collect()[0]
+    l, b = x[0], x[1] - x[0]
+    for v in x[2:]:
+        nl = 0.5 * v + 0.5 * (l + b)
+        b = 0.25 * (nl - l) + 0.75 * b
+        l = nl
+    assert row["n_obs"] == len(x)
+    assert row["level"] == pytest.approx(l, rel=1e-12)
+    assert row["trend"] == pytest.approx(b, rel=1e-12)
+    assert row["forecast"] == pytest.approx(l + 7 * b, rel=1e-12)
+
+
+def test_holt_linear_drops_single_point_series(spark):
+    from bio_lakehouse_spark.operators.stats import holt_linear
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("b", 0, 1.0), ("b", 1, 2.0)],
+        "e string, t int, v double",
+    )
+    rows = holt_linear(df, "e", "t", "v").collect()
+    assert {r["e"] for r in rows} == {"b"}
