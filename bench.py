@@ -99,6 +99,21 @@ HEADLINE = [
     "lowess_daily_trend",
     "discovery_scan_per_user",
     "feature_selection_mi",
+    # round-4 second half: stats toolkit, graph, pipeline additions
+    "theil_sen_slope",
+    "bh_fdr_discovery",
+    "holt_linear_forecast",
+    "bootstrap_ci_poisson",
+    "graph_triangle_stats",
+    "graph_neighbor_jaccard",
+    "semdedup_verdicts",
+    "crossdoc_ngram_spans",
+    "tfidf_top_terms",
+    "rolling_distinct_users_7d",
+    "scd2_user_dimension",
+    "attribution_last_touch",
+    "skew_profile_keys",
+    "target_encode_oof",
 ]
 
 

@@ -620,3 +620,159 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("trend")).alias("trend"),
         R6(F.col("forecast")).alias("forecast"),
     ).orderBy("user_id")
+
+
+_CAL_U = (
+    "(CAST(concat('0x', substr(md5(concat('conf:', CAST(event_id AS VARCHAR))),"
+    " 1, 15)) AS BIGINT) / 1152921504606846976.0)"
+)
+
+
+@register(
+    "conformal_interval_daily",
+    survey=("ST14", "A13"),
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN {_CAL_U} < 0.5 THEN 'cal' ELSE 'test' END AS split
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), model AS (
+  SELECT user_id, AVG(value) AS pred, COUNT(*) AS n_cal_u
+  FROM base WHERE split = 'cal' GROUP BY user_id
+), resid AS (
+  SELECT QUANTILE_CONT(ABS(b.value - m.pred), 0.9) AS q_hat,
+         COUNT(*) AS n_cal
+  FROM base b JOIN model m USING (user_id) WHERE b.split = 'cal'
+), cov AS (
+  SELECT COUNT(*) AS n_test,
+         SUM(CASE WHEN ABS(b.value - m.pred) <= r.q_hat
+                  THEN 1 ELSE 0 END) AS n_covered
+  FROM base b JOIN model m USING (user_id) CROSS JOIN resid r
+  WHERE b.split = 'test'
+)
+SELECT r.n_cal, c.n_test, ROUND(r.q_hat, 6) AS q_hat,
+       ROUND(c.n_covered * 1.0 / c.n_test, 6) AS coverage
+FROM resid r CROSS JOIN cov c
+""",
+)
+def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk / Lei et al.): a
+    deterministic md5-hash calibration split, a per-user mean model
+    fit on calibration rows only, the 90th-percentile absolute
+    residual as the conformal quantile q̂, and empirical coverage
+    |y − ŷ| ≤ q̂ measured on the held-out half — the
+    distribution-free uncertainty wrapper every forecasting pipeline
+    should ship. All passes are aggregates + broadcast stat joins;
+    the driver hash-gates q̂ and the coverage rate themselves.
+    """
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.when(
+                hash_unit(F.col("event_id"), salt="conf:") < 0.5, "cal"
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    model = (
+        base.filter(F.col("split") == "cal")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("pred"))
+    )
+    joined = base.join(F.broadcast(model), "user_id")
+    resid = (
+        joined.filter(F.col("split") == "cal")
+        .agg(
+            F.percentile(
+                F.abs(F.col("value") - F.col("pred")), F.lit(0.9)
+            ).alias("q_hat"),
+            F.count(F.lit(1)).alias("n_cal"),
+        )
+    )
+    cov = (
+        joined.filter(F.col("split") == "test")
+        .crossJoin(F.broadcast(resid))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            R6(F.first("q_hat")).alias("q_hat"),
+            R6(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("value") - F.col("pred"))
+                        <= F.col("q_hat"),
+                        1,
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("coverage"),
+        )
+    )
+    return cov.select("n_cal", "n_test", "q_hat", "coverage")
+
+
+@register(
+    "winsorized_trimmed_stats",
+    survey=("A10", "ST6"),
+    oracle="""
+WITH cuts AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, 0.05) AS p05,
+         QUANTILE_CONT(value, 0.95) AS p95
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(e.value), 6) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, c.p05), c.p95)), 6)
+         AS mean_winsorized,
+       ROUND(AVG(CASE WHEN e.value BETWEEN c.p05 AND c.p95
+                      THEN e.value END), 6) AS mean_trimmed,
+       ROUND(MAX(c.p05), 6) AS p05, ROUND(MAX(c.p95), 6) AS p95
+FROM events e JOIN cuts c USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def winsorized_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clamped to [p05, p95]) and 5%-trimmed means per
+    event type alongside the raw mean — the robust location family
+    completing MAD: one exact-percentile aggregate, cut points
+    broadcast back, one more pass. approx_percentile swaps in at
+    100 TB with the identical plan."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clamp = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R6(F.avg("value")).alias("mean_raw"),
+            R6(F.avg(clamp)).alias("mean_winsorized"),
+            R6(
+                F.avg(
+                    F.when(
+                        F.col("value").between(F.col("p05"), F.col("p95")),
+                        F.col("value"),
+                    )
+                )
+            ).alias("mean_trimmed"),
+            R6(F.max("p05")).alias("p05"),
+            R6(F.max("p95")).alias("p95"),
+        )
+        .orderBy("event_type")
+    )

@@ -1735,3 +1735,109 @@ def crossdoc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_spans",
         R6(F.col("n_dup_spans") / F.col("n_grams")).alias("dup_frac"),
     ).orderBy("doc_id")
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS (
+  SELECT lang AS labeled_lang,
+         ({_langid_case()}) AS predicted_lang
+  FROM (SELECT lang, {_W} AS w FROM documents)
+), cm AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY labeled_lang), 6) AS recall_share
+FROM cm ORDER BY labeled_lang, predicted_lang
+"""
+
+
+@register("langid_confusion", survey=("F6", "A6"), oracle=_langid_confusion_oracle())
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled × predicted counts with
+    per-label recall share — the evaluation twin of text_langid
+    (the quality gate you run before trusting the heuristic to route
+    a 100 TB corpus into per-language pipelines). One scan, one
+    groupBy; the recall normalization is a window over the |L|² cells.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        predicted_lang(words("text")).alias("predicted_lang"),
+    )
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("labeled_lang")
+    return cm.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        R6(F.col("n") / F.sum("n").over(wl)).alias("recall_share"),
+    ).orderBy("labeled_lang", "predicted_lang")
+
+
+@register(
+    "inverted_index_topdf",
+    survey=("F9", "O4", "A11"),
+    oracle=f"""
+WITH pw AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS term
+  FROM (SELECT doc_id, {_W} AS w FROM documents),
+       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+  WHERE w[i] <> ''
+), top_terms AS (
+  SELECT term FROM (
+    SELECT term, COUNT(DISTINCT doc_id) AS df,
+           ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, term) AS rn
+    FROM pw GROUP BY term
+  ) WHERE rn <= 20
+)
+SELECT p.term, p.doc_id, COUNT(*) AS tf,
+       STRING_AGG(p.pos, ',' ORDER BY p.pos) AS positions
+FROM pw p JOIN top_terms t USING (term)
+GROUP BY p.term, p.doc_id
+ORDER BY p.term, p.doc_id
+""",
+)
+def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build for the 20 highest-df terms:
+    term → (doc, tf, sorted position list) — the search-engine
+    posting-list primitive downstream of the BM25 corpus stats.
+
+    Shape: ONE posexplode of the let-bound words array (positions are
+    free — no second tokenization), per-(term, doc) postings collapse
+    with map-side combine, and the df-top-k term set joins back
+    small. At corpus scale the posting lists are the output —
+    naturally partitioned by term, which IS the serving layout."""
+    from bio_lakehouse_spark.operators.textops import let
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pw = docs.select(
+        "doc_id",
+        F.posexplode(let(words("text"), lambda w: w)).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    dfreq = pw.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    top = (
+        dfreq.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .select("term")
+    )
+    return (
+        pw.join(F.broadcast(top), "term")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(F.sort_array(F.collect_list("pos")), ",").alias(
+                "positions"
+            ),
+        )
+        .orderBy("term", "doc_id")
+    )
