@@ -182,6 +182,12 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # The edge list feeds THREE plan branches (degrees, wedge
+        # self-join, closing-edge probe); without materialization each
+        # branch re-runs the full upstream edge construction (measured
+        # 3x on the trade graph). Same static-structure rule as
+        # pagerank's out-degree frame.
+        .localCheckpoint(eager=True)
     )
     deg = (
         canon.select(F.col("a").alias("n"))
@@ -272,6 +278,9 @@ def neighbor_jaccard_topk(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # adj/deg/centers all branch from here — materialize once
+        # (same rationale as triangle_stats).
+        .localCheckpoint(eager=True)
     )
     adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         canon.select(F.col("b").alias("node"), F.col("a").alias("nb"))

@@ -948,3 +948,185 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = semdedup(emb, centroids, threshold=0.35)
     return out.select("vec_id", "centroid_id", "is_dup").orderBy("vec_id")
+
+
+@register(
+    "hard_negative_mining",
+    survey=("O4", "F9", "J6"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neg_id,
+         {_COS.format(a='q.qv', b='c.embedding')} AS cos_sim
+  FROM embeddings c, q
+  WHERE c.label <> q.qlabel
+), ranked AS (
+  SELECT query_id, neg_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neg_id) AS rank
+  FROM scored
+)
+SELECT query_id, neg_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= 3
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCSE negative sampler): per query, the top-3 most-similar
+    corpus vectors whose LABEL differs — maximally confusable
+    negatives. Same broadcast-scorer shape as ann_cosine_topk with
+    the label-mismatch predicate pushed into the scoring join; at
+    index scale the candidates come from the IVF probe and the label
+    filter rides along."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    from bio_lakehouse_spark.operators.similarity import cosine
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neg_id"),
+        cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neg_id", "rank", R6(F.col("cos_sim")).alias("cos_sim")
+        )
+    )
+
+
+# Bounded pair sample shared by the two quantization-fidelity audits.
+_PAIRS_CTE = f"""
+WITH a AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 40 = 0
+), b AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb,
+         {_COS.format(a='a.embedding', b='b.embedding')} AS cos_full
+  FROM a, b WHERE a.vec_id < b.vec_id
+)
+"""
+
+
+def _pair_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bio_lakehouse_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_full", cosine(F.col("va"), F.col("vb")))
+    )
+
+
+@register(
+    "embedding_sign_hamming_audit",
+    survey=("F9", "A7"),
+    oracle=_PAIRS_CTE
+    + """, agreed AS (
+  SELECT cos_full,
+         list_sum(list_transform(range(1, len(va) + 1),
+           i -> CASE WHEN (va[i] >= 0) = (vb[i] >= 0)
+                     THEN 1.0 ELSE 0.0 END)) / len(va) AS agreement
+  FROM pairs
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CORR(cos_full, agreement), 6) AS corr_cos_agreement,
+       ROUND(AVG(agreement), 6) AS avg_agreement,
+       ROUND(AVG(ABS((1.0 - ACOS(GREATEST(LEAST(cos_full, 1.0), -1.0))
+                      / PI()) - agreement)), 6) AS avg_srp_gap
+FROM agreed
+""",
+)
+def embedding_sign_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit (sign) quantization fidelity audit: per sampled pair,
+    the fraction of agreeing sign bits vs true cosine — including the
+    mean gap from the SRP identity E[agreement] = 1 − θ/π (Charikar
+    2002), which is exactly what justifies Hamming-space candidate
+    generation over sign-quantized embeddings (32× compression).
+    Pure zip_with/aggregate expressions over a bounded broadcast
+    pair sample; no UDF."""
+    pairs = _pair_frame(spark, sf_dir)
+    agree = F.zip_with(
+        "va",
+        "vb",
+        lambda x, y: F.when(
+            (x >= 0) == (y >= 0), F.lit(1.0)
+        ).otherwise(F.lit(0.0)),
+    )
+    agreed = pairs.select(
+        "cos_full",
+        (F.aggregate(agree, F.lit(0.0), lambda acc, v: acc + v)
+         / F.size("va")).alias("agreement"),
+    )
+    srp = 1.0 - F.acos(
+        F.greatest(F.least(F.col("cos_full"), F.lit(1.0)), F.lit(-1.0))
+    ) / F.lit(3.141592653589793)
+    return agreed.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        R6(F.corr("cos_full", "agreement")).alias("corr_cos_agreement"),
+        R6(F.avg("agreement")).alias("avg_agreement"),
+        R6(F.avg(F.abs(srp - F.col("agreement")))).alias("avg_srp_gap"),
+    )
+
+
+@register(
+    "embedding_truncation_fidelity",
+    survey=("F9", "A7"),
+    oracle=_PAIRS_CTE
+    + f""", trunc AS (
+  SELECT cos_full,
+         {_COS.format(a='va[1:16]', b='vb[1:16]')} AS cos_16
+  FROM pairs
+)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CORR(cos_full, cos_16), 6) AS corr_full_trunc,
+       ROUND(AVG(ABS(cos_full - cos_16)), 6) AS mae,
+       ROUND(AVG(cos_full), 6) AS avg_cos_full
+FROM trunc
+""",
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): how
+    much similarity structure survives keeping only the first 16 of
+    64 dims (4× cheaper scoring) — Pearson between full and truncated
+    cosines plus MAE, on the same bounded pair sample as the sign
+    audit. The measurement that licenses prefix-truncated prefilters
+    in a two-stage retrieval cascade (pq_rerank_topk shape)."""
+    from bio_lakehouse_spark.operators.similarity import cosine
+
+    pairs = _pair_frame(spark, sf_dir)
+    trunc = pairs.select(
+        "cos_full",
+        cosine(
+            F.slice(F.col("va"), 1, 16), F.slice(F.col("vb"), 1, 16)
+        ).alias("cos_16"),
+    )
+    return trunc.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        R6(F.corr("cos_full", "cos_16")).alias("corr_full_trunc"),
+        R6(F.avg(F.abs(F.col("cos_full") - F.col("cos_16")))).alias("mae"),
+        R6(F.avg("cos_full")).alias("avg_cos_full"),
+    )

@@ -475,6 +475,10 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "bootstrap_ci_poisson",  # ONE-ROW point estimate × ONE-ROW CI
         "graph_triangle_stats",  # three ONE-ROW count frames composed
         "graph_neighbor_jaccard",  # pair counts × ONE-ROW mean threshold
+        "hard_negative_mining",  # corpus × broadcast query set (ANN scorer)
+        "embedding_sign_hamming_audit",  # bounded broadcast pair sample
+        "embedding_truncation_fidelity",  # same bounded pair sample
+        "conformal_interval_daily",  # test rows × ONE-ROW q_hat
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
