@@ -1077,3 +1077,167 @@ def scd2_user_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+@register(
+    "fd_violation_audit",
+    survey=("P10", "A11"),
+    oracle="""
+WITH fd AS (
+  SELECT c_nationkey AS lhs, COUNT(DISTINCT c_mktsegment) AS n_rhs,
+         COUNT(*) AS n_rows
+  FROM customer GROUP BY c_nationkey
+)
+SELECT COUNT(*) AS n_lhs_values,
+       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating_lhs,
+       SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS rows_in_violation,
+       MAX(n_rhs) AS max_rhs_per_lhs
+FROM fd
+""",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does nationkey → mktsegment hold?
+    (It shouldn't — the violation counts ARE the signal.) The generic
+    schema-inference primitive behind candidate-key discovery and
+    denormalization checks: one groupBy on the LHS with a distinct
+    count of the RHS, summarized. At 100 TB this is the profile you
+    run before trusting a column as a partition key carrier."""
+    cust = load(spark, sf_dir, "customer")
+    fd = cust.groupBy(F.col("c_nationkey").alias("lhs")).agg(
+        F.count_distinct("c_mktsegment").alias("n_rhs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return fd.agg(
+        F.count(F.lit(1)).alias("n_lhs_values"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+            "n_violating_lhs"
+        ),
+        F.sum(
+            F.when(F.col("n_rhs") > 1, F.col("n_rows")).otherwise(0)
+        ).alias("rows_in_violation"),
+        F.max("n_rhs").alias("max_rhs_per_lhs"),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    survey=("P10", "J6"),
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+ORDER BY fk
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit for the two load-bearing FKs: child
+    rows with no parent, via LEFT ANTI joins (broadcast when the
+    parent key set fits, shuffle hash otherwise — Spark picks; the
+    anti join never materializes matches). The check that gates a
+    snapshot publish in the write-audit-publish protocol."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    r1 = (
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(
+            F.broadcast(li.agg(F.count(F.lit(1)).alias("n_child_rows")))
+        )
+        .select(
+            F.lit("lineitem.l_orderkey->orders").alias("fk"),
+            "n_child_rows",
+            "n_orphans",
+        )
+    )
+    r2 = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(
+            F.broadcast(orders.agg(F.count(F.lit(1)).alias("n_child_rows")))
+        )
+        .select(
+            F.lit("orders.o_custkey->customer").alias("fk"),
+            "n_child_rows",
+            "n_orphans",
+        )
+    )
+    return r1.unionAll(r2).orderBy("fk")
+
+
+@register(
+    "benford_first_digit",
+    survey=("ST3", "A6"),
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1
+), obs AS (
+  SELECT d, COUNT(*) AS o FROM digits GROUP BY d
+), scored AS (
+  SELECT d, o, SUM(o) OVER () AS n,
+         LOG10(1.0 + 1.0 / d) AS p_benford
+  FROM obs
+)
+SELECT d, o AS observed,
+       ROUND(n * p_benford, 6) AS expected,
+       ROUND((o - n * p_benford) * (o - n * p_benford) / (n * p_benford), 6)
+         AS chi2_term
+FROM scored ORDER BY d
+""",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    vs expected log10(1+1/d) counts with per-digit χ² terms — the
+    classic anomaly/fraud screen for financial fact tables, and a
+    pure two-aggregate plan (digit extraction is string arithmetic in
+    the scan projection)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    # floor() before the integer cast: Spark's double->bigint cast
+    # truncates while DuckDB's rounds — floor pins both to the same
+    # integer (19999.6 must not flip its first digit to 2).
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("o"))
+    wall = Window.partitionBy()
+    scored = obs.select(
+        "d",
+        "o",
+        F.sum("o").over(wall).alias("n"),
+        F.log10(1.0 + 1.0 / F.col("d")).alias("p_benford"),
+    )
+    exp = F.col("n") * F.col("p_benford")
+    return scored.select(
+        "d",
+        F.col("o").alias("observed"),
+        R6(exp).alias("expected"),
+        R6((F.col("o") - exp) * (F.col("o") - exp) / exp).alias(
+            "chi2_term"
+        ),
+    ).orderBy("d")
