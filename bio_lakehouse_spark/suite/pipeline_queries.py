@@ -1241,3 +1241,62 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     ).orderBy("d")
+
+
+@register(
+    "ivm_join_refresh_audit",
+    survey=("S13b", "J4", "A1"),
+    oracle="""
+SELECT o.o_orderdate AS order_date,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 6) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderdate ORDER BY o.o_orderdate
+""",
+)
+def ivm_join_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental-view-maintenance equivalence, under the
+    driver's hash gate: both base tables are hash-split 80/20 into
+    base+delta, the daily-revenue JOIN view is maintained as
+    old_view ∪ Δ(A⋈B) (delta rule: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
+    operators/ivm.join_view_delta), and the aggregated result must
+    hash-match the oracle's direct FULL recompute — the refresh never
+    rescans base⋈base, which is the whole point at 100 TB: per-batch
+    cost O(|Δ|·matches), not O(|A⋈B|)."""
+    from bio_lakehouse_spark.operators.ivm import join_view_delta
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o_is_base = hash_unit(F.col("o_orderkey"), salt="ivmo:") < 0.8
+    l_is_base = (
+        hash_unit(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            ),
+            salt="ivml:",
+        )
+        < 0.8
+    )
+    a0 = orders.filter(o_is_base).withColumnRenamed("o_orderkey", "k")
+    da = orders.filter(~o_is_base).withColumnRenamed("o_orderkey", "k")
+    b0 = li.filter(l_is_base).withColumnRenamed("l_orderkey", "k")
+    db = li.filter(~l_is_base).withColumnRenamed("l_orderkey", "k")
+
+    old_view = a0.join(b0, "k")
+    delta = join_view_delta(a0, da, b0, db, ["k"])
+    return (
+        old_view.unionByName(delta)
+        .groupBy(F.col("o_orderdate").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            R6(F.sum("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("order_date")
+    )
