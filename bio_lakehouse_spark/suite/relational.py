@@ -1038,3 +1038,89 @@ def pagerank_cust_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(e, iters=3, damping=0.85)
     return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "association_rules_topk",
+    survey=("J7", "A6", "O4"),
+    oracle="""
+WITH lo AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n_orders AS (
+  SELECT COUNT(DISTINCT o) AS n FROM lo
+), supp AS (
+  SELECT p, COUNT(*) AS s FROM lo GROUP BY p
+), pair AS (
+  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS s12
+  FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), scored AS (
+  SELECT pr.p1, pr.p2, pr.s12,
+         pr.s12 * 1.0 / s1.s AS confidence,
+         pr.s12 * 1.0 * n.n / (s1.s * s2.s) AS lift
+  FROM pair pr
+  JOIN supp s1 ON s1.p = pr.p1
+  JOIN supp s2 ON s2.p = pr.p2
+  CROSS JOIN n_orders n
+)
+SELECT p1, p2, s12 AS pair_support,
+       ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
+FROM scored
+ORDER BY ROUND(lift, 9) DESC, p1, p2 LIMIT 20
+""",
+)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered parts: support
+    ≥ 3 pairs scored by confidence P(p2|p1) and lift
+    P(p1,p2)/(P(p1)P(p2)), top-20 by lift with rounded-score tie
+    pinning. The per-order self-join fans out as (basket size choose
+    2) — bounded by basket size exactly like the trade-graph build —
+    and collapses to pair counts map-side; item supports broadcast
+    back. The min-support HAVING is what keeps the rule table sparse
+    at scale (the a-priori pruning step)."""
+    from pyspark.sql import Window
+
+    lo = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n_orders = lo.agg(F.count_distinct("o").alias("n"))
+    supp = lo.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    a, b = lo.alias("a"), lo.alias("b")
+    pair = (
+        a.join(b, on=F.col("a.o") == F.col("b.o"))
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("s12"))
+        .filter(F.col("s12") >= 3)
+    )
+    s1 = supp.select(F.col("p").alias("p1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("p").alias("p2"), F.col("s").alias("s2"))
+    scored = (
+        pair.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            F.col("s12").alias("pair_support"),
+            (F.col("s12") / F.col("s1")).alias("confidence"),
+            (F.col("s12") * F.col("n") / (F.col("s1") * F.col("s2"))).alias(
+                "lift"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.round("lift", 9).desc(), F.col("p1").asc(), F.col("p2").asc()
+        )
+        .limit(20)
+        .select(
+            "p1",
+            "p2",
+            "pair_support",
+            R6(F.col("confidence")).alias("confidence"),
+            R6(F.col("lift")).alias("lift"),
+        )
+    )

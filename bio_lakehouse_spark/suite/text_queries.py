@@ -1841,3 +1841,144 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "doc_id")
     )
+
+
+@register(
+    "collocations_pmi_topk",
+    survey=("F9", "A6"),
+    oracle=f"""
+WITH dw AS (
+  SELECT doc_id, {_W} AS w FROM documents
+), uni AS (
+  SELECT unnest(w) AS t FROM dw
+), ucnt AS (
+  SELECT t, COUNT(*) AS c FROM uni WHERE t <> '' GROUP BY t
+), n_uni AS (
+  SELECT SUM(c) AS n FROM ucnt
+), bi AS (
+  SELECT unnest(list_transform(range(1, len(w)),
+                i -> struct_pack(a := w[i], b := w[i+1]))) AS g
+  FROM dw
+), bcnt AS (
+  SELECT g.a AS t1, g.b AS t2, COUNT(*) AS c12 FROM bi
+  WHERE g.a <> '' AND g.b <> '' GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), n_bi AS (
+  SELECT SUM(len(w) - 1) AS n FROM dw WHERE len(w) > 1
+), scored AS (
+  SELECT b.t1, b.t2, b.c12,
+         LN((b.c12 * 1.0 / nb.n) /
+            ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON u1.t = b.t1
+  JOIN ucnt u2 ON u2.t = b.t2
+  CROSS JOIN n_uni nu CROSS JOIN n_bi nb
+)
+SELECT t1, t2, c12, ROUND(pmi, 6) AS pmi
+FROM scored ORDER BY ROUND(pmi, 9) DESC, t1, t2 LIMIT 20
+""",
+)
+def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information,
+    min count 5 (Church & Hanks 1990) — the phrase-detection
+    primitive (word2vec-style phrase merging, vocabulary induction).
+    Unigram and bigram counts each collapse map-side from the scan;
+    the tiny count totals broadcast back; tie-breaks pin rounded PMI
+    + terms so engines rank identically."""
+    from bio_lakehouse_spark.operators.textops import let
+
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(let(words("text"), lambda w: w).alias("w"))
+    uni = dw.select(F.explode("w").alias("t")).filter(F.col("t") != "")
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = ucnt.agg(F.sum("c").alias("nu"))
+    bi = dw.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w) - 1, 0)),"
+                " i -> struct(element_at(w, i) as a,"
+                " element_at(w, i + 1) as b))"
+            )
+        ).alias("g")
+    ).select(F.col("g.a").alias("t1"), F.col("g.b").alias("t2"))
+    bcnt = (
+        bi.filter((F.col("t1") != "") & (F.col("t2") != ""))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    n_bi = dw.filter(F.size("w") > 1).agg(
+        F.sum(F.size("w") - 1).alias("nb")
+    )
+    u1 = ucnt.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            F.log(
+                (F.col("c12") / F.col("nb"))
+                / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.round("pmi", 9).desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(20)
+        .select("t1", "t2", "c12", R6(F.col("pmi")).alias("pmi"))
+    )
+
+
+@register(
+    "zipf_slope_audit",
+    survey=("ST7", "A10"),
+    oracle=f"""
+WITH uni AS (
+  SELECT unnest({_W}) AS t FROM documents
+), ucnt AS (
+  SELECT t, COUNT(*) AS c FROM uni WHERE t <> '' GROUP BY t
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS r
+  FROM ucnt
+), top AS (
+  SELECT LN(r) AS lx, LN(c) AS ly FROM ranked WHERE r <= 500
+)
+SELECT COUNT(*) AS n_terms,
+       ROUND(REGR_SLOPE(ly, lx), 6) AS zipf_slope,
+       ROUND(REGR_R2(ly, lx), 6) AS r2
+FROM top
+""",
+)
+def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: OLS slope of log-frequency vs log-rank over
+    the top-500 vocabulary (natural corpora sit near −1; a synthetic
+    or template-heavy corpus drifts, making this a cheap corpus-
+    health fingerprint alongside the quality filters). One vocabulary
+    aggregate, one rank window over the vocab frame, one regr_slope."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    uni = docs.select(F.explode(words("text")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    ranked = ucnt.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("t").asc())
+        ),
+    ).filter(F.col("r") <= 500)
+    top = ranked.select(
+        F.log("r").alias("lx"), F.log("c").alias("ly")
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        R6(F.regr_slope(F.col("ly"), F.col("lx"))).alias("zipf_slope"),
+        R6(F.regr_r2(F.col("ly"), F.col("lx"))).alias("r2"),
+    )

@@ -1092,3 +1092,114 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+@register(
+    "session_top_paths",
+    survey=("W4", "W7", "A11"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), first3 AS (
+  SELECT user_id,
+         STRING_AGG(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS n_users
+FROM first3 GROUP BY path
+ORDER BY n_users DESC, path LIMIT 15
+""",
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening paths: each user's first three events concatenated
+    in time order (event_id tie-break), counted across users — the
+    Sankey/path-mining primitive product analytics builds on. One
+    rank window partitioned by user, one ordered string aggregate,
+    one count; nothing touches more than 3 rows per user after the
+    rank filter."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "funnel_latency_percentiles",
+    survey=("W5", "A13", "J7"),
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t1
+  GROUP BY e.user_id
+), lat AS (
+  SELECT (EPOCH_US(t2) - EPOCH_US(v.t1)) / 1000000.0 AS sec
+  FROM p JOIN v USING (user_id)
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(QUANTILE_CONT(sec, 0.5), 6) AS p50_sec,
+       ROUND(QUANTILE_CONT(sec, 0.9), 6) AS p90_sec,
+       ROUND(AVG(sec), 6) AS mean_sec
+FROM lat
+""",
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→purchase funnel:
+    per-user first view and first subsequent purchase (two keyed
+    min-aggregates — no ordered window over raw events), latency
+    percentiles exact here with approx_percentile as the stated
+    100 TB drop-in."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    # microsecond arithmetic: second-granularity casts truncate
+    # sub-second parts differently per engine and shift the percentiles
+    lat = p.select(
+        (
+            (F.unix_micros("t2") - F.unix_micros("t1")) / 1000000.0
+        ).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        R6(F.percentile("sec", F.lit(0.5))).alias("p50_sec"),
+        R6(F.percentile("sec", F.lit(0.9))).alias("p90_sec"),
+        R6(F.avg("sec")).alias("mean_sec"),
+    )
