@@ -114,6 +114,13 @@ HEADLINE = [
     "attribution_last_touch",
     "skew_profile_keys",
     "target_encode_oof",
+    "hard_negative_mining",
+    "ivm_join_refresh_audit",
+    "inverted_index_topdf",
+    "association_rules_topk",
+    "collocations_pmi_topk",
+    "session_top_paths",
+    "conformal_interval_daily",
 ]
 
 

@@ -1130,3 +1130,109 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         R6(F.avg(F.abs(F.col("cos_full") - F.col("cos_16")))).alias("mae"),
         R6(F.avg("cos_full")).alias("avg_cos_full"),
     )
+
+
+@register(
+    "embedding_drift_psi",
+    survey=("P10", "A6"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0
+), split AS (
+  SELECT vec_id, embedding,
+         CASE WHEN (CAST(concat('0x', substr(md5(concat('edrift:',
+                    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                    / 1152921504606846976.0) < 0.5
+              THEN 'ref' ELSE 'cur' END AS half
+  FROM embeddings
+), assigned AS (
+  SELECT vec_id, half, centroid_id FROM (
+    SELECT v.vec_id, v.half, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC, cent.centroid_id) AS rn
+    FROM split v, cent) WHERE rn = 1
+), counts AS (
+  SELECT c.centroid_id,
+         COALESCE(SUM(CASE WHEN a.half = 'ref' THEN 1 END), 0) AS n_ref,
+         COALESCE(SUM(CASE WHEN a.half = 'cur' THEN 1 END), 0) AS n_cur
+  FROM cent c LEFT JOIN assigned a USING (centroid_id)
+  GROUP BY c.centroid_id
+), tot AS (
+  SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc, COUNT(*) AS k FROM counts
+), shares AS (
+  SELECT c.centroid_id, c.n_ref, c.n_cur,
+         (c.n_ref + 1.0) / (t.tr + t.k) AS p_ref,
+         (c.n_cur + 1.0) / (t.tc + t.k) AS p_cur
+  FROM counts c CROSS JOIN tot t
+)
+SELECT centroid_id, n_ref, n_cur,
+       ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+       ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+FROM shares ORDER BY centroid_id
+""",
+)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: Population Stability Index over
+    IVF cell occupancy between a reference and a current split
+    (hash-determined here; in production, yesterday's corpus vs
+    today's). Laplace-smoothed shares keep empty cells finite. This
+    is the scalar-PSI drift idea (psi_drift_monitor) lifted into
+    embedding space — the check that tells you the ANN index's cell
+    balance (and any model consuming the embeddings) is seeing a
+    shifted distribution. Cost: one assign pass + a |cells| frame.
+    """
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+    from bio_lakehouse_spark.operators.similarity import assign_cells
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    half = F.when(
+        hash_unit(F.col("vec_id"), salt="edrift:") < 0.5, "ref"
+    ).otherwise("cur")
+    assigned = assign_cells(
+        emb.withColumn("half", half), centroids
+    ).join(
+        emb.select("vec_id", half.alias("half")), "vec_id"
+    )
+    counts = (
+        centroids.select("centroid_id")
+        .join(assigned, "centroid_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == "ref", 1)), F.lit(0)
+            ).alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == "cur", 1)), F.lit(0)
+            ).alias("n_cur"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    shares = counts.select(
+        "centroid_id",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") + 1.0)
+            / (F.sum("n_ref").over(wall) + F.count(F.lit(1)).over(wall))
+        ).alias("p_ref"),
+        (
+            (F.col("n_cur") + 1.0)
+            / (F.sum("n_cur").over(wall) + F.count(F.lit(1)).over(wall))
+        ).alias("p_cur"),
+    )
+    return shares.select(
+        "centroid_id",
+        "n_ref",
+        "n_cur",
+        R6(F.col("p_ref")).alias("p_ref"),
+        R6(F.col("p_cur")).alias("p_cur"),
+        R6(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref"))
+        ).alias("psi_term"),
+    ).orderBy("centroid_id")

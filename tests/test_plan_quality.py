@@ -479,6 +479,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "embedding_sign_hamming_audit",  # bounded broadcast pair sample
         "embedding_truncation_fidelity",  # same bounded pair sample
         "conformal_interval_daily",  # test rows × ONE-ROW q_hat
+        "embedding_drift_psi",  # corpus × broadcast centroids (cell scorer)
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
