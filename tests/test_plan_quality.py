@@ -480,6 +480,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "embedding_truncation_fidelity",  # same bounded pair sample
         "conformal_interval_daily",  # test rows × ONE-ROW q_hat
         "embedding_drift_psi",  # corpus × broadcast centroids (cell scorer)
+        "association_rules_topk",  # pair counts × ONE-ROW basket total
+        "collocations_pmi_topk",  # bigram counts × ONE-ROW unigram/bigram totals
+        "referential_integrity_audit",  # orphan count × ONE-ROW child total
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
