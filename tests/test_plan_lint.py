@@ -1,0 +1,69 @@
+"""lint_plan triggers on each planned pathology and stays quiet on
+clean plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.engine.plan_lint import lint_plan
+
+
+def test_clean_plan_lints_clean(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert lint_plan(df) == []
+
+
+def test_cartesian_flagged(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    df = a.hint("shuffle_replicate_nl").crossJoin(b)
+    problems = lint_plan(df)
+    assert any("CartesianProduct" in p for p in problems)
+
+
+def test_bnlj_flagged_and_allowable(spark):
+    a = spark.range(1000)
+    b = spark.range(5).withColumnRenamed("id", "id2")
+    df = a.crossJoin(F.broadcast(b))
+    assert any("BroadcastNestedLoopJoin" in p for p in lint_plan(df))
+    assert not any(
+        "BroadcastNestedLoopJoin" in p
+        for p in lint_plan(df, allow_bnlj=True)
+    )
+
+
+def test_row_udf_flagged(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(10).select(slow("id").alias("y"))
+    assert any("BatchEvalPython" in p for p in lint_plan(df))
+
+
+def test_opaque_predicate_warns(spark, sf_dir):
+    from pyspark.sql.types import BooleanType
+
+    opaque = F.udf(lambda x: x > 100, BooleanType())
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        opaque("o_totalprice")
+    )
+    problems = lint_plan(df)
+    assert any("PushedFilters: []" in p or "opaque" in p for p in problems)
+
+
+def test_shuffle_heavy_warns(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    for i in range(5):
+        df = df.repartition(4, "k").groupBy("k").count().withColumnRenamed(
+            "count", "k2"
+        ).selectExpr("k", "k2 as k_next").withColumnRenamed("k_next", "c")
+        df = df.select(F.col("k"), F.col("c").alias(f"c{i}")).repartition(
+            3, f"c{i}"
+        )
+    problems = lint_plan(df, max_exchanges=3)
+    assert any("Exchange" in p for p in problems)
