@@ -1203,3 +1203,55 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.percentile("sec", F.lit(0.9))).alias("p90_sec"),
         R6(F.avg("sec")).alias("mean_sec"),
     )
+
+
+@register(
+    "rolling_median_7d",
+    survey=("W2", "A13"),
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), pre AS (
+  SELECT user_id, day, v,
+         LIST(v) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+  FROM daily
+)
+SELECT user_id, day, v,
+       LIST_SORT(win)[CAST(CEIL(LEN(win) / 2.0) AS INTEGER)] AS med_7d,
+       LEN(win) AS n_win
+FROM pre ORDER BY user_id, day
+""",
+)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median of the per-user daily series — the
+    robust rolling baseline Spark has no native window aggregate for.
+    Contract: the DISCRETE median (lower-middle element of the sorted
+    window, 1-based ceil(n/2)) so both engines pick the same element
+    bit-exactly, no interpolation ambiguity. The window carries ≤7
+    elements per row (bounded collect — nothing like a full-series
+    materialization); input values pre-rounded so the sort order
+    can't flip on float noise."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(R6(F.sum("value")).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    pre = daily.withColumn("win", F.collect_list("v").over(w))
+    return pre.select(
+        "user_id",
+        "day",
+        "v",
+        F.element_at(
+            F.array_sort("win"),
+            F.ceil(F.size("win") / 2.0).cast("int"),
+        ).alias("med_7d"),
+        F.size("win").cast("long").alias("n_win"),
+    ).orderBy("user_id", "day")

@@ -671,3 +671,59 @@ def test_versioned_write_audit_veto_leaves_pointer(spark, tmp_path):
 
     names = {p.name for p in pathlib.Path(path).iterdir()}
     assert names == {"v1", "_latest"}  # no v2, no stage debris
+
+
+def test_versioned_compliance_purge_leaves_no_bytes(spark, tmp_path):
+    """Right-to-be-forgotten on the versioned table: publish a new
+    version without the purged user's rows, then vacuum history down
+    to the clean version — after which NO parquet byte under the
+    table root contains the user's id (time-travel to the dirty
+    version must also be gone). This is the deletion workflow a
+    plain-parquet lakehouse supports: filter-rewrite-publish + retire
+    history; the test proves retention, not just the pointer."""
+    from bio_lakehouse_spark.sources.sinks import (
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"user{i % 5}", float(i)) for i in range(100)],
+        "id long, user string, v double",
+    )
+    dirty_v = versioned_write(df, path)["version"]
+    purge_user = "user3"
+
+    clean = read_versioned(spark, path).filter(F.col("user") != purge_user)
+    versioned_write(clean, path)
+
+    # the dirty version is still time-travelable before vacuum
+    assert (
+        read_versioned(spark, path, version=dirty_v)
+        .filter(F.col("user") == purge_user)
+        .count()
+        > 0
+    )
+
+    vacuum_versions(path, keep_last=1)
+
+    # pointer reads clean
+    assert (
+        read_versioned(spark, path).filter(F.col("user") == purge_user).count()
+        == 0
+    )
+    # the dirty version is unreadable
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version=dirty_v)
+    # and no surviving parquet file contains the purged id's bytes
+    from pathlib import Path
+
+    leftovers = []
+    for f in Path(path).rglob("*.parquet"):
+        if purge_user.encode() in f.read_bytes():
+            leftovers.append(str(f))
+    assert not leftovers, leftovers
