@@ -776,3 +776,136 @@ def winsorized_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "point_in_time_features",
+    survey=("J7", "W8", "ST14"),
+    oracle="""
+WITH labels AS (
+  SELECT event_id AS label_id, user_id, ts AS label_ts, value AS label
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 6)
+           AS clicks_v,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), merged AS (
+  SELECT user_id, day AS d, clicks_v, n_events,
+         NULL AS label_id, NULL AS label_ts, NULL AS label
+  FROM daily
+  UNION ALL
+  SELECT user_id, CAST(label_ts AS DATE) AS d, NULL, NULL,
+         label_id, label_ts, label
+  FROM labels
+), carried AS (
+  SELECT user_id, label_id, label_ts, label,
+         LAST_VALUE(CASE WHEN label_id IS NULL THEN clicks_v END
+                    IGNORE NULLS)
+           OVER w AS f_clicks_v,
+         LAST_VALUE(CASE WHEN label_id IS NULL THEN n_events END
+                    IGNORE NULLS)
+           OVER w AS f_n_events,
+         LAST_VALUE(CASE WHEN label_id IS NULL THEN d END IGNORE NULLS)
+           OVER w AS f_day
+  FROM merged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY d, CASE WHEN label_id IS NULL THEN 0 ELSE 1 END,
+                        COALESCE(label_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT label_id, user_id, ROUND(label, 6) AS label,
+       f_clicks_v, f_n_events,
+       CAST(label_ts AS DATE) - f_day AS staleness_days
+FROM carried WHERE label_id IS NOT NULL
+ORDER BY label_id
+""",
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store
+    primitive): each purchase label gets the latest per-user daily
+    feature row STRICTLY BEFORE the label's day — never same-day or
+    future values, so no label leakage by construction. Zero-join
+    union+window shape (the asof idiom): features and labels
+    interleave in one per-user ordered stream; the 1-PRECEDING frame
+    end plus the feature-first same-day sort order enforce
+    strictness. Emits per-label feature staleness, the freshness
+    metric a feature store monitors."""
+    ev = load(spark, sf_dir, "events")
+    labels = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.col("value").alias("label"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        R6(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click", F.col("value")
+                ).otherwise(0.0)
+            )
+        ).alias("clicks_v"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    feat_rows = daily.select(
+        "user_id",
+        F.col("day").alias("d"),
+        "clicks_v",
+        "n_events",
+        F.lit(None).cast("long").alias("label_id"),
+        F.lit(None).cast("timestamp").alias("label_ts"),
+        F.lit(None).cast("double").alias("label"),
+    )
+    label_rows = labels.select(
+        "user_id",
+        F.to_date("label_ts").alias("d"),
+        F.lit(None).cast("double").alias("clicks_v"),
+        F.lit(None).cast("long").alias("n_events"),
+        "label_id",
+        "label_ts",
+        "label",
+    )
+    merged = feat_rows.unionByName(label_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "d",
+            F.when(F.col("label_id").isNull(), 0).otherwise(1),
+            F.coalesce("label_id", F.lit(-1)),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat_only = lambda c: F.when(F.col("label_id").isNull(), F.col(c))  # noqa: E731
+    carried = merged.select(
+        "user_id",
+        "label_id",
+        "label_ts",
+        "label",
+        F.last(feat_only("clicks_v"), ignorenulls=True).over(w).alias(
+            "f_clicks_v"
+        ),
+        F.last(feat_only("n_events"), ignorenulls=True).over(w).alias(
+            "f_n_events"
+        ),
+        F.last(feat_only("d"), ignorenulls=True).over(w).alias("f_day"),
+    )
+    return (
+        carried.filter(F.col("label_id").isNotNull())
+        .select(
+            "label_id",
+            "user_id",
+            R6(F.col("label")).alias("label"),
+            "f_clicks_v",
+            "f_n_events",
+            F.datediff(F.to_date("label_ts"), F.col("f_day")).alias(
+                "staleness_days"
+            ),
+        )
+        .orderBy("label_id")
+    )

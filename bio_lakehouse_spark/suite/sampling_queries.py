@@ -22,6 +22,8 @@ from bio_lakehouse_spark.operators.sampling import (
 )
 from bio_lakehouse_spark.suite.registry import load, register
 
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
 # DuckDB twin of hash_unit(doc_id, salt): uniform [0,1) from the top
 # 60 bits of md5(salt || doc_id).
 _U = (
@@ -365,3 +367,136 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_UG = (
+    "(CAST(concat('0x', substr(md5(concat('gsplit:',"
+    " CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) / {two60!r})"
+).format
+
+
+@register(
+    "group_split_no_leakage",
+    survey=("P8", "A11"),
+    oracle=f"""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN {_UG(two60=float(1 << 60))} < 0.8 THEN 'train'
+              ELSE 'test' END AS split,
+         value
+  FROM events WHERE value IS NOT NULL
+), per_split AS (
+  SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_rows,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM assigned GROUP BY split
+), overlap AS (
+  SELECT COUNT(*) AS n_leaked_users FROM (
+    SELECT user_id FROM assigned GROUP BY user_id
+    HAVING COUNT(DISTINCT split) > 1
+  )
+)
+SELECT p.split, p.n_users, p.n_rows, p.avg_value,
+       o.n_leaked_users
+FROM per_split p CROSS JOIN overlap o
+ORDER BY p.split
+""",
+)
+def group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split (GroupKFold semantics): the split
+    is a function of the GROUP key (user), so no user's rows span
+    both sides — the leakage mode a row-level split silently commits
+    when rows within a user correlate. The audit column proves it:
+    n_leaked_users (users seen in >1 split) is part of the
+    hash-gated output and must be 0 by construction."""
+    from bio_lakehouse_spark.operators.sampling import hash_unit
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    assigned = ev.select(
+        "user_id",
+        "value",
+        F.when(hash_unit(F.col("user_id"), salt="gsplit:") < 0.8, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+        R6(F.avg("value")).alias("avg_value"),
+    )
+    overlap = (
+        assigned.groupBy("user_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leaked_users"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(overlap))
+        .select("split", "n_users", "n_rows", "avg_value", "n_leaked_users")
+        .orderBy("split")
+    )
+
+
+@register(
+    "poststratification_weights",
+    survey=("A6", "F5"),
+    oracle="""
+WITH source AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n) AS nt, COUNT(*) AS k FROM source
+), weights AS (
+  SELECT s.lang, s.n,
+         s.n * 1.0 / t.nt AS p_source,
+         1.0 / t.k AS p_target,
+         (1.0 / t.k) / (s.n * 1.0 / t.nt) AS w
+  FROM source s CROSS JOIN tot t
+)
+SELECT lang, n, ROUND(p_source, 6) AS p_source,
+       ROUND(p_target, 6) AS p_target, ROUND(w, 6) AS weight,
+       ROUND((SELECT SUM(n * w) * SUM(n * w) FROM weights)
+             / ((SELECT SUM(n * w * w) FROM weights)
+                * (SELECT SUM(n) FROM weights)), 6) AS ess_fraction
+FROM weights ORDER BY lang
+""",
+)
+def poststratification_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratification importance weights: reweight each language
+    stratum from its corpus share to a uniform target marginal
+    (w = p_target/p_source), with Kish's effective-sample-size
+    fraction (Σnw)²/(Σnw²·Σn) showing how much statistical power the
+    reweighting costs — the survey-statistics primitive behind
+    debiasing a skewed training mixture without resampling it. One
+    stratum aggregate; everything else is arithmetic over the
+    |strata| frame."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    source = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    weights = source.select(
+        "lang",
+        "n",
+        (F.col("n") / F.sum("n").over(wall)).alias("p_source"),
+        (1.0 / F.count(F.lit(1)).over(wall)).alias("p_target"),
+        (
+            (1.0 / F.count(F.lit(1)).over(wall))
+            / (F.col("n") / F.sum("n").over(wall))
+        ).alias("w"),
+    )
+    ess = (
+        F.sum(F.col("n") * F.col("w")).over(wall)
+        * F.sum(F.col("n") * F.col("w")).over(wall)
+        / (
+            F.sum(F.col("n") * F.col("w") * F.col("w")).over(wall)
+            * F.sum("n").over(wall)
+        )
+    )
+    return weights.select(
+        "lang",
+        "n",
+        R6(F.col("p_source")).alias("p_source"),
+        R6(F.col("p_target")).alias("p_target"),
+        R6(F.col("w")).alias("weight"),
+        R6(ess).alias("ess_fraction"),
+    ).orderBy("lang")
