@@ -1982,3 +1982,89 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.regr_slope(F.col("ly"), F.col("lx"))).alias("zipf_slope"),
         R6(F.regr_r2(F.col("ly"), F.col("lx"))).alias("r2"),
     )
+
+
+_PII_CLASSES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+]
+
+
+def _pii_scan_oracle() -> str:
+    branches = []
+    for cls, pat in _PII_CLASSES:
+        branches.append(f"""
+  SELECT 'documents.text' AS column_name, '{cls}' AS pii_type,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN regexp_matches(t, '{pat}') THEN 1 ELSE 0 END) AS n_hits
+  FROM aug""")
+        branches.append(f"""
+  SELECT 'events.props', '{cls}', COUNT(*),
+         SUM(CASE WHEN regexp_matches(props, '{pat}') THEN 1 ELSE 0 END)
+  FROM events""")
+    body = "\n  UNION ALL".join(branches)
+    return f"""
+WITH aug AS (
+  SELECT CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT column_name, pii_type, n_rows, n_hits,
+       ROUND(n_hits * 1.0 / n_rows, 6) AS hit_rate
+FROM ({body})
+ORDER BY column_name, pii_type
+"""
+
+
+@register("pii_column_scan", survey=("P10", "F1"), oracle=_pii_scan_oracle())
+def pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII classifier scan — the governance report that
+    decides which columns need the redaction pass (pii_redaction) or
+    access controls before a dataset ships: per (column, PII class),
+    the row hit rate under the same RE2-compatible regexes both
+    engines run. One scan per column, counts collapse map-side;
+    deterministic PII is injected into a third of documents so the
+    rates are non-trivial on synthetic text."""
+    docs = load(spark, sf_dir, "documents")
+    ev = load(spark, sf_dir, "events")
+    aug = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t")
+    )
+    out = None
+    for cls, pat in _PII_CLASSES:
+        for col_name, frame, c in (
+            ("documents.text", aug, "t"),
+            ("events.props", ev, "props"),
+        ):
+            one = frame.agg(
+                F.lit(col_name).alias("column_name"),
+                F.lit(cls).alias("pii_type"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.regexp_like(F.col(c), F.lit(pat)), 1).otherwise(
+                        0
+                    )
+                ).alias("n_hits"),
+            )
+            out = one if out is None else out.unionAll(one)
+    return out.select(
+        "column_name",
+        "pii_type",
+        "n_rows",
+        "n_hits",
+        R6(F.col("n_hits") / F.col("n_rows")).alias("hit_rate"),
+    ).orderBy("column_name", "pii_type")
