@@ -483,6 +483,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "association_rules_topk",  # pair counts × ONE-ROW basket total
         "collocations_pmi_topk",  # bigram counts × ONE-ROW unigram/bigram totals
         "referential_integrity_audit",  # orphan count × ONE-ROW child total
+        "group_split_no_leakage",  # split stats × ONE-ROW leak count
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
