@@ -909,3 +909,83 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_id")
     )
+
+
+@register(
+    "cuped_adjustment",
+    survey=("ST10", "ST11"),
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN CAST(ts AS DATE) <
+                       (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                       + INTERVAL 14 DAY
+                  THEN value ELSE 0 END) AS x_pre,
+         SUM(CASE WHEN CAST(ts AS DATE) >=
+                       (SELECT MIN(CAST(ts AS DATE)) FROM events)
+                       + INTERVAL 14 DAY
+                  THEN value ELSE 0 END) AS y_post
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+), theta AS (
+  SELECT COVAR_SAMP(x_pre, y_post) / VAR_SAMP(x_pre) AS th,
+         AVG(x_pre) AS mx
+  FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       ROUND(t.th, 6) AS theta,
+       ROUND(VAR_SAMP(p.y_post), 6) AS var_raw,
+       ROUND(VAR_SAMP(p.y_post - t.th * (p.x_pre - t.mx)), 6) AS var_cuped,
+       ROUND(1.0 - VAR_SAMP(p.y_post - t.th * (p.x_pre - t.mx))
+                 / VAR_SAMP(p.y_post), 6) AS variance_reduction
+FROM per_user p CROSS JOIN theta t
+GROUP BY t.th, t.mx
+""",
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM'13) — the standard
+    experimentation-platform pre-period adjustment: per-user
+    pre-period purchase total as the covariate, post-period total as
+    the outcome, θ = cov(x,y)/var(x), adjusted metric
+    y − θ(x − x̄). The hash-gated output includes the achieved
+    variance_reduction = 1 − var(ŷ)/var(y), which is exactly the
+    extra experiment power CUPED buys (equals ρ² in the large-sample
+    limit). Two aggregates over the per-user frame; θ broadcast back.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    min_day = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    per_user = (
+        ev.crossJoin(F.broadcast(min_day))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("ts") < F.date_add(F.col("d0"), 14),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("x_pre"),
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.date_add(F.col("d0"), 14),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("y_post"),
+        )
+    )
+    theta = per_user.agg(
+        (F.covar_samp("x_pre", "y_post") / F.var_samp("x_pre")).alias("th"),
+        F.avg("x_pre").alias("mx"),
+    )
+    j = per_user.crossJoin(F.broadcast(theta))
+    adj = F.col("y_post") - F.col("th") * (F.col("x_pre") - F.col("mx"))
+    return j.groupBy("th", "mx").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        R6(F.first("th")).alias("theta"),
+        R6(F.var_samp("y_post")).alias("var_raw"),
+        R6(F.var_samp(adj)).alias("var_cuped"),
+        R6(1.0 - F.var_samp(adj) / F.var_samp("y_post")).alias(
+            "variance_reduction"
+        ),
+    ).drop("th", "mx")

@@ -1072,9 +1072,8 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("last_click_ts").isNotNull()
             & (
-                F.col("ts").cast("long")
-                - F.col("last_click_ts").cast("long")
-                <= 72 * 3600
+                F.unix_micros("ts") - F.unix_micros("last_click_ts")
+                <= 72 * 3600 * 1_000_000
             ),
             F.to_date("last_click_ts"),
         ).alias("click_date"),
@@ -1255,3 +1254,72 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("med_7d"),
         F.size("win").cast("long").alias("n_win"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "attribution_linear_multitouch",
+    survey=("J7", "A1", "W2"),
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, CAST(ts AS DATE) AS click_date
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), touches AS (
+  SELECT p.event_id, p.value, c.click_date,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM purchases p JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.click_ts < p.p_ts
+   AND c.click_ts >= p.p_ts - INTERVAL 72 HOUR
+)
+SELECT click_date AS touch_date,
+       ROUND(SUM(value / n_touches), 6) AS attributed_value,
+       COUNT(*) AS n_touch_credits
+FROM touches GROUP BY click_date ORDER BY click_date
+""",
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 72 h
+    lookback shares the purchase's value equally (value/n_touches) —
+    the many-to-many sibling of attribution_last_touch. The
+    click×purchase join is per-user AND time-banded, so fan-out is
+    bounded by clicks-per-user-per-72h (the interval-join bound);
+    touch counts come from one window over the matched pairs, never
+    a re-join."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.to_date("ts").alias("click_date"),
+    )
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+    touches = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("click_ts") < F.col("p_ts"))
+            & (
+                F.unix_micros("click_ts")
+                >= F.unix_micros("p_ts") - 72 * 3600 * 1_000_000
+            )
+        )
+        .withColumn(
+            "n_touches",
+            F.count(F.lit(1)).over(Window.partitionBy("event_id")),
+        )
+    )
+    return (
+        touches.groupBy(F.col("click_date").alias("touch_date"))
+        .agg(
+            R6(F.sum(F.col("value") / F.col("n_touches"))).alias(
+                "attributed_value"
+            ),
+            F.count(F.lit(1)).alias("n_touch_credits"),
+        )
+        .orderBy("touch_date")
+    )
