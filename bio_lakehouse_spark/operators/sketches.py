@@ -50,26 +50,24 @@ def hash60(col: F.Column) -> F.Column:
     )
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     p: int = 8,
 ) -> DataFrame:
-    """Per-group HLL distinct estimate (column ``hll_estimate``,
-    bigint). Two narrow shuffles: (group, register) max-rank — at most
-    m rows per group survive the map-side partial — then per-group
-    register fold. State is m·1 byte regardless of input size."""
-    m = 1 << p
+    """Per-(group, register-index) max rank — the MERGEABLE half of
+    HLL. Registers merge by element-wise MAX, which is what makes the
+    sketch reusable across windows/partitions/streams: persist these
+    m-row-per-group frames and any union of groups folds without
+    touching raw data (see ``hll_fold`` and rolling_hll_users_7d)."""
     suffix_bits = 60 - p
     shift = 1 << suffix_bits
-    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-
     # Bit ops, not arithmetic: a 60-bit value doesn't fit a double's
     # 53-bit mantissa, so float division would corrupt boundary
     # indexes; shiftright/& are exact and map to DuckDB's >> / &.
     h = hash60(F.col(value_col))
-    regs = (
+    return (
         df.select(
             *group_cols,
             F.shiftright(h, suffix_bits).alias("__idx"),
@@ -84,21 +82,42 @@ def hll_distinct(
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rank").alias("__maxrank"))
     )
+
+
+def hll_fold(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Fold a (group, __idx, __maxrank) register frame to per-group
+    estimates (with linear counting below 2.5m). Both branches round
+    to bigint so last-ulp libm ln() differences between engines
+    cannot flip the value hash."""
+    m = 1 << p
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
     folded = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__maxrank"))).alias("__sum_inv"),
         F.count(F.lit(1)).alias("__present"),
     )
     zeros = F.lit(m) - F.col("__present")
     raw = F.lit(alpha_m2) / (F.col("__sum_inv") + zeros.cast("double"))
-    # Linear counting below 2.5m (the empty-register estimator); both
-    # branches round to bigint so last-ulp libm ln() differences
-    # between engines cannot flip the value hash.
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return folded.select(
         *group_cols, F.round(est).cast("long").alias("hll_estimate")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL distinct estimate (column ``hll_estimate``,
+    bigint). Two narrow shuffles: (group, register) max-rank — at most
+    m rows per group survive the map-side partial — then per-group
+    register fold. State is m·1 byte regardless of input size."""
+    return hll_fold(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
     )
 
 

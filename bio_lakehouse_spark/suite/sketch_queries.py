@@ -326,3 +326,114 @@ def cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+@register(
+    "rolling_hll_users_7d",
+    survey=("A11", "W2", "A13"),
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, {_H60.format(v='user_id')} AS h60,
+         user_id
+  FROM events
+), regs AS (
+  SELECT day, h60 >> {_SUFFIX_BITS} AS idx,
+         MAX(CASE WHEN (h60 & {_MASK}) = 0 THEN {_SUFFIX_BITS + 1}
+                  ELSE {_SUFFIX_BITS} - length(bin(h60 & {_MASK})) + 1
+             END) AS maxrank
+  FROM h GROUP BY day, idx
+), spine AS (
+  SELECT DISTINCT day FROM regs
+), cov AS (
+  SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS d,
+         idx, maxrank
+  FROM regs
+), merged AS (
+  SELECT c.d, c.idx, MAX(c.maxrank) AS maxrank
+  FROM cov c JOIN spine s ON s.day = c.d
+  GROUP BY c.d, c.idx
+), folded AS (
+  SELECT d, SUM(power(2.0, -maxrank)) AS sum_inv, COUNT(*) AS present
+  FROM merged GROUP BY d
+), est AS (
+  SELECT d,
+         CAST(ROUND(CASE WHEN {_ALPHA_M2!r} / (sum_inv + ({_M} - present)) <= {2.5 * _M!r}
+                          AND ({_M} - present) > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - present))
+                     ELSE {_ALPHA_M2!r} / (sum_inv + ({_M} - present)) END) AS BIGINT)
+           AS hll_users_7d
+  FROM folded
+), exact AS (
+  SELECT dd AS d, COUNT(DISTINCT u) AS exact_users_7d FROM (
+    SELECT CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                       INTERVAL 1 DAY)) AS DATE) AS dd, u
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS u FROM events)
+  ) c JOIN spine s ON s.day = c.dd
+  GROUP BY dd
+)
+SELECT est.d AS date, hll_users_7d, exact_users_7d,
+       ROUND(100.0 * abs(hll_users_7d - exact_users_7d) / exact_users_7d, 4)
+         AS err_pct
+FROM est JOIN exact ON exact.d = est.d
+ORDER BY est.d
+""",
+)
+def rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users via HLL REGISTER MERGE — the
+    sketch-mergeability property doing real work: daily m=256-row
+    register frames merge by element-wise MAX across the window, so
+    the rolling state is |days|·m rows whatever the user cardinality.
+    The exact twin (rolling_distinct_users_7d) explodes (day, user)
+    pairs — linear in distinct users per window; this one is the
+    100 TB path, and the query publishes its own realized error
+    against the exact answer. Same coverage-explode join shape, but
+    on the REGISTER frame."""
+    from bio_lakehouse_spark.operators.sketches import hll_fold, hll_registers
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id")
+    regs = hll_registers(daily, ["day"], "user_id", p=_P)
+    spine = regs.select("day").distinct()
+    cov = regs.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "d"
+        ),
+        "__idx",
+        "__maxrank",
+    )
+    merged = (
+        cov.join(F.broadcast(spine), cov.d == spine.day)
+        .groupBy("d", "__idx")
+        .agg(F.max("__maxrank").alias("__maxrank"))
+    )
+    est = hll_fold(merged, ["d"], p=_P).withColumnRenamed(
+        "hll_estimate", "hll_users_7d"
+    )
+    du = ev.select(F.to_date("ts").alias("day"), F.col("user_id").alias("u")).distinct()
+    exact = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("d"),
+            "u",
+        )
+        .join(F.broadcast(spine), F.col("d") == F.col("day"))
+        .groupBy("d")
+        .agg(F.count_distinct("u").alias("exact_users_7d"))
+    )
+    return (
+        est.join(exact, "d")
+        .select(
+            F.col("d").alias("date"),
+            "hll_users_7d",
+            "exact_users_7d",
+            F.round(
+                100.0
+                * F.abs(F.col("hll_users_7d") - F.col("exact_users_7d"))
+                / F.col("exact_users_7d"),
+                4,
+            ).alias("err_pct"),
+        )
+        .orderBy("date")
+    )

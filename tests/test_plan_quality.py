@@ -484,6 +484,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "collocations_pmi_topk",  # bigram counts × ONE-ROW unigram/bigram totals
         "referential_integrity_audit",  # orphan count × ONE-ROW child total
         "group_split_no_leakage",  # split stats × ONE-ROW leak count
+        "cuped_adjustment",  # per-user frame × ONE-ROW (theta, mean)
+        "point_in_time_features",  # union stream × ONE-ROW min-day spine
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
