@@ -203,3 +203,60 @@ def mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "mode_bin", "mode_freq", "median", "n")
         .orderBy("event_type")
     )
+
+
+@register(
+    "weighted_median_discrete",
+    survey=("A13", "A10"),
+    oracle="""
+WITH wv AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT flag, v, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY v) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw,
+         COUNT(*) OVER (PARTITION BY flag) AS nv
+  FROM wv
+)
+SELECT flag, MIN(v) AS w_median, MIN(tw) AS total_weight,
+       MIN(nv) AS n_values
+FROM cum WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
+""",
+)
+def weighted_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware median: the smallest price whose cumulative
+    quantity weight reaches half the total — the lower weighted
+    median, a DISCRETE contract both engines satisfy bit-exactly (no
+    interpolation between engine-ordered neighbors). Duplicate values
+    collapse to (value, Σweight) first (map-side combine), so the
+    cumulative window runs over distinct values per group, not raw
+    rows — at 100 TB that's the difference between a window over the
+    value domain and one over the fact table."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    wv = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wp = Window.partitionBy("flag").orderBy("v")
+    wall = Window.partitionBy("flag")
+    cum = wv.select(
+        "flag",
+        "v",
+        F.sum("w").over(wp).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+        F.count(F.lit(1)).over(wall).alias("nv"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("w_median"),
+            F.min("tw").alias("total_weight"),
+            F.min("nv").alias("n_values"),
+        )
+        .orderBy("flag")
+    )
