@@ -677,3 +677,54 @@ def test_bitext_mutual_margin_finds_planted_pair(spark):
                                        margin_threshold=1.0).collect()}
     assert (0, 10) in out and (1, 11) in out
     assert out[(0, 10)] > 1.0
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """Signature-agreement fraction is an unbiased Jaccard estimator:
+    over controlled-overlap doc pairs, |estimate − exact| must stay
+    within a few binomial standard errors of sqrt(J(1−J)/k). Guards
+    the hash family's independence (a broken per-component seed — e.g.
+    every component hashing identically — passes banding tests but
+    fails this)."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.dedup import (
+        minhash_signatures_raw,
+        shingle_sets,
+    )
+
+    words_pool = [f"tok{i}" for i in range(400)]
+    rng = np.random.default_rng(5)
+    docs, exact = [], {}
+    did = 0
+    for overlap in (0.2, 0.5, 0.8):
+        for _ in range(6):
+            base = list(rng.choice(words_pool, 120, replace=False))
+            k = int(len(base) * overlap)
+            other = [w for w in words_pool if w not in base]
+            variant = base[:k] + list(rng.choice(other, 120 - k, replace=False))
+            docs.append((did, " ".join(base)))
+            docs.append((did + 1, " ".join(variant)))
+            did += 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    K = 16
+    sigs = {
+        r["doc_id"]: [r[f"mh_{j}"] for j in range(K)]
+        for r in minhash_signatures_raw(
+            df, "doc_id", "text", n=3, num_hashes=K
+        ).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in shingle_sets(df, "doc_id", "text", n=3).collect()
+    }
+    errs = []
+    for a in range(0, did, 2):
+        b = a + 1
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / K
+        jac = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        se = max((jac * (1 - jac) / K) ** 0.5, 1 / K)
+        assert abs(est - jac) <= 4 * se, (a, est, jac)
+        errs.append(est - jac)
+    # no systematic bias across the pair population
+    assert abs(sum(errs) / len(errs)) < 0.08
