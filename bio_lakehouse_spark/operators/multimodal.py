@@ -181,3 +181,68 @@ def frame_sample_batches(
             )
 
     return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+def audio_chunk_offsets(
+    duration_s: float, window_s: float = 0.5, hop_s: float = 0.25
+) -> list[tuple[float, float]]:
+    """Sliding-window audio chunk spans [(t_start, t_end), ...] —
+    the planning half of ASR/feature-extraction chunking. With
+    window/hop as exact binary fractions and integral durations,
+    every span is bit-reproducible on any engine."""
+    if duration_s < window_s:
+        return [(0.0, duration_s)] if duration_s > 0 else []
+    n = int((duration_s - window_s) / hop_s) + 1
+    return [(round(i * hop_s, 6), round(i * hop_s + window_s, 6)) for i in range(n)]
+
+
+def audio_chunk_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    window_s: float = 0.5,
+    hop_s: float = 0.25,
+) -> DataFrame:
+    """Audio chunking as the 1→N Arrow expansion (same mapInPandas
+    UDTF shape as ``frame_sample_batches``, the audio sibling): each
+    media row yields overlapping fixed-window chunks with sample
+    counts — what an ASR/audio-embedding stage consumes. Probe
+    metadata is the deterministic fake (duration = 1 + first md5
+    byte seconds, sample_rate = 8000·(1 + second md5 byte % 3) Hz —
+    the ffprobe stand-in, FakeDecoder pattern), so the plumbing —
+    schema, batch shape, expansion — runs for real and is
+    oracle-reproducible; a production decoder drops into the same
+    generator."""
+    import hashlib
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, duration_s double, sample_rate int,"
+        " chunk_idx int, t_start_s double, t_end_s double,"
+        " n_samples long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                h = hashlib.md5(bytes(blob)).digest()
+                duration = 1.0 + h[0] % 32
+                rate = 8000 * (1 + h[1] % 3)
+                for i, (t0, t1) in enumerate(
+                    audio_chunk_offsets(duration, window_s, hop_s)
+                ):
+                    rows.append(
+                        (_id, duration, rate, i, t0, t1,
+                         int(round((t1 - t0) * rate)))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "duration_s", "sample_rate", "chunk_idx",
+                    "t_start_s", "t_end_s", "n_samples",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(gen, schema)

@@ -2068,3 +2068,47 @@ def pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         R6(F.col("n_hits") / F.col("n_rows")).alias("hit_rate"),
     ).orderBy("column_name", "pii_type")
+
+
+@register(
+    "multimodal_audio_chunks",
+    survey=("S3", "F9"),
+    oracle="""
+WITH probed AS (
+  SELECT doc_id,
+         1.0 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 32
+           AS duration_s,
+         8000 * (1 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 3)
+           AS sample_rate
+  FROM documents
+), spans AS (
+  SELECT doc_id, duration_s, sample_rate,
+         CAST(i AS INTEGER) AS chunk_idx,
+         ROUND(i * 0.25, 6) AS t_start_s,
+         ROUND(i * 0.25 + 0.5, 6) AS t_end_s
+  FROM probed,
+       LATERAL (SELECT unnest(range(0,
+         CAST((duration_s - 0.5) / 0.25 AS BIGINT) + 1)) AS i)
+)
+SELECT doc_id, duration_s, CAST(sample_rate AS INTEGER) AS sample_rate,
+       chunk_idx, t_start_s, t_end_s,
+       CAST(ROUND((t_end_s - t_start_s) * sample_rate) AS BIGINT)
+         AS n_samples
+FROM spans
+""",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking expansion under the value-hash gate: binary
+    contract → mapInPandas 1→N overlapping 0.5 s windows at 0.25 s
+    hop per media item, with per-chunk sample counts from the fake
+    probe's sample rate — the audio sibling of
+    multimodal_frame_sample, same Arrow UDTF shape, every span
+    reproduced bit-for-bit by the SQL oracle
+    (operators/multimodal.audio_chunk_batches)."""
+    from bio_lakehouse_spark.operators.multimodal import (
+        attach_binary,
+        audio_chunk_batches,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return audio_chunk_batches(attach_binary(docs, "text"))
