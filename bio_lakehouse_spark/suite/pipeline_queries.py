@@ -1300,3 +1300,91 @@ def ivm_join_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_date")
     )
+
+
+@register(
+    "partition_volume_anomaly",
+    survey=("P10", "W6", "ST6"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+), pre AS (
+  SELECT day, n,
+         LIST(n) OVER (ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS win
+  FROM daily
+), med AS (
+  SELECT day, n, win,
+         CASE WHEN LEN(win) > 0
+              THEN LIST_SORT(win)[CAST(CEIL(LEN(win) / 2.0) AS INTEGER)]
+         END AS base_med
+  FROM pre
+), scored AS (
+  SELECT day, n, base_med,
+         CASE WHEN LEN(win) > 0 THEN
+           LIST_SORT(LIST_TRANSFORM(win, x -> ABS(x - base_med)))
+             [CAST(CEIL(LEN(win) / 2.0) AS INTEGER)]
+         END AS base_mad,
+         COALESCE(LEN(win), 0) AS n_baseline
+  FROM med
+)
+SELECT day, n, base_med, base_mad, CAST(n_baseline AS BIGINT) AS n_baseline,
+       CASE WHEN base_mad IS NOT NULL AND base_mad > 0
+             AND ABS(n - base_med) > 3.0 * 1.4826 * base_mad
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM scored ORDER BY day
+""",
+)
+def partition_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly monitor: each day's row count vs the
+    MAD robust band of the trailing 7 days EXCLUDING itself (the
+    leave-one-out baseline of W6 + the discrete-median contract of
+    rolling_median_7d) — the freshness/volume check a pipeline runs
+    per partition before publishing, with the anomaly verdicts
+    themselves inside the hash gate. Bounded ≤7-element windows over
+    the daily frame; nothing rescans events."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    pre = daily.withColumn("win", F.collect_list("n").over(w))
+    mid = F.ceil(F.size("win") / 2.0).cast("int")
+    base_med = F.when(
+        F.size("win") > 0, F.element_at(F.array_sort("win"), mid)
+    )
+    scored = pre.withColumn("base_med", base_med).withColumn(
+        "base_mad",
+        F.when(
+            F.size("win") > 0,
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        "win", lambda x: F.abs(x - F.col("base_med"))
+                    )
+                ),
+                mid,
+            ),
+        ),
+    )
+    return scored.select(
+        "day",
+        "n",
+        "base_med",
+        "base_mad",
+        F.size("win").cast("long").alias("n_baseline"),
+        F.when(
+            F.col("base_mad").isNotNull()
+            & (F.col("base_mad") > 0)
+            & (
+                F.abs(F.col("n") - F.col("base_med"))
+                > 3.0 * 1.4826 * F.col("base_mad")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    ).orderBy("day")
