@@ -1124,3 +1124,64 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("lift")).alias("lift"),
         )
     )
+
+
+@register(
+    "join_size_estimate",
+    survey=("J4", "A6", "P10"),
+    oracle="""
+WITH ca AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+), cb AS (
+  SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1
+), est AS (
+  SELECT SUM(ca.c * cb.c) AS predicted_rows,
+         COUNT(*) AS n_matching_keys,
+         MAX(ca.c * cb.c) AS max_key_contribution
+  FROM ca JOIN cb USING (k)
+), act AS (
+  SELECT COUNT(*) AS actual_rows
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT e.predicted_rows, e.n_matching_keys, e.max_key_contribution,
+       a.actual_rows,
+       CAST(e.predicted_rows = a.actual_rows AS INTEGER) AS exact_match
+FROM est e CROSS JOIN act a
+""",
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction WITHOUT executing the join:
+    |A ⋈ B| = Σ_k cA(k)·cB(k) over the per-key count vectors — the
+    quantity a cost-based planner estimates from histograms, here
+    computed exactly from two key-count aggregates whose frames are
+    |keys| rows, not |rows|. The query also runs the real join and
+    publishes exact_match=1, plus max_key_contribution — the
+    single-key hot spot that predicts skew BEFORE the shuffle (the
+    planning companion to skew_profile_keys). At 100 TB this is how
+    you price a join and pick salting without paying for it first."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    est = ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(F.col("ca") * F.col("cb")).alias("max_key_contribution"),
+    )
+    act = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "predicted_rows",
+        "n_matching_keys",
+        "max_key_contribution",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows"))
+        .cast("int")
+        .alias("exact_match"),
+    )
