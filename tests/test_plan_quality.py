@@ -486,6 +486,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "group_split_no_leakage",  # split stats × ONE-ROW leak count
         "cuped_adjustment",  # per-user frame × ONE-ROW (theta, mean)
         "point_in_time_features",  # union stream × ONE-ROW min-day spine
+        "join_size_estimate",  # ONE-ROW prediction × ONE-ROW actual
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
