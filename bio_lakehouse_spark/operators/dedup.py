@@ -972,3 +972,93 @@ def ngram_containment_pairs(
             | (F.col("cont_b_in_a") >= threshold)
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join by prefix filtering (PPJoin family —
+    Xiao et al. WWW'08, Chaudhuri et al. ICDE'06): all pairs with
+    shingle Jaccard ≥ ``threshold``, with RECALL EXACTLY 1 — the
+    deterministic complement to MinHash-LSH's probabilistic candidate
+    generation, for when a dedup decision must be provably complete.
+
+    Why it works: order every document's shingles by a GLOBAL
+    rarity order (ascending document frequency, ties on the token).
+    If Jaccard(x, y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so x's first
+    p = |x| − ⌈t·|x|⌉ + 1 tokens under that order cannot ALL miss y's
+    prefix — two qualifying docs always share a prefix token
+    (pigeonhole, no probability involved).
+
+    Scale shape: shingle df is one aggregate; the rarity rank joins
+    back by token; candidates are an equi-join on PREFIX token only —
+    and because the order is rarest-first, prefix tokens are
+    systematically the low-df ones, which is what keeps buckets small
+    without a cap (the frequent tokens that would explode a bucket
+    sort to the END of every document and never enter short
+    prefixes). A length filter (|y| ≥ t·|x|) prunes before exact
+    verification; verification touches candidates only.
+    """
+    sets = shingle_sets(df, id_col, text_col, n=n).select(
+        F.col("doc_id"), F.col("shingles")
+    )
+    toks = sets.select(
+        "doc_id", F.explode("shingles").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").asc(), F.col("tok").asc())
+    ranked = dfreq.withColumn("rk", F.row_number().over(w)).select(
+        "tok", "rk"
+    )
+    doc_ranks = (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
+        .withColumn("sz", F.size("rks"))
+    )
+    prefix_len = F.col("sz") - F.ceil(
+        F.lit(float(threshold)) * F.col("sz")
+    ).cast("int") + 1
+    prefixes = doc_ranks.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice(F.col("rks"), 1, prefix_len)).alias("rk"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    cand = (
+        a.join(b, on=F.col("a.rk") == F.col("b.rk"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: Jaccard >= t forces t*max(size) <= min(size)
+        .filter(
+            F.least("a.sz", "b.sz")
+            >= F.lit(float(threshold)) * F.greatest("a.sz", "b.sz")
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b")
+        - F.size(F.array_intersect("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

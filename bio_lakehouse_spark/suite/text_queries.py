@@ -2112,3 +2112,30 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return audio_chunk_batches(attach_binary(docs, "text"))
+
+
+@register(
+    "dedup_prefix_filter",
+    survey=("J6", "A11", "F9"),
+    oracle=_SHINGLES_CTE
+    + f"""
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jac_raw >= 0.5
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall set-similarity join via prefix filtering (PPJoin
+    family): the DETERMINISTIC complement to dedup_minhash_lsh —
+    same brute-force oracle, but recall 1 is a theorem (pigeonhole on
+    the rarest-first global token order), not a band-probability
+    bound. Candidates come from an equi-join on prefix tokens only;
+    rarest-first ordering keeps those buckets small without a cap
+    because high-df tokens sort out of every short prefix
+    (operators/dedup.prefix_filter_pairs)."""
+    from bio_lakehouse_spark.operators.dedup import prefix_filter_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    out = prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))

@@ -728,3 +728,57 @@ def test_minhash_signature_estimates_jaccard(spark):
         errs.append(est - jac)
     # no systematic bias across the pair population
     assert abs(sum(errs) / len(errs)) < 0.08
+
+
+def test_prefix_filter_join_equals_bruteforce_at_boundary(spark):
+    """Prefix filtering's recall-1 theorem, stressed where a
+    probabilistic method is weakest: pairs sitting EXACTLY at the
+    Jaccard threshold (|x∩y|/|x∪y| = 0.5 by construction) must all
+    be found, plus random pairs straddling it."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_sets,
+    )
+
+    rng = np.random.default_rng(9)
+    pool = [f"w{i}" for i in range(600)]
+    docs, did = [], 0
+    # exact-boundary pairs: |A|=|B|=60, overlap 40 → J = 40/80 = 0.5
+    for _ in range(5):
+        common = list(rng.choice(pool, 40, replace=False))
+        rest = [w for w in pool if w not in common]
+        a = common + list(rng.choice(rest, 20, replace=False))
+        b = common + list(
+            rng.choice([w for w in rest if w not in a], 20, replace=False)
+        )
+        docs += [(did, " ".join(a)), (did + 1, " ".join(b))]
+        did += 2
+    # random background docs
+    for _ in range(30):
+        docs.append((did, " ".join(rng.choice(pool, 60, replace=False))))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_pairs(
+            df, "doc_id", "text", n=1, threshold=0.5
+        ).collect()
+    }
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in shingle_sets(df, "doc_id", "text", n=1).collect()
+    }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert set(got) == set(want)  # recall 1 AND precision 1
+    for k, j in want.items():
+        assert got[k] == pytest.approx(j, rel=1e-12)
+    assert len(want) >= 5  # the boundary pairs are all present
