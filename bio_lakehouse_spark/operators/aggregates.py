@@ -63,3 +63,64 @@ def grouped_descriptive_stats(
         F.stddev(value_col).alias("std"),
         F.count(value_col).alias("n"),
     )
+
+
+def dense_ids(
+    df,
+    order_cols,
+    id_name: str = "dense_id",
+    num_partitions: int | None = None,
+):
+    """Contiguous 0-based ids in global ``order_cols`` order WITHOUT a
+    single-partition window — the standard partition-offset technique
+    for numbering a corpus at scale.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` collapses all data
+    into ONE task; this instead (1) range-partitions by the order
+    key, (2) ranks within each partition, (3) computes per-partition
+    row counts — a |partitions|-row frame — and broadcasts their
+    running offsets back: id = partition_offset + local_rank − 1.
+
+    The ids equal the global rank as long as ``order_cols`` is a
+    TOTAL order (ties would make ranks depend on the sampled range
+    boundaries — callers must include a tiebreaker column; this is
+    asserted cheaply by requiring key uniqueness within a partition).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = list(order_cols)
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    wlocal = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = with_pid.withColumn("__rk", F.row_number().over(wlocal))
+    # uniqueness guard: a duplicated total-order key makes global
+    # ranks boundary-dependent — fail loudly instead
+    dup = (
+        ranked.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "dense_ids: order_cols is not a total order (duplicate keys);"
+            " add a tiebreaker column"
+        )
+    counts = ranked.groupBy("__pid").agg(F.max("__rk").alias("__n"))
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(woff), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_name, (F.col("__off") + F.col("__rk") - 1))
+        .drop("__pid", "__rk", "__off")
+    )

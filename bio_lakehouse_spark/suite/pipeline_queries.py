@@ -1388,3 +1388,28 @@ def partition_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     ).orderBy("day")
+
+
+@register(
+    "dense_ids_scalable",
+    survey=("O1", "W7", "P10"),
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS dense_id
+FROM documents ORDER BY dense_id
+""",
+)
+def dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids (ordered by (n_chars, doc_id)) via the
+    partition-offset technique — range partition, local rank,
+    |partitions|-row offset frame broadcast back — instead of the
+    single-task global window ROW_NUMBER degenerates to. The id
+    assignment every training-data shard/packing step needs at
+    corpus scale; the oracle IS the naive global window, proving the
+    distributed form computes the identical ranks
+    (operators/aggregates.dense_ids)."""
+    from bio_lakehouse_spark.operators.aggregates import dense_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = dense_ids(docs, ["n_chars", "doc_id"], num_partitions=8)
+    return out.select("doc_id", "dense_id").orderBy("dense_id")

@@ -782,3 +782,26 @@ def test_prefix_filter_join_equals_bruteforce_at_boundary(spark):
     for k, j in want.items():
         assert got[k] == pytest.approx(j, rel=1e-12)
     assert len(want) >= 5  # the boundary pairs are all present
+
+
+def test_dense_ids_match_global_rank_and_reject_dupes(spark):
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.aggregates import dense_ids
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(500)
+    df = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(vals)], "id long, v long"
+    )
+    out = {
+        r["id"]: r["dense_id"]
+        for r in dense_ids(df, ["v", "id"], num_partitions=7).collect()
+    }
+    order = sorted(range(500), key=lambda i: (vals[i], i))
+    for rank, i in enumerate(order):
+        assert out[i] == rank
+    # duplicate keys without a tiebreaker must fail loudly
+    dup = spark.createDataFrame([(1, 5), (2, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="total order"):
+        dense_ids(dup, ["v"])
