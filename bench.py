@@ -121,6 +121,16 @@ HEADLINE = [
     "collocations_pmi_topk",
     "session_top_paths",
     "conformal_interval_daily",
+    "dedup_prefix_filter",
+    "rolling_hll_users_7d",
+    "multimodal_audio_chunks",
+    "weighted_median_discrete",
+    "cuped_adjustment",
+    "attribution_linear_multitouch",
+    "dense_ids_scalable",
+    "pii_column_scan",
+    "point_in_time_features",
+    "join_size_estimate",
 ]
 
 
