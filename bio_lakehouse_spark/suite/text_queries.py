@@ -2139,3 +2139,86 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     out = prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
     return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
+
+
+# Per-doc NB scores (same construction as nb_quality_filter's oracle),
+# reused by the calibration audit.
+_NB_SCORES_CTE = f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos, string_split(text, ' ') AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, pos, {_H60.format(v='unnest(w)')} % 4096 AS b FROM t
+  UNION ALL
+  SELECT doc_id, pos,
+         {_H60.format(v="w[g] || ' ' || w[g+1]")} % 4096 AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
+), counts AS (
+  SELECT b, COUNT(*) FILTER (pos) AS cp,
+         COUNT(*) FILTER (NOT pos) AS cn
+  FROM f GROUP BY b
+), tot AS (
+  SELECT SUM(cp) AS np, SUM(cn) AS nn FROM counts
+), wt AS (
+  SELECT b, ln((cp + 1) / (np + 4096.0))
+          - ln((cn + 1) / (nn + 4096.0)) AS w
+  FROM counts, tot
+), d AS (
+  SELECT doc_id, MAX(CAST(pos AS INTEGER)) AS y,
+         ROUND(AVG(w), 6) AS nb_logodds
+  FROM f JOIN wt USING (b) GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "nb_calibration_curve",
+    survey=("ST14", "A6"),
+    oracle=_NB_SCORES_CTE
+    + """, scored AS (
+  SELECT y, 1.0 / (1.0 + EXP(-nb_logodds)) AS p FROM d
+), bucketed AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bucket, p, y
+  FROM scored
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(AVG(p), 6) AS mean_pred,
+       ROUND(AVG(y), 6) AS obs_rate,
+       ROUND(AVG((p - y) * (p - y)), 6) AS brier
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""",
+)
+def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + per-bucket Brier score for the NB quality
+    classifier: sigmoid of the (rounded) log-odds bucketed into
+    deciles, mean predicted probability vs observed positive rate —
+    the reliability diagram that tells you whether keep-threshold 0.5
+    means what it claims before the filter runs over a corpus. One
+    classifier pass + a 10-row aggregate; sigmoid on the ROUNDED
+    score so both engines bucket identically at boundaries."""
+    from bio_lakehouse_spark.operators.textops import nb_quality_classifier
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__pos", F.col("lang") == "en"
+    )
+    out = nb_quality_classifier(docs, "doc_id", "text", "__pos", dim=4096)
+    j = out.join(
+        docs.select("doc_id", F.col("__pos").cast("int").alias("y")),
+        "doc_id",
+    )
+    p = 1.0 / (1.0 + F.exp(-F.round("nb_logodds", 6)))
+    bucketed = j.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bucket"),
+        p.alias("p"),
+        "y",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R6(F.avg("p")).alias("mean_pred"),
+            R6(F.avg("y")).alias("obs_rate"),
+            R6(F.avg((F.col("p") - F.col("y")) ** 2)).alias("brier"),
+        )
+        .orderBy("bucket")
+    )
