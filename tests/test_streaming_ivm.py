@@ -76,3 +76,51 @@ def test_stream_deltas_maintain_agg_view(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join: a file-source event stream enriched by a
+    static dimension must produce exactly the batch join's rows —
+    the dimension is re-read per micro-batch (Spark's stream-static
+    contract), broadcast-joined, no state store involved."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    rows = [(i, i % 4, float(i)) for i in range(40)]
+    spark.createDataFrame(rows, "event_id long, seg_id int, v double").coalesce(
+        1
+    ).write.mode("overwrite").json(str(src / "b0"))
+
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "seg_id int, tier string"
+    )
+
+    stream = spark.readStream.schema("event_id long, seg_id int, v double").json(
+        str(src / "b*")
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        stream.join(F.broadcast(dim), "seg_id")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in spark.createDataFrame(
+            rows, "event_id long, seg_id int, v double"
+        )
+        .join(dim, "seg_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 30  # seg 3 has no dimension row → inner-join drop
