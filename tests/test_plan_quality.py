@@ -487,6 +487,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "cuped_adjustment",  # per-user frame × ONE-ROW (theta, mean)
         "point_in_time_features",  # union stream × ONE-ROW min-day spine
         "join_size_estimate",  # ONE-ROW prediction × ONE-ROW actual
+        "nb_calibration_curve",  # feature counts × ONE-ROW class totals
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
