@@ -182,8 +182,6 @@ def repetition_profile(
     keyed on doc_id, and the row-wise side carries no arrays into the
     join (scalars only), so the join exchange is narrow.
     """
-    from pyspark.sql import DataFrame as _DF  # noqa: F401
-
     base = df.select(
         F.col(id_col).alias("doc_id"), words(text_col).alias("w")
     )

@@ -1078,8 +1078,6 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and collapses to pair counts map-side; item supports broadcast
     back. The min-support HAVING is what keeps the rule table sparse
     at scale (the a-priori pruning step)."""
-    from pyspark.sql import Window
-
     lo = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
