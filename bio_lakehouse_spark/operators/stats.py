@@ -602,12 +602,28 @@ def theil_sen(
         F.col("a.x") < F.col("b.x")
     )
     slope = (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+    # DISCRETE lower median (sorted element ceil(n/2)), not the
+    # interpolated percentile: averaging two middle slopes lands on
+    # round-boundary values that engines tip differently (a 1-ulp
+    # interpolation difference flipped one user's 6-decimal hash at
+    # sf0.1); picking an ELEMENT is bit-exact by construction.
+    sl = pairs.select(F.col("a.e").alias(entity_col), slope.alias("sl"))
+    wrk = Window.partitionBy(entity_col).orderBy("sl")
+    wall = Window.partitionBy(entity_col)
+    ranked = sl.select(
+        entity_col,
+        "sl",
+        F.row_number().over(wrk).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
     return (
-        pairs.select(F.col("a.e").alias(entity_col), slope.alias("sl"))
-        .groupBy(entity_col)
-        .agg(
-            F.percentile(F.col("sl"), F.lit(0.5)).alias("sen_slope"),
-            F.count(F.lit(1)).alias("n_pairs"),
+        ranked.filter(
+            F.col("__rn") == F.ceil(F.col("__n") / 2.0).cast("int")
+        )
+        .select(
+            entity_col,
+            F.col("sl").alias("sen_slope"),
+            F.col("__n").alias("n_pairs"),
         )
     )
 

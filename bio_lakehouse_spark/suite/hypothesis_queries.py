@@ -287,16 +287,22 @@ def cusum_changepoint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ud AS (
   SELECT user_id,
          DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
-         AVG(value) AS y
+         ROUND(AVG(value), 6) AS y
   FROM events WHERE value IS NOT NULL
   GROUP BY 1, 2
 ), pairs AS (
   SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
   FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.x < b.x
+), ranked AS (
+  SELECT user_id, sl,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sl) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM pairs
 )
-SELECT user_id, ROUND(QUANTILE_CONT(sl, 0.5), 6) AS sen_slope,
-       COUNT(*) AS n_pairs
-FROM pairs GROUP BY user_id ORDER BY user_id
+SELECT user_id, FLOOR(sl * 1000000.0 + 0.5) / 1000000.0 AS sen_slope,
+       n AS n_pairs
+FROM ranked WHERE rn = CAST(CEIL(n / 2.0) AS INTEGER)
+ORDER BY user_id
 """,
 )
 def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,15 +311,25 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded, max_points-guarded) series — one hash partition by
     user, no global blow-up (operators/stats.theil_sen)."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # round the daily means BEFORE the pairwise slopes: avg() is
+    # summation-order-dependent at the last ulp, and a 1-ulp input
+    # difference flipped one slope's 6-decimal rounding at sf0.1 —
+    # with both engines dividing identical rounded doubles the whole
+    # pipeline is bit-exact (same pattern as ema_exact_series).
     ud = ev.groupBy(
         "user_id",
         F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias(
             "x"
         ),
-    ).agg(F.avg("value").alias("y"))
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
     out = theil_sen(ud, "user_id", "x", "y")
+    # floor-based half-up rounding, NOT ROUND(): a slope landed on an
+    # exact .5 at the 6th decimal (-2.0490625 at sf0.1), where Spark
+    # rounds half-away and DuckDB half-to-even — floor(x·1e6 + 0.5)
+    # is the same IEEE arithmetic in both engines.
+    r6hu = F.floor(F.col("sen_slope") * 1000000.0 + 0.5) / 1000000.0
     return out.select(
-        "user_id", R6(F.col("sen_slope")).alias("sen_slope"), "n_pairs"
+        "user_id", r6hu.alias("sen_slope"), "n_pairs"
     ).orderBy("user_id")
 
 

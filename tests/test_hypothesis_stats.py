@@ -127,7 +127,13 @@ def test_theil_sen_matches_bruteforce_and_robust(spark):
         for j in range(i + 1, len(xs))
     ]
     assert out["n_pairs"] == len(slopes)
-    assert out["sen_slope"] == pytest.approx(np.median(slopes), rel=1e-12)
+    # DISCRETE lower median (sorted element ceil(n/2), 1-based) — the
+    # bit-exact cross-engine contract; within half a slope-gap of
+    # numpy's interpolated median
+    import math
+
+    discrete = sorted(slopes)[math.ceil(len(slopes) / 2) - 1]
+    assert out["sen_slope"] == pytest.approx(discrete, rel=1e-12)
     assert out["sen_slope"] == pytest.approx(2.0, abs=0.05)  # outlier-proof
 
 
