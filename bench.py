@@ -213,22 +213,61 @@ def main() -> None:
         pass
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail (all timings + raw runs + errors) goes to a
+    # sidecar file — round 4's single stdout line grew past the
+    # driver's 2000-char tail buffer and BENCH_r04 recorded
+    # "parsed": null. The printed line is kept compact and LAST.
+    detail = {
         "metric": "suite_headline_total",
         "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
+        "sf": sf_val,
         "queries": timings,
         # Per-query raw runs (run1 = first timed execution of the
         # shape, pays whole-stage-codegen classgen + JIT; later runs =
-        # steady state). Makes JIT-vs-plan regressions diagnosable
-        # from the JSON alone.
+        # steady state). Makes JIT-vs-plan regressions diagnosable.
         "runs": all_runs,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
+    if gold_rebuild_s is not None:
+        detail["gold_rebuild_3_tables_sec"] = gold_rebuild_s
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    out = {
+        "metric": "suite_headline_total",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail_file": "bench_detail.json",
+    }
+    if errors:
+        out["n_errors"] = len(errors)
     if gold_rebuild_s is not None:
         out["gold_rebuild_3_tables_sec"] = gold_rebuild_s
+    # Include as many per-query timings as fit: slowest first (the
+    # informative tail), hard cap the serialized line at 1800 bytes so
+    # the driver's 2000-char stdout tail always contains complete JSON.
+    ranked = sorted(
+        ((n, t) for n, t in timings.items() if t is not None),
+        key=lambda kv: -kv[1],
+    )
+    shown: dict[str, float] = {}
+    for name, t in ranked:
+        shown[name] = t
+        out["queries"] = shown
+        out["queries_shown"] = len(shown)
+        if len(json.dumps(out)) > 1800:
+            del shown[name]
+            out["queries"] = shown
+            out["queries_shown"] = len(shown)
+            break
     print(json.dumps(out))
 
 

@@ -994,14 +994,27 @@ def prefix_filter_pairs(
     prefix — two qualifying docs always share a prefix token
     (pigeonhole, no probability involved).
 
-    Scale shape: shingle df is one aggregate; the rarity rank joins
-    back by token; candidates are an equi-join on PREFIX token only —
-    and because the order is rarest-first, prefix tokens are
-    systematically the low-df ones, which is what keeps buckets small
-    without a cap (the frequent tokens that would explode a bucket
-    sort to the END of every document and never enter short
-    prefixes). A length filter (|y| ≥ t·|x|) prunes before exact
-    verification; verification touches candidates only.
+    Scale shape: shingle df is one aggregate; candidates are an
+    equi-join on PREFIX token only — and because the order is
+    rarest-first, prefix tokens are systematically the low-df ones,
+    which is what keeps buckets small without a cap (the frequent
+    tokens that would explode a bucket sort to the END of every
+    document and never enter short prefixes). A length filter
+    (|y| ≥ t·|x|) prunes before exact verification; verification
+    touches candidates only.
+
+    The global rarity order is (df, token) ASC applied PER DOCUMENT
+    via sort_array over (df, token) structs — there is deliberately
+    NO global row_number window: ranks were only ever used as
+    equi-join keys, and the token itself serves identically. The
+    rank version forced every distinct shingle through a single
+    partition (Window.orderBy with no partitionBy — a
+    one-core sort of |distinct shingles| rows that measured 10-25 s
+    of the old sf0.1 runtime and would be an outright straggler at
+    100 TB); the struct sort is per-row, embarrassingly parallel.
+    The verify sets are reconstructed from the SAME sorted arrays
+    (transform to token), so the shingle pipeline isn't recomputed
+    on a second branch.
     """
     sets = shingle_sets(df, id_col, text_col, n=n).select(
         F.col("doc_id"), F.col("shingles")
@@ -1010,28 +1023,32 @@ def prefix_filter_pairs(
         "doc_id", F.explode("shingles").alias("tok")
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.orderBy(F.col("df").asc(), F.col("tok").asc())
-    ranked = dfreq.withColumn("rk", F.row_number().over(w)).select(
-        "tok", "rk"
-    )
-    doc_ranks = (
-        toks.join(ranked, "tok")
+    doc_ord = (
+        toks.join(dfreq, "tok")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("rk")).alias("rks"))
-        .withColumn("sz", F.size("rks"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ord")
+        )
+        .withColumn("sz", F.size("ord"))
     )
     prefix_len = F.col("sz") - F.ceil(
         F.lit(float(threshold)) * F.col("sz")
     ).cast("int") + 1
-    prefixes = doc_ranks.select(
+    prefixes = doc_ord.select(
         "doc_id",
         "sz",
-        F.explode(F.slice(F.col("rks"), 1, prefix_len)).alias("rk"),
+        F.explode(
+            F.transform(
+                F.slice(F.col("ord"), 1, prefix_len), lambda s: s["tok"]
+            )
+        ).alias("ptok"),
     )
     a = prefixes.alias("a")
     b = prefixes.alias("b")
     cand = (
-        a.join(b, on=F.col("a.rk") == F.col("b.rk"))
+        a.join(b, on=F.col("a.ptok") == F.col("b.ptok"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         # length filter: Jaccard >= t forces t*max(size) <= min(size)
         .filter(
@@ -1044,11 +1061,15 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    sa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    doc_sets = doc_ord.select(
+        "doc_id",
+        F.transform("ord", lambda s: s["tok"]).alias("sh"),
     )
-    sb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (

@@ -149,6 +149,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (argmax with
     deterministic centroid-id tie-break). Centroids broadcast; the
@@ -175,19 +176,21 @@ def assign_cells(
     ).select(
         F.col(id_col),
         vec_col,
+        *carry,
         centroid_id,
         (dot(F.col(vec_col), F.col("cent_vec"))
          / (F.col("_vnorm") * F.col("cent_norm"))).alias("cent_sim"),
     )
     best = scored.groupBy(id_col).agg(
         F.max_by(
-            F.struct(centroid_id, vec_col),
+            F.struct(centroid_id, vec_col, *carry),
             F.struct(F.col("cent_sim"), -F.col(centroid_id)),
         ).alias("_m")
     )
     return best.select(
         id_col,
         F.col(f"_m.{vec_col}").alias(vec_col),
+        *[F.col(f"_m.{c}").alias(c) for c in carry],
         F.col(f"_m.{centroid_id}").alias(centroid_id),
     )
 
@@ -307,12 +310,23 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 3,
+    carry_query: tuple[str, ...] = (),
+    carry_corpus: tuple[str, ...] = (),
+    predicate=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest cells per
     query, exact cosine rank within the probed cells. The
     candidate join is an equi-join on centroid_id — shuffle keyed by
-    cell, never a full cross join."""
-    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    cell, never a full cross join.
+
+    ``carry_query`` / ``carry_corpus`` name extra columns (already
+    distinctly named on each side) to ride along to the candidate
+    join, where ``predicate`` (a Column over them) filters candidates
+    BEFORE scoring — e.g. hard-negative mining's label-mismatch
+    filter runs inside the probed cells, not over the corpus."""
+    assigned = assign_cells(
+        corpus, centroids, id_col, vec_col, carry=carry_corpus
+    )
     cent = centroids.select(
         "centroid_id",
         F.col(vec_col).alias("cent_vec"),
@@ -323,12 +337,14 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             norm(F.col(vec_col)).alias("q_norm"),
+            *carry_query,
         )
         .crossJoin(F.broadcast(cent))
         .select(
             "query_id",
             "q_vec",
             "q_norm",
+            *carry_query,
             "centroid_id",
             (dot(F.col("q_vec"), F.col("cent_vec"))
              / (F.col("q_norm") * F.col("cent_norm"))).alias("cent_sim"),
@@ -340,17 +356,20 @@ def ivf_topk(
     probed = (
         q_cells.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", "centroid_id")
+        .select("query_id", "q_vec", "q_norm", *carry_query, "centroid_id")
     )
     cand = probed.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             norm(F.col(vec_col)).alias("c_norm"),
+            *carry_corpus,
             "centroid_id",
         ),
         on="centroid_id",
     ).filter(F.col("neighbor_id") != F.col("query_id"))
+    if predicate is not None:
+        cand = cand.filter(predicate)
     scored = cand.select(
         "query_id",
         "neighbor_id",

@@ -109,7 +109,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM e) AS n_edges,
-       (SELECT SUM(d * (d - 1)) // 2 FROM deg) AS n_wedges,
+       (SELECT CAST(SUM(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+         AS n_wedges,
        (SELECT n_triangles FROM tri) AS n_triangles,
        ROUND(3.0 * (SELECT n_triangles FROM tri)
              / (SELECT SUM(d * (d - 1)) // 2 FROM deg), 6) AS clustering

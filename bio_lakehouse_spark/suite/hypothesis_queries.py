@@ -110,7 +110,7 @@ WITH obs AS (
 )
 SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
        (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
-       SUM(o) AS n
+       CAST(SUM(o) AS BIGINT) AS n
 FROM cells
 """,
 )
@@ -154,7 +154,7 @@ WITH per_v AS (
   FROM per_v
 )
 SELECT ROUND(MAX(ABS(f1 - f2)), 6) AS ks_d,
-       MAX(n1) AS n1, MAX(n2) AS n2
+       CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2
 FROM ecdf
 """,
 )
@@ -187,8 +187,8 @@ SELECT e.event_type,
        ROUND(MAX(t.med), 6) AS median,
        ROUND(MAX(t.mad), 6) AS mad,
        MAX(t.n) AS n,
-       SUM(CASE WHEN ABS(e.value - t.med) > 3.0 * 1.4826 * t.mad
-                THEN 1 ELSE 0 END) AS n_anomalies
+       CAST(SUM(CASE WHEN ABS(e.value - t.med) > 3.0 * 1.4826 * t.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM events e JOIN madt t USING (event_type)
 WHERE e.value IS NOT NULL
 GROUP BY e.event_type

@@ -1089,8 +1089,10 @@ WITH fd AS (
   FROM customer GROUP BY c_nationkey
 )
 SELECT COUNT(*) AS n_lhs_values,
-       SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating_lhs,
-       SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS rows_in_violation,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violating_lhs,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END)
+            AS BIGINT) AS rows_in_violation,
        MAX(n_rhs) AS max_rhs_per_lhs
 FROM fd
 """,

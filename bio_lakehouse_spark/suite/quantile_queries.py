@@ -220,7 +220,8 @@ WITH wv AS (
          COUNT(*) OVER (PARTITION BY flag) AS nv
   FROM wv
 )
-SELECT flag, MIN(v) AS w_median, MIN(tw) AS total_weight,
+SELECT flag, MIN(v) AS w_median,
+       CAST(MIN(tw) AS BIGINT) AS total_weight,
        MIN(nv) AS n_values
 FROM cum WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag
 """,

@@ -1133,7 +1133,7 @@ WITH ca AS (
 ), cb AS (
   SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1
 ), est AS (
-  SELECT SUM(ca.c * cb.c) AS predicted_rows,
+  SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS predicted_rows,
          COUNT(*) AS n_matching_keys,
          MAX(ca.c * cb.c) AS max_key_contribution
   FROM ca JOIN cb USING (k)

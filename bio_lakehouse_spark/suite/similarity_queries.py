@@ -954,14 +954,33 @@ def semdedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hard_negative_mining",
     survey=("O4", "F9", "J6"),
     oracle=f"""
-WITH q AS (
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, embedding, clabel, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, v.label AS clabel, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC,
+                      cent.centroid_id) AS rn
+    FROM embeddings v, cent
+  ) WHERE rn = 1
+), q AS (
   SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
   FROM embeddings WHERE vec_id % 50 = 0
+), probed AS (
+  SELECT query_id, qv, qlabel, centroid_id FROM (
+    SELECT q.query_id, q.qv, q.qlabel, cent.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='q.qv', b='cent.cv')} DESC,
+                      cent.centroid_id) AS rn
+    FROM q, cent
+  ) WHERE rn <= 3
 ), scored AS (
-  SELECT q.query_id, c.vec_id AS neg_id,
-         {_COS.format(a='q.qv', b='c.embedding')} AS cos_sim
-  FROM embeddings c, q
-  WHERE c.label <> q.qlabel
+  SELECT p.query_id, a.vec_id AS neg_id,
+         {_COS.format(a='p.qv', b='a.embedding')} AS cos_sim
+  FROM probed p JOIN assigned a ON a.centroid_id = p.centroid_id
+  WHERE a.clabel <> p.qlabel AND a.vec_id <> p.query_id
 ), ranked AS (
   SELECT query_id, neg_id, cos_sim,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -976,36 +995,39 @@ FROM ranked WHERE rank <= 3
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR /
     SimCSE negative sampler): per query, the top-3 most-similar
-    corpus vectors whose LABEL differs — maximally confusable
-    negatives. Same broadcast-scorer shape as ann_cosine_topk with
-    the label-mismatch predicate pushed into the scoring join; at
-    index scale the candidates come from the IVF probe and the label
-    filter rides along."""
+    vectors whose LABEL differs — maximally confusable negatives.
+    Candidates come from the IVF probe (same centroids/nprobe as
+    ann_ivf_topk) with the label-mismatch predicate riding the
+    candidate equi-join — cost is nprobe/ncells of the old
+    corpus×queries broadcast scorer (29 s → ~1 s at sf0.1), and the
+    shuffle stays keyed by cell. The oracle replicates the probe
+    semantics exactly (deterministic centroid-id tie-breaks), so
+    this is hash-gated ANN, not rows-only."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("label").alias("qlabel"),
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    from bio_lakehouse_spark.operators.similarity import cosine
-    from pyspark.sql import Window
-
-    scored = emb.crossJoin(F.broadcast(q)).filter(
-        F.col("label") != F.col("qlabel")
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neg_id"),
-        cosine(F.col("qv"), F.col("embedding")).alias("cos_sim"),
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding", F.col("label").alias("qlabel")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neg_id")
+    corpus = emb.select(
+        "vec_id", "embedding", F.col("label").alias("clabel")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "query_id", "neg_id", "rank", R6(F.col("cos_sim")).alias("cos_sim")
-        )
+    out = ivf_topk(
+        corpus,
+        queries,
+        centroids,
+        k=3,
+        nprobe=3,
+        carry_query=("qlabel",),
+        carry_corpus=("clabel",),
+        predicate=F.col("clabel") != F.col("qlabel"),
+    )
+    return out.select(
+        F.col("query_id"),
+        F.col("neighbor_id").alias("neg_id"),
+        "rank",
+        R6(F.col("cos_sim")).alias("cos_sim"),
     )
 
 
@@ -1153,8 +1175,10 @@ WITH cent AS (
     FROM split v, cent) WHERE rn = 1
 ), counts AS (
   SELECT c.centroid_id,
-         COALESCE(SUM(CASE WHEN a.half = 'ref' THEN 1 END), 0) AS n_ref,
-         COALESCE(SUM(CASE WHEN a.half = 'cur' THEN 1 END), 0) AS n_cur
+         CAST(COALESCE(SUM(CASE WHEN a.half = 'ref' THEN 1 END), 0)
+              AS BIGINT) AS n_ref,
+         CAST(COALESCE(SUM(CASE WHEN a.half = 'cur' THEN 1 END), 0)
+              AS BIGINT) AS n_cur
   FROM cent c LEFT JOIN assigned a USING (centroid_id)
   GROUP BY c.centroid_id
 ), tot AS (

@@ -797,40 +797,218 @@ def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("walk_forward_cv_daily", survey=("ST14",), oracle=None)
-def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Walk-forward CV of a ridge next-day-value predictor vs the
-    naive 7-day-mean baseline (ST14 — ref models/readiness_predictor/
-    train.py:95-464): feature table distributed, expanding-window CV
-    on the driver. Deterministic → rows-only."""
-    import numpy as np
+def _det3(m: list[list[str]]) -> str:
+    """Fully-parenthesized 3×3 determinant over SQL sub-expressions
+    (first-row cofactor expansion, 2×2 minors as (ps−qr)). The SAME
+    string is evaluated by Spark's F.expr and by DuckDB, so both
+    engines execute an identical IEEE-double expression tree —
+    neither optimizer reassociates float arithmetic."""
+    (a, b, c), (d, e, f), (g, h, i) = m
 
-    from bio_lakehouse_spark.products.numerics import walk_forward_cv
+    def m2(p, q, r, s):
+        return f"(({p})*({s})-({q})*({r}))"
 
-    daily = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.to_date("ts").alias("date"))
-        .agg(
-            F.sum("value").alias("total_value"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.avg("value").alias("avg_value"),
-        )
-        .orderBy("date")
-        .toPandas()
+    return (
+        f"(({a})*{m2(e, f, h, i)}-({b})*{m2(d, f, g, i)}"
+        f"+({c})*{m2(d, e, g, h)})"
     )
-    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
-    X = daily[["total_value", "n_events", "avg_value"]].to_numpy(dtype=float)[:-1]
-    res = walk_forward_cv(X, y, min_train=10, test_window=5)
-    rows = [
-        {
-            "metric": "mae", "value": round(res["mae"], 6),
-        },
-        {"metric": "rmse", "value": round(res["rmse"], 6)},
-        {"metric": "r2", "value": round(res["r2"], 6) if res["r2"] is not None else None},
-        {"metric": "naive_mae", "value": round(res["naive_mae"], 6)},
-        {"metric": "n_folds", "value": float(res["n_folds"])},
+
+
+def _det4(m: list[list[str]]) -> str:
+    """4×4 determinant by first-row cofactor expansion over _det3."""
+    parts = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = "-" if j % 2 else "+"
+        parts.append(f"{sign}({m[0][j]})*{_det3(minor)}")
+    return "(" + "".join(parts).lstrip("+") + ")"
+
+
+def _ridge_cramer_sql() -> dict[str, str]:
+    """Cramer's-rule solution of the 3-feature ridge normal equations
+    (XᵀX + αI with UNPENALIZED intercept, α=1.0 — exactly
+    products.numerics.ridge_closed_form) as SQL strings over the
+    fold's cumulative sufficient-statistic columns
+    s1..s3, sy, s11..s23, s1y..s3y, n."""
+    A = [
+        ["(s11+1.0)", "s12", "s13", "s1"],
+        ["s12", "(s22+1.0)", "s23", "s2"],
+        ["s13", "s23", "(s33+1.0)", "s3"],
+        ["s1", "s2", "s3", "n"],
     ]
-    return spark.createDataFrame(rows, schema="metric string, value double")
+    rhs = ["s1y", "s2y", "s3y", "sy"]
+
+    def replaced(i):
+        return [
+            [rhs[r] if c == i else A[r][c] for c in range(4)]
+            for r in range(4)
+        ]
+
+    return {
+        "det": _det4(A),
+        "d1": _det4(replaced(0)),
+        "d2": _det4(replaced(1)),
+        "d3": _det4(replaced(2)),
+        "d0": _det4(replaced(3)),
+    }
+
+
+_RIDGE = _ridge_cramer_sql()
+
+_WALK_FORWARD_RIDGE_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS total_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1
+), r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY date) AS rn,
+         total_value AS x1, n_events AS x2, avg_value AS x3,
+         LEAD(total_value) OVER (ORDER BY date) AS y
+  FROM d
+), s AS (
+  SELECT rn, x1, x2, x3, y FROM r WHERE y IS NOT NULL
+), c AS (
+  SELECT rn, x1, x2, x3, y,
+         CAST(rn AS DOUBLE) AS n,
+         SUM(x1) OVER w AS s1, SUM(x2) OVER w AS s2,
+         SUM(x3) OVER w AS s3, SUM(y) OVER w AS sy,
+         SUM(x1*x1) OVER w AS s11, SUM(x2*x2) OVER w AS s22,
+         SUM(x3*x3) OVER w AS s33, SUM(x1*x2) OVER w AS s12,
+         SUM(x1*x3) OVER w AS s13, SUM(x2*x3) OVER w AS s23,
+         SUM(x1*y) OVER w AS s1y, SUM(x2*y) OVER w AS s2y,
+         SUM(x3*y) OVER w AS s3y,
+         AVG(y) OVER (ORDER BY rn
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS trail7,
+         MAX(rn) OVER () AS n_series
+  FROM s
+  WINDOW w AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), coef AS (
+  SELECT CAST((rn - 10) // 5 AS BIGINT) AS fold,
+         rn AS t, trail7 AS naive_pred,
+         ({_RIDGE['d1']}) / ({_RIDGE['det']}) AS b1,
+         ({_RIDGE['d2']}) / ({_RIDGE['det']}) AS b2,
+         ({_RIDGE['d3']}) / ({_RIDGE['det']}) AS b3,
+         ({_RIDGE['d0']}) / ({_RIDGE['det']}) AS b0
+  FROM c
+  WHERE rn >= 10 AND (rn - 10) % 5 = 0 AND rn <= n_series - 2
+), scored AS (
+  SELECT coef.fold, coef.t, coef.naive_pred,
+         s.y, coef.b1*s.x1 + coef.b2*s.x2 + coef.b3*s.x3 + coef.b0
+           AS pred
+  FROM coef JOIN s ON s.rn BETWEEN coef.t + 1 AND coef.t + 5
+)
+SELECT fold, CAST(t AS BIGINT) AS train_n,
+       CAST(COUNT(*) AS BIGINT) AS test_n,
+       ROUND(naive_pred, 6) AS naive_pred,
+       ROUND(AVG(ABS(y - naive_pred)), 6) AS naive_mae,
+       ROUND(AVG(ABS(y - pred)), 6) AS ridge_mae
+FROM scored GROUP BY fold, t, naive_pred ORDER BY fold
+"""
+
+
+@register(
+    "walk_forward_cv_daily", survey=("ST14",),
+    oracle=_WALK_FORWARD_RIDGE_ORACLE,
+)
+def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV of the ridge next-day-value predictor vs the
+    naive 7-day-mean baseline (ST14 — ref models/readiness_predictor/
+    train.py:95-464), now FULLY DISTRIBUTED and driver-hashed: the
+    expanding-window folds are cumulative sufficient statistics
+    (ordered-window sums — one pass, no per-fold rescans), and the
+    ridge normal equations (XᵀX + αI, unpenalized intercept, α=1 —
+    identical to numerics.ridge_closed_form) are solved per fold by
+    Cramer's rule, whose determinant expressions are GENERATED ONCE
+    and evaluated verbatim by both Spark (F.expr) and the DuckDB
+    oracle — the two engines execute the same IEEE expression tree.
+    Emits one row per fold (fold, train_n, test_n, naive_pred,
+    naive_mae, ridge_mae). At 100 TB the sufficient-stat pass scales
+    as one windowed scan; fold count stays O(days), never O(rows)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        R6(F.avg("value")).alias("avg_value"),
+    )
+    wd = Window.orderBy("date")
+    r = d.select(
+        F.row_number().over(wd).alias("rn"),
+        F.col("total_value").alias("x1"),
+        F.col("n_events").alias("x2"),
+        F.col("avg_value").alias("x3"),
+        F.lead("total_value").over(wd).alias("y"),
+    )
+    s = r.filter(F.col("y").isNotNull())
+    w = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    w7 = Window.orderBy("rn").rowsBetween(-6, 0)
+    wall = Window.partitionBy()
+    cum = s.select(
+        "rn", "x1", "x2", "x3", "y",
+        F.col("rn").cast("double").alias("n"),
+        F.sum("x1").over(w).alias("s1"),
+        F.sum("x2").over(w).alias("s2"),
+        F.sum("x3").over(w).alias("s3"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).over(w).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).over(w).alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).over(w).alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).over(w).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).over(w).alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).over(w).alias("s23"),
+        F.sum(F.col("x1") * F.col("y")).over(w).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).over(w).alias("s2y"),
+        F.sum(F.col("x3") * F.col("y")).over(w).alias("s3y"),
+        F.avg("y").over(w7).alias("trail7"),
+        F.max("rn").over(wall).alias("n_series"),
+    )
+    coef = cum.filter(
+        (F.col("rn") >= 10)
+        & ((F.col("rn") - 10) % 5 == 0)
+        & (F.col("rn") <= F.col("n_series") - 2)
+    ).select(
+        ((F.col("rn") - 10) / 5).cast("long").alias("fold"),
+        F.col("rn").alias("t"),
+        F.col("trail7").alias("naive_pred"),
+        F.expr(f"({_RIDGE['d1']}) / ({_RIDGE['det']})").alias("b1"),
+        F.expr(f"({_RIDGE['d2']}) / ({_RIDGE['det']})").alias("b2"),
+        F.expr(f"({_RIDGE['d3']}) / ({_RIDGE['det']})").alias("b3"),
+        F.expr(f"({_RIDGE['d0']}) / ({_RIDGE['det']})").alias("b0"),
+    )
+    scored = coef.join(
+        s,
+        (F.col("rn") >= F.col("t") + 1) & (F.col("rn") <= F.col("t") + 5),
+    ).select(
+        "fold", "t", "naive_pred", "y",
+        (
+            F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+            + F.col("b3") * F.col("x3")
+            + F.col("b0")
+        ).alias("pred"),
+    )
+    return (
+        scored.groupBy("fold", "t", "naive_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("test_n"),
+            R6(F.avg(F.abs(F.col("y") - F.col("naive_pred")))).alias(
+                "naive_mae"
+            ),
+            R6(F.avg(F.abs(F.col("y") - F.col("pred")))).alias("ridge_mae"),
+        )
+        .select(
+            "fold",
+            F.col("t").cast("long").alias("train_n"),
+            "test_n",
+            R6(F.col("naive_pred")).alias("naive_pred"),
+            "naive_mae",
+            "ridge_mae",
+        )
+        .orderBy("fold")
+    )
 
 
 @register(
@@ -994,8 +1172,15 @@ def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     train.py:95-464): naive baseline + ridge + elastic_net + gbm under
     identical expanding-window folds on the daily events series, plus
     GBM feature importances. Feature build distributed; solvers on the
-    collected daily-grain frame. Deterministic → rows-only (the naive
-    scaffolding is driver-hashed via walk_forward_naive_audit)."""
+    collected daily-grain frame. Rows-only BY DESIGN, and only for
+    the zoo members that are genuinely non-SQL: GBM (greedy tree
+    induction) and ElasticNet (iterative coordinate descent) have no
+    closed form an oracle could replicate. Every deterministic part
+    of this machinery IS driver-hashed elsewhere: fold boundaries +
+    naive baseline (walk_forward_naive_audit), the ridge member
+    per-fold (walk_forward_cv_daily's Cramer-rule oracle), and the
+    ridge solve itself (ridge_normal_equation_audit); the solvers are
+    additionally property-tested (test_products.py)."""
     from bio_lakehouse_spark.products.numerics import model_zoo_cv
 
     daily = (

@@ -1476,7 +1476,7 @@ SELECT shard, CAST(bin_id AS INT) AS bin_id,
        CASE WHEN MAX(CASE WHEN is_long THEN doc END) IS NULL THEN -1
             ELSE COALESCE(MAX(CASE WHEN NOT is_long THEN doc END), -1)
        END AS short_id,
-       SUM(n_tok) AS pair_tok
+       CAST(SUM(n_tok) AS BIGINT) AS pair_tok
 FROM binned GROUP BY shard, bin_id
 """,
 )
@@ -1682,7 +1682,8 @@ WITH dw AS (
   SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS n_grams,
-         SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+         CAST(SUM(CASE WHEN d.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
   FROM grams LEFT JOIN dupg d USING (g)
   GROUP BY doc_id
 )
@@ -1998,11 +1999,13 @@ def _pii_scan_oracle() -> str:
         branches.append(f"""
   SELECT 'documents.text' AS column_name, '{cls}' AS pii_type,
          COUNT(*) AS n_rows,
-         SUM(CASE WHEN regexp_matches(t, '{pat}') THEN 1 ELSE 0 END) AS n_hits
+         CAST(SUM(CASE WHEN regexp_matches(t, '{pat}') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
   FROM aug""")
         branches.append(f"""
   SELECT 'events.props', '{cls}', COUNT(*),
-         SUM(CASE WHEN regexp_matches(props, '{pat}') THEN 1 ELSE 0 END)
+         CAST(SUM(CASE WHEN regexp_matches(props, '{pat}') THEN 1 ELSE 0 END)
+              AS BIGINT)
   FROM events""")
     body = "\n  UNION ALL".join(branches)
     return f"""

@@ -52,6 +52,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_family(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty → pass)."""
     problems: list[str] = []
@@ -62,6 +74,20 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return problems
+    # Driver-faithful dtype gate: the driver hashes value reprs, so an
+    # int64 Spark column vs a float64 oracle column (`5` vs `5.0`)
+    # hash-mismatches even when values are bit-identical. The six r04
+    # red rows were exactly this (DuckDB SUM → HUGEINT → float64).
+    # Fail on int-vs-float family splits instead of coercing.
+    for c in sorted(spark_df.columns):
+        sf, of = _dtype_family(spark_df[c]), _dtype_family(oracle_df[c])
+        if {sf, of} == {"int", "float"}:
+            problems.append(
+                f"column {c}: dtype family mismatch spark={sf} oracle={of} "
+                f"(driver hashes 5 vs 5.0 differently — CAST the oracle)"
+            )
+    if problems:
         return problems
     s, o = _canon(spark_df), _canon(oracle_df)
     for c in s.columns:

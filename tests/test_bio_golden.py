@@ -136,7 +136,8 @@ SELECT *,
        ELSE CAST(COALESCE(readiness_score, sleep_score) AS DOUBLE)
   END AS combined_wellness_score,
   COALESCE(workout_count, 0) + COALESCE(hk_workout_count, 0) AS total_workout_count,
-  COALESCE(peloton_calories, 0) + COALESCE(hk_calories, 0) AS total_calories_all_sources,
+  CAST(COALESCE(peloton_calories, 0) + COALESCE(hk_calories, 0)
+       AS BIGINT) AS total_calories_all_sources,
   COALESCE(total_workout_minutes, 0) + COALESCE(hk_workout_minutes, 0) AS total_workout_minutes_all,
   COALESCE(workout_count, 0) + COALESCE(hk_workout_count, 0) > 0 AS had_workout,
   CASE WHEN readiness_score IS NOT NULL AND sleep_score IS NOT NULL

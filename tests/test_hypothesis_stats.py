@@ -209,3 +209,43 @@ def test_holt_linear_drops_single_point_series(spark):
     )
     rows = holt_linear(df, "e", "t", "v").collect()
     assert {r["e"] for r in rows} == {"b"}
+
+
+def test_walk_forward_ridge_sql_matches_numpy(spark, sf_dir):
+    """The Cramer's-rule per-fold ridge in walk_forward_cv_daily must
+    reproduce numerics.walk_forward_cv(model='ridge') — same folds,
+    same normal equations (alpha=1, unpenalized intercept) — on the
+    SAME rounded daily feature table the query uses."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.products.numerics import walk_forward_cv
+    from bio_lakehouse_spark.suite.registry import REGISTRY, load
+
+    sdf = REGISTRY["walk_forward_cv_daily"].fn(spark, sf_dir).toPandas()
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
+    X = daily[["total_value", "n_events", "avg_value"]].to_numpy(
+        dtype=float
+    )[:-1]
+    res = walk_forward_cv(X, y, min_train=10, test_window=5)
+    # numpy loop emits a final short fold the SQL contract drops when
+    # t > n-2 never fires; compare the common prefix fold-by-fold.
+    folds = res["folds"][: len(sdf)]
+    assert len(sdf) == len(folds) and len(folds) >= 2
+    for row, fold in zip(sdf.sort_values("fold").itertuples(), folds):
+        assert row.train_n == fold["train_n"]
+        assert row.test_n == fold["test_n"]
+        assert abs(row.ridge_mae - fold["mae"]) < 1e-4, (
+            row.fold, row.ridge_mae, fold["mae"])
+        assert abs(row.naive_mae - fold["naive_mae"]) < 1e-4
