@@ -196,3 +196,55 @@ def temperature_mixture_sample(
     return sample_by_hash(
         df.join(F.broadcast(rates), strata_col), key, F.col("mix_rate"), salt
     )
+
+
+def unimax_quotas(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    budget_frac: float = 0.3,
+    max_epochs: float = 0.35,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total
+    budget (``budget_frac`` of corpus size) as uniformly as possible
+    across strata, capping each stratum at ``max_epochs`` passes over
+    its own data. The iterative allocate-then-redistribute loop of
+    the paper has the closed water-filling form quota_s =
+    min(cap_s, θ) with level θ = max_i (B − Σ_{j<i} cap_j)/(L−i+1)
+    over caps sorted ascending — one window over the |strata|-row
+    frame, no iteration, no driver loop.
+
+    Returns one row per stratum: (strata, stratum_size, cap, quota,
+    rate) where rate = quota/size is the acceptance probability a
+    content-addressed filter applies downstream."""
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(strata_col).agg(
+        F.sum(F.col(size_col)).cast("double").alias("__sz")
+    )
+    cap = (F.lit(float(max_epochs)) * F.col("__sz")).alias("__cap")
+    w = Window.orderBy(F.lit(float(max_epochs)) * F.col("__sz"), strata_col)
+    wall = Window.partitionBy()
+    s = sizes.select(
+        strata_col,
+        "__sz",
+        cap,
+        F.row_number().over(w).alias("__rk"),
+        F.sum(F.lit(float(max_epochs)) * F.col("__sz")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__cumcap"),
+        F.sum("__sz").over(wall).alias("__total"),
+        F.count(F.lit(1)).over(wall).alias("__L"),
+    )
+    budget = F.lit(float(budget_frac)) * F.col("__total")
+    theta = F.max(
+        (budget - (F.col("__cumcap") - F.col("__cap")))
+        / (F.col("__L") - F.col("__rk") + 1)
+    ).over(wall)
+    return s.select(
+        strata_col,
+        F.col("__sz").alias("stratum_size"),
+        F.col("__cap").alias("cap"),
+        F.least(F.col("__cap"), theta).alias("quota"),
+        (F.least(F.col("__cap"), theta) / F.col("__sz")).alias("rate"),
+    )

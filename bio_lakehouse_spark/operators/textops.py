@@ -423,3 +423,49 @@ def char_entropy(col: Column | str) -> Column:
         p = cnt / n
         expr = expr + F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
     return expr
+
+
+def dsir_importance(
+    df, id_col: str, text_col: str, target_col: str, dim: int = 4096
+):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every document by the hashed-n-gram log importance
+    ratio log p_target(doc) − log p_raw(doc), where both LMs are
+    add-one-smoothed unigram+bigram bucket distributions (the paper's
+    hashed n-gram generative model). ``target_col`` marks the target
+    seed docs; the raw distribution is the WHOLE corpus (not the
+    complement — that asymmetry is what distinguishes DSIR from the
+    NB classifier above). Selection is then top-k by logw (the
+    deterministic engine-side stand-in for the paper's Gumbel-noise
+    resample, which a caller can add by jittering logw).
+
+    Scale shape identical to nb_quality_classifier: bucket table
+    bounded by ``dim`` → broadcast; one groupBy(bucket) to train, one
+    keyed aggregate to score. Returns (id, n_feat, logw)."""
+    feats = df.select(
+        F.col(id_col),
+        F.col(target_col).cast("boolean").alias("__t"),
+        F.explode(hashed_ngram_features(text_col, dim)).alias("b"),
+    )
+    counts = feats.groupBy("b").agg(
+        F.count_if(F.col("__t")).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + dim).cast("double"))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + dim).cast("double"))
+        ).alias("lw"),
+    )
+    return (
+        feats.join(F.broadcast(weights), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            F.sum("lw").alias("logw"),
+        )
+    )

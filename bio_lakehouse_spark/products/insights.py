@@ -1375,14 +1375,30 @@ def _stats_table(stats: dict) -> str:
 
 
 class WeeklyReportGenerator:
-    """S17 (ref reports/weekly_report.py:121-205): fan across the
-    analyzers sequentially, render, deliver to a file sink."""
+    """S17 (ref reports/weekly_report.py:121-456): fan across the
+    analyzers sequentially, render Jinja2 HTML with embedded plotly
+    figure JSON (products.render — the reference's weekly.html
+    equivalent, with browser-side plotly.js standing in for the
+    reference's server-side PNG export), deliver to a file sink.
+    Falls back to the plain string template if jinja2 is absent."""
 
     def __init__(self, analyzers: list[InsightAnalyzer]) -> None:
         self.analyzers = analyzers
 
     def generate(self, week_label: str) -> tuple[str, list[InsightResult]]:
         results = [a.analyze() for a in self.analyzers]
+        try:
+            from bio_lakehouse_spark.products.render import (
+                render_weekly_html,
+            )
+
+            specs = {
+                r.name: a.visualize(r)
+                for a, r in zip(self.analyzers, results)
+            }
+            return render_weekly_html(week_label, results, specs), results
+        except (ImportError, RuntimeError):  # pragma: no cover
+            pass
         sections = []
         for r in results:
             caveats = (

@@ -500,3 +500,88 @@ def poststratification_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("w")).alias("weight"),
         R6(ess).alias("ess_fraction"),
     ).orderBy("lang")
+
+
+@register(
+    "unimax_budget_sample",
+    survey=("A1", "A13", "J5"),
+    oracle=f"""
+WITH lc AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS DOUBLE) AS chars
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_docs, chars, 0.35 * chars AS cap,
+         ROW_NUMBER() OVER (ORDER BY 0.35 * chars, lang) AS rk,
+         SUM(0.35 * chars) OVER (ORDER BY 0.35 * chars, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumcap,
+         SUM(chars) OVER () AS total,
+         COUNT(*) OVER () AS L
+  FROM lc
+), lvl AS (
+  SELECT MAX((0.3 * total - (cumcap - cap)) / (L - rk + 1)) AS theta
+  FROM s
+), q AS (
+  SELECT lang, n_docs, chars, LEAST(cap, theta) AS quota,
+         LEAST(cap, theta) / chars AS rate
+  FROM s, lvl
+), sm AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN q USING (lang)
+  WHERE {_U(salt='unimax:', two60=float(1 << 60))} < q.rate
+)
+SELECT q.lang, q.n_docs, CAST(q.chars AS BIGINT) AS lang_chars,
+       ROUND(q.quota, 6) AS quota_chars, ROUND(q.rate, 6) AS rate,
+       CAST(COUNT(sm.n_chars) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(sm.n_chars), 0) AS BIGINT) AS sampled_chars
+FROM q LEFT JOIN sm USING (lang)
+GROUP BY q.lang, q.n_docs, q.chars, q.quota, q.rate
+ORDER BY q.lang
+""",
+)
+def unimax_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): a 30%-of-corpus
+    character budget spread as uniformly as possible across languages
+    with a 0.35-epoch per-language cap, via the closed water-filling
+    level (operators/sampling.unimax_quotas — no iterative
+    redistribution loop). Membership is content-addressed
+    (hash_unit), so the oracle reproduces the exact sampled set; the
+    gated frame publishes per-language quota, acceptance rate, and
+    realized sample size. At 100 TB: quota math on a |langs|-row
+    frame, one broadcast join, one scan-level filter."""
+    from bio_lakehouse_spark.operators.sampling import (
+        sample_by_hash,
+        unimax_quotas,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = unimax_quotas(
+        docs, "lang", "n_chars", budget_frac=0.3, max_epochs=0.35
+    )
+    sampled = sample_by_hash(
+        docs.join(F.broadcast(q.select("lang", "rate")), "lang"),
+        F.col("doc_id"),
+        F.col("rate"),
+        salt="unimax:",
+    )
+    agg = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+    base = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        q.join(base, "lang")
+        .join(agg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("stratum_size").cast("long").alias("lang_chars"),
+            R6(F.col("quota")).alias("quota_chars"),
+            R6(F.col("rate")).alias("rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.coalesce(F.col("sampled_chars"), F.lit(0))
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -9,7 +9,7 @@ the DuckDB oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.operators.graph import connected_components
@@ -2224,4 +2224,122 @@ def nb_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.avg((F.col("p") - F.col("y")) ** 2)).alias("brier"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "dsir_topk_selection",
+    survey=("A1", "F9", "O4"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, tgt, {_H60.format(v='unnest(w)')} % 4096 AS b FROM t
+  UNION ALL
+  SELECT doc_id, tgt,
+         {_H60.format(v="w[g] || ' ' || w[g+1]")} % 4096 AS b
+  FROM t, unnest(generate_series(1, len(w) - 1)) AS u(g)
+), counts AS (
+  SELECT b, COUNT(*) FILTER (tgt) AS ct, COUNT(*) AS cr
+  FROM f GROUP BY b
+), tot AS (
+  SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts
+), wt AS (
+  SELECT b, ln((ct + 1) / (nt + 4096.0))
+          - ln((cr + 1) / (nr + 4096.0)) AS lw
+  FROM counts, tot
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+         ROUND(SUM(lw), 6) AS logw
+  FROM f JOIN wt USING (b) GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_feat, logw,
+         ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, n_feat, logw
+FROM ranked WHERE rank <= 100 ORDER BY rank
+""",
+)
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance ratio log p_target − log p_raw per document
+    (target = lang='en' seed; raw = whole corpus), top-100 selected.
+    The distribution train is one groupBy over a dim-bounded bucket
+    table (broadcast back); top-k is TakeOrderedAndProject — at
+    100 TB the ranking never materializes a global sort, and
+    resampling quotas per shard follow from the same logw column.
+    Same feature map as nb_quality_filter → identical buckets in
+    both engines (operators/textops.dsir_importance)."""
+    from bio_lakehouse_spark.operators.textops import dsir_importance
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__t", F.col("lang") == "en"
+    )
+    out = dsir_importance(docs, "doc_id", "text", "__t", dim=4096)
+    scored = out.select(
+        "doc_id", "n_feat", R6(F.col("logw")).alias("logw")
+    )
+    w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "doc_id", "n_feat", "logw")
+        .orderBy("rank")
+    )
+
+
+@register(
+    "token_fertility_audit",
+    survey=("F9", "A10"),
+    oracle=r"""
+WITH d AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text),
+             '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe,
+         len(string_split(trim(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g')), ' ')) AS n_ws,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       ROUND(SUM(n_bpe) * 1.0 / SUM(n_ws), 6) AS fertility,
+       ROUND(SUM(n_chars) * 1.0 / SUM(n_bpe), 6) AS chars_per_token
+FROM d GROUP BY lang ORDER BY lang
+""",
+)
+def token_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish regex tokens per
+    whitespace word (the fertility metric that drives multilingual
+    token budgets) and chars-per-token (compression proxy). Pure
+    scan-level expressions aggregated per language — at 100 TB this
+    is one map-side-combined groupBy over ≤ |langs| rows. The
+    whitespace split here is the NORMALIZED words() array (textops),
+    mirrored exactly by the oracle's regexp_replace chain."""
+    from bio_lakehouse_spark.operators.textops import (
+        token_count_bpe_ish,
+        token_count_ws,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        token_count_bpe_ish("text").cast("long").alias("n_bpe"),
+        token_count_ws("text").cast("long").alias("n_ws"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_ws").alias("ws_tokens"),
+            R6(F.sum("n_bpe") / F.sum("n_ws")).alias("fertility"),
+            R6(F.sum("n_chars") / F.sum("n_bpe")).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )

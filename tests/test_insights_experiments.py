@@ -426,3 +426,66 @@ def test_every_analyzer_spec_renders_through_the_double(spark, gold):
              "y": "m7", "threshold": None},
             good,
         )
+
+
+def test_render_weekly_html_embeds_plotly_figures():
+    """products.render: plot specs become plotly figure JSON embedded
+    in the Jinja2 document (ref reports/weekly_report.py:121-456 +
+    templates/weekly.html — browser-side plotly.js replaces the
+    reference's server-side PNG export); narratives are autoescaped;
+    table-kind sections get no chart div."""
+    import json as _json
+
+    import pandas as pd
+
+    from bio_lakehouse_spark.products.insights import InsightResult
+    from bio_lakehouse_spark.products.render import (
+        plot_spec_to_plotly,
+        render_weekly_html,
+    )
+
+    df = pd.DataFrame(
+        {"date": pd.to_datetime(["2025-10-01", "2025-10-02"]),
+         "m7": [1.0, 2.0], "m30": [1.5, None]}
+    )
+    r_line = InsightResult(
+        name="hrv_trend", statistics={"n": 2}, narrative="up & away",
+        caveats=["Small sample (n=2 < 30) — treat as directional."],
+        data=df,
+    )
+    r_table = InsightResult(
+        name="nutrition", statistics={"kcal": 2000.5}, narrative="ok",
+    )
+    specs = {
+        "hrv_trend": {"kind": "line", "x": "date", "y": ["m7", "m30"],
+                      "title": "HRV"},
+        "nutrition": {"kind": "table", "title": "nutrition"},
+    }
+    html = render_weekly_html("2025-W41", [r_line, r_table], specs)
+    # narrative autoescaped, both sections present, one chart div only
+    assert "up &amp; away" in html
+    assert "<h2>hrv_trend</h2>" in html and "<h2>nutrition</h2>" in html
+    assert html.count('class="chart"') == 1
+    assert "cdn.plot.ly" in html
+    # the embedded figure JSON parses and nulls the NaN gap
+    figs = _json.loads(
+        html.split("var FIGS = ")[1].split(";\n")[0]
+    )
+    (fig,) = figs.values()
+    assert [t["name"] for t in fig["data"]] == ["m7", "m30"]
+    assert fig["data"][1]["y"] == [1.5, None]
+    assert fig["data"][0]["x"] == ["2025-10-01T00:00:00", "2025-10-02T00:00:00"]
+
+    # threshold kind draws the dashed rule across the x extent
+    fig2 = plot_spec_to_plotly(
+        {"kind": "scatter+threshold", "x": "date", "y": "m7",
+         "threshold": 1.25, "title": "t"},
+        df,
+    )
+    assert fig2["data"][1]["y"] == [1.25, 1.25]
+    assert fig2["data"][1]["line"] == {"dash": "dash"}
+    # table kind and missing columns degrade to no figure
+    assert plot_spec_to_plotly({"kind": "table", "title": "t"}, df) is None
+    assert plot_spec_to_plotly(
+        {"kind": "line", "x": "nope", "y": "m7", "title": "t"}, df
+    ) is None

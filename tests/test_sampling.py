@@ -158,3 +158,55 @@ def test_temperature_mixture_flattens_sources(docs):
     expected = sum(r * n for r, n in rates.values())
     total = docs.count()
     assert abs(expected - total) / total < 0.05
+
+
+def test_unimax_water_filling_matches_iterative_loop(spark):
+    """unimax_quotas' closed-form level must equal UniMax's iterative
+    allocate-then-redistribute loop (Chung et al. 2023, Alg. 1) on
+    arbitrary stratum sizes, including all-saturated and none-
+    saturated regimes."""
+    import pandas as pd
+
+    from bio_lakehouse_spark.operators.sampling import unimax_quotas
+
+    def iterative(sizes, budget_frac, max_epochs):
+        total = sum(sizes.values())
+        budget = budget_frac * total
+        caps = {k: max_epochs * v for k, v in sizes.items()}
+        quotas = {}
+        remaining = dict(caps)
+        while remaining:
+            share = budget / len(remaining)
+            sat = {k: c for k, c in remaining.items() if c <= share}
+            if not sat:
+                for k in remaining:
+                    quotas[k] = share
+                break
+            for k, c in sat.items():
+                quotas[k] = c
+                budget -= c
+                del remaining[k]
+        return quotas
+
+    cases = [
+        {"a": 100.0, "b": 1000.0, "c": 5000.0, "d": 50.0},
+        {"a": 10.0, "b": 10.0, "c": 10.0},        # symmetric
+        {"a": 1.0, "b": 2.0, "c": 3000.0},        # extreme skew
+    ]
+    for sizes in cases:
+        for bf, me in [(0.3, 0.35), (0.9, 0.5), (0.2, 5.0)]:
+            pdf = pd.DataFrame(
+                {"s": list(sizes), "n": list(sizes.values())}
+            )
+            df = spark.createDataFrame(pdf)
+            got = {
+                r["s"]: r["quota"]
+                for r in unimax_quotas(
+                    df, "s", "n", budget_frac=bf, max_epochs=me
+                ).collect()
+            }
+            want = iterative(sizes, bf, me)
+            assert got.keys() == want.keys()
+            for k in want:
+                assert abs(got[k] - want[k]) < 1e-9 * max(1.0, want[k]), (
+                    sizes, bf, me, k, got[k], want[k])
