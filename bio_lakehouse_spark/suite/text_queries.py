@@ -2281,10 +2281,16 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = out.select(
         "doc_id", "n_feat", R6(F.col("logw")).alias("logw")
     )
+    # Global top-k via orderBy+limit (TakeOrderedAndProject: per-
+    # partition top-100 then a 100-row merge), NOT a corpus-wide
+    # row_number window — Spark's InferWindowGroupLimit never fires on
+    # an EMPTY partition spec (verified on 4.1), so the window form
+    # would single-partition-sort every document. The rank window then
+    # runs over the already-bounded 100-row frame.
+    top = scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(100)
     w = Window.orderBy(F.desc("logw"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 100)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "n_feat", "logw")
         .orderBy("rank")
     )
