@@ -133,6 +133,32 @@ HEADLINE = [
     "join_size_estimate",
 ]
 
+# The HEADLINE list above is PINNED (same membership every round) so
+# round-over-round totals are apples-to-apples. Queries not in it are
+# still benched on a rotation: each bench run times a deterministic
+# 32-query slice of the remaining registry, advanced by round index
+# (inferred from the BENCH_r*.json files the driver leaves in the repo
+# root), so the whole registry gets a perf datapoint about every 4
+# rounds without inflating the comparable headline total.
+ROTATION_SLICE = 32
+
+
+def rotation_queries() -> tuple[list[str], int]:
+    extras = sorted(set(REGISTRY) - set(HEADLINE))
+    if not extras:
+        return [], 0
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        round_idx = len(
+            [f for f in os.listdir(here)
+             if f.startswith("BENCH_r") and f.endswith(".json")]
+        )
+    except OSError:
+        round_idx = 0
+    start = (round_idx * ROTATION_SLICE) % len(extras)
+    picked = (extras + extras)[start : start + ROTATION_SLICE]
+    return picked[: len(extras)], start
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,8 +182,9 @@ def main() -> None:
     # builds all fixtures now, so run1 measures the query, not fixture
     # I/O (round-3 drift postmortem: fixture builds inside the first
     # timed run inflated it unpredictably).
+    rotation, rotation_start = rotation_queries()
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + rotation:
         try:
             REGISTRY[name].fn(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — recorded in timed loop
@@ -187,6 +214,18 @@ def main() -> None:
             all_runs[name] = [round(r, 3) for r in runs]
         except Exception as exc:  # noqa: BLE001 — always emit the line
             timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # Rotation slice: single timed run each (trend datapoint, not a
+    # headline-grade steady-state number — kept OUT of `value`).
+    rotation_timings: dict[str, float | None] = {}
+    for name in rotation:
+        try:
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].fn(spark, sf_dir))
+            rotation_timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — always emit the line
+            rotation_timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Bio-parity gold rebuild (BASELINE.md: the reference's daily
@@ -228,6 +267,18 @@ def main() -> None:
         # shape, pays whole-stage-codegen classgen + JIT; later runs =
         # steady state). Makes JIT-vs-plan regressions diagnosable.
         "runs": all_runs,
+        # Subset provenance: headline membership is pinned; rotation
+        # is the round's slice of the non-headline registry.
+        "subset": {
+            "headline": "pinned-v6",
+            "n_headline": len(HEADLINE),
+            "rotation_start": rotation_start,
+            "rotation_slice": len(rotation),
+        },
+        "rotation": rotation_timings,
+        "rotation_total": round(
+            sum(v for v in rotation_timings.values() if v is not None), 3
+        ),
     }
     if errors:
         detail["errors"] = errors
@@ -258,7 +309,12 @@ def main() -> None:
         ((n, t) for n, t in timings.items() if t is not None),
         key=lambda kv: -kv[1],
     )
+    # Always present even if every query errored or none fit the byte
+    # budget — a consumer must be able to tell "none fit" from "key
+    # missing".
     shown: dict[str, float] = {}
+    out["queries"] = shown
+    out["queries_shown"] = 0
     for name, t in ranked:
         shown[name] = t
         out["queries"] = shown

@@ -974,6 +974,127 @@ def ngram_containment_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Scalable EXACT containment join — same semantics as
+    ``ngram_containment_pairs`` (either-direction C ≥ t) but with
+    prefix-filter candidate generation instead of a within-block
+    quadratic self-join, so a corpus-sized block no longer explodes.
+
+    The asymmetric prefix lemma (PPJoin family adapted to overlap/
+    containment joins): for a qualifying pair, WLOG |A| ≤ |B|. Either
+    direction of containment ≥ t implies overlap ≥ ⌈t·|A|⌉ (C(A→B)
+    gives it directly; C(B→A) gives overlap ≥ t·|B| ≥ t·|A|). Order
+    A's shingles by global rarity (df asc, token); only ⌈t·|A|⌉ − 1
+    of A's tokens lie outside its first |A| − ⌈t·|A|⌉ + 1, so at
+    least one OVERLAP token sits in that prefix — i.e. the SMALLER
+    doc's prefix always intersects the larger doc's FULL shingle set.
+    Candidates are therefore prefix-tokens-of-smaller ⋈ all-tokens-
+    of-larger on (block, token): recall exactly 1, no probability.
+
+    Scale shape: token df is one aggregate; the rarest-first order
+    pushes frequent tokens out of every prefix, so join buckets stay
+    small without a cap; verification (array_intersect containment,
+    both directions) touches candidate pairs only. The probe side is
+    the full token table — linear, not quadratic, in block size."""
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    blocks = df.select(F.col(id_col).alias("doc_id"), *block_cols)
+    sh = (
+        sh.join(blocks, on="doc_id")
+        .withColumn("sz", F.size("shingles"))
+        .localCheckpoint()
+    )
+    # 8-byte hashed tokens as all exchange/join keys (the
+    # dedup_frequent_lines discipline): a hash collision can only ADD
+    # a false candidate, which exact verification discards — recall
+    # is untouched because equal tokens always hash equal.
+    toks = sh.select(
+        "doc_id",
+        *block_cols,
+        "sz",
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("__cptok"),
+    )
+    dfreq = toks.groupBy("__cptok").agg(F.count(F.lit(1)).alias("df"))
+    # Only the PREFIX branch needs the rarity sort; the probe and
+    # verify branches read the checkpointed shingle table directly.
+    prefix_len = F.col("sz") - F.ceil(
+        F.lit(float(threshold)) * F.col("sz")
+    ).cast("int") + 1
+    prefixes = (
+        toks.join(dfreq, "__cptok")
+        .groupBy("doc_id", *block_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "__cptok"))
+            ).alias("ord")
+        )
+        .withColumn("sz", F.size("ord"))
+        .select(
+            "doc_id",
+            *block_cols,
+            "sz",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ord"), 1, prefix_len),
+                    lambda s: s["__cptok"],
+                )
+            ).alias("__cptok"),
+        )
+    )
+    probe = toks
+    p, q = prefixes.alias("p"), probe.alias("q")
+    cond = F.col("p.__cptok") == F.col("q.__cptok")
+    for c in block_cols:
+        cond = cond & (F.col(f"p.{c}") == F.col(f"q.{c}"))
+    # p must be the (size, id)-lexicographically smaller doc — the
+    # side whose prefix the lemma covers; equal sizes tie-break on id
+    # so each pair is generated from exactly one direction.
+    cond = cond & (
+        (F.col("p.sz") < F.col("q.sz"))
+        | (
+            (F.col("p.sz") == F.col("q.sz"))
+            & (F.col("p.doc_id") < F.col("q.doc_id"))
+        )
+    )
+    cand = (
+        p.join(q, cond)
+        .select(
+            F.least("p.doc_id", "q.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "q.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.size("sh_a")).alias("cont_a_in_b"),
+            (inter / F.size("sh_b")).alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,

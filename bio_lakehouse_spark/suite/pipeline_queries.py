@@ -212,13 +212,25 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         done.touch()
     back = read_partitioned_parquet(spark, path)
     micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
-    return (
+    agg = (
         back.filter((F.col("day") >= "10") & (F.col("day") <= "20"))
         .groupBy("year", "month", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(micros).cast("long").alias("total_value_micros"),
         )
+    )
+    # Belt-and-braces vs session partition-type inference: pin the
+    # grouped partition keys back to the written zero-padded string
+    # form AFTER the filter/groupBy, so pruning still sees the raw
+    # partition column but the output schema is session-independent
+    # (lpad(cast) is a no-op on the normal already-string path).
+    return agg.select(
+        F.lpad(F.col("year").cast("string"), 4, "0").alias("year"),
+        F.lpad(F.col("month").cast("string"), 2, "0").alias("month"),
+        F.lpad(F.col("day").cast("string"), 2, "0").alias("day"),
+        "n_events",
+        "total_value_micros",
     )
 
 

@@ -1563,17 +1563,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged when either direction clears 0.8 — catches a short doc
     pasted verbatim inside a long one, which Jaccard structurally
     misses (50 words inside 2000 → Jaccard 0.025, containment 1.0).
-    Blocked by (lang, source) — boilerplate containment lives within
-    a domain, and the block bound is what keeps the exact quadratic
-    form linear-ish (a lang-only block became corpus-sized at sf0.1:
-    108 s; source blocks run in ~1 s). At unbounded scale candidates
-    come from LSH band machinery with this measure as the verifier."""
+
+    r6: candidates now come from the EXACT asymmetric prefix filter
+    (containment_prefix_pairs — smaller doc's rarest-token prefix
+    probed against full shingle sets, recall 1 by pigeonhole), NOT a
+    within-block quadratic self-join: the old blocked-exact form hit
+    108 s on a corpus-sized (lang-only) block at sf0.1 and would
+    explode quadratically at 100 TB on any hot (en, web) block. The
+    (lang, source) blocking is kept as the join predicate; the DuckDB
+    oracle keeps the straightforward quadratic form — two different
+    algorithms, identical pair sets."""
     from bio_lakehouse_spark.operators.dedup import (
-        ngram_containment_pairs,
+        containment_prefix_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    out = ngram_containment_pairs(
+    out = containment_prefix_pairs(
         docs, "doc_id", "text", block_cols=["lang", "source"], n=3,
         threshold=0.8,
     )
@@ -2325,27 +2330,16 @@ def token_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-level expressions aggregated per language — at 100 TB this
     is one map-side-combined groupBy over ≤ |langs| rows. The
     whitespace split here is the NORMALIZED words() array (textops),
-    mirrored exactly by the oracle's regexp_replace chain."""
+    mirrored exactly by the oracle's regexp_replace chain.
+
+    The tokenizer is PLUGGABLE (textops.token_counter — the nl_sql
+    LLMFn pattern): this registry entry runs the default JVM-side
+    regex proxy so the oracle stays expressible; a caller with
+    sentencepiece/tiktoken passes a TokenCounterFn and pays one
+    Arrow-batched pandas UDF (test_textops_tokenizer_seam)."""
     from bio_lakehouse_spark.operators.textops import (
-        token_count_bpe_ish,
-        token_count_ws,
+        token_fertility_by_lang,
     )
 
     docs = load(spark, sf_dir, "documents")
-    d = docs.select(
-        "lang",
-        token_count_bpe_ish("text").cast("long").alias("n_bpe"),
-        token_count_ws("text").cast("long").alias("n_ws"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-    return (
-        d.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bpe").alias("bpe_tokens"),
-            F.sum("n_ws").alias("ws_tokens"),
-            R6(F.sum("n_bpe") / F.sum("n_ws")).alias("fertility"),
-            R6(F.sum("n_chars") / F.sum("n_bpe")).alias("chars_per_token"),
-        )
-        .orderBy("lang")
-    )
+    return token_fertility_by_lang(docs, "lang", "text", tokenizer=None)

@@ -82,10 +82,13 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     # Fail on int-vs-float family splits instead of coercing.
     for c in sorted(spark_df.columns):
         sf, of = _dtype_family(spark_df[c]), _dtype_family(oracle_df[c])
-        if {sf, of} == {"int", "float"}:
+        # Any numeric/bool family split reprs differently in the
+        # driver's value hash (5 vs 5.0, True vs 1) even when values
+        # are bit-identical — flag them all, not just int-vs-float.
+        if sf != of and {sf, of} <= {"bool", "int", "float"}:
             problems.append(
                 f"column {c}: dtype family mismatch spark={sf} oracle={of} "
-                f"(driver hashes 5 vs 5.0 differently — CAST the oracle)"
+                f"(driver hashes 5/5.0/True differently — CAST the oracle)"
             )
     if problems:
         return problems
@@ -129,11 +132,31 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
 
-    from bio_lakehouse_spark.session import get_spark
     from bio_lakehouse_spark.suite import REGISTRY
 
-    spark = get_spark("oracle-harness", master="local[8]")
+    if vanilla:
+        # Driver-faithful mode: a DEFAULT SparkSession with NONE of the
+        # session-factory confs, exactly like the driver's own session.
+        # Any query whose value-hash contract silently depends on a
+        # factory conf (partition-type inference, timezone, nanos
+        # handling) fails HERE instead of in CORRECTNESS_r{N}.json.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-harness-vanilla")
+            .master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "12g")
+            .getOrCreate()
+        )
+    else:
+        from bio_lakehouse_spark.session import get_spark
+
+        spark = get_spark("oracle-harness", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
 
     names = args or list(REGISTRY)

@@ -200,8 +200,8 @@ WITH with_tss AS (
     AVG(tss) OVER (ORDER BY date ROWS BETWEEN 41 PRECEDING AND CURRENT ROW)
       - AVG(tss) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS tsb,
     CAST(isodow({_SAFE_DATE.format(d='date')}) AS INTEGER) AS day_of_week,
-    SUM(CASE WHEN had_workout = true THEN 1 ELSE 0 END)
-      OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS workouts_last_7d,
+    CAST(SUM(CASE WHEN had_workout = true THEN 1 ELSE 0 END)
+      OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS workouts_last_7d,
     AVG(sleep_score) OVER (ORDER BY date ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS sleep_baseline_14d,
     sleep_score - AVG(sleep_score) OVER (ORDER BY date ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS sleep_deficit_daily,
     CAST(hrv_ms AS DOUBLE) - LAG(CAST(hrv_ms AS DOUBLE), 2) OVER (ORDER BY date) AS hrv_2day_change,
@@ -222,7 +222,7 @@ WITH daily AS (
   SELECT date, readiness_score, sleep_score,
     COALESCE(workout_count, 0) + COALESCE(hk_workout_count, 0) AS total_workouts,
     COALESCE(total_workout_minutes, 0) + COALESCE(hk_workout_minutes, 0) AS total_minutes,
-    COALESCE(peloton_calories, 0) + COALESCE(hk_calories, 0) AS total_calories,
+    CAST(COALESCE(peloton_calories, 0) + COALESCE(hk_calories, 0) AS BIGINT) AS total_calories,
     total_output_kj, max_avg_hr,
     CASE WHEN had_workout = true THEN 1 ELSE 0 END AS had_workout,
     LEAD(readiness_score, 1) OVER (ORDER BY date) AS readiness_d1,
@@ -326,10 +326,11 @@ SELECT CAST(week_start AS DATE) AS week_start,
   ROUND(avg_sleep, 1) AS avg_sleep,
   ROUND(avg_wellness, 1) AS avg_wellness,
   ROUND(weekly_output_kj, 1) AS weekly_output_kj,
-  weekly_calories, workout_days,
+  CAST(weekly_calories AS BIGINT) AS weekly_calories, workout_days,
   ROUND(avg_watts, 1) AS avg_watts,
   ROUND(avg_max_hr, 0) AS avg_max_hr,
-  weekly_steps, weekly_active_cal,
+  CAST(weekly_steps AS BIGINT) AS weekly_steps,
+  CAST(weekly_active_cal AS BIGINT) AS weekly_active_cal,
   ROUND(avg_readiness - LAG(avg_readiness) OVER w, 1) AS readiness_change,
   ROUND(avg_sleep - LAG(avg_sleep) OVER w, 1) AS sleep_change,
   ROUND(weekly_output_kj - LAG(weekly_output_kj) OVER w, 1) AS output_change,
@@ -348,7 +349,7 @@ SELECT date, readiness_score, sleep_score,
   combined_wellness_score, total_output_kj, workout_count, disciplines,
   readiness_to_output_ratio,
   readiness_score - AVG(readiness_score) OVER (ORDER BY date ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS readiness_vs_3day,
-  SUM(CASE WHEN had_workout = true THEN 1 ELSE 0 END) OVER w3 AS workouts_last_3_days,
+  CAST(SUM(CASE WHEN had_workout = true THEN 1 ELSE 0 END) OVER w3 AS BIGINT) AS workouts_last_3_days,
   CASE WHEN readiness_score < 65
             AND readiness_score < LAG(readiness_score, 1) OVER wd
             AND readiness_score < LAG(readiness_score, 2) OVER wd THEN 'high_risk'

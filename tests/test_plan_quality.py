@@ -29,6 +29,16 @@ def _plan(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """The day-range predicate must reach the scan as a PARTITION
+    filter (directory-level pruning before any footer IO) — the r6
+    lpad normalization of the output keys must not capture the raw
+    partition column before the filter sees it."""
+    plan = _plan(spark, sf_dir, "partitioned_sink_pruned_read")
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert "(day" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+
 def test_pricing_summary_pushes_filter(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -488,6 +498,11 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "point_in_time_features",  # union stream × ONE-ROW min-day spine
         "join_size_estimate",  # ONE-ROW prediction × ONE-ROW actual
         "nb_calibration_curve",  # feature counts × ONE-ROW class totals
+        "dsir_topk_selection",  # dim-bounded bucket counts × ONE-ROW totals
+        # Fold coefs × daily series on a rn BETWEEN t+1 AND t+5 band:
+        # BOTH sides are daily-grain (O(days), never O(rows)) and the
+        # fold table is the broadcast side — bounded nested loop.
+        "walk_forward_cv_daily",
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
@@ -501,6 +516,17 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
             bnlj.append(name)
     assert not cartesian, f"shuffle cartesian in: {cartesian}"
     assert not bnlj, f"unwhitelisted nested-loop broadcast in: {bnlj}"
+
+
+def test_containment_join_is_prefix_filtered(spark, sf_dir):
+    """dedup_containment's candidate join must be the prefix-token
+    equi-join (__cptok key visible in the plan), never a within-block
+    quadratic self-join on (lang, source) alone — the r5 scale-killer.
+    A cartesian/BNLJ anywhere in this query is an outright failure."""
+    plan = _plan(spark, sf_dir, "dedup_containment")
+    assert "__cptok" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_frequent_lines_broadcasts_hot_set(spark, sf_dir):
