@@ -974,6 +974,141 @@ def ngram_containment_pairs(
     )
 
 
+def canonical_keep_verdicts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: Column | None = None,
+    fingerprint: str = "bag",
+) -> DataFrame:
+    """Canonical-copy selection — the "which duplicate do we KEEP"
+    step after dedup grouping: within each duplicate group, rank
+    copies by quality (default: textops.quality_metrics composite,
+    rounded to 6 so cross-engine float noise can't flip a rank; ties
+    on id ascending) and emit one verdict row per copy in every
+    multi-copy group: (doc_id, text_hash, n_copies, rnk,
+    is_canonical).
+
+    ``fingerprint``: "bag" (default) groups by the word-order-
+    insensitive sorted-distinct-word fingerprint — catches shuffled
+    copies, where quality ranking matters most; "exact" groups by
+    md5(normalized text). Either way the copies differ in raw bytes
+    and min-id would keep an arbitrary one. Scale shape: one shuffle
+    on the fingerprint, per-group window over tiny groups (duplicate
+    multiplicity, not corpus size)."""
+    from bio_lakehouse_spark.operators.textops import (
+        fingerprint_bag,
+        fingerprint_exact,
+        quality_metrics,
+    )
+
+    fp = (
+        fingerprint_bag(text_col)
+        if fingerprint == "bag"
+        else fingerprint_exact(text_col)
+    )
+    q = quality_col if quality_col is not None else (
+        quality_metrics(text_col)["quality_score"]
+    )
+    scored = df.select(
+        F.col(id_col),
+        fp.alias("text_hash"),
+        F.round(q, 6).alias("__q"),
+    )
+    wcount = Window.partitionBy("text_hash")
+    wrank = Window.partitionBy("text_hash").orderBy(
+        F.desc("__q"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("n_copies", F.count(F.lit(1)).over(wcount))
+        .withColumn("rnk", F.row_number().over(wrank))
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            id_col,
+            "text_hash",
+            F.col("n_copies").cast("long"),
+            F.col("rnk").cast("long"),
+            (F.col("rnk") == 1).alias("is_canonical"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate-chunk audit — the
+    variable-length, shift-resistant complement to fixed n-gram span
+    dedup (Lee et al. spans break under a single inserted word; CDC
+    boundaries re-synchronize because they depend on content, not
+    position — the rsync/LBFS chunking idea applied to token
+    streams).
+
+    A word is a chunk BOUNDARY iff hash60(word) % divisor == 0
+    (expected chunk length = divisor words); a chunk is the word run
+    ending at a boundary (remainder words form the final chunk).
+    Emits per document: n_chunks, n_dup_chunks (chunks whose hash
+    also appears in ANOTHER document), dup_chunk_frac.
+
+    Scale shape: per-doc chunk ids are an entity-partitioned window
+    (prefix count of boundaries); the cross-doc frequency pass
+    exchanges 8-byte chunk hashes only, grouped with map-side
+    combine. No doc-pair joins anywhere."""
+    from bio_lakehouse_spark.operators.sketches import hash60
+    from bio_lakehouse_spark.operators.textops import words
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(text_col)).alias("pos", "w"),
+    ).withColumn(
+        "is_b", (hash60(F.col("w")) % divisor == 0).cast("int")
+    )
+    wchunk = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunks = (
+        toks.withColumn(
+            "chunk_id", F.coalesce(F.sum("is_b").over(wchunk), F.lit(0))
+        )
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+        .select(
+            id_col, F.md5(F.col("chunk_text")).alias("chunk_hash")
+        )
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(id_col).alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("ndocs") >= 2).alias("n_dup_chunks"),
+        )
+        .select(
+            id_col,
+            F.col("n_chunks").cast("long"),
+            F.col("n_dup_chunks").cast("long"),
+            F.round(
+                F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 6
+            ).alias("dup_chunk_frac"),
+        )
+    )
+
+
 def containment_prefix_pairs(
     df: DataFrame,
     id_col: str,

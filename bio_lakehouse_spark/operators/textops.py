@@ -192,6 +192,66 @@ def token_fertility_by_lang(
     )
 
 
+def vocab_oov_audit(
+    df,
+    lang_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+):
+    """Vocabulary-coverage / OOV-rate audit — the pre-training check
+    that a tokenizer/vocab actually covers the corpus mix: build the
+    top-``vocab_size`` corpus vocabulary (by occurrence count, ties
+    on the word so the cut is deterministic), then report per
+    language: total word occurrences, out-of-vocabulary occurrences,
+    OOV rate, and distinct OOV words. A high per-lang OOV rate is the
+    signal that a language is about to pay pathological fertility.
+
+    Scale shape: the token stream pre-aggregates to (lang, word)
+    counts BEFORE any join (bounds the join input at distinct-word
+    cardinality, not corpus tokens); the vocabulary is top-k via
+    orderBy+limit (TakeOrderedAndProject) and broadcasts back; final
+    rollup is ≤ |langs| rows with map-side combine."""
+    lw = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(words(text_col)).alias("w"),
+    ).filter(F.col("w") != "")
+    lang_word = lw.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    corpus = lang_word.groupBy("w").agg(F.sum("cnt").alias("total"))
+    vocab = (
+        corpus.orderBy(F.desc("total"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        lang_word.join(F.broadcast(vocab), on="w", how="left")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("oov_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias(
+                "distinct_oov_words"
+            ),
+        )
+        .select(
+            "lang",
+            F.col("total_tokens").cast("long"),
+            F.col("oov_tokens").cast("long"),
+            F.round(
+                F.col("oov_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("oov_rate"),
+            F.col("distinct_oov_words").cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
 def fingerprint_exact(col: Column | str) -> Column:
     """md5 of normalized text — exact-dup fingerprint."""
     return F.md5(normalize_text(col))

@@ -220,11 +220,143 @@ class DeltaBackend:
         return []
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg catalog is configured on this session AND
+    the Iceberg runtime jar is loaded. Iceberg (unlike Delta) is
+    catalog-addressed — a path-only write needs a configured catalog
+    (``spark.sql.catalog.<name>`` = SparkCatalog/SparkSessionCatalog),
+    so both halves are required."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:  # noqa: BLE001 — any JVM probe failure → absent
+        return False
+    try:
+        confs = spark.conf
+        return any(
+            k.startswith("spark.sql.catalog.")
+            and "iceberg" in str(confs.get(k, "")).lower()
+            for k in _catalog_conf_keys(spark)
+        )
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _catalog_conf_keys(spark: SparkSession) -> list[str]:
+    try:
+        jconf = spark.sparkContext.getConf().getAll()
+        return [k for k, _ in jconf if k.startswith("spark.sql.catalog.")]
+    except Exception:  # noqa: BLE001
+        return []
+
+
+class IcebergBackend:
+    """Apache Iceberg implementation of the same surface, addressed
+    through a configured catalog (``catalog`` arg, default
+    "iceberg"): snapshot commit = ``writeTo(...).createOrReplace()``,
+    time travel = ``VERSION AS OF`` (snapshot id), merge = SQL
+    ``MERGE INTO``, schema evolution = ``mergeSchema`` append via
+    ``writeTo(...).option("merge-schema","true").append()``,
+    compaction = the ``rewrite_data_files`` procedure, vacuum =
+    ``expire_snapshots``. Tables are named, not pathed — ``path``
+    arguments are treated as table identifiers under the catalog
+    (dots already qualified pass through)."""
+
+    name = "iceberg"
+
+    def __init__(self, spark: SparkSession, catalog: str = "iceberg"):
+        self.spark = spark
+        self.catalog = catalog
+
+    def _ident(self, path: str) -> str:
+        if "." in path:
+            return path
+        safe = "".join(ch if ch.isalnum() else "_" for ch in path.strip("/"))
+        return f"{self.catalog}.db.t_{safe[-80:]}"
+
+    def write_snapshot(self, df: DataFrame, path: str) -> CommitInfo:
+        ident = self._ident(path)
+        df.writeTo(ident).using("iceberg").createOrReplace()
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {ident}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()[0][0]
+        rows = self.spark.table(ident).count()
+        return CommitInfo(version=int(snap), rows=rows)
+
+    def read(self, path: str, version: int | None = None) -> DataFrame:
+        ident = self._ident(path)
+        if version is None:
+            return self.spark.table(ident)
+        return self.spark.read.option("snapshot-id", version).table(ident)
+
+    def merge(
+        self,
+        path: str,
+        updates: DataFrame,
+        key_cols: Sequence[str],
+        partition_cols: Sequence[str] = (),
+    ) -> None:
+        ident = self._ident(path)
+        if not self.spark.catalog.tableExists(ident):
+            w = updates.writeTo(ident).using("iceberg")
+            if partition_cols:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(
+                    *[F.col(c) for c in partition_cols]
+                )
+            w.create()
+            return
+        updates.createOrReplaceTempView("__merge_updates")
+        cond = " AND ".join(f"t.{k} = u.{k}" for k in key_cols)
+        self.spark.sql(
+            f"MERGE INTO {ident} t USING __merge_updates u ON {cond} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def read_merged(self, path: str) -> DataFrame:
+        return self.spark.table(self._ident(path))
+
+    def append_evolved(self, path: str, df: DataFrame) -> None:
+        ident = self._ident(path)
+        if not self.spark.catalog.tableExists(ident):
+            df.writeTo(ident).using("iceberg").create()
+            return
+        df.writeTo(ident).option("merge-schema", "true").append()
+
+    def read_evolved(self, path: str) -> DataFrame:
+        return self.spark.table(self._ident(path))
+
+    def compact(
+        self, path: str, partition_cols: Sequence[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self._ident(path)}', "
+            f"options => map('target-file-size-bytes', "
+            f"'{target_file_bytes}'))"
+        )
+        return 1
+
+    def vacuum(self, path: str, keep_last: int = 2) -> list[int]:
+        self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self._ident(path)}', retain_last => {keep_last})"
+        )
+        return []
+
+
 def resolve_backend(
     spark: SparkSession, prefer: str | None = None
-) -> ParquetBackend | DeltaBackend:
-    """Pick the table format: ``prefer`` ("delta" | "parquet")
-    overrides; default is Delta when available, else parquet."""
+) -> ParquetBackend | DeltaBackend | IcebergBackend:
+    """Pick the table format: ``prefer`` ("delta" | "iceberg" |
+    "parquet") overrides; default is Delta, then Iceberg, when
+    available, else parquet."""
     if prefer == "parquet":
         return ParquetBackend(spark)
     if prefer == "delta":
@@ -234,6 +366,15 @@ def resolve_backend(
                 "this session"
             )
         return DeltaBackend(spark)
+    if prefer == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg backend requested but no iceberg runtime/"
+                "catalog on this session"
+            )
+        return IcebergBackend(spark)
     if delta_available(spark):
         return DeltaBackend(spark)
+    if iceberg_available(spark):
+        return IcebergBackend(spark)
     return ParquetBackend(spark)

@@ -2343,3 +2343,126 @@ def token_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return token_fertility_by_lang(docs, "lang", "text", tokenizer=None)
+
+
+_QUALITY_EXPR = f"""ROUND(CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
+  + CASE WHEN length(array_to_string(w, ''))::DOUBLE / greatest(len(w), 1) BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+  + CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE / greatest(len(w), 1) >= 0.05 THEN 0.2 ELSE 0.0 END
+  + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1) <= 0.2 THEN 0.1 ELSE 0.0 END, 6)"""
+
+
+@register(
+    "dedup_canonical_keep",
+    survey=("A11", "W7", "F9"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS text_hash,
+         {_QUALITY_EXPR} AS q
+  FROM (SELECT doc_id, text, {_W} AS w FROM documents)
+), g AS (
+  SELECT doc_id, text_hash, q,
+         COUNT(*) OVER (PARTITION BY text_hash) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY text_hash
+                            ORDER BY q DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, text_hash, CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(rnk AS BIGINT) AS rnk, rnk = 1 AS is_canonical
+FROM g WHERE n_copies >= 2
+""",
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-copy selection: within each bag-fingerprint dup
+    group (sorted-distinct-word md5 — catches shuffled copies, where
+    the keep decision actually matters), KEEP the best-formed copy
+    (quality composite desc, id asc) instead of an arbitrary min-id.
+    One shuffle on the fingerprint; windows run over duplicate groups
+    (multiplicity-sized, never corpus-sized)."""
+    from bio_lakehouse_spark.operators.dedup import canonical_keep_verdicts
+
+    docs = load(spark, sf_dir, "documents")
+    return canonical_keep_verdicts(docs, "doc_id", "text", fingerprint="bag")
+
+
+@register(
+    "cdc_chunk_dedup",
+    survey=("F9", "A1", "W7"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, g AS pos, ws[g] AS w,
+         CASE WHEN {_H60.format(v='ws[g]')} % 16 = 0 THEN 1 ELSE 0 END AS is_b
+  FROM (SELECT doc_id, {_W} AS ws FROM documents) t,
+       unnest(generate_series(1, len(ws))) AS u(g)
+), marked AS (
+  SELECT doc_id, pos, w,
+         COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM toks
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+  FROM marked GROUP BY doc_id, chunk_id
+), freq AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS ndocs
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(CASE WHEN f.ndocs >= 2 THEN 1 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(COUNT(CASE WHEN f.ndocs >= 2 THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS dup_chunk_frac
+FROM chunks c JOIN freq f USING (chunk_hash)
+GROUP BY c.doc_id
+""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplicate audit (rsync/LBFS chunking
+    on word streams): boundaries where hash60(word) % 16 == 0, so an
+    inserted word shifts ONE chunk, not every window downstream — the
+    shift-resistant complement to fixed n-gram spans. Per-doc chunk
+    windows are entity-partitioned; the cross-doc pass exchanges
+    chunk hashes only (no doc-pair joins)."""
+    from bio_lakehouse_spark.operators.dedup import cdc_chunk_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, "doc_id", "text", divisor=16)
+
+
+@register(
+    "vocab_oov_audit",
+    survey=("A1", "O4", "F9"),
+    oracle=f"""
+WITH lw AS (
+  SELECT lang, ws[g] AS w, COUNT(*) AS cnt
+  FROM (SELECT lang, {_W} AS ws FROM documents) t,
+       unnest(generate_series(1, len(ws))) AS u(g)
+  WHERE ws[g] <> '' GROUP BY 1, 2
+), corpus AS (
+  SELECT w, SUM(cnt) AS total FROM lw GROUP BY w
+), vocab AS (
+  SELECT w FROM corpus ORDER BY total DESC, w LIMIT 1000
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(SUM(CASE WHEN v.w IS NULL THEN cnt ELSE 0 END) * 1.0
+             / SUM(cnt), 6) AS oov_rate,
+       CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS BIGINT)
+         AS distinct_oov_words
+FROM lw LEFT JOIN vocab v ON lw.w = v.w
+GROUP BY lang ORDER BY lang
+""",
+)
+def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: top-1000 corpus vocab (count desc,
+    word asc — a deterministic cut), per-language OOV occurrence rate
+    and distinct OOV words. The pre-training signal that a language
+    will pay pathological tokenizer fertility. Token stream
+    pre-aggregates to (lang, word) before the broadcast vocab join;
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from bio_lakehouse_spark.operators.textops import vocab_oov_audit as op
+
+    docs = load(spark, sf_dir, "documents")
+    return op(docs, "lang", "text", vocab_size=1000)

@@ -489,3 +489,50 @@ def test_render_weekly_html_embeds_plotly_figures():
     assert plot_spec_to_plotly(
         {"kind": "line", "x": "nope", "y": "m7", "title": "t"}, df
     ) is None
+
+
+def test_pdf_delivery_seam(tmp_path):
+    """products.delivery (ref reports/delivery.py:17-66): HTML always
+    lands; PDF renders through the injected PdfRendererFn (WeasyPrint
+    adapter in production — absent in this sandbox, so a fake renderer
+    proves the plumbing); with NO renderer available, save_pdf raises
+    loudly and deliver_weekly reports pdf=None instead of degrading
+    silently."""
+    import pytest as _pytest
+
+    from bio_lakehouse_spark.products.delivery import (
+        PdfUnavailableError,
+        deliver_weekly,
+        pdf_bytes,
+        save_pdf,
+    )
+
+    html = "<html><body><h1>W41</h1></body></html>"
+
+    def fake_renderer(h: str) -> bytes:
+        # deterministic fake "PDF": magic header + the source length
+        return b"%PDF-1.7\n" + str(len(h)).encode()
+
+    # injected renderer path
+    out = deliver_weekly(html, tmp_path, "2025-W41", renderer=fake_renderer)
+    assert out["pdf"] is not None
+    pdf = (tmp_path / "2025-W41" / "weekly-report.pdf").read_bytes()
+    assert pdf.startswith(b"%PDF-") and pdf == pdf_bytes(html, fake_renderer)
+    assert (tmp_path / "2025-W41" / "weekly-report.html").read_text() == html
+
+    # no renderer: loud for save_pdf, explicit None for deliver_weekly
+    try:
+        import weasyprint  # noqa: F401
+
+        _pytest.skip("weasyprint present — no-renderer branch untestable")
+    except ImportError:
+        pass
+    with _pytest.raises(PdfUnavailableError):
+        save_pdf(html, tmp_path / "x.pdf")
+    out2 = deliver_weekly(html, tmp_path, "2025-W42")
+    assert out2["pdf"] is None
+    assert (tmp_path / "2025-W42" / "weekly-report.html").exists()
+
+    # a renderer that returns non-bytes is a bug, not a fallback
+    with _pytest.raises(TypeError):
+        pdf_bytes(html, lambda h: "not-bytes")

@@ -93,10 +93,42 @@ def test_delta_backend(spark, tmp_path, case):
 
 
 def test_resolve_backend_default_and_override(spark):
+    from bio_lakehouse_spark.sources.table_format import iceberg_available
+
     be = resolve_backend(spark)
-    # In this sandbox that's parquet; where Delta jars exist, delta.
-    assert be.name == ("delta" if delta_available(spark) else "parquet")
+    # In this sandbox that's parquet; with format jars, delta/iceberg.
+    if delta_available(spark):
+        assert be.name == "delta"
+    elif iceberg_available(spark):
+        assert be.name == "iceberg"
+    else:
+        assert be.name == "parquet"
     assert resolve_backend(spark, prefer="parquet").name == "parquet"
     if not delta_available(spark):
         with pytest.raises(RuntimeError):
             resolve_backend(spark, prefer="delta")
+
+
+@pytest.mark.parametrize(
+    "case",
+    [_run_snapshot_time_travel, _run_merge, _run_schema_evolution],
+    ids=lambda f: f.__name__.lstrip("_"),
+)
+def test_iceberg_backend(spark, tmp_path, case):
+    from bio_lakehouse_spark.sources.table_format import (
+        IcebergBackend,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        pytest.skip("no iceberg runtime/catalog on this session")
+    case(spark, IcebergBackend(spark), str(tmp_path))
+
+
+def test_iceberg_unavailable_is_loud(spark):
+    from bio_lakehouse_spark.sources.table_format import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("iceberg present — unavailable branch untestable")
+    with pytest.raises(RuntimeError):
+        resolve_backend(spark, prefer="iceberg")
