@@ -168,20 +168,52 @@ def ema_exact(
             pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         else:
             xs = pdf[value_col].to_list()
+            n = len(xs)
+            # math.pow(1-a, k) cached by exponent: the same IEEE
+            # value the oracle's POWER() produces, computed once per
+            # k instead of O(n²) times (this was 60%+ of the query's
+            # bench time). The left-to-right addition order is
+            # UNCHANGED — that order is the bit-reproducibility
+            # contract with the oracle's LIST_SUM fold.
+            powers = [math.pow(1 - alpha, k) for k in range(n)]
+            ax = [x * alpha for x in xs]
             out = []
-            for t in range(len(xs)):
+            for t in range(n):
                 acc = 0.0
-                for i in range(t + 1):
-                    if i == 0:
-                        acc += xs[0] * math.pow(1 - alpha, t)
-                    else:
-                        acc += xs[i] * alpha * math.pow(1 - alpha, t - i)
+                acc += xs[0] * powers[t]
+                for i in range(1, t + 1):
+                    acc += ax[i] * powers[t - i]
                 out.append(acc)
             pdf[out_col] = out
         return pdf
 
     if group_cols:
-        return df.groupBy(*group_cols).applyInPandas(_ema, schema=schema)
+        # NOT applyInPandas: with many small series (1500 users ×
+        # ~27 days at sf0.1) the per-group Arrow round-trip dominates
+        # (measured 3.2 s for ~0.1 s of math). Instead co-locate each
+        # entity's rows with repartition + in-partition sort, then
+        # one mapInPandas call per PARTITION runs a pandas groupby
+        # over ~|entities|/|partitions| series — identical per-series
+        # arithmetic, two orders of magnitude fewer Python/Arrow
+        # boundaries. Batches of one partition are concatenated first
+        # because Arrow may split an entity across record batches.
+        spark = df.sparkSession
+        n_parts = max(1, spark.sparkContext.defaultParallelism)
+
+        def _part(batches):
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            yield pdf.groupby(
+                group_cols, sort=False, group_keys=False
+            )[list(pdf.columns)].apply(_ema)
+
+        return (
+            df.repartition(n_parts, *group_cols)
+            .sortWithinPartitions(*group_cols, order_col)
+            .mapInPandas(_part, schema=schema)
+        )
     return df.withColumn("__g", F.lit(1)).groupBy("__g").applyInPandas(
         lambda pdf: _ema(pdf).drop(columns="__g"), schema=schema
     )

@@ -2466,3 +2466,228 @@ def vocab_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return op(docs, "lang", "text", vocab_size=1000)
+
+
+@register(
+    "ngram_novelty_curve",
+    survey=("A1", "W9", "F9"),
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, greatest(len(w) - 3, 0) + 1),
+           i -> concat_ws(' ', w[i+1], w[i+2], w[i+3])))) AS g
+  FROM (SELECT doc_id, {_W} AS w FROM documents)
+), firsts AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), novel AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY 1
+), mx AS (SELECT MAX(doc_id) AS m FROM documents)
+SELECT CAST(FLOOR(doc_id * 10.0 / (mx.m + 1)) AS BIGINT) AS bucket,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(COALESCE(n_novel, 0)) AS BIGINT) AS novel_grams,
+       ROUND(SUM(COALESCE(n_novel, 0)) * 1.0 / SUM(n_grams), 6)
+         AS novelty_rate
+FROM per_doc LEFT JOIN novel USING (doc_id), mx
+GROUP BY 1 ORDER BY 1
+""",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty saturation: per ingestion decile (doc_id
+    buckets), the fraction of its distinct 3-gram shingles never seen
+    in ANY earlier document — the curve that says when additional
+    crawl stops contributing new text (the dedup-planning signal
+    behind 'diminishing data'). Shape: ONE gram aggregate produces
+    both sides (novel counts come from grouping the gram→first-doc
+    table by its own min — no gram-level join back to the stream);
+    rollup is 10 rows. At 100 TB: two keyed aggregates, zero joins
+    bigger than |docs|."""
+    from bio_lakehouse_spark.operators.textops import word_ngrams, words
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(words("text"), 3)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    return (
+        per_doc.join(novel, on="doc_id", how="left")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(
+            (F.col("doc_id") * 10 / (F.col("m") + 1))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+            .cast("long")
+            .alias("novel_grams"),
+            R6(
+                F.sum(F.coalesce(F.col("n_novel"), F.lit(0)))
+                / F.sum("n_grams").cast("double")
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "packing_efficiency_audit",
+    survey=("A1", "F11"),
+    oracle=f"""
+WITH d AS (
+  SELECT source, len(list_filter({_W}, x -> x <> '')) AS n FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(CEIL(n / 512.0) AS BIGINT) * 512 - n) AS BIGINT)
+         AS pad_waste_tokens,
+       ROUND(SUM(n) * 1.0
+             / (SUM(CAST(CEIL(n / 512.0) AS BIGINT)) * 512), 6)
+         AS per_doc_pack_efficiency,
+       ROUND(SUM(n) * 1.0
+             / (CAST(CEIL(SUM(n) / 512.0) AS BIGINT) * 512), 6)
+         AS concat_pack_efficiency
+FROM d GROUP BY source ORDER BY source
+""",
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency per source at max_seq_len=512:
+    pad-to-boundary waste under one-doc-per-sequence batching vs the
+    concat-and-split upper bound — the planning numbers behind
+    choosing a packing strategy (operators/packing.py implements the
+    actual packers; this audits WHETHER they're worth running per
+    source). Pure scan-level arithmetic + one map-side-combined
+    groupBy over ≤ |sources| rows."""
+    from bio_lakehouse_spark.operators.textops import words
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.filter(words("text"), lambda x: x != "")).alias("n"),
+    )
+    seqs_per_doc = F.ceil(F.col("n") / 512.0).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(seqs_per_doc * 512 - F.col("n"))
+            .cast("long")
+            .alias("pad_waste_tokens"),
+            R6(
+                F.sum("n") / (F.sum(seqs_per_doc) * 512).cast("double")
+            ).alias("per_doc_pack_efficiency"),
+            R6(
+                F.sum("n")
+                / (F.ceil(F.sum("n") / 512.0).cast("long") * 512)
+                .cast("double")
+            ).alias("concat_pack_efficiency"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cross_source_overlap_matrix",
+    survey=("A11", "J6", "F9"),
+    oracle=f"""
+WITH fp AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({_W})), ' ')) AS h,
+         list_sort(list_distinct(list(source))) AS srcs
+  FROM documents GROUP BY 1
+), totals AS (
+  SELECT source, COUNT(DISTINCT
+           md5(array_to_string(list_sort(list_distinct({_W})), ' '))) AS tot
+  FROM documents GROUP BY source
+), pairs AS (
+  SELECT srcs[i] AS source_a, srcs[j] AS source_b, COUNT(*) AS n_shared
+  FROM fp,
+       unnest(generate_series(1, len(srcs))) AS u(i),
+       unnest(generate_series(1, len(srcs))) AS v(j)
+  WHERE i < j GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       ROUND(p.n_shared * 1.0 / least(ta.tot, tb.tot), 6)
+         AS containment_rate
+FROM pairs p
+JOIN totals ta ON ta.source = p.source_a
+JOIN totals tb ON tb.source = p.source_b
+ORDER BY source_a, source_b
+""",
+)
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair content overlap: documents collapse to their
+    bag fingerprint; every fingerprint shared by ≥ 2 sources
+    contributes to each (source_a < source_b) cell; the rate is
+    containment against the SMALLER source (mirror-site detection —
+    the curation question 'is source B just a copy of A?'). Shape:
+    one fingerprint groupBy, pair explosion bounded by |sources|² per
+    fingerprint, totals broadcast — no doc-pair joins."""
+    from bio_lakehouse_spark.operators.textops import fingerprint_bag
+
+    docs = load(spark, sf_dir, "documents").select(
+        fingerprint_bag("text").alias("h"), "source"
+    )
+    fp = docs.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    totals = docs.groupBy("source").agg(
+        F.count_distinct("h").alias("tot")
+    )
+    pairs = (
+        fp.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("srcs"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("srcs"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("srcs") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda b: F.struct(
+                                a.alias("source_a"), b.alias("source_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("tot").alias("tot_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("tot").alias("tot_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long"),
+            R6(
+                F.col("n_shared")
+                / F.least("tot_a", "tot_b").cast("double")
+            ).alias("containment_rate"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -499,6 +499,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "join_size_estimate",  # ONE-ROW prediction × ONE-ROW actual
         "nb_calibration_curve",  # feature counts × ONE-ROW class totals
         "dsir_topk_selection",  # dim-bounded bucket counts × ONE-ROW totals
+        "ngram_novelty_curve",  # per-doc counts × ONE-ROW max-doc-id
         # Fold coefs × daily series on a rn BETWEEN t+1 AND t+5 band:
         # BOTH sides are daily-grain (O(days), never O(rows)) and the
         # fold table is the broadcast side — bounded nested loop.

@@ -829,3 +829,22 @@ def test_distributed_lowess_exact_line(spark, tmp_path):
     assert len(out) == 40
     for r in out:
         assert r["lowess_fit"] == pytest.approx(r["daily_value"], abs=1e-5)
+
+
+def test_preclose_check_lists_tiers():
+    """tools/preclose_check.py --list must run standalone and report
+    both tiers (the round-close stale-green gate; git-commit-time
+    based so a fresh checkout doesn't flag the whole registry)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "preclose_check.py"),
+         "--list"],
+        capture_output=True, text=True, timeout=300, cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "tier0_never_green:" in out.stdout
+    assert "tier1_module_changed:" in out.stdout
