@@ -90,3 +90,37 @@ def test_entry_sweep_ordering_tiers(tmp_path, monkeypatch):
     order2 = e._ordered_names()
     pos2 = {n: i for i, n in enumerate(order2)}
     assert pos2[d] < pos2[a] < pos2[b]
+
+
+def test_compare_flags_all_numeric_family_splits():
+    """The driver hashes value reprs, so ANY bool/int/float family
+    split (True vs 1, 5 vs 5.0) hash-mismatches even with identical
+    values — compare() must flag all of them, and must NOT flag
+    matching families."""
+    import pandas as pd
+
+    base = pd.DataFrame({"k": [1, 2]})
+
+    def with_col(vals):
+        d = base.copy()
+        d["v"] = vals
+        return d
+
+    # int vs float
+    assert any(
+        "dtype family" in p
+        for p in compare(with_col([1, 2]), with_col([1.0, 2.0]))
+    )
+    # bool vs int (the r5 ADVICE gap)
+    assert any(
+        "dtype family" in p
+        for p in compare(with_col([True, False]), with_col([1, 0]))
+    )
+    # bool vs float
+    assert any(
+        "dtype family" in p
+        for p in compare(with_col([True, False]), with_col([1.0, 0.0]))
+    )
+    # same family, same values: clean
+    assert compare(with_col([True, False]), with_col([True, False])) == []
+    assert compare(with_col([3, 4]), with_col([3, 4])) == []
