@@ -222,6 +222,56 @@ def build_ivf_index(
     ).parquet(f"{path}/_centroids")
 
 
+def append_ivf_index(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF index maintenance: assign a NEW batch against
+    the index's EXISTING centroid table and append into the
+    partitioned cells layout — the probe path (``ivf_topk_indexed``)
+    picks the rows up on its next listing with ZERO rebuild, because
+    partition directories just gain files. Cost is one pass over the
+    batch (assign + shuffle on cell), never the indexed corpus — the
+    same incremental contract as ``dedup_incremental_minhash``.
+
+    Returns drift stats for the recluster decision: per-append cell
+    histogram max share and the global max share after the append. A
+    hot cell (share ≫ 1/ncells) means the frozen centroids no longer
+    describe the data — time to retrain + rebuild (centroid drift is
+    the known failure mode of append-only IVF; the index stays
+    CORRECT meanwhile, just slower on hot cells)."""
+    cent = spark.read.parquet(f"{index_path}/_centroids")
+    assigned = assign_cells(new_vectors, cent, id_col, vec_col)
+    (
+        assigned.repartition(F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_path}/cells")
+    )
+    n_cells = cent.count()
+    sizes = (
+        spark.read.parquet(f"{index_path}/cells")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("total"),
+            F.max("n").alias("biggest"),
+        )
+        .collect()[0]
+    )
+    batch_n = assigned.count()
+    return {
+        "appended": batch_n,
+        "n_cells": n_cells,
+        "index_rows": int(sizes["total"]),
+        "max_cell_share": float(sizes["biggest"] / sizes["total"]),
+        "balanced_share": 1.0 / max(n_cells, 1),
+    }
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

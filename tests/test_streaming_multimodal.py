@@ -350,3 +350,47 @@ def test_ivf_persisted_index_serving(spark, sf_dir, tmp_path):
         for r in served.collect()
     )
     assert got == expect
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """append_ivf_index: building on HALF the corpus then appending
+    the other half must serve EXACTLY what a full-corpus build serves
+    (same frozen centroids), with no rebuild — partition dirs just
+    gain files. The drift stats must expose the hot-cell share that
+    drives the recluster decision."""
+    from bio_lakehouse_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    full_idx = str(tmp_path / "full")
+    build_ivf_index(emb, centroids, full_idx)
+    incr_idx = str(tmp_path / "incr")
+    build_ivf_index(half_a, centroids, incr_idx)
+    stats = append_ivf_index(spark, incr_idx, half_b)
+
+    assert stats["appended"] == half_b.count()
+    assert stats["index_rows"] == emb.count()
+    assert 0 < stats["max_cell_share"] <= 1.0
+    assert stats["balanced_share"] == pytest.approx(1.0 / stats["n_cells"])
+
+    def serve(idx):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["cos_sim"], 9))
+            for r in ivf_topk_indexed(
+                spark, idx, queries, k=5, nprobe=3
+            ).collect()
+        )
+
+    assert serve(incr_idx) == serve(full_idx)
