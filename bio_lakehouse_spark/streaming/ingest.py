@@ -244,3 +244,50 @@ def stream_upsert_to_table(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_vectors_to_ivf_index(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming ANN ingestion: JSON vector batches landing in a
+    directory flow through ``foreachBatch`` into the persisted IVF
+    index (``similarity.append_ivf_index``) — each micro-batch
+    assigns against the index's FROZEN centroid table and appends
+    into the partitioned cells layout, so the serving path
+    (``ivf_topk_indexed``) sees new vectors at its next listing with
+    zero rebuild and the probe cost stays nprobe/ncells regardless of
+    how long the stream has been running.
+
+    Exactly-once-enough: the file source's checkpoint guarantees each
+    landed file is processed once; a crash mid-append can duplicate
+    ONE batch's rows in a cell (append is not transactional on plain
+    parquet), which ANN serving tolerates (duplicate neighbors rank
+    adjacently) and the compaction/rebuild cycle removes — on
+    Delta/Iceberg the same foreachBatch body becomes atomic. Centroid
+    drift monitoring is the returned per-batch stats' job (hot-cell
+    share), exactly as in the batch path."""
+    from bio_lakehouse_spark.operators.similarity import append_ivf_index
+
+    src = spark.readStream.schema(schema).json(landing_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivf_index(
+            spark, index_path, batch_df, id_col=id_col, vec_col=vec_col
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

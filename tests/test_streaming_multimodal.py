@@ -394,3 +394,62 @@ def test_ivf_index_append_equals_full_rebuild(spark, sf_dir, tmp_path):
         )
 
     assert serve(incr_idx) == serve(full_idx)
+
+
+def test_stream_vectors_to_ivf_index(spark, sf_dir, tmp_path):
+    """Streaming ANN ingestion e2e (availableNow): two JSON vector
+    drops flow through foreachBatch append into the persisted IVF
+    index; serving afterwards equals a batch build over everything."""
+    import json as _json
+
+    from bio_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_vectors_to_ivf_index,
+    )
+    from bio_lakehouse_spark.suite.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").cast("int").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    later = emb.filter(F.col("vec_id") % 3 != 0).collect()
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(seed, centroids, idx)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half = len(later) // 2
+    for i, chunk in enumerate((later[:half], later[half:])):
+        with open(landing / f"drop_{i}.json", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps({
+                    "vec_id": r["vec_id"],
+                    "embedding": list(r["embedding"]),
+                    "label": r["label"],
+                }) + "\n")
+
+    q = stream_vectors_to_ivf_index(
+        spark, str(landing), idx, str(tmp_path / "ckpt"),
+        schema="vec_id long, embedding array<float>, label int",
+    )
+    q.awaitTermination()
+
+    full_idx = str(tmp_path / "full")
+    build_ivf_index(emb, centroids, full_idx)
+
+    def serve(p):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["cos_sim"], 9))
+            for r in ivf_topk_indexed(
+                spark, p, queries, k=5, nprobe=3
+            ).collect()
+        )
+
+    assert serve(idx) == serve(full_idx)
