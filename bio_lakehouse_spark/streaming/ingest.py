@@ -291,3 +291,64 @@ def stream_vectors_to_ivf_index(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_documents_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    fingerprint_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Streaming corpus ingestion with incremental exact dedup — the
+    LLM-pipeline ingest loop as one Structured Streaming job: each
+    landed JSON batch of documents dedupes WITHIN itself
+    (min-id per normalized-text fingerprint), anti-joins its
+    fingerprints against the persistent fingerprint store (the
+    corpus is touched only through its 16-byte hash column — never
+    rescanned), then appends the surviving documents to the corpus
+    and their fingerprints to the store.
+
+    Idempotent by construction: a replayed batch's fingerprints are
+    already in the store, so every row anti-joins away — the corpus
+    cannot double-ingest (this is the fingerprint-store twin of the
+    sequence guard in ``stream_upsert_to_table``). Per-batch cost is
+    O(batch + matching store keys); the store grows by one row per
+    distinct text ever seen, exactly the `dedup_incremental_batch`
+    shape scaled to a continuous stream."""
+    from bio_lakehouse_spark.operators.dedup import exact_dedup_groups
+    from pyspark.sql.utils import AnalysisException
+
+    src = spark.readStream.schema(schema).json(landing_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        groups = exact_dedup_groups(batch_df, id_col, text_col)
+        try:
+            store = spark.read.parquet(fingerprint_dir).select(
+                "text_hash"
+            ).distinct()
+            novel = groups.join(store, "text_hash", "left_anti")
+        except AnalysisException:
+            novel = groups
+        novel = novel.localCheckpoint()  # consumed twice below
+        survivors = batch_df.join(
+            novel.select(F.col("keep_id").alias(id_col)), on=id_col
+        )
+        survivors.write.mode("append").parquet(corpus_dir)
+        novel.select("text_hash").write.mode("append").parquet(
+            fingerprint_dir
+        )
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

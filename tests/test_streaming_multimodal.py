@@ -453,3 +453,46 @@ def test_stream_vectors_to_ivf_index(spark, sf_dir, tmp_path):
         )
 
     assert serve(idx) == serve(full_idx)
+
+
+def test_stream_documents_dedup_ingest(spark, tmp_path):
+    """Streaming corpus ingest e2e: within-batch dups collapse to the
+    min id, cross-batch and pre-seeded dups anti-join away against
+    the fingerprint store, and REPLAYING the same drops with a fresh
+    checkpoint ingests nothing (idempotence via the store itself)."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_dedup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    schema = "doc_id long, text string"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as fh:
+            for i, t in rows:
+                fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    # batch 0: 'alpha' duplicated within the batch (keep id 1)
+    drop("d0.json", [(1, "alpha text"), (2, "alpha text"), (3, "beta")])
+    # batch 1: 'alpha' again (cross-batch dup) + one novel doc
+    drop("d1.json", [(10, "alpha text"), (11, "gamma doc")])
+
+    q = stream_documents_dedup_ingest(
+        spark, str(landing), corpus, fps, str(tmp_path / "ck1"), schema
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1: "alpha text", 3: "beta", 11: "gamma doc"}
+
+    # replay everything with a FRESH checkpoint: store blocks it all
+    q2 = stream_documents_dedup_ingest(
+        spark, str(landing), corpus, fps, str(tmp_path / "ck2"), schema
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 3
