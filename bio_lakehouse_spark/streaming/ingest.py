@@ -352,3 +352,82 @@ def stream_documents_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_documents_neardup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    band_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup corpus ingestion — the MinHash twin of
+    ``stream_documents_dedup_ingest``: each landed batch is checked
+    against the persistent (doc_id, band, value) LSH index
+    (``dedup.minhash_incremental_pairs`` — corpus text touched only
+    for candidate docs, per-batch cost O(batch + candidates)), and
+    within itself (``minhash_lsh_pairs``, keep the smaller id).
+    Survivors append to the corpus and their band rows to the index,
+    so the NEXT batch dedupes against them too.
+
+    Idempotent under replay through the index itself: a replayed
+    doc's bands all collide with its stored copy (Jaccard 1 ≥ any
+    threshold), so it flags as a near-dup and drops. At production
+    scale ``band_dir`` is partitioned/bucketed by (band, value); the
+    ingest body is unchanged."""
+    from bio_lakehouse_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql.utils import AnalysisException
+
+    src = spark.readStream.schema(schema).json(landing_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()
+        # within-batch near-dups: keep the smaller id of each pair
+        inner = minhash_lsh_pairs(
+            batch_df, id_col, text_col, threshold=threshold
+        )
+        losers = inner.select(F.col("doc_b").alias(id_col)).distinct()
+        kept = batch_df.join(losers, on=id_col, how="left_anti")
+        try:
+            corpus = spark.read.parquet(corpus_dir)
+            bands = spark.read.parquet(band_dir)
+            # Replay guard: a replayed doc carries the SAME id as its
+            # stored copy, and pair generation requires distinct ids —
+            # so near-dup flagging alone would re-ingest it. Anti-join
+            # on id first (a column-pruned scan of the corpus id
+            # column only).
+            kept = kept.join(
+                corpus.select(id_col).distinct(), on=id_col,
+                how="left_anti",
+            )
+            flagged = minhash_incremental_pairs(
+                corpus, kept, id_col, text_col,
+                threshold=threshold, corpus_bands=bands,
+            ).select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = kept.join(flagged, on=id_col, how="left_anti")
+        except AnalysisException:
+            survivors = kept
+        survivors = survivors.localCheckpoint()  # consumed twice
+        survivors.write.mode("append").parquet(corpus_dir)
+        minhash_band_table(survivors, id_col, text_col).write.mode(
+            "append"
+        ).parquet(band_dir)
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

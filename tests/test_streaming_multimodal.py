@@ -496,3 +496,56 @@ def test_stream_documents_dedup_ingest(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_documents_neardup_ingest(spark, tmp_path):
+    """Streaming near-dup ingest e2e: a batch doc that is a minor
+    mutation of a corpus doc is dropped (LSH index hit), within-batch
+    near-dup pairs keep the smaller id, novel docs land and extend
+    the index so the NEXT batch dedupes against them; fresh-
+    checkpoint replay ingests nothing."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_neardup_ingest,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mutated = base.replace("pi", "PI")           # near-dup of base
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    other_mut = other.replace("nine", "NINE")    # near-dup of other
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as fh:
+            for i, t in rows:
+                fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    # batch 0: base + within-batch near-dup pair on `other`
+    drop("d0.json", [(1, base), (2, other), (3, other_mut)])
+    # batch 1: near-dup of base (cross-batch, via the index) + novel
+    drop("d1.json", [(10, mutated), (11, "totally different words here "
+                                         "nothing shared at all")])
+
+    q = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck1"), schema
+    )
+    q.awaitTermination()
+
+    got = set(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert got == {1, 2, 11}  # 3 lost within-batch, 10 lost to index
+
+    q2 = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck2"), schema
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 3
