@@ -16,7 +16,6 @@ from bio_lakehouse_spark.operators.graph import connected_components
 from bio_lakehouse_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
     simhash32,
     simhash_pairs,
 )
@@ -89,14 +88,39 @@ SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard near-dup pairs (block = lang):
-    quadratic only within a block; exact set similarity on word
-    3-gram shingles, threshold 0.5."""
+    """Exact n-gram Jaccard near-dup pairs restricted to same-lang
+    (threshold 0.5).
+
+    r6: candidates now come from the corpus-wide EXACT prefix filter
+    (`prefix_filter_pairs` — recall 1 by pigeonhole), with the lang
+    block applied as a POST-filter: identical pair set to the old
+    within-lang quadratic self-join (blocked result ≡ corpus-wide
+    result ∩ same-lang), because the prefix filter already returns
+    every pair with Jaccard ≥ t. The quadratic form — the same
+    scale-killer class the containment fix removed, and multiple
+    MINUTES at sf0.1 — survives only as the oracle.
+    `ngram_jaccard_pairs` (the blocked-exact operator) remains for
+    genuinely tiny blocks."""
+    from bio_lakehouse_spark.operators.dedup import prefix_filter_pairs
+
     docs = load(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], n=3, threshold=0.5
+    pairs = prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    langs = docs.select(F.col("doc_id"), F.col("lang"))
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
     )
-    return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    # plain keyed joins — AQE broadcasts the lang map while it's
+    # small; at 100 TB it stays a keyed shuffle join (never forced
+    # into a driver-killing explicit broadcast).
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
+    )
 
 
 @register(

@@ -519,6 +519,16 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
     assert not bnlj, f"unwhitelisted nested-loop broadcast in: {bnlj}"
 
 
+def test_jaccard_join_is_prefix_filtered(spark, sf_dir):
+    """dedup_ngram_jaccard's candidate join must be the prefix-token
+    equi-join (ptok key), never the within-lang quadratic self-join
+    (minutes at sf0.1, corpus-block explosion at 100 TB)."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "ptok" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_containment_join_is_prefix_filtered(spark, sf_dir):
     """dedup_containment's candidate join must be the prefix-token
     equi-join (__cptok key visible in the plan), never a within-block
