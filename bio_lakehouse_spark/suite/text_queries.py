@@ -2715,3 +2715,73 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "quantile_normalize_scores",
+    survey=("W9", "A1", "F6"),
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source, {_QUALITY_EXPR} AS q
+  FROM (SELECT doc_id, source, text, {_W} AS w FROM documents)
+), bucketed AS (
+  SELECT source, q,
+         NTILE(20) OVER (PARTITION BY source ORDER BY q, doc_id) AS bucket
+  FROM scored
+), per_src AS (
+  SELECT source, bucket, COUNT(*) AS n_docs, AVG(q) AS raw_mean
+  FROM bucketed GROUP BY source, bucket
+), ref AS (
+  SELECT bucket, AVG(raw_mean) AS calibrated FROM per_src GROUP BY bucket
+)
+SELECT p.source, CAST(p.bucket AS BIGINT) AS bucket,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       ROUND(p.raw_mean, 6) AS raw_mean,
+       ROUND(r.calibrated, 6) AS calibrated
+FROM per_src p JOIN ref r USING (bucket)
+ORDER BY source, bucket
+""",
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration by quantile normalization
+    (Bolstad et al. 2003, the microarray method applied to corpus
+    quality scores): each source's scores rank into 20 NTILE buckets
+    (ties broken on doc_id so the bucketing is deterministic in both
+    engines), and the calibrated value for bucket k is the MEAN over
+    sources of that bucket's per-source mean — after substitution,
+    every source has the same score distribution, so a single global
+    quality threshold stops favoring sources whose scorer runs hot.
+
+    Scale shape: the only windows are PARTITIONED BY source (never a
+    global sort); the reference table is 20 rows joined back
+    broadcast. The thing quantile normalization naively needs — the
+    global order statistics — is replaced by the cross-source mean of
+    per-source bucket means, which is the actual algorithm."""
+    from bio_lakehouse_spark.operators.textops import quality_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    q = F.round(quality_metrics("text")["quality_score"], 6)
+    scored = docs.select("doc_id", "source", q.alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    per_src = (
+        scored.withColumn("bucket", F.ntile(20).over(w))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("q").alias("raw_mean"),
+        )
+    )
+    ref = per_src.groupBy("bucket").agg(
+        F.avg("raw_mean").alias("calibrated")
+    )
+    return (
+        per_src.join(F.broadcast(ref), "bucket")
+        .select(
+            "source",
+            F.col("bucket").cast("long"),
+            F.col("n_docs").cast("long"),
+            R6(F.col("raw_mean")).alias("raw_mean"),
+            R6(F.col("calibrated")).alias("calibrated"),
+        )
+        .orderBy("source", "bucket")
+    )
