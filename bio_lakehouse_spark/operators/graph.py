@@ -22,7 +22,7 @@ data — the algorithm is fully distributed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -320,3 +320,59 @@ def neighbor_jaccard_topk(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("s1").asc(), F.col("s2").asc()
     ).limit(k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — the
+    third iterative-graph operator (communities, after components and
+    PageRank): labels init to node ids; each round every node adopts
+    its neighborhood's MOST FREQUENT label, ties broken on the
+    smaller label, isolated nodes keep theirs. The synchronous
+    fixed-``iters`` schedule (the async variant's convergence is
+    order-dependent and can oscillate) makes the whole computation
+    deterministic AND SQL-unrollable, so the oracle checks it end to
+    end — the same contract as the unrolled PageRank/Lloyd oracles.
+
+    Per iteration: one keyed join (edges ⋈ labels on source) + one
+    partial-aggregated (node, label) count + a node-partitioned
+    argmax window — no global sorts, lineage checkpoint-truncated.
+    Pass SYMMETRIZED edges for undirected semantics. Returns
+    (node, community)."""
+    e = edges.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst")
+    ).localCheckpoint()
+    vtx = (
+        e.select(F.col("esrc").alias("v"))
+        .union(e.select(F.col("edst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vtx.select("v", F.col("v").alias("lab"))
+    w = Window.partitionBy("edst").orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(iters):
+        counts = (
+            e.join(labels, labels["v"] == e["esrc"])
+            .groupBy("edst", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("edst").alias("bv"), F.col("lab").alias("newlab"))
+        )
+        labels = (
+            labels.join(best, labels["v"] == best["bv"], "left")
+            .select(
+                "v",
+                F.coalesce(F.col("newlab"), F.col("lab")).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("v").alias("node"), F.col("lab").alias("community")
+    )

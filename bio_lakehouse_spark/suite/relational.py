@@ -1183,3 +1183,65 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("exact_match"),
     )
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    """Unrolled synchronous label propagation over the symmetrized
+    customer-supplier graph — fixed iterations make the mode-label
+    update (count desc, label asc argmax; isolated nodes keep their
+    label) fully SQL-expressible, the unrolled-PageRank pattern."""
+    parts = ["""WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base
+), vtx AS (SELECT DISTINCT v FROM
+        (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+l0 AS (SELECT v, v AS lab FROM vtx)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", p{i} AS (
+  SELECT e.dst AS v, l.lab, COUNT(*) AS cnt
+  FROM e JOIN l{i-1} l ON l.v = e.src GROUP BY e.dst, l.lab
+), a{i} AS (
+  SELECT v, lab,
+         ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lab) AS rn
+  FROM p{i}
+), l{i} AS (
+  SELECT l{i-1}.v, COALESCE(a{i}.lab, l{i-1}.lab) AS lab
+  FROM l{i-1} LEFT JOIN a{i} ON a{i}.v = l{i-1}.v AND a{i}.rn = 1
+)""")
+    parts.append(f"""
+SELECT v AS node, lab AS community FROM l{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "label_propagation_communities",
+    survey=("J4", "A1", "W7"),
+    oracle=_lpa_oracle(2),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2
+    rounds, mode label with smaller-label tie-break) over the
+    symmetrized customer-supplier trade graph — groups entities that
+    trade with the same counterparties. Deterministic by
+    construction, verified end-to-end against the unrolled SQL; per
+    round one keyed join + one partial-agg count + a node-partitioned
+    argmax window (operators/graph.label_propagation)."""
+    from bio_lakehouse_spark.operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return label_propagation(e, iters=2)
