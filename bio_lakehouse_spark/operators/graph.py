@@ -376,3 +376,45 @@ def label_propagation(
     return labels.select(
         F.col("v").alias("node"), F.col("lab").alias("community")
     )
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """k-core pruning by fixed-round peeling (Seidman 1983; the
+    batch rounds of Matula–Beck): repeatedly drop nodes whose degree
+    in the CURRENT subgraph is < k — after enough rounds the
+    survivors are exactly the k-core, the standard spam/noise trim
+    before community or importance analysis. Fixed ``iters`` keeps
+    it deterministic and SQL-unrollable (the PageRank/LPA oracle
+    pattern); each additional round only peels further, so a
+    fixed-round result is a sound superset that the oracle matches
+    round for round.
+
+    Per round: one degree aggregate + two semi-joins to restrict the
+    edge set — keyed exchanges only, lineage checkpoint-truncated.
+    Pass SYMMETRIZED edges. Returns surviving (node, degree)."""
+    e = edges.select(
+        F.col(src).alias("esrc"), F.col(dst).alias("edst")
+    ).localCheckpoint()
+    for _ in range(iters):
+        deg = e.groupBy("esrc").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("esrc")
+        e = (
+            e.join(keep, on="esrc", how="left_semi")
+            .join(
+                keep.select(F.col("esrc").alias("edst")),
+                on="edst",
+                how="left_semi",
+            )
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("esrc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("esrc").alias("node"), "degree")
+    )

@@ -1245,3 +1245,59 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return label_propagation(e, iters=2)
+
+
+def _kcore_oracle(k: int = 3, iters: int = 3) -> str:
+    """Unrolled fixed-round k-core peeling over the symmetrized
+    customer-supplier graph (the LPA/PageRank unroll pattern)."""
+    parts = ["""WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e0 AS (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", d{i} AS (
+  SELECT src, COUNT(*) AS deg FROM e{i-1} GROUP BY src
+), kp{i} AS (SELECT src FROM d{i} WHERE deg >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst FROM e{i-1} e
+  JOIN kp{i} a ON a.src = e.src
+  JOIN kp{i} b ON b.src = e.dst
+)""")
+    parts.append(f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{iters} GROUP BY src""")
+    return "".join(parts)
+
+
+@register(
+    "kcore_trade_graph",
+    survey=("J4", "A1", "J6"),
+    oracle=_kcore_oracle(3, 3),
+)
+def kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the symmetrized customer-supplier graph after 3
+    peeling rounds — the noise trim (drop entities with < 3 stable
+    trading partners) that precedes community/importance analysis.
+    Deterministic fixed-round peeling verified against the unrolled
+    SQL; per round one degree aggregate + two semi-joins
+    (operators/graph.kcore_prune)."""
+    from bio_lakehouse_spark.operators.graph import kcore_prune
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    out = kcore_prune(e, k=3, iters=3)
+    return out.select("node", F.col("degree").cast("long"))
