@@ -637,3 +637,66 @@ def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
     for junk in root.glob(".__stage__*"):
         shutil.rmtree(junk, ignore_errors=True)
     return removed
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro external datasource module is on the
+    session (it is NOT bundled with core Spark — absent in this
+    sandbox; the probe keeps the format-parametric writers honest)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — capability probe
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+_FORMATS = ("parquet", "orc", "avro")
+
+
+def write_table_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Format-parametric table writer: parquet (default), ORC
+    (bundled with Spark — columnar, footer stats, predicate pushdown
+    and partition pruning all work exactly as for parquet), or Avro
+    (row-oriented interchange; requires the spark-avro module —
+    ``avro_available``). One writer so every sink pattern in this
+    module (partitioned layout, schema, compression defaults) is
+    format-agnostic at the call site."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "avro" and not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "avro requested but the spark-avro module is not on this "
+            "session (it is an external Spark module)"
+        )
+    writer = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
+
+
+def read_table_format(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Format-parametric scan matching ``write_table_format`` —
+    partition-type inference pinned off (string partition values)
+    for every format, same contract as ``read_partitioned_parquet``."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"fmt must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "avro requested but the spark-avro module is not on this "
+            "session"
+        )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    return spark.read.format(fmt).load(path)

@@ -1427,3 +1427,60 @@ def dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = dense_ids(docs, ["n_chars", "doc_id"], num_partitions=8)
     return out.select("doc_id", "dense_id").orderBy("dense_id")
+
+
+@register(
+    "orc_sink_pruned_read",
+    survey=("S12", "S7", "P8"),
+    oracle="""
+SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_micros
+FROM events
+WHERE strftime(ts, '%m') IN ('02', '03')
+GROUP BY 1, 2
+""",
+)
+def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format, same guarantees: events written as
+    Hive-partitioned ORC (sources.sinks.write_table_format — ORC
+    ships with Spark: footer stats, predicate pushdown and partition
+    pruning all behave exactly as for parquet), read back with a
+    month predicate that prunes partition directories at planning
+    time. Same integer-micros hash contract and the same
+    session-independent string-partition discipline as the parquet
+    twin (partitioned_sink_pruned_read)."""
+    from bio_lakehouse_spark.sources.sinks import (
+        read_table_format,
+        write_table_format,
+    )
+
+    path = str(fixture_path("events_orc", sf_dir))
+    done = Path(path + "_DONE")
+    if not done.exists():
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "value",
+            F.date_format("ts", "yyyy").alias("year"),
+            F.date_format("ts", "MM").alias("month"),
+        )
+        write_table_format(ev, path, fmt="orc",
+                           partition_cols=["year", "month"])
+        done.touch()
+    back = read_table_format(spark, path, fmt="orc")
+    micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    agg = (
+        back.filter(F.col("month").isin("02", "03"))
+        .groupBy("year", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micros).cast("long").alias("total_value_micros"),
+        )
+    )
+    return agg.select(
+        F.lpad(F.col("year").cast("string"), 4, "0").alias("year"),
+        F.lpad(F.col("month").cast("string"), 2, "0").alias("month"),
+        "n_events",
+        "total_value_micros",
+    )

@@ -727,3 +727,43 @@ def test_versioned_compliance_purge_leaves_no_bytes(spark, tmp_path):
         if purge_user.encode() in f.read_bytes():
             leftovers.append(str(f))
     assert not leftovers, leftovers
+
+
+def test_write_read_table_format_orc(spark, tmp_path):
+    """Format-parametric sinks: ORC round-trips with Hive partition
+    layout, string partition values (inference pinned off), and a
+    partition filter visible in the plan; avro fails LOUDLY where the
+    spark-avro module is absent; unknown formats are rejected."""
+    import contextlib
+    import io
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import (
+        avro_available,
+        read_table_format,
+        write_table_format,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", "01"), (2, "b", "01"), (3, "c", "02")],
+        "k int, v string, mon string",
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_table_format(df, path, fmt="orc", partition_cols=["mon"])
+    back = read_table_format(spark, path, fmt="orc")
+    assert dict(back.dtypes)["mon"] == "string"
+    assert back.count() == 3
+    pruned = back.filter(F.col("mon") == "01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters: [isnotnull(mon" in buf.getvalue()
+    assert pruned.count() == 2
+
+    with _pytest.raises(ValueError):
+        write_table_format(df, path, fmt="feather")
+    if not avro_available(spark):
+        with _pytest.raises(RuntimeError):
+            write_table_format(df, str(tmp_path / "av"), fmt="avro")
