@@ -989,3 +989,55 @@ def semdedup(
         .join(dups, on=id_col, how="left")
         .fillna({"is_dup": 0})
     )
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    prune_frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes pruning — the second half of D4 (Tirumala et
+    al. 2023: SemDeDup, then drop the most PROTOTYPICAL examples per
+    cluster): within each centroid cell, rank vectors by cosine to
+    their centroid (desc, id tie-break) and mark the top
+    ``prune_frac`` fraction pruned — the points nearest the centroid
+    carry the least marginal information, so removing them trades
+    almost no coverage for the budget. SemDeDup removes near-COPIES;
+    this removes REDUNDANT-BY-DENSITY points — a curation pipeline
+    runs both.
+
+    Scale shape: centroid assignment is the broadcast map-side argmax
+    (``assign_cells``); ranking windows are CELL-partitioned, never
+    global. Returns (id, centroid_id, proto_sim, proto_rank,
+    cell_size, is_pruned)."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    cent = centroids.select(
+        F.col("centroid_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    scored = assigned.withColumn("_vnorm", norm(F.col(vec_col))).join(
+        F.broadcast(cent), "centroid_id"
+    ).select(
+        id_col,
+        "centroid_id",
+        (
+            dot(F.col(vec_col), F.col("cent_vec"))
+            / (F.col("_vnorm") * F.col("cent_norm"))
+        ).alias("proto_sim"),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.desc("proto_sim"), F.asc(id_col)
+    )
+    wc = Window.partitionBy("centroid_id")
+    return (
+        scored.withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("cell_size", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "is_pruned",
+            F.col("proto_rank")
+            <= F.ceil(F.lit(float(prune_frac)) * F.col("cell_size")),
+        )
+    )

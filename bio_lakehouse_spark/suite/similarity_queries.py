@@ -1260,3 +1260,57 @@ def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.log(F.col("p_cur") / F.col("p_ref"))
         ).alias("psi_term"),
     ).orderBy("centroid_id")
+
+
+@register(
+    "d4_prototype_prune",
+    survey=("A11", "W9", "J6"),
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cv
+  FROM embeddings WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, centroid_id, cos AS proto_sim FROM (
+    SELECT v.vec_id, cent.centroid_id,
+           {_COS.format(a='v.embedding', b='cent.cv')} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {_COS.format(a='v.embedding', b='cent.cv')} DESC,
+                      cent.centroid_id) AS rn
+    FROM embeddings v, cent) WHERE rn = 1
+), ranked AS (
+  SELECT vec_id, centroid_id, proto_sim,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+           ORDER BY proto_sim DESC, vec_id) AS proto_rank,
+         COUNT(*) OVER (PARTITION BY centroid_id) AS cell_size
+  FROM assigned
+)
+SELECT vec_id, centroid_id, ROUND(proto_sim, 6) AS proto_sim,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(cell_size AS BIGINT) AS cell_size,
+       proto_rank <= CAST(CEIL(0.2 * cell_size) AS BIGINT) AS is_pruned
+FROM ranked ORDER BY vec_id
+""",
+)
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4's SSL-prototypes half (Tirumala et al. 2023): per centroid
+    cell, the 20% most prototypical vectors (highest cosine to their
+    centroid — least marginal information) are marked pruned.
+    Complements semdedup_verdicts (near-copies) — together they are
+    the full D4 curation pass. Cell-partitioned windows only;
+    centroid assignment is the broadcast map-side argmax
+    (operators/similarity.prototype_prune)."""
+    from bio_lakehouse_spark.operators.similarity import prototype_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = prototype_prune(emb, centroids, prune_frac=0.2)
+    return out.select(
+        "vec_id",
+        "centroid_id",
+        R6(F.col("proto_sim")).alias("proto_sim"),
+        F.col("proto_rank").cast("long"),
+        F.col("cell_size").cast("long"),
+        "is_pruned",
+    ).orderBy("vec_id")
