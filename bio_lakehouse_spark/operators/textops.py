@@ -614,3 +614,20 @@ def dsir_importance(
             F.sum("lw").alias("logw"),
         )
     )
+
+
+def pseudonymize(col: Column | str, key: str, length: int = 16) -> Column:
+    """Deterministic keyed pseudonymization: sha256(key ‖ ':' ‖ value)
+    truncated to ``length`` hex chars — the privacy op a training
+    pipeline applies to user/session identifiers BEFORE any join or
+    export: the mapping is stable (same id → same pseudonym, so joins
+    and groupBys still work) but irreversible without the key, and
+    rotating the key unlinks every historical export at once. Pure
+    scan-level expression; PII *content* redaction is ``redact_pii``,
+    this handles identifier COLUMNS."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.sha2(F.concat(F.lit(key), F.lit(":"), c.cast("string")), 256),
+        1,
+        length,
+    )

@@ -2785,3 +2785,47 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+@register(
+    "pii_pseudonymize_ids",
+    survey=("F8", "A11", "P9"),
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         substr(sha256('train-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+           AS user_pseudo,
+         event_type
+  FROM events
+)
+SELECT user_pseudo,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_source_ids
+FROM p GROUP BY user_pseudo
+""",
+)
+def pii_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed identifier pseudonymization (textops.pseudonymize):
+    user_ids become stable sha256(key:id) pseudonyms, then the
+    per-pseudonym rollup proves joins/groupBys survive the mapping
+    and n_source_ids == 1 everywhere proves it's collision-free at
+    this scale. The redaction twin for identifier COLUMNS (content
+    redaction is pii_redaction); key rotation unlinks all historical
+    exports at once. Scan-level expression + one groupBy."""
+    from bio_lakehouse_spark.operators.textops import pseudonymize
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            pseudonymize("user_id", key="train-v1").alias("user_pseudo"),
+            "event_type",
+        )
+        .groupBy("user_pseudo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.count_distinct("user_id").alias("n_source_ids"),
+        )
+    )
