@@ -613,6 +613,24 @@ def simhash_pairs(
     )
 
 
+def _band_specs(n_bands: int) -> list[tuple[str, int, int]]:
+    """Split the 64-bit (sim_hi, sim_lo) signature into ``n_bands``
+    disjoint bit ranges that never cross the 32-bit half boundary
+    (so each band value is one shift+mask on one half): returns
+    (half, shift, width) triples. hi gets ceil(n/2) bands, lo the
+    rest; widths within a half differ by at most one bit."""
+    if not 2 <= n_bands <= 32:
+        raise ValueError("n_bands must be in [2, 32]")
+    specs: list[tuple[str, int, int]] = []
+    for half, k in (("hi", (n_bands + 1) // 2), ("lo", n_bands // 2)):
+        offset = 0
+        for i in range(k):
+            width = 32 // k + (1 if i < 32 % k else 0)
+            specs.append((half, offset, width))
+            offset += width
+    return specs
+
+
 def simhash_pairs_banded(
     df: DataFrame,
     id_col: str,
@@ -621,6 +639,8 @@ def simhash_pairs_banded(
     max_hamming: int = 3,
     max_bucket_size: int = 256,
     return_stats: bool = False,
+    n_bands: int = 4,
+    block_cols: Sequence[str] = (),
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """SimHash near-dup pairs WITHOUT a blocked self-join — the
     100 TB path, per Manku/Jain/Sarma (WWW'07): 64-bit signature,
@@ -640,38 +660,60 @@ def simhash_pairs_banded(
     as the MinHash LSH path — then exact xor+bit_count verification.
     Compare ``simhash_pairs``: quadratic within its blocking column,
     unusable when blocks are corpus-sized (an 'en' block IS the
-    corpus). Requires ``max_hamming`` ≤ 3 to keep the 4-band
-    pigeonhole guarantee."""
-    if max_hamming > 3:
-        raise ValueError("4-band pigeonhole guarantee requires ≤ 3")
+    corpus).
+
+    Generalized pigeonhole (r7): a pair within hamming ≤ h differs in
+    at most h of the ``n_bands`` disjoint bit ranges, so it matches
+    exactly on ≥ n_bands − h of them — requires ``n_bands ≥
+    max_hamming + 1`` (the 4-band default keeps the classic h ≤ 3
+    WWW'07 configuration). Wider thresholds use more, narrower bands
+    (h = 6 → 7 bands of 8–11 bits: random collision 2⁻⁸…2⁻¹¹ per band
+    — more candidates than 16-bit bands, still near-linear with the
+    bucket cap). ``block_cols`` joins the blocking attributes into
+    the bucket key (band collisions only pair within a block) — the
+    scalable replacement for the blocked quadratic self-join."""
+    if max_hamming + 1 > n_bands:
+        raise ValueError(
+            f"pigeonhole needs n_bands ≥ max_hamming+1 "
+            f"({n_bands} < {max_hamming + 1})"
+        )
     sig = simhash64(df, id_col, text_col, n).localCheckpoint()
+    bcols = list(block_cols)
+    keyed = sig
+    if bcols:
+        keyed = sig.join(
+            df.select(F.col(id_col).alias("doc_id"), *bcols), on="doc_id"
+        )
     halves = {"hi": F.col("sim_hi"), "lo": F.col("sim_lo")}
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.shiftright(col, shift)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(halves[half], shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("value"),
             )
-            for j, (col, shift) in enumerate(
-                [(halves["hi"], 16), (halves["hi"], 0),
-                 (halves["lo"], 16), (halves["lo"], 0)]
-            )
+            for j, (half, shift, width) in enumerate(_band_specs(n_bands))
         ]
     )
-    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.value").alias("value")
+    exploded = keyed.select(
+        "doc_id", *bcols, F.explode(bands).alias("__sband")
+    ).select(
+        "doc_id",
+        *bcols,
+        F.col("__sband.band").alias("band"),
+        F.col("__sband.value").alias("value"),
     )
+    bucket_key = [*bcols, "band", "value"]
     sized = exploded.withColumn(
         "bsize",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "value")),
+        F.count(F.lit(1)).over(Window.partitionBy(*bucket_key)),
     )
     stats = None
     if return_stats:
         sized = sized.localCheckpoint()
         stats = (
-            sized.groupBy("band", "value")
+            sized.groupBy(*bucket_key)
             .agg(F.max("bsize").alias("size"))
             .filter(F.col("size") > max_bucket_size)
             .withColumn("dropped", F.lit(True))
@@ -680,7 +722,7 @@ def simhash_pairs_banded(
         sized.filter(
             (F.col("bsize") > 1) & (F.col("bsize") <= max_bucket_size)
         )
-        .groupBy("band", "value")
+        .groupBy(*bucket_key)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .select(
             F.explode(

@@ -1434,29 +1434,37 @@ def dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey=("S12", "S7", "P8"),
     oracle="""
 SELECT strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+       strftime(ts, '%d') AS day,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
          AS total_value_micros
 FROM events
-WHERE strftime(ts, '%m') IN ('02', '03')
-GROUP BY 1, 2
+WHERE strftime(ts, '%m') = '01'
+  AND strftime(ts, '%d') BETWEEN '05' AND '12'
+GROUP BY 1, 2, 3
 """,
 )
 def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second columnar format, same guarantees: events written as
     Hive-partitioned ORC (sources.sinks.write_table_format — ORC
     ships with Spark: footer stats, predicate pushdown and partition
-    pruning all behave exactly as for parquet), read back with a
-    month predicate that prunes partition directories at planning
-    time. Same integer-micros hash contract and the same
-    session-independent string-partition discipline as the parquet
-    twin (partitioned_sink_pruned_read)."""
+    pruning all behave exactly as for parquet). Partitioned by
+    (year, month) with ``day`` kept as a DATA column, so the
+    read-back exercises BOTH pruning layers: the month predicate
+    prunes partition directories at planning time and the day range
+    pushes into ORC stripe/row-group footer stats (PushedFilters) —
+    the parquet twin covers the all-partition-column case. r6's
+    month-02/03 predicate matched zero fixture rows (all events are
+    2024-01) so its green was vacuous; this predicate returns 8
+    nonempty day groups, and the registry's expect_rows contract now
+    flags any 0-row green. Same integer-micros hash contract and
+    session-independent string partitions as the parquet twin."""
     from bio_lakehouse_spark.sources.sinks import (
         read_table_format,
         write_table_format,
     )
 
-    path = str(fixture_path("events_orc", sf_dir))
+    path = str(fixture_path("events_orc_v2", sf_dir))
     done = Path(path + "_DONE")
     if not done.exists():
         ev = load(spark, sf_dir, "events").select(
@@ -1464,6 +1472,7 @@ def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.date_format("ts", "yyyy").alias("year"),
             F.date_format("ts", "MM").alias("month"),
+            F.date_format("ts", "dd").alias("day"),
         )
         write_table_format(ev, path, fmt="orc",
                            partition_cols=["year", "month"])
@@ -1471,8 +1480,12 @@ def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_table_format(spark, path, fmt="orc")
     micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
     agg = (
-        back.filter(F.col("month").isin("02", "03"))
-        .groupBy("year", "month")
+        back.filter(
+            (F.col("month") == "01")
+            & (F.col("day") >= "05")
+            & (F.col("day") <= "12")
+        )
+        .groupBy("year", "month", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(micros).cast("long").alias("total_value_micros"),
@@ -1481,6 +1494,7 @@ def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.lpad(F.col("year").cast("string"), 4, "0").alias("year"),
         F.lpad(F.col("month").cast("string"), 2, "0").alias("month"),
+        "day",
         "n_events",
         "total_value_micros",
     )

@@ -37,19 +37,33 @@ class QuerySpec:
     oracle: str | None
     survey: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    # Fixture contract: True ⇒ the testdata GUARANTEES a nonempty
+    # result, so a 0-row "green" is a vacuous match (a predicate
+    # missing the data entirely — the orc_sink r6 failure mode) and
+    # the local harness flags it. Set False only for queries whose
+    # EMPTINESS is the correct answer (e.g. anti_join_inactive: every
+    # sf0.01 customer has orders, so the anti-join is rightly empty).
+    expect_rows: bool = True
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, survey: tuple[str, ...] = ()
+    name: str,
+    oracle: str | None = None,
+    survey: tuple[str, ...] = (),
+    expect_rows: bool = True,
 ):
     """Decorator registering a suite query."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = QuerySpec(
-            fn=fn, oracle=oracle, survey=survey, doc=(fn.__doc__ or "").strip()
+            fn=fn,
+            oracle=oracle,
+            survey=survey,
+            doc=(fn.__doc__ or "").strip(),
+            expect_rows=expect_rows,
         )
         return fn
 

@@ -520,6 +520,9 @@ SELECT c.c_custkey, c.c_name, c.c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
+    # empty-by-semantics at sf0.01: every fixture customer has orders,
+    # so the correct anti-join result IS zero rows (not a vacuous green)
+    expect_rows=False,
 )
 def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — customers with no orders (J6; the reference has

@@ -17,7 +17,6 @@ from bio_lakehouse_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     simhash32,
-    simhash_pairs,
 )
 from bio_lakehouse_spark.operators.textops import (
     STOPWORDS,
@@ -193,20 +192,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f""", hashed AS (
   SELECT doc_id, lang, list_transform(shingles, s -> md5(s)) AS hashes FROM sh
 ), sig AS (
-  SELECT doc_id, lang, {_simhash_sql_expr()} AS simhash FROM hashed
+  SELECT doc_id, lang,
+         {_simhash_sql_expr()} AS sim_hi,
+         {_simhash_sql_expr(tuple('4567cdef'))} AS sim_lo
+  FROM hashed
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INTEGER) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.lang = b.lang
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+      + bit_count(xor(a.sim_lo, b.sim_lo)) <= 6
 """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 6 via
-    xor + bit_count inside lang blocks."""
+    """Lang-blocked SimHash near-dup pairs at the WIDER hamming ≤ 6
+    threshold — re-registered (r7) on the generalized banded path
+    instead of the within-block quadratic self-join (which is
+    unusable when a block is corpus-sized: an 'en' block IS the
+    corpus). Generalized Manku pigeonhole: 64-bit signature split
+    into 7 disjoint bands (h+1 bands cover hamming ≤ h = 6), bucket
+    key (lang, band, value), hot-bucket cap, exact xor+bit_count
+    verification — single-exchange candidates, no sig×sig join. The
+    oracle IS the brute-force within-lang pair scan, so the banded
+    pipeline must reproduce it exactly. The 4-band / hamming ≤ 3
+    corpus-wide configuration is `dedup_simhash_banded`."""
+    from bio_lakehouse_spark.operators.dedup import simhash_pairs_banded
+
     docs = load(spark, sf_dir, "documents")
-    out = simhash_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], n=3, max_hamming=6
+    out = simhash_pairs_banded(
+        docs, "doc_id", "text", n=3, max_hamming=6,
+        n_bands=7, block_cols=["lang"],
     )
     return out.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")

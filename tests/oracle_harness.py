@@ -179,6 +179,14 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {e}")
             continue
         problems = compare(sdf, odf)
+        # Vacuity gate (VERDICT r6 #2): a 0-row match on a query whose
+        # fixture guarantees data certifies nothing — the predicate
+        # missed the testdata entirely.
+        if not problems and spec.expect_rows and len(sdf) == 0:
+            problems = [
+                "vacuous green: 0 rows but expect_rows=True "
+                "(predicate matches no fixture data)"
+            ]
         if problems:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -449,6 +449,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "kmeans_ivf_centroids",
         "kmeans_assign_audit",  # corpus × ONE packed-centroid row
         "embedding_neardup",
+        # corpus × broadcast centroid set (assign_cells argmax) — the
+        # same dim-bounded broadcast pattern as the ann_ivf_* family
+        "d4_prototype_prune",
         # scaffolds: one-row span × small literal/dimension side
         "interpolate_daily_gaps",
         "sequence_packing",
@@ -525,6 +528,20 @@ def test_jaccard_join_is_prefix_filtered(spark, sf_dir):
     (minutes at sf0.1, corpus-block explosion at 100 TB)."""
     plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
     assert "ptok" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_is_banded(spark, sf_dir):
+    """dedup_simhash_pairs' candidates must come from the banded
+    (lang, band, value) bucket aggregation (the `__sband` explode
+    visible in the plan), never the within-lang quadratic sig×sig
+    self-join (an 'en' block IS the corpus at 100 TB — the r6
+    scale-killer). The quadratic form survives the cartesian net
+    because lang equality makes it an equi-join; pin the banded
+    marker explicitly."""
+    plan = _plan(spark, sf_dir, "dedup_simhash_pairs")
+    assert "__sband" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -96,6 +96,22 @@ def uncertified() -> dict[str, list[str]]:
     return tiers
 
 
+def run_pytest() -> int:
+    """Full pytest — the guardrail net (plan-quality cartesian net,
+    goldens, property tests) must be green before a round closes.
+    Rounds 5 AND 6 shipped with tests/ red because the oracle gate
+    alone certified the round; this closes that hole (VERDICT r6 #1)."""
+    print("\nrunning full pytest (guardrail gate)…")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q",
+         "-p", "no:cacheprovider"],
+        cwd=_ROOT,
+    )
+    if proc.returncode != 0:
+        print("pytest: RED — do not close the round")
+    return proc.returncode
+
+
 def main() -> int:
     tiers = uncertified()
     for tier, names in tiers.items():
@@ -105,20 +121,26 @@ def main() -> int:
     to_run = tiers["tier0_never_green"] + tiers["tier1_module_changed"]
     if "--list" in sys.argv:
         return 0
+    rc = 0
     if not to_run:
-        print("nothing uncertified — round may close")
-        return 0
-    print(f"\nre-running {len(to_run)} uncertified queries (vanilla session)…")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(_ROOT, "tests", "oracle_harness.py"),
-         "--vanilla", *to_run],
-        cwd=_ROOT,
-    )
-    if proc.returncode == 0:
+        print("nothing uncertified — oracle gate green")
+    else:
+        print(f"\nre-running {len(to_run)} uncertified queries "
+              "(vanilla session)…")
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(_ROOT, "tests", "oracle_harness.py"),
+             "--vanilla", *to_run],
+            cwd=_ROOT,
+        )
+        rc = proc.returncode
+    if "--no-pytest" not in sys.argv:
+        rc = rc or run_pytest()
+    if rc == 0:
         print("pre-close gate: GREEN")
     else:
         print("pre-close gate: RED — do not close the round")
-    return proc.returncode
+    return rc
 
 
 if __name__ == "__main__":
