@@ -68,6 +68,27 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Table-format runtimes (tools/run_delta_parity.sh): absent in this
+    # sandbox (no Maven/PyPI reachability), so these default to unset;
+    # on a networked machine they pull the Delta/Iceberg jars and wire
+    # the SQL extensions + an Iceberg hadoop catalog so the
+    # tests/test_table_format.py parity matrix runs all backends.
+    pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
+    if pkgs:
+        conf["spark.jars.packages"] = pkgs
+    exts = os.environ.get("SPARK_GRAFT_SQL_EXTENSIONS")
+    if exts:
+        conf["spark.sql.extensions"] = exts
+        conf["spark.sql.catalog.spark_catalog"] = (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        )
+    iceberg_wh = os.environ.get("SPARK_GRAFT_ICEBERG_WAREHOUSE")
+    if iceberg_wh:
+        conf["spark.sql.catalog.iceberg"] = (
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        conf["spark.sql.catalog.iceberg.type"] = "hadoop"
+        conf["spark.sql.catalog.iceberg.warehouse"] = iceberg_wh
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -106,12 +106,39 @@ class ParquetBackend:
         self, path: str, partition_cols: Sequence[str],
         target_file_bytes: int = 128 * 1024 * 1024,
     ) -> int:
-        from bio_lakehouse_spark.sources.sinks import compact_partitions
+        """OPTIMIZE analog for the versioned-snapshot layout: rewrite
+        the LATEST snapshot's files at target size as a NEW immutable
+        version (same reader-visible contract as Delta's
+        executeCompaction — data unchanged, file count reduced; like
+        Delta, compaction lands as its own commit). Returns 1 if a
+        compacted version was committed, 0 if already compact.
+        ``partition_cols`` is unused here — snapshots in this backend
+        are unpartitioned; hive-partitioned TABLES compact through
+        sources.sinks.compact_partitions instead."""
+        import math
+        from pathlib import Path
 
-        return compact_partitions(
-            self.spark, path, partition_cols,
-            target_file_bytes=target_file_bytes,
-        )
+        from bio_lakehouse_spark.sources.sinks import versioned_write
+
+        root = Path(path)
+        ptr = root / "_latest"
+        if not ptr.exists():
+            return 0
+        vdir = root / f"v{int(ptr.read_text().strip())}"
+        files = [
+            f for f in vdir.iterdir()
+            if f.name.endswith(".parquet")
+            and not f.name.startswith(("_", "."))
+        ]
+        total = sum(f.stat().st_size for f in files)
+        n_target = max(1, math.ceil(total / target_file_bytes))
+        if len(files) <= n_target:
+            return 0
+        df = self.read(path).repartition(n_target)
+        # versioned_write's stage step reads the source version fully
+        # before any rename; versions are immutable → no read race.
+        versioned_write(df, path)
+        return 1
 
     def vacuum(self, path: str, keep_last: int = 2) -> list[int]:
         from bio_lakehouse_spark.sources.sinks import vacuum_versions

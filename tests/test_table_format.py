@@ -71,19 +71,40 @@ def _run_schema_evolution(spark, be, root):
     assert rows[2] == ("b", 9.5)
 
 
+def _run_compact_vacuum(spark, be, root):
+    """Maintenance parity: after compaction and old-version vacuum the
+    LATEST snapshot must read back bit-identical (the two backends
+    differ in mechanism — rename-CAS file rewrite + count-based
+    version pruning vs OPTIMIZE + time-based VACUUM — but not in the
+    reader-visible contract)."""
+    path = os.path.join(root, f"maint_{be.name}")
+    be.write_snapshot(_df(spark, [(1, "a"), (2, "b")]), path)
+    be.write_snapshot(_df(spark, [(1, "a2"), (2, "b2"), (3, "c")]), path)
+    be.write_snapshot(_df(spark, [(4, "d"), (5, "e")]), path)
+    before = {r["k"]: r["v"] for r in be.read(path).collect()}
+    be.compact(path, [])
+    be.vacuum(path, keep_last=1)
+    after = {r["k"]: r["v"] for r in be.read(path).collect()}
+    assert after == before == {4: "d", 5: "e"}
+
+
+_CASES = [
+    _run_snapshot_time_travel,
+    _run_merge,
+    _run_schema_evolution,
+    _run_compact_vacuum,
+]
+
+
 @pytest.mark.parametrize(
-    "case",
-    [_run_snapshot_time_travel, _run_merge, _run_schema_evolution],
-    ids=lambda f: f.__name__.lstrip("_"),
+    "case", _CASES, ids=lambda f: f.__name__.lstrip("_"),
 )
 def test_parquet_backend(spark, tmp_path, case):
     case(spark, ParquetBackend(spark), str(tmp_path))
 
 
 @pytest.mark.parametrize(
-    "case",
-    [_run_snapshot_time_travel, _run_merge, _run_schema_evolution],
-    ids=lambda f: f.__name__.lstrip("_"),
+    "case", _CASES, ids=lambda f: f.__name__.lstrip("_"),
 )
 def test_delta_backend(spark, tmp_path, case):
     pytest.importorskip("delta")
@@ -110,9 +131,7 @@ def test_resolve_backend_default_and_override(spark):
 
 
 @pytest.mark.parametrize(
-    "case",
-    [_run_snapshot_time_travel, _run_merge, _run_schema_evolution],
-    ids=lambda f: f.__name__.lstrip("_"),
+    "case", _CASES, ids=lambda f: f.__name__.lstrip("_"),
 )
 def test_iceberg_backend(spark, tmp_path, case):
     from bio_lakehouse_spark.sources.table_format import (
