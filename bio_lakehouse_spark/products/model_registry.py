@@ -122,9 +122,29 @@ def save_model(
         raise RuntimeError(
             f"save_model: lost the version race {max_attempts} times"
         )
+    # Monotonic pointer publish (ADVICE r6): two racing writers claim
+    # v<N> and v<N+1>; if the v<N> writer's os.replace lands LAST,
+    # _latest would point BACKWARD at an older version. Instead of
+    # publishing "my" version, every writer publishes the HIGHEST
+    # committed version directory and loops until the pointer reflects
+    # it — whichever writer acts last leaves _latest at the max, and
+    # any interleaving that briefly regresses the pointer is repaired
+    # by the still-running writer's next iteration (version dirs are
+    # immutable and fully written before their rename, so pointing at
+    # a rival's newer version is always safe).
+    ptr = d / "_latest"
     tmp = d / f"_latest.{token}"
-    tmp.write_text(str(claimed.version))
-    os.replace(tmp, d / "_latest")
+    while True:
+        vs = _versions(d)
+        target = vs[-1] if vs else claimed.version
+        try:
+            current = int(ptr.read_text().strip())
+        except (FileNotFoundError, ValueError):
+            current = 0
+        if current >= target:
+            break
+        tmp.write_text(str(target))
+        os.replace(tmp, ptr)
     return claimed
 
 
@@ -191,10 +211,23 @@ def predict_df(
     return df.withColumn(out_col, score_expr(model))
 
 
-def vacuum_models(root: str | Path, name: str, keep_last: int = 5) -> list[int]:
+def vacuum_models(
+    root: str | Path,
+    name: str,
+    keep_last: int = 5,
+    stage_max_age_sec: float = 3600.0,
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions, never the
-    ``_latest``-pointed one. Returns removed version numbers."""
+    ``_latest``-pointed one. Returns removed version numbers.
+
+    Stage-dir cleanup is AGE-GATED (ADVICE r6): a ``.__stage__*``
+    directory younger than ``stage_max_age_sec`` may belong to a
+    writer mid-``save_model`` — deleting it would fail that writer's
+    rename-CAS. Only stale debris (crashed runs) is swept; a live
+    save completes in seconds, so the default 1-hour gate is
+    conservative by orders of magnitude."""
     import shutil
+    import time
 
     d = _model_dir(root, name)
     ptr = d / "_latest"
@@ -208,6 +241,12 @@ def vacuum_models(root: str | Path, name: str, keep_last: int = 5) -> list[int]:
         if v not in keep:
             shutil.rmtree(d / f"v{v}", ignore_errors=True)
             removed.append(v)
+    now = time.time()
     for junk in d.glob(".__stage__*"):
-        shutil.rmtree(junk, ignore_errors=True)
+        try:
+            age = now - junk.stat().st_mtime
+        except OSError:
+            continue  # vanished: its writer just renamed it — live
+        if age > stage_max_age_sec:
+            shutil.rmtree(junk, ignore_errors=True)
     return removed

@@ -101,18 +101,45 @@ def write_partitioned_parquet(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def _no_partition_inference(spark: SparkSession):
+    """Context manager: pin partition-type inference OFF for the
+    enclosed read, then RESTORE the caller's prior value (ADVICE r6:
+    the old set-and-leave silently changed partition typing for all
+    subsequent unrelated reads on externally built sessions). Safe to
+    restore immediately after ``spark.read...`` returns: the scan's
+    partition schema is resolved eagerly at DataFrame creation."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        try:
+            prior = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset on this session
+            prior = None
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    return _cm()
+
+
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Scan a partitioned dataset written by the sink above. Partition
     values stay strings — the reference's inference-off discipline.
-    The conf is set HERE at runtime (not only in the session factory)
-    so the contract holds under externally-built sessions too: under
-    a default session, inference turns ``month=05`` into int 5 and
-    every downstream string comparison / value hash silently shifts
-    (CORRECTNESS r03/r05 red row)."""
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
-    return spark.read.parquet(path)
+    The conf is pinned HERE at runtime (not only in the session
+    factory) so the contract holds under externally-built sessions
+    too: under a default session, inference turns ``month=05`` into
+    int 5 and every downstream string comparison / value hash
+    silently shifts (CORRECTNESS r03/r05 red row). The prior conf
+    value is restored after the scan resolves."""
+    with _no_partition_inference(spark):
+        return spark.read.parquet(path)
 
 
 def create_table_as(
@@ -696,7 +723,5 @@ def read_table_format(
             "avro requested but the spark-avro module is not on this "
             "session"
         )
-    spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-    )
-    return spark.read.format(fmt).load(path)
+    with _no_partition_inference(spark):
+        return spark.read.format(fmt).load(path)

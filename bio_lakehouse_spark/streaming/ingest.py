@@ -313,12 +313,16 @@ def stream_documents_dedup_ingest(
     rescanned), then appends the surviving documents to the corpus
     and their fingerprints to the store.
 
-    Idempotent by construction: a replayed batch's fingerprints are
-    already in the store, so every row anti-joins away — the corpus
-    cannot double-ingest (this is the fingerprint-store twin of the
-    sequence guard in ``stream_upsert_to_table``). Per-batch cost is
-    O(batch + matching store keys); the store grows by one row per
-    distinct text ever seen, exactly the `dedup_incremental_batch`
+    Idempotent under replay via TWO guards: a replayed batch's
+    fingerprints are already in the store, so its rows anti-join away
+    — and because the corpus append lands BEFORE the fingerprint
+    append, a crash between the two writes leaves a half-committed
+    batch the fingerprint guard alone cannot see, so the surviving
+    ids are additionally anti-joined against the corpus's own id
+    column (r7 — closes the double-ingest crash window; the corpus is
+    touched only through one pruned id-column scan). Per-batch cost
+    stays O(batch + matching store keys); the store grows by one row
+    per distinct text ever seen, exactly the `dedup_incremental_batch`
     shape scaled to a continuous stream."""
     from bio_lakehouse_spark.operators.dedup import exact_dedup_groups
     from pyspark.sql.utils import AnalysisException
@@ -340,6 +344,18 @@ def stream_documents_dedup_ingest(
         survivors = batch_df.join(
             novel.select(F.col("keep_id").alias(id_col)), on=id_col
         )
+        # Crash-replay guard: corpus appends land before fingerprint
+        # appends, so a crash between the two writes + checkpoint
+        # replay passes the fingerprint anti-join again. Re-check the
+        # survivors against the corpus's id column so the
+        # half-committed rows drop (their fingerprints, still absent
+        # from the store, are then appended below — completing the
+        # interrupted commit instead of repeating it).
+        try:
+            existing_ids = spark.read.parquet(corpus_dir).select(id_col)
+            survivors = survivors.join(existing_ids, id_col, "left_anti")
+        except AnalysisException:
+            pass  # first-ever batch: corpus doesn't exist yet
         survivors.write.mode("append").parquet(corpus_dir)
         novel.select("text_hash").write.mode("append").parquet(
             fingerprint_dir

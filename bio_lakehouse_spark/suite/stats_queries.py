@@ -717,8 +717,11 @@ def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature_selection.py:21-158), as a DISTRIBUTED closed form: the
     per-user daily feature frame is unpivoted long (stack — one scan),
     then the 8×8 equal-width joint histogram and Σ p·ln(p/(px·py))
-    run per feature inside feature-partitioned windows — MI for all
-    features in one shuffle, no driver-side numpy. Converted from
+    run per feature inside feature-keyed aggregations — MI for all
+    features in one shuffle, no driver-side numpy; per-feature min/max
+    bin edges come from a ONE-ROW broadcast global stat, not a
+    feature-partitioned window (5 distinct features would serialize
+    the frame into ≤5 sort tasks at cluster scale). Converted from
     rows-only in round 4: the driver now hash-checks every MI value
     and rank. The greedy |r|>0.85 redundancy filter on top of this
     ranking (select_features) is a products-layer decision over these
@@ -743,18 +746,23 @@ def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_value"),
         R6(F.avg("value")).alias("avg_value"),
     )
-    long = daily.selectExpr(
-        "stack(5, 'n_events', n_events, 'n_clicks', n_clicks,"
-        " 'n_errors', n_errors, 'purchase_value', purchase_value,"
-        " 'avg_value', avg_value) AS (feature, v)",
-        "y",
+    feats = ["n_events", "n_clicks", "n_errors",
+             "purchase_value", "avg_value"]
+    # Per-feature min/max as a ONE-ROW global stat broadcast back onto
+    # the daily frame (r7). The r5 form computed them with a min/max
+    # window PARTITIONED BY FEATURE over the stacked long frame: with
+    # only 5 distinct features that window funnels the entire frame
+    # through ≤5 sort tasks — a parallelism collapse at cluster scale
+    # (1000 executors, 5 busy). The broadcast stat keeps every stage
+    # embarrassingly parallel; daily is localCheckpoint'ed so events
+    # is still scanned exactly once for both branches.
+    daily = daily.localCheckpoint()
+    gm = daily.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in feats],
+        *[F.max(c).alias(f"mx_{c}") for c in feats],
+        F.min("y").alias("mny"), F.max("y").alias("mxy"),
     )
-    pf = Window.partitionBy("feature")
-    s = long.select(
-        "feature", "v", "y",
-        F.min("v").over(pf).alias("mnv"), F.max("v").over(pf).alias("mxv"),
-        F.min("y").over(pf).alias("mny"), F.max("y").over(pf).alias("mxy"),
-    )
+    aug = daily.crossJoin(F.broadcast(gm))
 
     def bin8(v, mn, mx):
         return F.least(
@@ -765,10 +773,22 @@ def feature_selection_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(7),
         )
 
-    b = s.select(
-        "feature",
-        bin8("v", "mnv", "mxv").alias("bx"),
+    pf = Window.partitionBy("feature")
+    b = aug.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("feature"),
+                    bin8(c, f"mn_{c}", f"mx_{c}").alias("bx"),
+                )
+                for c in feats
+            ])
+        ).alias("fb"),
         bin8("y", "mny", "mxy").alias("byy"),
+    ).select(
+        F.col("fb.feature").alias("feature"),
+        F.col("fb.bx").alias("bx"),
+        "byy",
     )
     j = b.groupBy("feature", "bx", "byy").agg(
         F.count(F.lit(1)).cast("double").alias("c")

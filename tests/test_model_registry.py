@@ -107,6 +107,42 @@ def test_vacuum_keeps_latest_pointer(tmp_path):
     assert load_model(tmp_path, "m", version=5).version == 5
 
 
+def test_latest_pointer_is_monotonic(tmp_path):
+    """A slow writer finishing AFTER a newer version has published
+    must not point _latest backward (ADVICE r6): simulate the race
+    outcome by pre-seeding a stale pointer, then publishing — the
+    pointer must land on the max committed version, and a save that
+    finds a higher version already committed must not regress it."""
+    save_model(tmp_path, "m", ["x"], [1.0, 0.0])
+    save_model(tmp_path, "m", ["x"], [2.0, 0.0])
+    d = tmp_path / "m"
+    # stale pointer (as if the v1 writer's replace landed last)
+    (d / "_latest").write_text("1")
+    # the next save repairs and then advances: pointer == max version
+    rec = save_model(tmp_path, "m", ["x"], [3.0, 0.0])
+    assert rec.version == 3
+    assert int((d / "_latest").read_text()) == 3
+
+
+def test_vacuum_age_gates_stage_dirs(tmp_path):
+    """vacuum_models must not delete a live writer's staging dir
+    (young), only crashed-run debris (old)."""
+    import os as _os
+    import time as _time
+
+    save_model(tmp_path, "m", ["x"], [1.0, 0.0])
+    d = tmp_path / "m"
+    live = d / ".__stage__live0000"
+    dead = d / ".__stage__dead0000"
+    live.mkdir()
+    dead.mkdir()
+    old = _time.time() - 7200
+    _os.utime(dead, (old, old))
+    vacuum_models(tmp_path, "m", keep_last=5)
+    assert live.is_dir(), "live staging dir deleted from under a writer"
+    assert not dead.exists(), "stale stage debris survived vacuum"
+
+
 def test_train_publish_predict_on_fixture_gold(spark, tmp_path):
     """Full reference lifecycle (train.py fit → mlflow_config best-run
     registry → predict.py latest-features inference) on the fixture

@@ -498,6 +498,55 @@ def test_stream_documents_dedup_ingest(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
 
 
+def test_stream_dedup_ingest_crash_between_writes(spark, tmp_path):
+    """Crash-window replay (ADVICE r6): the corpus append lands
+    BEFORE the fingerprint append, so simulate a crash exactly
+    between the two — corpus holds the batch, store does not — then
+    replay the batch. The corpus-id guard must drop the
+    half-committed rows (no double-ingest) while the fingerprint
+    append completes the interrupted commit."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_dedup_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    fps = str(tmp_path / "fps")
+    schema = "doc_id long, text string"
+
+    with open(landing / "d0.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": "alpha text"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": "beta text"}) + "\n")
+
+    # Simulate the crash state: batch already IN the corpus, its
+    # fingerprints NOT yet in the store (store dir absent entirely).
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], schema
+    ).write.parquet(corpus)
+
+    q = stream_documents_dedup_ingest(
+        spark, str(landing), corpus, fps, str(tmp_path / "ck"), schema
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(corpus).collect()
+    assert len(rows) == 2, "half-committed batch double-ingested"
+    # the interrupted commit completed: fingerprints now stored
+    assert spark.read.parquet(fps).count() == 2
+
+    # a later batch with the same texts is blocked by the store
+    with open(landing / "d1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 9, "text": "alpha text"}) + "\n")
+    q2 = stream_documents_dedup_ingest(
+        spark, str(landing), corpus, fps, str(tmp_path / "ck"), schema
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 2
+
+
 def test_stream_documents_neardup_ingest(spark, tmp_path):
     """Streaming near-dup ingest e2e: a batch doc that is a minor
     mutation of a corpus doc is dropped (LSH index hit), within-batch

@@ -1,15 +1,28 @@
 """Empirical scaling probe — evidence for the SCALE.md linearity
-claims: run the heavy corpus operators on 1×/4×/8× replications of
-the sf0.1 documents table (doc_ids offset per copy so fingerprints
-collide ACROSS copies — the worst case for dedup: every doc gains
-7 exact duplicates) and report wall-clock scale factors.
+claims: run the heavy corpus operators on 1×/4×/8×(/16×)
+replications of the sf0.1 documents table and report wall-clock
+scale factors.
+
+Two replication modes (r7 — VERDICT r6 item 7):
+
+- ``density`` (default): constant duplicate fraction. Copy i's text
+  is passed through a copy-specific alphabet rotation, so cross-copy
+  similarity collapses to ~0 while each copy keeps the corpus's own
+  intra-copy duplicate structure — the true pair OUTPUT grows
+  linearly in mult, so a super-linear time factor means super-linear
+  COMPUTE, not just more answer to emit.
+- ``worstcase``: doc_ids offset only, texts identical — every doc
+  becomes a mult-way exact clique. Output grows quadratically by
+  construction; use it to stress candidate-expansion ceilings
+  (hot-bucket caps), not to judge compute linearity.
 
 A linear operator should show time ratios ≈ data ratios (plus fixed
 overhead, which local[32] exaggerates); a quadratic one explodes —
 this is the experiment that caught the r5 containment form (108 s on
 a corpus-sized block). Usage:
 
-    python tools/scaling_probe.py [mults ...]   # default 1 4 8
+    python tools/scaling_probe.py [--mode density|worstcase] [mults ...]
+    # default: --mode density 1 4 8 16
 """
 
 from __future__ import annotations
@@ -33,8 +46,10 @@ def _ops():
         cdc_chunk_stats,
         containment_prefix_pairs,
         exact_dedup_groups,
+        minhash_lsh_pairs,
         minhash_signatures_raw,
         prefix_filter_pairs,
+        simhash_pairs_banded,
     )
     from bio_lakehouse_spark.operators.textops import (
         quality_metrics,
@@ -57,18 +72,40 @@ def _ops():
             d, "doc_id", "text", block_cols=["lang", "source"],
             threshold=0.8,
         ),
+        "minhash_lsh": lambda d: minhash_lsh_pairs(
+            d, "doc_id", "text", threshold=0.5
+        ),
+        "simhash_banded": lambda d: simhash_pairs_banded(
+            d, "doc_id", "text", n=3, max_hamming=3
+        ),
+        "simhash_7band_blocked": lambda d: simhash_pairs_banded(
+            d, "doc_id", "text", n=3, max_hamming=6,
+            n_bands=7, block_cols=["lang"],
+        ),
         "cdc_chunks": lambda d: cdc_chunk_stats(d, "doc_id", "text"),
         "vocab_oov": lambda d: vocab_oov_audit(d, "lang", "text"),
         "quality_scan": quality,
     }
 
 
-def replicate(docs, mult: int):
+def replicate(docs, mult: int, mode: str = "density"):
+    import string
+
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
-        for i in range(mult)
-    ]
+    letters = string.ascii_lowercase
+    parts = []
+    for i in range(mult):
+        p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n))
+        if mode == "density" and i > 0:
+            # Copy-specific alphabet rotation: rewrites (almost) every
+            # word, so shingle/fingerprint overlap ACROSS copies is ~0
+            # — each copy contributes only its own intra-copy pairs
+            # and the total pair output stays linear in mult. Exact
+            # duplicates WITHIN a copy survive the translation
+            # unchanged (same mapping both sides).
+            rot = letters[i % 26:] + letters[: i % 26]
+            p = p.withColumn("text", F.translate("text", letters, rot))
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -76,16 +113,24 @@ def replicate(docs, mult: int):
 
 
 def main() -> int:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    args = sys.argv[1:]
+    mode = "density"
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = args[i + 1]
+        del args[i : i + 2]
+    if mode not in ("density", "worstcase"):
+        raise SystemExit(f"unknown mode {mode!r}")
+    mults = [int(a) for a in args] or [1, 4, 8, 16]
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ops = _ops()
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
     for mult in mults:
-        docs = replicate(docs0, mult)
+        docs = replicate(docs0, mult, mode=mode)
         rows = docs.count()
-        print(f"--- mult {mult}: {rows} docs", file=sys.stderr)
+        print(f"--- mult {mult} ({mode}): {rows} docs", file=sys.stderr)
         for name, fn in ops.items():
             fn(docs).write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
@@ -106,7 +151,8 @@ def main() -> int:
         }
         for name, times in results.items()
     }
-    print(json.dumps({"mults": mults, "ops": table}, indent=1))
+    print(json.dumps({"mode": mode, "mults": mults, "ops": table},
+                     indent=1))
     return 0
 
 
