@@ -274,3 +274,105 @@ def interval_overlap_join(
         .select("l_id", "r_id", "l_start", "l_end", "r_start", "r_end")
         .distinct()
     )
+
+
+def bloom_filter_build(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """ONE-ROW packed Bloom filter over the build side's join keys:
+    an ``array<long>`` of ``num_bits/64`` words, each the bit_or of
+    the hash bits landing in it (Bloom 1970; the runtime-filter
+    technique Spark itself applies under
+    spark.sql.optimizer.runtime.bloomFilter — re-expressed here as an
+    explicit, composable operator the caller controls).
+
+    Shape: explode k=``num_hashes`` xxhash64 bit positions per key,
+    ONE (word)-keyed aggregation packs them — the exchange carries at
+    most ``num_bits/64`` rows per partition regardless of build-side
+    size (bounded-state, the HLL-register shape), and the result is a
+    single row of ``num_bits/8`` bytes that broadcasts for free.
+
+    Hash choice is unconstrained by any oracle: a Bloom prune is
+    RESULT-TRANSPARENT (no false negatives; false positives are
+    eliminated by the real join that follows), so differential tests
+    compare final join results, never filter internals."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    n_words = num_bits // 64
+    bits = keys.select(
+        F.explode(
+            F.array(*[
+                F.pmod(
+                    F.xxhash64(F.lit(s), F.col(key_col)), F.lit(num_bits)
+                ).alias("b")
+                for s in range(num_hashes)
+            ])
+        ).alias("__bit")
+    )
+    packed = (
+        bits.select(
+            (F.col("__bit") / 64).cast("int").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__word"))
+    )
+    return packed.agg(
+        F.map_from_arrays(
+            F.collect_list("__w"), F.collect_list("__word")
+        ).alias("__bmap")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at("__bmap", i), F.lit(0).cast("long")
+            ),
+        ).alias("__bloom")
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bloom_row: DataFrame,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``df`` to rows whose ``key_col`` MIGHT be in the Bloom
+    filter (all k bits set) — the probe half of a Bloom-pruned join.
+
+    The one-row filter crossJoins on (broadcast, bounded — the
+    repo-standard one-row-stat shape) and the membership test is a
+    pure scan-level expression inside whole-stage codegen, so at
+    cluster scale the prune happens BEFORE the probe side's shuffle:
+    for a fact-fact join where the dim's keys are selective but the
+    dim itself is too big to broadcast, the 8 KB bloom cuts shuffled
+    probe rows to (selectivity + FP-rate) of the input. With
+    num_bits=2^16 / k=3 and ≤6k build keys, FP ≈ (1-e^(-3*6k/65536))^3
+    ≈ 1.6%."""
+    aug = df.crossJoin(F.broadcast(bloom_row))
+    # the bit position is computed ONCE per seed as a named column so
+    # the word lookup and the mask use the identical hash (xxhash64 is
+    # seed-TYPE-sensitive: int vs bigint seeds hash differently)
+    bit_cols = []
+    for s in range(num_hashes):
+        bc = f"__bit{s}"
+        bit_cols.append(bc)
+        aug = aug.withColumn(
+            bc,
+            F.pmod(F.xxhash64(F.lit(s), F.col(key_col)), F.lit(num_bits)),
+        )
+    cond = None
+    for bc in bit_cols:
+        word = F.element_at("__bloom", (F.col(bc) / 64).cast("int") + 1)
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({bc} % 64 AS INT))"
+        )
+        c = word.bitwiseAND(mask) == mask
+        cond = c if cond is None else (cond & c)
+    return aug.filter(cond).drop("__bloom", *bit_cols)

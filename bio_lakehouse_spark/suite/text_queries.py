@@ -2845,3 +2845,58 @@ def pii_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_source_ids"),
         )
     )
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for the fixed-merge BPE encoder — an INDEPENDENT
+    implementation of greedy BPE: each word becomes a '|'-delimited
+    character string ('abc' → '|a|b|c|'), and merge (a,b) is ONE
+    string replace of '|a|b|' with '|ab|'. replace() scans
+    left-to-right over the ORIGINAL string without rescanning its own
+    output — exactly BPE's non-overlapping greedy pass — and the '|'
+    anchors make token boundaries unambiguous (a pattern can never
+    match inside a longer token). Token count = pipes − 1."""
+    from bio_lakehouse_spark.operators.bpe import PRETRAINED_MERGES_V1
+
+    s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+    for a, b in PRETRAINED_MERGES_V1:
+        s = f"replace({s}, '|{a}|{b}|', '|{a}{b}|')"
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest({_W}) AS word FROM documents
+), enc AS (
+  SELECT doc_id,
+         {s} AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST(SUM(length(s) - length(replace(s, '|', '')) - 1) AS BIGINT)
+         AS n_bpe_tokens
+FROM enc GROUP BY doc_id
+"""
+
+
+@register(
+    "bpe_encode_fixed",
+    survey=("F8", "F9", "A1"),
+    oracle=_bpe_oracle_sql(),
+)
+def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under the shipped
+    PRETRAINED_MERGES_V1 vocabulary (operators/bpe.py — from-scratch
+    distributed BPE; training itself is golden-gated in
+    tests/test_bpe.py since the merge loop is iterative, but the
+    ENCODER is differentially certified here). Spark side: the
+    JVM-side merge folds applied once per DISTINCT word + broadcast
+    word→n_tokens join (type/token leverage — the corpus is scanned
+    once and no per-occurrence work happens). Oracle: a completely
+    independent greedy-BPE implementation via sequential
+    boundary-anchored string replaces. Agreement certifies the merge
+    semantics, not just the counts."""
+    from bio_lakehouse_spark.operators.bpe import (
+        PRETRAINED_MERGES_V1,
+        bpe_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "doc_id", "text", PRETRAINED_MERGES_V1)

@@ -483,6 +483,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "psi_drift_monitor",  # 10-bucket table × ONE-ROW totals
         "tfidf_top_terms",  # per-doc term counts × ONE-ROW corpus size
         "feature_selection_mi",  # daily frame × ONE-ROW min/max bin edges
+        "bloom_prune_join",  # fact × ONE-ROW 8 KB packed bloom filter
         "semdedup_verdicts",  # corpus × broadcast centroids (cell scorer)
         "acf_daily_lags",  # daily series × ONE-ROW mean
         "cusum_changepoint",  # daily series × ONE-ROW (mean, sd, n)

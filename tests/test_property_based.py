@@ -920,3 +920,24 @@ def test_canonical_keep_ranks_quality_not_min_id(spark):
     # the point under test: BOTH verdicts emitted, exactly one keeper
     keepers = [d for d, r in out.items() if r["is_canonical"]]
     assert len(keepers) == 1
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    """Bloom prune contract: EVERY build-side key passes the probe
+    (no false negatives — the property that makes the prune
+    result-transparent), and disjoint keys pass at roughly the
+    theoretical FP rate ((1-e^{-kn/m})^k ≈ 0.24% for n=500, m=2^16,
+    k=3 — assert < 5%, an order of magnitude of slack)."""
+    from bio_lakehouse_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_prune,
+    )
+
+    members = spark.range(0, 500).select(F.col("id").alias("k"))
+    bloom = bloom_filter_build(members, "k")
+    kept_members = bloom_prune(members, "k", bloom).count()
+    assert kept_members == 500, "false negative: a member was pruned"
+
+    outsiders = spark.range(100_000, 110_000).select(F.col("id").alias("k"))
+    fp = bloom_prune(outsiders, "k", bloom).count()
+    assert fp / 10_000 < 0.05, f"false-positive rate too high: {fp}/10000"
