@@ -493,11 +493,13 @@ def test_render_weekly_html_embeds_plotly_figures():
 
 def test_pdf_delivery_seam(tmp_path):
     """products.delivery (ref reports/delivery.py:17-66): HTML always
-    lands; PDF renders through the injected PdfRendererFn (WeasyPrint
-    adapter in production — absent in this sandbox, so a fake renderer
-    proves the plumbing); with NO renderer available, save_pdf raises
-    loudly and deliver_weekly reports pdf=None instead of degrading
-    silently."""
+    lands; PDF renders through the injected PdfRendererFn, and with
+    no injection the default ladder (WeasyPrint → built-in
+    mini_pdf_renderer) ships a structurally valid PDF carrying the
+    report text; renderer=False demands full layout and raises
+    without WeasyPrint."""
+    from pathlib import Path
+
     import pytest as _pytest
 
     from bio_lakehouse_spark.products.delivery import (
@@ -506,6 +508,11 @@ def test_pdf_delivery_seam(tmp_path):
         pdf_bytes,
         save_pdf,
     )
+
+    # injected-renderer write path
+    p = save_pdf("<p>x</p>", tmp_path / "inj.pdf",
+                 renderer=lambda h: b"%PDF-1.7\nfake")
+    assert p.read_bytes().startswith(b"%PDF-")
 
     html = "<html><body><h1>W41</h1></body></html>"
 
@@ -520,18 +527,21 @@ def test_pdf_delivery_seam(tmp_path):
     assert pdf.startswith(b"%PDF-") and pdf == pdf_bytes(html, fake_renderer)
     assert (tmp_path / "2025-W41" / "weekly-report.html").read_text() == html
 
-    # no renderer: loud for save_pdf, explicit None for deliver_weekly
-    try:
-        import weasyprint  # noqa: F401
-
-        _pytest.skip("weasyprint present — no-renderer branch untestable")
-    except ImportError:
-        pass
-    with _pytest.raises(PdfUnavailableError):
-        save_pdf(html, tmp_path / "x.pdf")
+    # no injection: the default ladder (weasyprint → built-in mini
+    # renderer) ships a REAL pdf — structurally valid (header, xref,
+    # trailer) and carrying the report text
     out2 = deliver_weekly(html, tmp_path, "2025-W42")
-    assert out2["pdf"] is None
+    assert out2["pdf"] is not None
+    real = Path(out2["pdf"]).read_bytes()
+    assert real.startswith(b"%PDF-1.")
+    assert b"startxref" in real and real.rstrip().endswith(b"%%EOF")
+    assert b"(W41)" in real  # the <h1> text made it into a Tj op
     assert (tmp_path / "2025-W42" / "weekly-report.html").exists()
+
+    # PdfUnavailableError stays reachable for explicit renderer-less
+    # calls that bypass the ladder
+    with _pytest.raises(PdfUnavailableError):
+        pdf_bytes(html, renderer=False)  # type: ignore[arg-type]
 
     # a renderer that returns non-bytes is a bug, not a fallback
     with _pytest.raises(TypeError):
