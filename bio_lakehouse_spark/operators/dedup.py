@@ -366,6 +366,134 @@ def minhash_band_table(
     )
 
 
+def lsh_recall_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    truth_threshold: float = 0.4,
+) -> DataFrame:
+    """MEASURED MinHash-LSH candidate recall by true-Jaccard decile —
+    the dedup twin of ``ann_ivf_recall``'s "audit the approximation"
+    posture. Every LSH docstring in this module argues recall from
+    the (1 − (1 − s^r)^b) curve; this operator measures it, so a
+    pipeline choosing (b, r) for a 100 TB dedup pass can see the
+    curve on ITS corpus instead of trusting the formula.
+
+    Ground truth = the exact prefix-filter join (recall 1 by
+    pigeonhole, no probability) at ``truth_threshold``; approximate
+    side = banded minhash candidates with r = ``rows_per_band`` rows
+    per band (md5-ordered minhash — string min over md5("j|"+shingle)
+    — so a SQL oracle reproduces every signature bit-for-bit; the
+    production xxhash64 path in ``minhash_signatures_raw`` is ~10×
+    cheaper but not oracle-mirrorable). Truth pairs are bucketed by
+    floor(jaccard·10)/10 (1.0 folded into the 0.9 bucket) and each
+    bucket reports measured recall next to the closed-form expectation
+    at the bucket midpoint.
+
+    Deliberately NO hot-bucket cap on the audit's candidate join: the
+    point is to measure what banding ALONE recalls; the production
+    cap's recall cost is monitored separately via
+    ``minhash_lsh_pairs(return_stats=True)``.
+
+    Scale shape: signatures are a row-wise projection; candidates are
+    one groupBy on (band, value) with in-bucket pair expansion (the
+    ``minhash_lsh_pairs`` shape — no self-join, single exchange);
+    truth is the PPJoin prefix filter; the final join keys two PAIR
+    tables on (doc_a, doc_b) and aggregates to ≤ 7 bucket rows.
+    """
+    k = n_bands * rows_per_band
+    sets = shingle_sets(df, id_col, text_col, n=n)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
+            )
+        ).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    sig = sets.select("doc_id", *mins)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("value"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.value").alias("value")
+    )
+    cand = (
+        bands.groupBy("band", "value")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("doc_a"), b.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    truth = prefix_filter_pairs(
+        df, id_col, text_col, n=n, threshold=truth_threshold
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10) / 10.0, F.lit(0.9))
+    # Expected recall at the bucket midpoint via REPEATED MULTIPLY
+    # (bit-exact IEEE on both engines; pow() may differ by a ULP
+    # across libm implementations and flip a 6-decimal rounding).
+    mid = F.col("bucket_lo") + F.lit(0.05)
+    p_band = mid
+    for _ in range(rows_per_band - 1):
+        p_band = p_band * mid
+    miss = F.lit(1.0) - p_band
+    p_miss_all = miss
+    for _ in range(n_bands - 1):
+        p_miss_all = p_miss_all * miss
+    expected = F.lit(1.0) - p_miss_all
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .withColumn("bucket_lo", bucket)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("hit").alias("n_found"),
+        )
+        .select(
+            "bucket_lo",
+            "n_truth",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_truth"), 6).alias("recall"),
+            F.round(expected, 6).alias("expected_recall"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
 def minhash_incremental_pairs(
     corpus: DataFrame,
     batch: DataFrame,

@@ -150,6 +150,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", R6(F.col("jaccard")).alias("jaccard"))
 
 
+def _lsh_recall_oracle(
+    n_bands: int = 4, rows_per_band: int = 4, thresh: float = 0.4
+) -> str:
+    """DuckDB mirror of operators.dedup.lsh_recall_audit: md5-ordered
+    minhash signatures, banded candidates, exact-pair truth, per-decile
+    recall vs the closed-form expectation (repeated-multiply powers so
+    both engines run bit-identical IEEE chains)."""
+    k = n_bands * rows_per_band
+    mins = ",\n         ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(k)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS value"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    mid = "(bucket_lo + 0.05)"
+    p_band = " * ".join([mid] * rows_per_band)
+    miss4 = " * ".join(["miss"] * n_bands)
+    return (
+        _SHINGLES_CTE
+        + f""", sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS hit
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+), truth AS (
+  SELECT doc_a, doc_b, jac_raw FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  ) WHERE jac_raw >= {thresh}
+), agg AS (
+  SELECT LEAST(FLOOR(t.jac_raw * 10) / 10.0, 0.9) AS bucket_lo,
+         COUNT(*) AS n_truth, COUNT(c.hit) AS n_found
+  FROM truth t LEFT JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1
+)
+SELECT bucket_lo, n_truth, n_found,
+       ROUND(n_found / n_truth, 6) AS recall,
+       ROUND(1 - {miss4}, 6) AS expected_recall
+FROM (SELECT bucket_lo, n_truth, n_found,
+             1 - {p_band} AS miss
+      FROM agg)
+"""
+    )
+
+
+@register(
+    "minhash_lsh_recall_audit",
+    survey=("J6", "F9", "A13"),
+    oracle=_lsh_recall_oracle(),
+)
+def minhash_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall by true-Jaccard decile (b=4 bands × r=4
+    rows): ground truth from the exact prefix-filter join at 0.4,
+    candidates from md5-ordered banded minhash, each decile reporting
+    measured recall next to the 1−(1−s⁴)⁴ expectation at the bucket
+    midpoint. The "measure, don't guess" audit for choosing (b, r)
+    before a 100 TB dedup pass — `ann_ivf_recall`'s posture applied
+    to the dedup family."""
+    from bio_lakehouse_spark.operators.dedup import lsh_recall_audit
+
+    docs = load(spark, sf_dir, "documents")
+    out = lsh_recall_audit(
+        docs, "doc_id", "text", n=3, n_bands=4, rows_per_band=4,
+        truth_threshold=0.4,
+    )
+    return out.select(
+        "bucket_lo", "n_truth", "n_found", "recall", "expected_recall"
+    )
+
+
 def _simhash_sql_expr(charset: tuple[str, ...] = tuple("89abcdef")) -> str:
     """DuckDB expression mirroring operators.dedup.simhash32 (and,
     with charset '4567cdef', the low half of simhash64)."""

@@ -941,3 +941,54 @@ def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
     outsiders = spark.range(100_000, 110_000).select(F.col("id").alias("k"))
     fp = bloom_prune(outsiders, "k", bloom).count()
     assert fp / 10_000 < 0.05, f"false-positive rate too high: {fp}/10000"
+
+
+def test_lsh_recall_audit_buckets_and_bounds(spark):
+    """lsh_recall_audit on a constructed corpus with controlled
+    overlap: (1) n_found ≤ n_truth and recall ∈ [0, 1] per bucket;
+    (2) buckets span the engineered jaccard range (not just the
+    fixture's bimodal ≥0.9 mass); (3) expected_recall is the
+    closed-form 1−(1−s⁴)⁴ at the bucket midpoint; (4) the measured
+    corpus-wide recall is within binomial noise of the expectation —
+    the audit's whole point is that these two columns agree when the
+    hash family is healthy."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.dedup import lsh_recall_audit
+
+    words_pool = [f"tok{i}" for i in range(600)]
+    rng = np.random.default_rng(11)
+    docs, did = [], 0
+    for overlap in (0.45, 0.6, 0.75, 0.92):
+        for _ in range(10):
+            base = list(rng.choice(words_pool, 150, replace=False))
+            k = int(len(base) * overlap)
+            other = [w for w in words_pool if w not in base]
+            variant = base[:k] + list(
+                rng.choice(other, 150 - k, replace=False)
+            )
+            docs.append((did, " ".join(base)))
+            docs.append((did + 1, " ".join(variant)))
+            did += 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = lsh_recall_audit(
+        df, "doc_id", "text", n=3, n_bands=4, rows_per_band=4,
+        truth_threshold=0.2,
+    ).collect()
+    assert len(rows) >= 3  # the overlap ladder spreads across deciles
+    n_truth_total = n_found_total = 0
+    exp_found = 0.0
+    for r in rows:
+        assert 0 <= r["n_found"] <= r["n_truth"]
+        assert 0.0 <= r["recall"] <= 1.0
+        mid = r["bucket_lo"] + 0.05
+        expected = 1 - (1 - mid**4) ** 4
+        assert abs(r["expected_recall"] - expected) < 1e-6, r
+        n_truth_total += r["n_truth"]
+        n_found_total += r["n_found"]
+        exp_found += r["n_truth"] * expected
+    # corpus-wide: measured hits within 4·sqrt(n) of the expectation
+    # (pair-level band hits are ~independent Bernoullis here)
+    assert abs(n_found_total - exp_found) <= 4 * max(
+        n_truth_total**0.5, 3.0
+    ), (n_found_total, exp_found)
