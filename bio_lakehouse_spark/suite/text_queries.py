@@ -658,7 +658,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index-free score-everything form, which at 100 TB is the
     map-side rerank stage (a real search system materializes the
     postings; the scoring math is identical)."""
-    docs = load(spark, sf_dir, "documents")
+    from bio_lakehouse_spark.suite.registry import spread
+
+    # Single-split fixture → the tf scan would run (twice: stats +
+    # scoring) as one task, and the any_tf>0 filter pushes straight
+    # through a bare repartition back into that scan — barrier=True
+    # pins the tf work above the spread. No-op on real inputs.
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id", barrier=True)
     w = words("text")
     # NB: a 2-arg lambda makes F.filter pass the element INDEX as the
     # second argument — a factory closure keeps the term bound safely.
@@ -1562,17 +1568,21 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitiveness signal quality filters pair with the Gopher rules
     (near-zero → boilerplate runs; English ≈ 4 bits). Scan-level
     closed form (one replace-count per alphabet symbol, fixed
-    summation order), no explode, no shuffle."""
+    summation order), no explode, no shuffle at scale (the spread is
+    a small-fixture no-op on real splits). The 37-symbol tree is
+    materialized ONCE and the threshold flag reads the stored column
+    — inlining `ent` twice doubled the codegen'd expression and
+    measured ~2× slower."""
     from bio_lakehouse_spark.operators.textops import char_entropy
+    from bio_lakehouse_spark.suite.registry import spread
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     ent = F.round(char_entropy("text"), 6)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         ent.alias("entropy_bits"),
-        (ent < 3.5).alias("low_entropy"),
-    )
+    ).select("*", (F.col("entropy_bits") < 3.5).alias("low_entropy"))
 
 
 @register(
