@@ -539,9 +539,15 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     B × partitions partial rows, never B × N.
     """
     from bio_lakehouse_spark.operators.sampling import hash_unit
+    from bio_lakehouse_spark.suite.registry import spread
 
-    ev = load(spark, sf_dir, "events").filter(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    # Filter pushes to the scan (cheap, correct); the B-fold explode
+    # + per-row md5 must NOT run in the fixture's single split.
+    ev = spread(
+        load(spark, sf_dir, "events").filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        ),
+        "event_id",
     )
     rep = ev.select(
         "event_id",
