@@ -992,3 +992,27 @@ def test_lsh_recall_audit_buckets_and_bounds(spark):
     assert abs(n_found_total - exp_found) <= 4 * max(
         n_truth_total**0.5, 3.0
     ), (n_found_total, exp_found)
+
+
+def test_spread_is_noop_on_multi_split_inputs(spark):
+    """The 100 TB posture of registry.spread(): a production input
+    that already has >= defaultParallelism splits must pass through
+    UNTOUCHED — same object, no repartition, no checkpoint — so the
+    plan Catalyst sees at scale is identical with or without the
+    local fixture fix. The small-input branch must repartition to
+    exactly defaultParallelism (and only checkpoint when asked)."""
+    from bio_lakehouse_spark.suite.registry import spread
+
+    par = spark.sparkContext.defaultParallelism
+    big = spark.range(0, 10_000).repartition(par + 4, "id")
+    assert spread(big, "id") is big
+    assert spread(big, "id", barrier=True) is big
+
+    small = spark.range(0, 100).coalesce(1)
+    out = spread(small, "id")
+    assert out.rdd.getNumPartitions() == par
+    # barrier branch still yields the spread partitioning and the
+    # same rows (lazy checkpoint materializes on first action)
+    outb = spread(small, "id", barrier=True)
+    assert outb.rdd.getNumPartitions() == par
+    assert sorted(r.id for r in outb.collect()) == list(range(100))
