@@ -393,16 +393,23 @@ def lsh_recall_audit(
     bucket reports measured recall next to the closed-form expectation
     at the bucket midpoint.
 
-    Deliberately NO hot-bucket cap on the audit's candidate join: the
-    point is to measure what banding ALONE recalls; the production
-    cap's recall cost is monitored separately via
-    ``minhash_lsh_pairs(return_stats=True)``.
+    Deliberately NO hot-bucket cap: the point is to measure what
+    banding ALONE recalls; the production cap's recall cost is
+    monitored separately via ``minhash_lsh_pairs(return_stats=True)``.
+    Measuring uncapped is affordable because the audit NEVER
+    materializes the candidate pair set at all — a truth pair is
+    "found" iff its two docs agree on ≥ 1 band, which two keyed joins
+    of the BOUNDED truth table against the per-doc band table answer
+    directly. A hot boilerplate bucket therefore costs the audit
+    nothing (the b²/2 expansion that forces the production cap simply
+    never happens here), and the measured set is identical to
+    candidate-set membership by construction.
 
-    Scale shape: signatures are a row-wise projection; candidates are
-    one groupBy on (band, value) with in-bucket pair expansion (the
-    ``minhash_lsh_pairs`` shape — no self-join, single exchange);
-    truth is the PPJoin prefix filter; the final join keys two PAIR
-    tables on (doc_a, doc_b) and aggregates to ≤ 7 bucket rows.
+    Scale shape: signatures are a row-wise projection; truth is the
+    PPJoin prefix filter (output-bounded); found-ness is
+    truth ⋈ bands(doc_a) ⋈ bands(doc_b) on (pair, band) — every join
+    keyed, fan-out ≤ n_bands per truth pair; the final aggregate is
+    ≤ 7 bucket rows.
     """
     k = n_bands * rows_per_band
     sets = shingle_sets(df, id_col, text_col, n=n)
@@ -436,32 +443,33 @@ def lsh_recall_audit(
     bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.value").alias("value")
     )
-    cand = (
-        bands.groupBy("band", "value")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda b: F.struct(
-                                a.alias("doc_a"), b.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
+    # Both found-ness join sides read the band table, and the truth
+    # table feeds both the hit probe and the final bucket join. No
+    # checkpoint: the duplicated subplans sit behind shuffle
+    # boundaries, so AQE's ReusedExchange computes each once —
+    # measured faster than either eager (extra materialization jobs)
+    # or lazy (no intra-job dedup) localCheckpoints here.
     truth = prefix_filter_pairs(
         df, id_col, text_col, n=n, threshold=truth_threshold
     )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band",
+        F.col("value").alias("va"),
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band",
+        F.col("value").alias("vb"),
+    )
+    hits = (
+        truth.select("doc_a", "doc_b")
+        .join(ba, "doc_a")
+        .join(bb, ["doc_b", "band"])
+        .filter(F.col("va") == F.col("vb"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = hits
     bucket = F.least(F.floor(F.col("jaccard") * 10) / 10.0, F.lit(0.9))
     # Expected recall at the bucket midpoint via REPEATED MULTIPLY
     # (bit-exact IEEE on both engines; pow() may differ by a ULP
