@@ -2100,7 +2100,10 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-500 vocabulary (natural corpora sit near −1; a synthetic
     or template-heavy corpus drifts, making this a cheap corpus-
     health fingerprint alongside the quality filters). One vocabulary
-    aggregate, one rank window over the vocab frame, one regr_slope."""
+    aggregate, a distributed top-k (TakeOrderedAndProject — per-
+    partition heaps, never a global sort: a row_number window over
+    the WHOLE vocab would single-thread 10⁸ distinct tokens at
+    100 TB), then ranks assigned on the 500-row frame only."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -2108,12 +2111,13 @@ def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t") != ""
     )
     ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    ranked = ucnt.withColumn(
+    top500 = ucnt.orderBy(F.col("c").desc(), F.col("t").asc()).limit(500)
+    ranked = top500.withColumn(
         "r",
         F.row_number().over(
             Window.orderBy(F.col("c").desc(), F.col("t").asc())
         ),
-    ).filter(F.col("r") <= 500)
+    )
     top = ranked.select(
         F.log("r").alias("lx"), F.log("c").alias("ly")
     )

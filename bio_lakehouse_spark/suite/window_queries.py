@@ -189,17 +189,48 @@ FROM totals
 )
 def ntile_rank_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quintiles + RANK (W9 — pandas qcut quintiles in
-    timing_correlation.py:79-84 re-expressed as ranking windows).
-    NTILE ordering is made deterministic with a user_id tie-break."""
+    timing_correlation.py:79-84 re-expressed as ranking). NTILE
+    ordering is made deterministic with a user_id tie-break.
+
+    Both rankings are GLOBAL by semantics, but neither uses a bare
+    global window (which would sort every user total in ONE task —
+    the straggler this repo's dense_ids exists to avoid). The global
+    position comes from `aggregates.dense_ids` (range-partition +
+    per-partition rank + broadcast offsets); NTILE's bucket is then
+    the closed form over (pos, n) — the first n%5 buckets take
+    ⌈n/5⌉ rows, the rest ⌊n/5⌋ — and RANK-with-ties over DESC
+    total_value is n − max_position(tie group), a keyed groupBy +
+    join. Bit-identical to the window semantics (the DuckDB oracle
+    runs native NTILE/RANK)."""
+    from bio_lakehouse_spark.operators.aggregates import dense_ids
+
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(R6(F.sum("value")).alias("total_value"))
-    return totals.select(
-        "user_id",
-        "total_value",
-        F.ntile(5)
-        .over(Window.orderBy("total_value", "user_id"))
-        .alias("quintile"),
-        F.rank().over(Window.orderBy(F.desc("total_value"))).alias("value_rank"),
+    pos = dense_ids(totals, ("total_value", "user_id"), id_name="__pos")
+    n_df = totals.agg(F.count(F.lit(1)).alias("__n"))
+    pos = pos.crossJoin(F.broadcast(n_df))
+    big = F.expr("__n div 5") + 1  # ⌈n/5⌉ when n%5>0; unused otherwise
+    rem = F.expr("__n % 5")
+    in_big = F.col("__pos") < rem * big
+    quintile = (
+        F.when(in_big, F.expr("__pos") / big)
+        .otherwise(rem + (F.col("__pos") - rem * big) / F.expr("__n div 5"))
+        .cast("int")
+        + 1
+    )
+    tie_max = pos.groupBy(F.col("total_value").alias("__tv")).agg(
+        F.max("__pos").alias("__maxpos")
+    )
+    return (
+        pos.join(
+            tie_max, pos["total_value"] == tie_max["__tv"]
+        )
+        .select(
+            "user_id",
+            "total_value",
+            quintile.alias("quintile"),
+            (F.col("__n") - F.col("__maxpos")).cast("int").alias("value_rank"),
+        )
     )
 
 

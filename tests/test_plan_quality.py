@@ -488,6 +488,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "acf_daily_lags",  # daily series × ONE-ROW mean
         "cusum_changepoint",  # daily series × ONE-ROW (mean, sd, n)
         "bootstrap_ci_poisson",  # ONE-ROW point estimate × ONE-ROW CI
+        "ntile_rank_quintiles",  # user totals × ONE-ROW corpus count n
         "graph_triangle_stats",  # three ONE-ROW count frames composed
         "graph_neighbor_jaccard",  # pair counts × ONE-ROW mean threshold
         "hard_negative_mining",  # corpus × broadcast query set (ANN scorer)

@@ -1016,3 +1016,49 @@ def test_spread_is_noop_on_multi_split_inputs(spark):
     outb = spread(small, "id", barrier=True)
     assert outb.rdd.getNumPartitions() == par
     assert sorted(r.id for r in outb.collect()) == list(range(100))
+
+
+def test_ntile_rank_closed_form_matches_native_windows(spark):
+    """ntile_rank_quintiles' closed-form NTILE/RANK (dense_ids global
+    position + arithmetic) must equal Spark's own window functions on
+    frames of every n%5 residue, including n<5 where the small-bucket
+    division degenerates — the exact semantics the scalable rewrite
+    must preserve."""
+    from pyspark.sql import Window
+
+    from bio_lakehouse_spark.operators.aggregates import dense_ids
+
+    for n in (3, 7, 10, 23, 40):
+        rows = [(i, float((i * 37) % 11)) for i in range(n)]
+        df = spark.createDataFrame(rows, "user_id long, total_value double")
+        native = {
+            (r["user_id"]): (r["q"], r["rk"])
+            for r in df.select(
+                "user_id",
+                F.ntile(5)
+                .over(Window.orderBy("total_value", "user_id"))
+                .alias("q"),
+                F.rank()
+                .over(Window.orderBy(F.desc("total_value")))
+                .alias("rk"),
+            ).collect()
+        }
+        pos = dense_ids(df, ("total_value", "user_id"), id_name="__pos")
+        nn = df.count()
+        big = nn // 5 + 1
+        rem = nn % 5
+        out = {}
+        tie_max = {
+            r["total_value"]: r["m"]
+            for r in pos.groupBy("total_value")
+            .agg(F.max("__pos").alias("m"))
+            .collect()
+        }
+        for r in pos.collect():
+            p = r["__pos"]
+            if p < rem * big:
+                q = p // big + 1
+            else:
+                q = rem + (p - rem * big) // (nn // 5) + 1
+            out[r["user_id"]] = (q, nn - tie_max[r["total_value"]])
+        assert out == native, (n, out, native)
