@@ -70,6 +70,7 @@ def dense_ids(
     order_cols,
     id_name: str = "dense_id",
     num_partitions: int | None = None,
+    assume_unique: bool = False,
 ):
     """Contiguous 0-based ids in global ``order_cols`` order WITHOUT a
     single-partition window — the standard partition-offset technique
@@ -99,19 +100,24 @@ def dense_ids(
     wlocal = Window.partitionBy("__pid").orderBy(*cols)
     ranked = with_pid.withColumn("__rk", F.row_number().over(wlocal))
     # uniqueness guard: a duplicated total-order key makes global
-    # ranks boundary-dependent — fail loudly instead
-    dup = (
-        ranked.groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            "dense_ids: order_cols is not a total order (duplicate keys);"
-            " add a tiebreaker column"
+    # ranks boundary-dependent — fail loudly instead. The guard is a
+    # full extra aggregation job over the input; callers whose key
+    # PROVABLY ends in a primary key (e.g. ntile_rank's
+    # (total_value, user_id)) pass assume_unique=True to skip it at
+    # scale.
+    if not assume_unique:
+        dup = (
+            ranked.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(1)
+            .count()
         )
+        if dup:
+            raise ValueError(
+                "dense_ids: order_cols is not a total order (duplicate"
+                " keys); add a tiebreaker column"
+            )
     counts = ranked.groupBy("__pid").agg(F.max("__rk").alias("__n"))
     woff = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1

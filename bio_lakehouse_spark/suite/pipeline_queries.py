@@ -1425,7 +1425,10 @@ def dense_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bio_lakehouse_spark.operators.aggregates import dense_ids
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    out = dense_ids(docs, ["n_chars", "doc_id"], num_partitions=8)
+    out = dense_ids(
+        docs, ["n_chars", "doc_id"], num_partitions=8,
+        assume_unique=True,  # doc_id is the table PK
+    )
     return out.select("doc_id", "dense_id").orderBy("dense_id")
 
 

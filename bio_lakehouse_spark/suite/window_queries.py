@@ -206,7 +206,10 @@ def ntile_rank_quintiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(R6(F.sum("value")).alias("total_value"))
-    pos = dense_ids(totals, ("total_value", "user_id"), id_name="__pos")
+    pos = dense_ids(
+        totals, ("total_value", "user_id"), id_name="__pos",
+        assume_unique=True,  # user_id is the groupBy key — a PK
+    )
     n_df = totals.agg(F.count(F.lit(1)).alias("__n"))
     pos = pos.crossJoin(F.broadcast(n_df))
     big = F.expr("__n div 5") + 1  # ⌈n/5⌉ when n%5>0; unused otherwise
