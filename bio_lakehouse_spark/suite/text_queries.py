@@ -1845,8 +1845,11 @@ def crossdoc_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated_span_flags; the line-level one is dedup_frequent_lines.
     """
     from bio_lakehouse_spark.operators.textops import let, word_ngram_stream
+    from bio_lakehouse_spark.suite.registry import spread
 
-    docs = load(spark, sf_dir, "documents")
+    # Two consumers of the gram stream off a single-split fixture →
+    # spread first (no-op on real inputs).
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -1949,25 +1952,23 @@ def inverted_index_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: ONE posexplode of the let-bound words array (positions are
     free — no second tokenization), per-(term, doc) postings collapse
     with map-side combine, and the df-top-k term set joins back
-    small. At corpus scale the posting lists are the output —
-    naturally partitioned by term, which IS the serving layout."""
+    small — selected by a distributed TakeOrdered top-k, not a
+    row_number window over the whole vocabulary (a one-core sort of
+    every distinct term at corpus scale). At corpus scale the posting
+    lists are the output — naturally partitioned by term, which IS
+    the serving layout."""
     from bio_lakehouse_spark.operators.textops import let
-    from pyspark.sql import Window
+    from bio_lakehouse_spark.suite.registry import spread
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     pw = docs.select(
         "doc_id",
         F.posexplode(let(words("text"), lambda w: w)).alias("pos", "term"),
     ).filter(F.col("term") != "")
     dfreq = pw.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     top = (
-        dfreq.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("df").desc(), F.col("term").asc())
-            ),
-        )
-        .filter(F.col("rn") <= 20)
+        dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
         .select("term")
     )
     return (
