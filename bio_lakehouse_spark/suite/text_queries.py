@@ -1541,6 +1541,162 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_OK_SQL = f"""ROUND(CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN length(array_to_string(w, ''))::DOUBLE
+                    / greatest(len(w), 1) BETWEEN 3 AND 10
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(list_filter(w, x -> x IN ({_EN_SW})))::DOUBLE
+                    / greatest(len(w), 1) >= 0.05 THEN 0.2 ELSE 0.0 END
+             + CASE WHEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) <= 0.2
+                    THEN 0.1 ELSE 0.0 END, 6) >= 0.7"""
+
+
+def _curation_full_oracle() -> str:
+    langid = _langid_case()
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {_W} AS w,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp
+  FROM documents WHERE doc_id >= 20
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                       i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shingles
+  FROM base
+), nd AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+), g AS (
+  SELECT doc_id, {_ngrams5_sql()} AS grams
+  FROM (SELECT doc_id, {_W} AS w FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+), cont AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) tr
+  JOIN ev USING (gram)
+), feat AS (
+  SELECT b.doc_id,
+         MIN(b.doc_id) OVER (PARTITION BY fp) <> b.doc_id AS is_dup,
+         nd.doc_id IS NOT NULL AS neardup_demoted,
+         {_QUALITY_OK_SQL} AS quality_ok,
+         {langid} = lang AS lang_ok,
+         cont.doc_id IS NOT NULL AS contaminated
+  FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cont USING (doc_id)
+)
+SELECT doc_id, is_dup, neardup_demoted, quality_ok, lang_ok, contaminated,
+       (NOT is_dup) AND (NOT neardup_demoted) AND quality_ok AND lang_ok
+         AND (NOT contaminated) AS keep,
+       COALESCE(array_to_string(list_filter([
+           CASE WHEN is_dup THEN 'dup' END,
+           CASE WHEN neardup_demoted THEN 'neardup' END,
+           CASE WHEN NOT quality_ok THEN 'quality' END,
+           CASE WHEN NOT lang_ok THEN 'lang' END,
+           CASE WHEN contaminated THEN 'contaminated' END
+       ], x -> x IS NOT NULL), ','), '') AS reject_reasons
+FROM feat
+"""
+
+
+@register(
+    "curation_pipeline_full",
+    survey=("F6", "F7", "A11", "J6", "P5"),
+    oracle=_curation_full_oracle(),
+)
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation chain as one per-document
+    verdict frame over the training slice (doc_id ≥ 20; doc_id < 20
+    is the held-out eval set, the decontamination convention): exact-
+    dup demotion (keeper = min doc_id per normalized fingerprint) →
+    NEAR-dup demotion (a smaller-id neighbor at shingle-Jaccard ≥ 0.5
+    exists, candidates from the production MinHash-LSH path whose
+    pair set matches the oracle's brute-force scan — the
+    dedup_minhash_lsh recall argument verbatim) → heuristic quality
+    gate → langid agreement → eval 5-gram decontamination, composed
+    into keep + reject_reasons. This is the integration query a
+    pipeline actually runs nightly; every stage is individually
+    certified elsewhere, and this certifies their composition.
+
+    Scale: one fingerprint window exchange, the LSH band exchange,
+    one broadcast eval-gram join, scan-level quality/langid — no
+    stage exceeds the shapes of its standalone operator."""
+    from pyspark.sql import Window
+
+    from bio_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_overlap_contamination,
+    )
+    from bio_lakehouse_spark.operators.textops import fingerprint_exact
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= 20)
+    evalset = docs.filter(F.col("doc_id") < 20)
+    m = quality_metrics("text")
+    w = Window.partitionBy(fingerprint_exact("text"))
+    base = train.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.col("doc_id")).alias("is_dup"),
+        (R6(m["quality_score"]) >= 0.7).alias("quality_ok"),
+        (predicted_lang(words("text")) == F.col("lang")).alias("lang_ok"),
+    )
+    near = (
+        minhash_lsh_pairs(train, "doc_id", "text", n=3, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(True))
+    )
+    cont = (
+        ngram_overlap_contamination(train, evalset, "doc_id", "text", n=5)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__ct", F.lit(True))
+    )
+    feat = (
+        base.join(near, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_dup",
+            F.coalesce("__nd", F.lit(False)).alias("neardup_demoted"),
+            "quality_ok",
+            "lang_ok",
+            F.coalesce("__ct", F.lit(False)).alias("contaminated"),
+        )
+    )
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when(F.col("is_dup"), F.lit("dup")),
+                F.when(F.col("neardup_demoted"), F.lit("neardup")),
+                F.when(~F.col("quality_ok"), F.lit("quality")),
+                F.when(~F.col("lang_ok"), F.lit("lang")),
+                F.when(F.col("contaminated"), F.lit("contaminated")),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return feat.select(
+        "doc_id",
+        "is_dup",
+        "neardup_demoted",
+        "quality_ok",
+        "lang_ok",
+        "contaminated",
+        (
+            ~F.col("is_dup")
+            & ~F.col("neardup_demoted")
+            & F.col("quality_ok")
+            & F.col("lang_ok")
+            & ~F.col("contaminated")
+        ).alias("keep"),
+        reasons.alias("reject_reasons"),
+    )
+
+
 def _entropy_sql() -> str:
     terms = []
     for ch in "abcdefghijklmnopqrstuvwxyz0123456789 ":

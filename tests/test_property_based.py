@@ -1062,3 +1062,26 @@ def test_ntile_rank_closed_form_matches_native_windows(spark):
                 q = rem + (p - rem * big) // (nn // 5) + 1
             out[r["user_id"]] = (q, nn - tie_max[r["total_value"]])
         assert out == native, (n, out, native)
+
+
+def test_curation_pipeline_composes_standalone_verdicts(spark, sf_dir):
+    """curation_pipeline_full must agree with the standalone
+    operators it composes: keep ⟺ no reject reason, and the
+    contaminated flag must equal decontaminate_eval_overlap's doc
+    set (same eval-slice convention)."""
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    rows = REGISTRY["curation_pipeline_full"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["reject_reasons"] == ""), r
+        reasons = set(filter(None, r["reject_reasons"].split(",")))
+        assert ("contaminated" in reasons) == r["contaminated"]
+        assert ("neardup" in reasons) == r["neardup_demoted"]
+    cont_ids = {
+        r["doc_id"]
+        for r in REGISTRY["decontaminate_eval_overlap"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows if r["contaminated"]} == cont_ids
