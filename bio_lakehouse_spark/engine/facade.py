@@ -112,9 +112,12 @@ class QueryEngine:
         if self._schema_cache is None:
             out: dict[str, list[tuple[str, str]]] = {}
             for t in self.spark.catalog.listTables():
-                cols = self.spark.catalog.listColumns(
-                    t.name, dbName=t.namespace[0] if t.namespace else None
+                # qualified-name form: the dbName= kwarg is deprecated
+                # since Spark 3.4
+                qual = (
+                    f"{t.namespace[0]}.{t.name}" if t.namespace else t.name
                 )
+                cols = self.spark.catalog.listColumns(qual)
                 out[t.name] = [(c.name, c.dataType) for c in cols]
             self._schema_cache = out
         return self._schema_cache
