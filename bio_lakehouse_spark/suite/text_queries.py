@@ -1552,11 +1552,14 @@ _QUALITY_OK_SQL = f"""ROUND(CASE WHEN len(w) >= 20 THEN 0.4 ELSE 0.0 END
                     THEN 0.1 ELSE 0.0 END, 6) >= 0.7"""
 
 
-def _curation_full_oracle() -> str:
+def _curation_feat_cte() -> str:
+    """The shared curation-chain CTE stack ending in `feat` (one row
+    per train doc with the five gate booleans) — used by both the
+    per-doc verdict oracle and the per-source summary oracle."""
     langid = _langid_case()
     return f"""
 WITH base AS (
-  SELECT doc_id, lang, text, {_W} AS w,
+  SELECT doc_id, lang, source, text, {_W} AS w,
          md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'))) AS fp
   FROM documents WHERE doc_id >= 20
 ), sh AS (
@@ -1579,17 +1582,26 @@ WITH base AS (
   FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20) tr
   JOIN ev USING (gram)
 ), feat AS (
-  SELECT b.doc_id,
+  SELECT b.doc_id, b.source, len(b.w) AS n_tok,
          MIN(b.doc_id) OVER (PARTITION BY fp) <> b.doc_id AS is_dup,
          nd.doc_id IS NOT NULL AS neardup_demoted,
          {_QUALITY_OK_SQL} AS quality_ok,
          {langid} = lang AS lang_ok,
-         cont.doc_id IS NOT NULL AS contaminated
+         cont.doc_id IS NOT NULL AS contaminated,
+         (MIN(b.doc_id) OVER (PARTITION BY fp) = b.doc_id)
+           AND nd.doc_id IS NULL AND {_QUALITY_OK_SQL}
+           AND {langid} = lang AND cont.doc_id IS NULL AS keep
   FROM base b LEFT JOIN nd USING (doc_id) LEFT JOIN cont USING (doc_id)
 )
+"""
+
+
+def _curation_full_oracle() -> str:
+    return (
+        _curation_feat_cte()
+        + """
 SELECT doc_id, is_dup, neardup_demoted, quality_ok, lang_ok, contaminated,
-       (NOT is_dup) AND (NOT neardup_demoted) AND quality_ok AND lang_ok
-         AND (NOT contaminated) AS keep,
+       keep,
        COALESCE(array_to_string(list_filter([
            CASE WHEN is_dup THEN 'dup' END,
            CASE WHEN neardup_demoted THEN 'neardup' END,
@@ -1599,6 +1611,7 @@ SELECT doc_id, is_dup, neardup_demoted, quality_ok, lang_ok, contaminated,
        ], x -> x IS NOT NULL), ','), '') AS reject_reasons
 FROM feat
 """
+    )
 
 
 @register(
@@ -1694,6 +1707,58 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("contaminated")
         ).alias("keep"),
         reasons.alias("reject_reasons"),
+    )
+
+
+@register(
+    "curation_summary_by_source",
+    survey=("A1", "A6", "F7"),
+    oracle=_curation_feat_cte()
+    + """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (keep) AS n_kept,
+       ROUND(COUNT(*) FILTER (keep) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS kept_frac,
+       CAST(COALESCE(SUM(n_tok) FILTER (keep), 0) AS BIGINT) AS kept_tokens,
+       COUNT(*) FILTER (is_dup) AS n_dup,
+       COUNT(*) FILTER (neardup_demoted) AS n_neardup,
+       COUNT(*) FILTER (NOT quality_ok) AS n_quality,
+       COUNT(*) FILTER (NOT lang_ok) AS n_lang,
+       COUNT(*) FILTER (contaminated) AS n_contaminated
+FROM feat
+GROUP BY source
+""",
+)
+def curation_summary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation accounting — what the nightly pipeline
+    LOGS: docs in/kept, kept fraction, surviving token budget, and a
+    per-gate drop count, grouped by source/domain. The observability
+    companion to curation_pipeline_full (same posture as the LSH
+    hot-bucket drop-stats: a pipeline that silently drops data is a
+    pipeline nobody can debug); at 100 TB this is the tiny aggregate
+    that feeds the mixture planner and the drop-rate alarms. One
+    extra groupBy over the verdict frame; gate flags are counted
+    independently (a doc can trip several)."""
+    verdicts = curation_pipeline_full(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(words("text")).alias("n_tok")
+    )
+    v = verdicts.join(docs, "doc_id")
+    return v.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        R6(
+            F.count_if(F.col("keep")) / F.count(F.lit(1)).cast("double")
+        ).alias("kept_frac"),
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("n_tok"))), F.lit(0)
+        ).cast("long").alias("kept_tokens"),
+        F.count_if(F.col("is_dup")).alias("n_dup"),
+        F.count_if(F.col("neardup_demoted")).alias("n_neardup"),
+        F.count_if(~F.col("quality_ok")).alias("n_quality"),
+        F.count_if(~F.col("lang_ok")).alias("n_lang"),
+        F.count_if(F.col("contaminated")).alias("n_contaminated"),
     )
 
 
