@@ -447,3 +447,142 @@ def stream_documents_neardup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_documents_curated_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    band_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    eval_df: DataFrame | None = None,
+    stats_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    quality_cutoff: float = 0.7,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming twin of `curation_pipeline_full`: every landed batch
+    runs the full curation chain before ingestion — heuristic quality
+    gate, langid agreement, eval 5-gram decontamination (against the
+    provided held-out ``eval_df``), then near-dup demotion within the
+    batch and against the persistent LSH band index — and appends the
+    survivors to the corpus + their band rows to the index, so the
+    NEXT batch is curated against them too.
+
+    Gate order is deliberate and documented: the scan-level gates run
+    FIRST (cheap row-wise expressions cut the batch before the
+    near-dup machinery touches it — at 100 TB you dedupe only what
+    you might keep). This differs from the batch flagship, which
+    reports ALL gate flags per doc; the streaming ingest is the
+    decision path, the batch query the audit view.
+
+    Observability (``stats_dir``): one row per (batch, source) with
+    the per-gate drop counts and the ingested count — the streaming
+    feed of `curation_summary_by_source`; a pipeline that silently
+    drops data is a pipeline nobody can debug.
+
+    Idempotent under replay exactly like the near-dup ingest: the
+    batch's survivors anti-join the corpus's id column before any
+    write, so a crash between the corpus append and the band append
+    replays into a completed commit, never a double ingest.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from bio_lakehouse_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+        ngram_overlap_contamination,
+    )
+    from bio_lakehouse_spark.operators.textops import (
+        predicted_lang,
+        quality_metrics,
+        words,
+    )
+
+    src = spark.readStream.schema(schema).json(landing_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint()
+        m = quality_metrics(text_col)
+        flagged = batch_df.select(
+            "*",
+            (F.round(m["quality_score"], 6) >= quality_cutoff).alias(
+                "__q_ok"
+            ),
+            (predicted_lang(words(text_col)) == F.col(lang_col)).alias(
+                "__l_ok"
+            ),
+        )
+        if eval_df is not None:
+            cont_ids = ngram_overlap_contamination(
+                batch_df, eval_df, id_col, text_col, n=5
+            ).select(id_col).distinct().withColumn("__ct", F.lit(True))
+            flagged = flagged.join(cont_ids, on=id_col, how="left")
+        else:
+            flagged = flagged.withColumn("__ct", F.lit(None).cast("boolean"))
+        flagged = flagged.withColumn(
+            "__ct", F.coalesce("__ct", F.lit(False))
+        ).localCheckpoint()
+        gated = flagged.filter(
+            F.col("__q_ok") & F.col("__l_ok") & ~F.col("__ct")
+        ).drop("__q_ok", "__l_ok", "__ct")
+        # near-dup within the gated batch: keep the smaller id
+        inner = minhash_lsh_pairs(
+            gated, id_col, text_col, threshold=threshold
+        )
+        losers = inner.select(F.col("doc_b").alias(id_col)).distinct()
+        kept = gated.join(losers, on=id_col, how="left_anti")
+        try:
+            corpus = spark.read.parquet(corpus_dir)
+            bands = spark.read.parquet(band_dir)
+            kept = kept.join(
+                corpus.select(id_col).distinct(), on=id_col,
+                how="left_anti",
+            )
+            nd_flagged = minhash_incremental_pairs(
+                corpus, kept, id_col, text_col,
+                threshold=threshold, corpus_bands=bands,
+            ).select(F.col("doc_b").alias(id_col)).distinct()
+            survivors = kept.join(nd_flagged, on=id_col, how="left_anti")
+        except AnalysisException:
+            survivors = kept
+        survivors = survivors.localCheckpoint()  # consumed 2-3 times
+        survivors.write.mode("append").parquet(corpus_dir)
+        minhash_band_table(survivors, id_col, text_col).write.mode(
+            "append"
+        ).parquet(band_dir)
+        if stats_dir is not None:
+            surv_ids = survivors.select(id_col).withColumn(
+                "__ing", F.lit(True)
+            )
+            stats = (
+                flagged.join(surv_ids, on=id_col, how="left")
+                .groupBy(F.col(source_col).alias("source"))
+                .agg(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.count_if(~F.col("__q_ok")).alias("n_quality"),
+                    F.count_if(~F.col("__l_ok")).alias("n_lang"),
+                    F.count_if(F.col("__ct")).alias("n_contaminated"),
+                    F.count_if(
+                        F.coalesce("__ing", F.lit(False))
+                    ).alias("n_ingested"),
+                )
+            )
+            stats.coalesce(1).write.mode("append").parquet(stats_dir)
+
+    writer = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

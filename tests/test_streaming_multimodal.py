@@ -598,3 +598,85 @@ def test_stream_documents_neardup_ingest(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_stream_documents_curated_ingest(spark, tmp_path):
+    """Streaming curation e2e: the scan-level gates (quality, langid,
+    decontamination) drop their targets, within-batch and
+    index-resident near-dups drop theirs, survivors extend the
+    corpus + index for the next batch, per-(batch, source) drop
+    stats land, and a fresh-checkpoint replay ingests nothing."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_curated_ingest,
+    )
+
+    # long, stopword-rich English so the quality + langid gates pass
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the wide green field where the birds sing "
+            "and the river bends south toward the old stone bridge")
+    mutated = base.replace("green", "GREEN")      # near-dup of base
+    other = ("a tall ship sails across the open sea with the wind at "
+             "its back and the crew watches the horizon for the first "
+             "sign of land while the captain holds the wheel steady")
+    other_mut = other.replace("wind", "WIND")     # near-dup of other
+    short = "too short"                            # quality reject
+    eval_doc = ("students must answer every question on the benchmark "
+                "sheet before the morning bell rings across the yard")
+    contaminated = ("students must answer every question on the "
+                    "benchmark sheet before lunch is served today in "
+                    "the great hall near the garden by the east gate")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    stats = str(tmp_path / "stats")
+    schema = "doc_id long, text string, lang string, source string"
+
+    def drop(name, rows):
+        with open(landing / name, "w") as fh:
+            for i, t in rows:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": t, "lang": "en", "source": "s0"}
+                ) + "\n")
+
+    eval_df = spark.createDataFrame(
+        [(900, eval_doc)], "doc_id long, text string"
+    )
+
+    # batch 0: base + within-batch near-dup pair + quality reject
+    drop("d0.json", [(1, base), (2, other), (3, other_mut), (4, short)])
+    # batch 1: index near-dup of base + eval-contaminated + novel
+    novel = ("seven silver bells hang in the tower and each one rings "
+             "a different note when the keeper pulls the worn ropes "
+             "every evening just after the sun falls behind the hills")
+    drop("d1.json", [(10, mutated), (11, contaminated), (12, novel)])
+
+    q = stream_documents_curated_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck1"),
+        schema, eval_df=eval_df, stats_dir=stats,
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 12}, got  # 3 near-dup, 4 quality, 10 index, 11 contam
+
+    # availableNow may coalesce the landed files into one micro-batch,
+    # so assert the stats ACROSS batches (the per-batch split is an
+    # ingestion-timing detail, the totals are the contract)
+    srows = spark.read.parquet(stats).collect()
+    tot = {k: sum(r[k] for r in srows)
+           for k in ("n_in", "n_quality", "n_lang", "n_contaminated",
+                     "n_ingested")}
+    assert tot == {"n_in": 7, "n_quality": 1, "n_lang": 0,
+                   "n_contaminated": 1, "n_ingested": 3}, tot
+
+    # fresh-checkpoint replay: nothing re-ingests
+    q2 = stream_documents_curated_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck2"),
+        schema, eval_df=eval_df,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 3
