@@ -65,6 +65,72 @@ def grouped_descriptive_stats(
     )
 
 
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows NOT dominated under
+    (minimize ``x_col``, maximize ``y_col``). Row j dominates row i
+    iff x_j <= x_i AND y_j >= y_i with at least one strict; exact
+    duplicates of a frontier point are all kept. Other orientations:
+    negate the column at the call site.
+
+    Scale design — the textbook sort-scan skyline needs a GLOBAL
+    cummax over x-order (one task); this instead reduces the frontier
+    test to per-distinct-x aggregates plus a two-level prefix max
+    (the dense_ids partition-offset technique):
+
+      1. g = groupBy(x).max(y)            — one map-side-combined agg;
+      2. prefix max of g over x-order via range-partition → within-
+         partition window + a broadcast |partitions|-row running max
+         of the preceding partitions (never a global window);
+      3. join g back on x (keyed shuffle): dominated iff
+         max{y : x' < x} >= y  OR  max{y : x' = x} > y.
+
+    Every stage is bounded: the only frame that crosses partitions
+    whole is the |partitions|-row per-range max table.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(x_col).alias("__x")).agg(
+        F.max(F.col(y_col)).alias("__mx")
+    )
+    parted = (
+        g.repartitionByRange(num_partitions, "__x")
+        if num_partitions
+        else g.repartitionByRange("__x")
+    )
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    # strictly-preceding prefix max WITHIN each range partition
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = with_pid.withColumn("__loc", F.max("__mx").over(wloc))
+    # per-partition totals → running max of PRECEDING partitions
+    # (|partitions| rows: window over the tiny frame, then broadcast)
+    totals = ranked.groupBy("__pid").agg(F.max("__mx").alias("__pm"))
+    wprev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.withColumn("__prev", F.max("__pm").over(wprev)).select(
+        "__pid", "__prev"
+    )
+    aug = (
+        ranked.join(F.broadcast(offs), "__pid")
+        .withColumn("__lt", F.greatest("__loc", "__prev"))
+        .select("__x", "__mx", "__lt")
+    )
+    joined = df.join(aug, on=df[x_col] == aug["__x"])
+    dominated = F.coalesce(
+        F.col("__lt") >= F.col(y_col), F.lit(False)
+    ) | (F.col("__mx") > F.col(y_col))
+    return joined.filter(~dominated).drop("__x", "__mx", "__lt")
+
+
 def dense_ids(
     df,
     order_cols,

@@ -418,3 +418,44 @@ def kcore_prune(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("esrc").alias("node"), "degree")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance from the nearest node in
+    ``sources`` (a one-column ``v`` DataFrame) to every node within
+    ``max_hops``, over a DIRECTED edge list (symmetrize at the call
+    site for undirected semantics). Returns (node, dist).
+
+    The frontier-expansion shape (Pregel's SSSP specialization):
+    per hop, ONE keyed join frontier⋈edges + a groupBy(dst) min +
+    an anti-join against the settled set — each bounded by the
+    frontier's out-neighborhood, never the whole graph. Lineage is
+    checkpoint-truncated per hop like every iterative operator here.
+    A fixed ``max_hops`` keeps the whole thing SQL-unrollable for
+    the oracle (the PageRank/Lloyd pattern).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    settled = sources.select(
+        F.col("v").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), on="node", how="left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        settled = settled.union(nxt).localCheckpoint()
+        frontier = nxt
+    return settled

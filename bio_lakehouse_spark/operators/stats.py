@@ -719,3 +719,63 @@ def holt_linear(
             "forecast"
         ),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator over
+    (duration, event) observations; ``event_col`` is 1 for an
+    observed event (e.g. churn) and 0 for right-censoring. Returns
+    one row per EVENT time: (duration, n_events, n_censored, n_risk,
+    survival), survival = Π_{t' ≤ t} (1 − d_t'/n_t').
+
+    Distribution: the corpus-scale pass is ONE map-side-combined
+    groupBy(duration); everything after runs on the per-distinct-
+    duration frame, whose size is bounded by the duration domain
+    (calendar days for churn analyses), so the unpartitioned
+    cumulative windows never see more than that many rows. The
+    product is taken as exp(Σ ln·) with an explicit absorbing-zero
+    flag (d_t = n_t ⇒ S = 0 from then on) so neither engine ever
+    evaluates ln(0).
+    """
+    by_t = df.groupBy(F.col(duration_col).alias("duration")).agg(
+        F.sum(F.col(event_col)).alias("d"),
+        F.sum(F.lit(1) - F.col(event_col)).alias("c"),
+    )
+    # at-risk count = observations with duration >= t, i.e. the
+    # REVERSE cumulative (d+c) — no eager total, no one-row join
+    w_rev = Window.orderBy(F.col("duration").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = by_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev)
+    )
+    factor = F.when(
+        F.col("d") >= F.col("n_risk"), F.lit(1.0)
+    ).otherwise(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+    curve = (
+        curve.withColumn(
+            "__zero",
+            F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(w_cum),
+        )
+        .withColumn("__lnsum", F.sum(F.log(factor)).over(w_cum))
+        .withColumn(
+            "survival",
+            F.when(F.col("__zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("__lnsum"))
+            ),
+        )
+    )
+    return curve.filter(F.col("d") > 0).select(
+        "duration",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        "n_risk",
+        "survival",
+    )

@@ -163,3 +163,70 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "s1", "s2", "common", R6(F.col("jaccard")).alias("jaccard")
     )
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Unrolled multi-source BFS over the symmetrized customer-
+    supplier trade graph (landmarks: suppliers 0-4) — fixed hop
+    count makes frontier expansion SQL-expressible, same pattern as
+    the unrolled PageRank/Lloyd oracles."""
+    parts = ["""WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base
+), d0 AS (
+  SELECT DISTINCT s_suppkey * 2 + 1 AS node, 0 AS dist
+  FROM supplier WHERE s_suppkey < 5
+)"""]
+    for h in range(1, max_hops + 1):
+        parts.append(f""", f{h} AS (
+  SELECT DISTINCT e.dst AS node FROM e
+  JOIN d{h-1} f ON e.src = f.node AND f.dist = {h-1}
+  WHERE e.dst NOT IN (SELECT node FROM d{h-1})
+), d{h} AS (
+  SELECT node, dist FROM d{h-1}
+  UNION ALL SELECT node, {h} FROM f{h}
+)""")
+    parts.append(f"""
+SELECT node, dist FROM d{max_hops}""")
+    return "".join(parts)
+
+
+@register(
+    "bfs_distance_landmark",
+    survey=("J4", "SET1"),
+    oracle=_bfs_oracle(4),
+)
+def bfs_distance_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from a 5-supplier landmark set
+    over the symmetrized customer-supplier trade graph (≤ 4 hops) —
+    the graph family's reachability/distance member next to CC,
+    PageRank, label propagation and k-core. Per hop ONE keyed
+    frontier⋈edges join + distinct + anti-join against the settled
+    set, lineage checkpoint-truncated (operators.graph.
+    bfs_distances); work per hop is bounded by the frontier's
+    out-neighborhood, not the graph."""
+    from bio_lakehouse_spark.operators.graph import bfs_distances
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    landmarks = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 5)
+        .select((F.col("s_suppkey") * 2 + 1).alias("v"))
+        .distinct()
+    )
+    return bfs_distances(e, landmarks, max_hops=4)

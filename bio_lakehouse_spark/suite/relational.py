@@ -1355,3 +1355,38 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "pareto_skyline_parts",
+    survey=("O4", "J7"),
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+""",
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (cheaper price, larger size) — the multi-objective shortlist
+    operator (Börzsönyi et al. ICDE'01) that relational engines ship
+    as SKYLINE OF. The quadratic NOT-EXISTS definitional form is the
+    oracle; the engine computes it via per-distinct-price max-size
+    aggregates plus a two-level prefix max (dense_ids partition-
+    offset style — see operators.aggregates.skyline_2d), so there is
+    no self-join and no global window anywhere in the plan."""
+    from bio_lakehouse_spark.operators.aggregates import skyline_2d
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    out = skyline_2d(part, "p_retailprice", "p_size")
+    return out.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )

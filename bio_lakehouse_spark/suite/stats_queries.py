@@ -1698,3 +1698,265 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round("residual", 6).alias("residual"),
     )
+
+
+@register(
+    "kaplan_meier_churn",
+    survey=("ST8", "A13", "W7"),
+    oracle="""
+WITH span AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN last_d < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN last_d < DATE '2001-01-01'
+              THEN datediff('day', first_d, last_d)
+              ELSE datediff('day', first_d, DATE '2001-08-01') END AS t
+  FROM span
+), by_t AS (
+  SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY 1
+), curve AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_risk
+  FROM by_t
+), surv AS (
+  SELECT t, d, c, n_risk,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t) AS zero_flag,
+         SUM(LN(CASE WHEN d >= n_risk THEN 1.0
+                     ELSE 1.0 - CAST(d AS DOUBLE) / n_risk END))
+           OVER (ORDER BY t) AS lnsum
+  FROM curve
+)
+SELECT t AS duration_days, CAST(d AS BIGINT) AS n_events,
+       CAST(c AS BIGINT) AS n_censored, CAST(n_risk AS BIGINT) AS n_risk,
+       ROUND(CASE WHEN zero_flag = 1 THEN 0.0 ELSE EXP(lnsum) END, 6)
+         AS survival
+FROM surv WHERE d > 0
+""",
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime: birth =
+    first order, churn event = last order before 2001-01-01 (else
+    right-censored at the 2001-08-01 observation end). The KM
+    product-limit estimator is the standard churn/retention curve a
+    lifecycle pipeline ships next to cohort retention; here it is a
+    single map-side-combined groupBy(duration) plus cumulative
+    windows over the duration-domain frame (bounded by calendar
+    days, never corpus-sized — see operators.stats.kaplan_meier),
+    with the survival product taken as exp(Σ ln) under an explicit
+    absorbing-zero flag so ln(0) is never evaluated."""
+    from bio_lakehouse_spark.operators.stats import kaplan_meier
+
+    orders = load(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+    obs = span.select(
+        churned.cast("int").alias("ev"),
+        F.when(churned, F.datediff("last_d", "first_d"))
+        .otherwise(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.col("first_d"))
+        )
+        .alias("t"),
+    )
+    out = kaplan_meier(obs, "t", "ev")
+    return out.select(
+        F.col("duration").alias("duration_days"),
+        "n_events",
+        "n_censored",
+        "n_risk",
+        R6("survival").alias("survival"),
+    )
+
+
+@register(
+    "woe_iv_feature_audit",
+    survey=("ST13", "F6", "A6"),
+    oracle="""
+WITH lbl AS (
+  SELECT o_custkey, CASE WHEN MAX(o_totalprice) > 480000
+                         THEN 1 ELSE 0 END AS y
+  FROM orders GROUP BY 1
+), feat AS (
+  SELECT 'segment' AS feature, c.c_mktsegment AS bin, l.y
+  FROM customer c JOIN lbl l ON l.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'nation', CAST(c.c_nationkey AS VARCHAR), l.y
+  FROM customer c JOIN lbl l ON l.o_custkey = c.c_custkey
+), g AS (
+  SELECT feature, bin, COUNT(*) AS n, SUM(y) AS n_pos FROM feat
+  GROUP BY 1, 2
+), tot AS (
+  SELECT feature, bin, n, n_pos,
+         COUNT(*)   OVER (PARTITION BY feature) AS k,
+         SUM(n_pos) OVER (PARTITION BY feature) AS pos_tot,
+         SUM(n - n_pos) OVER (PARTITION BY feature) AS neg_tot
+  FROM g
+), w AS (
+  SELECT feature, bin, n, n_pos,
+         (n_pos + 0.5) / (pos_tot + 0.5 * k) AS ps,
+         (n - n_pos + 0.5) / (neg_tot + 0.5 * k) AS ns
+  FROM tot
+), scored AS (
+  SELECT feature, bin, n, n_pos, LN(ps / ns) AS woe,
+         (ps - ns) * LN(ps / ns) AS iv_term
+  FROM w
+)
+SELECT feature, bin, n, CAST(n_pos AS BIGINT) AS n_pos, ROUND(woe, 6) AS woe,
+       ROUND(iv_term, 6) AS iv_term,
+       ROUND(SUM(iv_term) OVER (PARTITION BY feature), 6) AS iv_feature
+FROM scored
+""",
+)
+def woe_iv_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value audit of two
+    categorical features (market segment, nation) against the
+    high-value-customer label — the classic credit-scoring feature
+    screen a tabular training pipeline runs before encoding. One
+    keyed label aggregation, ONE melt scan (`stack`, no per-feature
+    re-scan), one groupBy(feature, bin); WOE/IV math runs on the
+    |bins|-row frame under per-feature windows. Laplace 0.5
+    smoothing keeps ln() off zero counts in both engines."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    lbl = orders.groupBy("o_custkey").agg(
+        (F.max("o_totalprice") > 480000).cast("int").alias("y")
+    )
+    feat = (
+        cust.join(lbl, cust["c_custkey"] == lbl["o_custkey"])
+        .select(
+            F.expr(
+                "stack(2, 'segment', c_mktsegment,"
+                " 'nation', CAST(c_nationkey AS STRING))"
+                " AS (feature, bin)"
+            ),
+            "y",
+        )
+    )
+    g = feat.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    wf = Window.partitionBy("feature")
+    tot = (
+        g.withColumn("k", F.count(F.lit(1)).over(wf))
+        .withColumn("pos_tot", F.sum("n_pos").over(wf))
+        .withColumn("neg_tot", F.sum(F.col("n") - F.col("n_pos")).over(wf))
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("pos_tot") + 0.5 * F.col("k"))
+    ns = (F.col("n") - F.col("n_pos") + 0.5) / (
+        F.col("neg_tot") + 0.5 * F.col("k")
+    )
+    scored = tot.withColumn("woe", F.log(ps / ns)).withColumn(
+        "iv_term", (ps - ns) * F.log(ps / ns)
+    )
+    return scored.select(
+        "feature",
+        "bin",
+        "n",
+        "n_pos",
+        R6("woe").alias("woe"),
+        R6("iv_term").alias("iv_term"),
+        R6(F.sum("iv_term").over(wf)).alias("iv_feature"),
+    )
+
+
+_GAIN_Q = [round(k / 10.0, 1) for k in range(1, 10)]
+
+
+@register(
+    "gain_lift_by_decile",
+    survey=("ST13", "A13", "O4"),
+    oracle="""
+WITH lbl AS (
+  SELECT o_custkey, CASE WHEN MAX(o_totalprice) > 480000
+                         THEN 1 ELSE 0 END AS y
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT c.c_acctbal AS score, l.y
+  FROM customer c JOIN lbl l ON l.o_custkey = c.c_custkey
+), q AS (
+  SELECT """ + ", ".join(
+        f"quantile_cont(score, {p}) AS q{i}"
+        for i, p in enumerate(_GAIN_Q, 1)
+    ) + """
+  FROM scored
+), banded AS (
+  SELECT 1 + """ + " + ".join(
+        f"(CASE WHEN s.score > q.q{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 10)
+    ) + """ AS decile, s.y
+  FROM scored s CROSS JOIN q
+), g AS (
+  SELECT decile, COUNT(*) AS n, SUM(y) AS n_pos FROM banded GROUP BY 1
+)
+SELECT decile, n, CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(SUM(n_pos) OVER (ORDER BY decile DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+             * 1.0 / SUM(n_pos) OVER (), 6) AS cum_gain,
+       ROUND((n_pos * 1.0 / n)
+             / (SUM(n_pos) OVER () * 1.0 / SUM(n) OVER ()), 6) AS lift
+FROM g
+""",
+)
+def gain_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gain / lift table by score decile (score =
+    account balance, target = high-value customer) — the standard
+    targeting-model evaluation artifact. Deciles come from NINE
+    exact percentile thresholds computed in ONE aggregate and
+    broadcast back as a one-row frame (ties band downward), so the
+    banding is a scan-level projection — no global sort, no NTILE
+    window over the corpus. Gain/lift math runs on the 10-row
+    decile frame."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    lbl = orders.groupBy("o_custkey").agg(
+        (F.max("o_totalprice") > 480000).cast("int").alias("y")
+    )
+    scored = cust.join(lbl, cust["c_custkey"] == lbl["o_custkey"]).select(
+        F.col("c_acctbal").alias("score"), "y"
+    )
+    q = scored.agg(
+        *[
+            F.percentile("score", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate(_GAIN_Q, 1)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("score") > F.col(f"q{i}")).cast("int")
+    banded = scored.crossJoin(F.broadcast(q)).select(
+        decile.alias("decile"), "y"
+    )
+    g = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    w_all = Window.partitionBy()
+    w_desc = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        R6(
+            F.sum("n_pos").over(w_desc)
+            * 1.0
+            / F.sum("n_pos").over(w_all)
+        ).alias("cum_gain"),
+        R6(
+            (F.col("n_pos") * 1.0 / F.col("n"))
+            / (
+                F.sum("n_pos").over(w_all)
+                * 1.0
+                / F.sum("n").over(w_all)
+            )
+        ).alias("lift"),
+    )

@@ -510,6 +510,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # BOTH sides are daily-grain (O(days), never O(rows)) and the
         # fold table is the broadcast side — bounded nested loop.
         "walk_forward_cv_daily",
+        "gain_lift_by_decile",  # scores × ONE-ROW decile thresholds
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
