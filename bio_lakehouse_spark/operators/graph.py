@@ -353,17 +353,31 @@ def label_propagation(
         .localCheckpoint()
     )
     labels = vtx.select("v", F.col("v").alias("lab"))
-    w = Window.partitionBy("edst").orderBy(F.desc("cnt"), F.asc("lab"))
     for _ in range(iters):
         counts = (
             e.join(labels, labels["v"] == e["esrc"])
             .groupBy("edst", "lab")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # sort-free argmax: max(struct(cnt, -lab)) = most frequent
+        # label, ties to the SMALLER label (labels are node ids ≥ 0,
+        # so negation is a safe order-reversal). Replaces a
+        # row_number window — same (edst)-keyed exchange, no
+        # per-partition sort, and the partial max combines map-side.
         best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("edst").alias("bv"), F.col("lab").alias("newlab"))
+            counts.groupBy("edst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("lab")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("edst").alias("bv"),
+                (-F.col("m.nl")).alias("newlab"),
+            )
         )
         labels = (
             labels.join(best, labels["v"] == best["bv"], "left")
