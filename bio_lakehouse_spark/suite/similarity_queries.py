@@ -1314,3 +1314,94 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_size").cast("long"),
         "is_pruned",
     ).orderBy("vec_id")
+
+
+@register(
+    "retrieval_eval_ndcg",
+    survey=("O4", "W9", "F9"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+  FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+         c.label AS n_label,
+         {_COS.format(a='q.qv', b='c.embedding')} AS cos_sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, q_label, n_label,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+), per_q AS (
+  SELECT query_id, q_label,
+         SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS hits,
+         SUM(CASE WHEN n_label = q_label
+                  THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg,
+         MIN(CASE WHEN n_label = q_label THEN rank END) AS first_rel
+  FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+), pool AS (
+  SELECT label, COUNT(*) - 1 AS n_rel FROM embeddings GROUP BY 1
+)
+SELECT p.query_id, CAST(p.hits AS BIGINT) AS n_rel_at_k,
+       ROUND(p.hits / 10.0, 6) AS precision_at_10,
+       ROUND(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr_at_10,
+       ROUND(p.dcg / (SELECT SUM(1.0 / log2(i + 1))
+                      FROM unnest(generate_series(1,
+                        CAST(LEAST(10, pool.n_rel) AS BIGINT))) AS t(i)),
+             6) AS ndcg_at_10
+FROM per_q p JOIN pool ON pool.label = p.q_label
+""",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric evaluation of the dense retriever: NDCG@10, MRR@10,
+    precision@10 per query (queries = every 50th vector; graded
+    relevance = label match — the standard proxy-relevance eval for
+    embedding quality regressions in a retrieval pipeline). Rankings
+    come from the exact broadcast cosine scorer; relevance joins are
+    keyed on neighbor id against the |queries|·k top-k frame; the
+    ideal-DCG normalizer folds a closed-form sequence HOF over
+    min(k, |same-label pool| − 1), with the pool table broadcast.
+    Nothing after the scorer touches the corpus again."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = cosine_topk(emb, queries, k=10)
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    t = topk.join(F.broadcast(qlab), "query_id").join(
+        F.broadcast(nlab), "neighbor_id"
+    )
+    rel = (F.col("n_label") == F.col("q_label")).cast("int")
+    per_q = t.groupBy("query_id", "q_label").agg(
+        F.sum(rel).alias("hits"),
+        F.sum(
+            rel.cast("double") / F.log2(F.col("rank") + F.lit(1.0))
+        ).alias("dcg"),
+        F.min(F.when(rel == 1, F.col("rank"))).alias("first_rel"),
+    )
+    pool = emb.groupBy(F.col("label").alias("q_label")).agg(
+        (F.count(F.lit(1)) - 1).alias("n_rel")
+    )
+    m = F.least(F.lit(10), F.col("n_rel"))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        per_q.join(F.broadcast(pool), "q_label")
+        .select(
+            "query_id",
+            F.col("hits").cast("long").alias("n_rel_at_k"),
+            R6(F.col("hits") / 10.0).alias("precision_at_10"),
+            R6(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
+            ).alias("mrr_at_10"),
+            R6(F.col("dcg") / idcg).alias("ndcg_at_10"),
+        )
+    )

@@ -511,6 +511,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # fold table is the broadcast side — bounded nested loop.
         "walk_forward_cv_daily",
         "gain_lift_by_decile",  # scores × ONE-ROW decile thresholds
+        "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
