@@ -3220,3 +3220,81 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_token_counts(docs, "doc_id", "text", PRETRAINED_MERGES_V1)
+
+
+@register(
+    "domain_mixture_weights",
+    survey=("A6", "F11", "ST13"),
+    oracle=f"""
+WITH wds AS (
+  SELECT source, unnest({_W}) AS wd FROM documents
+), dw AS (
+  SELECT source, wd, COUNT(*) AS c FROM wds GROUP BY 1, 2
+), cw AS (
+  SELECT wd, SUM(c) AS cw FROM dw GROUP BY 1
+), per_d AS (
+  SELECT d.source,
+         SUM(d.c) AS nd,
+         SUM(d.c * LN(d.c * 1.0 / cw.cw)) AS cross_term
+  FROM dw d JOIN cw USING (wd)
+  GROUP BY d.source
+), kl AS (
+  SELECT source, nd,
+         cross_term / nd + LN(SUM(nd) OVER () * 1.0 / nd) AS kl,
+         nd * 1.0 / SUM(nd) OVER () AS share
+  FROM per_d
+)
+SELECT source, CAST(nd AS BIGINT) AS n_tokens,
+       ROUND(share, 6) AS token_share,
+       ROUND(kl, 6) AS kl_to_corpus,
+       ROUND(EXP(kl) / SUM(EXP(kl)) OVER (), 6) AS weight
+FROM kl
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored static domain reweighting: each source's
+    excess surprisal under the corpus-wide unigram LM vs its own —
+    which is exactly KL(p_domain ‖ p_corpus) — softmaxed into
+    mixture weights (distribution-shifted domains get upweighted,
+    boilerplate-like domains that match the corpus average get
+    downweighted). The KL factors as (Σ_w c·ln(c/cw))/n_d +
+    ln(N/n_d), so the corpus total N enters only through the
+    |domains|-row frame — the vocab-level work is ONE
+    (source, word) aggregation plus ONE keyed join against the
+    corpus word counts; no one-row broadcast, no global window
+    beyond the domain frame."""
+    from bio_lakehouse_spark.operators.textops import words
+
+    docs = load(spark, sf_dir, "documents")
+    wds = docs.select(
+        "source", F.explode(words("text")).alias("wd")
+    )
+    dw = wds.groupBy("source", "wd").agg(F.count(F.lit(1)).alias("c"))
+    cw = dw.groupBy("wd").agg(F.sum("c").alias("cw"))
+    per_d = (
+        dw.join(cw, "wd")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("nd"),
+            F.sum(
+                F.col("c") * F.log(F.col("c") * 1.0 / F.col("cw"))
+            ).alias("cross_term"),
+        )
+    )
+    w_all = Window.partitionBy()
+    kl = per_d.select(
+        "source",
+        "nd",
+        (
+            F.col("cross_term") / F.col("nd")
+            + F.log(F.sum("nd").over(w_all) * 1.0 / F.col("nd"))
+        ).alias("kl"),
+        (F.col("nd") * 1.0 / F.sum("nd").over(w_all)).alias("share"),
+    )
+    return kl.select(
+        "source",
+        F.col("nd").cast("long").alias("n_tokens"),
+        R6("share").alias("token_share"),
+        R6("kl").alias("kl_to_corpus"),
+        R6(F.exp("kl") / F.sum(F.exp("kl")).over(w_all)).alias("weight"),
+    )
