@@ -3298,3 +3298,80 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6("kl").alias("kl_to_corpus"),
         R6(F.exp("kl") / F.sum(F.exp("kl")).over(w_all)).alias("weight"),
     )
+
+
+def _unigram_oracle(max_w: int = 16, max_len: int = 4) -> str:
+    """Unrolled integer Viterbi DP over word positions — the
+    independent SQL twin of operators/unigram_lm's JVM array fold.
+    One CTE per position adds dp[i] = min over piece lengths of
+    dp[i−l] + combined cost from a MAP literal of the frozen vocab
+    (missing piece → a huge constant); per-word results join back to
+    the per-doc word stream. ``max_w`` bounds unrollable word length
+    (corpus max is 8; words longer than max_w would surface as a
+    loud NULL mismatch, never a silent wrong count)."""
+    from bio_lakehouse_spark.operators.unigram_lm import (
+        _PIECES_SCALE,
+        PRETRAINED_UNIGRAM_V1,
+    )
+
+    entries = ", ".join(
+        f"'{p}': {b * _PIECES_SCALE + 1}" for p, b in PRETRAINED_UNIGRAM_V1
+    )
+    parts = [f"""WITH wpd AS (
+  SELECT doc_id, unnest({_W}) AS word FROM documents
+), wds AS (
+  SELECT DISTINCT word FROM wpd WHERE length(word) > 0
+), d0 AS (
+  SELECT word, length(word) AS n, CAST(0 AS BIGINT) AS p0,
+         MAP {{{entries}}} AS m
+  FROM wds
+)"""]
+    for i in range(1, max_w + 1):
+        terms = [
+            f"p{i - l} + COALESCE(m[substr(word, {i - l + 1}, {l})][1],"
+            " 1000000000000000)"
+            for l in range(1, min(max_len, i) + 1)
+        ]
+        least = terms[0] if len(terms) == 1 else f"LEAST({', '.join(terms)})"
+        parts.append(
+            f", d{i} AS (SELECT *, CAST({least} AS BIGINT) AS p{i}"
+            f" FROM d{i - 1})"
+        )
+    case = " ".join(f"WHEN {i} THEN p{i}" for i in range(1, max_w + 1))
+    parts.append(f""", enc AS (
+  SELECT word, CASE n {case} END AS dpn FROM d{max_w}
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(e.dpn % {_PIECES_SCALE}) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.dpn // {_PIECES_SCALE}) AS BIGINT) AS total_millibits
+FROM wpd w JOIN enc e USING (word)
+WHERE length(w.word) > 0
+GROUP BY w.doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "unigram_encode_fixed",
+    survey=("F8", "F9", "A1"),
+    oracle=_unigram_oracle(),
+)
+def unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM token counts + total code length under
+    the shipped PRETRAINED_UNIGRAM_V1 vocabulary (operators/
+    unigram_lm.py — from-scratch SentencePiece-style tokenizer,
+    integer-millibit Viterbi). The Spark side is a pure JVM array
+    fold over the DISTINCT-word table broadcast back onto one corpus
+    pass (type/token leverage); the oracle re-implements the same
+    integer DP as unrolled SQL — an INDEPENDENT implementation, so
+    the differential certifies the encoder end to end, exactly like
+    bpe_encode_fixed."""
+    from bio_lakehouse_spark.operators.unigram_lm import (
+        PRETRAINED_UNIGRAM_V1,
+        unigram_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_token_counts(
+        docs, "doc_id", "text", PRETRAINED_UNIGRAM_V1
+    )
