@@ -109,7 +109,12 @@ def skyline_2d(
         .orderBy("__x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = with_pid.withColumn("__loc", F.max("__mx").over(wloc))
+    # lazy checkpoint: `totals` below re-reads this frame — without
+    # the barrier the per-distinct-x aggregation (the corpus-scale
+    # pass) would execute twice, once per consumer
+    ranked = with_pid.withColumn(
+        "__loc", F.max("__mx").over(wloc)
+    ).localCheckpoint(eager=False)
     # per-partition totals → running max of PRECEDING partitions
     # (|partitions| rows: window over the tiny frame, then broadcast)
     totals = ranked.groupBy("__pid").agg(F.max("__mx").alias("__pm"))
