@@ -1357,3 +1357,86 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("touch_date")
     )
+
+
+@register(
+    "event_pattern_error_recovery",
+    survey=("W4", "W7", "J3"),
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+), err AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY rn) AS island
+  FROM ev WHERE event_type = 'error'
+), runs AS (
+  SELECT user_id, island,
+         COUNT(*) AS n_errors,
+         MIN(ts) AS first_error_ts,
+         MAX(ts) AS last_error_ts,
+         arg_max(next_type, rn) AS next_type,
+         arg_max(next_ts, rn) AS next_ts
+  FROM err GROUP BY 1, 2
+)
+SELECT user_id, CAST(n_errors AS BIGINT) AS n_errors,
+       first_error_ts, last_error_ts,
+       COALESCE(next_type, '') AS next_type,
+       COALESCE(next_type = 'purchase'
+                AND epoch(next_ts) - epoch(last_error_ts) <= 1800,
+                FALSE) AS recovered
+FROM runs WHERE n_errors >= 3
+""",
+)
+def event_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern over the event stream:
+    runs of ≥3 CONSECUTIVE error events per user (the gaps-and-
+    islands rn-difference technique — no self-join), each flagged
+    `recovered` when the immediately following event is a purchase
+    within 30 minutes of the last error (PATTERN (E{3,} P) AS
+    strict-next semantics). Everything is per-user windows + one
+    partial-aggregated groupBy; the next-event fields ride along via
+    LEAD before grouping, so no join back to the stream is needed."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wu).alias("rn"),
+        F.lead("event_type").over(wu).alias("next_type"),
+        F.lead("ts").over(wu).alias("next_ts"),
+    )
+    we = Window.partitionBy("user_id").orderBy("rn")
+    err = base.filter(F.col("event_type") == "error").withColumn(
+        "island", F.col("rn") - F.row_number().over(we)
+    )
+    runs = err.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.min("ts").alias("first_error_ts"),
+        F.max("ts").alias("last_error_ts"),
+        F.max_by("next_type", "rn").alias("next_type"),
+        F.max_by("next_ts", "rn").alias("next_ts"),
+    )
+    recovered = F.coalesce(
+        (F.col("next_type") == "purchase")
+        & (
+            F.unix_timestamp("next_ts") - F.unix_timestamp("last_error_ts")
+            <= 1800
+        ),
+        F.lit(False),
+    )
+    return runs.filter(F.col("n_errors") >= 3).select(
+        "user_id",
+        F.col("n_errors").cast("long").alias("n_errors"),
+        "first_error_ts",
+        "last_error_ts",
+        F.coalesce("next_type", F.lit("")).alias("next_type"),
+        recovered.alias("recovered"),
+    )
