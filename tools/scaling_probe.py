@@ -85,7 +85,20 @@ def _ops():
         "cdc_chunks": lambda d: cdc_chunk_stats(d, "doc_id", "text"),
         "vocab_oov": lambda d: vocab_oov_audit(d, "lang", "text"),
         "quality_scan": quality,
+        # tokenizer encode: per-DISTINCT-word Viterbi fold + broadcast
+        # LUT join — should be linear in docs (the alphabet rotation
+        # also grows the distinct-word set linearly, stressing the LUT)
+        "unigram_encode": lambda d: _unigram_counts(d),
     }
+
+
+def _unigram_counts(d):
+    from bio_lakehouse_spark.operators.unigram_lm import (
+        PRETRAINED_UNIGRAM_V1,
+        unigram_token_counts,
+    )
+
+    return unigram_token_counts(d, "doc_id", "text", PRETRAINED_UNIGRAM_V1)
 
 
 def replicate(docs, mult: int, mode: str = "density"):
