@@ -613,3 +613,40 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_skyline_plan_has_no_global_window_or_selfjoin(spark, sf_dir):
+    """pareto_skyline_parts must keep its scale shape: per-distinct-x
+    aggregation + pid-partitioned prefix windows — never a
+    whole-relation unpartitioned Window and never a part×part
+    self-join (the quadratic definitional form stays oracle-only)."""
+    df = REGISTRY["pareto_skyline_parts"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Window sorts within a partition key (__pid or the tiny
+    # totals frame) — an unpartitioned window over p_retailprice
+    # order would be the sort-scan regression
+    assert "partitionColumns=[]" not in plan
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, plan  # df + checkpointed g branch only
+
+
+def test_unigram_encode_plan_is_one_pass_plus_broadcast(spark, sf_dir):
+    """unigram_encode_fixed: the corpus is touched via explode scans
+    feeding ONE broadcast hash join (distinct-word LUT) — no Python
+    eval anywhere in the plan (the Viterbi fold is JVM expressions),
+    no shuffle join, no window."""
+    df = REGISTRY["unigram_encode_fixed"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in plan, python_node
