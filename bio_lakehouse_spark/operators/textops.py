@@ -659,3 +659,92 @@ def pseudonymize(col: Column | str, key: str, length: int = 16) -> Column:
         1,
         length,
     )
+
+
+def bigram_stream(df, id_col: str, text_col: str):
+    """(id, w1, w2) adjacent-word-pair stream, formed entirely inside
+    whole-stage codegen: split → indexed transform → filter → one
+    explode. No window, no shuffle — pair formation is embarrassingly
+    parallel per document, so the stream inherits the scan's
+    partitioning at any scale."""
+    pairs = F.expr(
+        f"filter(transform(split({text_col}, ' '), (x, i) -> "
+        f"named_struct('w1', x, 'w2', try_element_at(split({text_col},"
+        " ' '), i + 2))), p -> p.w2 is not null)"
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def kneser_ney_bigram_score(df, id_col: str, text_col: str, ref=None,
+                            discount: float = 0.75):
+    """Interpolated Kneser-Ney bigram LM scoring — the actual model
+    family behind KenLM, which CCNet / CC-dedup pipelines use to
+    perplexity-filter web text (unigram_lm_score is the closed-form
+    proxy; this is the real bigram estimator with absolute
+    discounting and continuation-probability backoff).
+
+    Estimator (single discount D, two interpolation levels, uniform
+    floor so every probability is strictly positive):
+
+        P(w2|w1) = max(c(w1w2)-D,0)/c(w1·) + D·N1+(w1,·)/c(w1·) · Pc(w2)
+        Pc(w2)   = max(N1+(·,w2)-D,0)/T    + D·V2/T · 1/V
+        unseen context w1 → P(w2|w1) = Pc(w2)
+
+    where c(w1·)=Σ_w2 c(w1w2), N1+(w1,·)=|{w2: c(w1w2)>0}|,
+    N1+(·,w2)=|{w1: c(w1w2)>0}|, T = total bigram TYPES, V2 = distinct
+    continuation words, V = ref vocabulary size.
+
+    Scale shape: every model table is TYPE-keyed (vocab / vocab²
+    bounded — independent of corpus token count). The two word-keyed
+    tables and the 1-row scalar frame are broadcast; the bigram-count
+    join is left as a plain equi-join on (w1,w2) so AQE broadcasts it
+    at small vocab and falls back to a shuffle join when the bigram
+    type table outgrows the broadcast threshold (web-scale vocab²).
+    Returns (id, n_bigrams, mean_nll) in bits/bigram; docs with < 2
+    tokens have no bigrams and drop out.
+    """
+    ref = df if ref is None else ref
+    D = float(discount)
+    rb = bigram_stream(ref, id_col, text_col)
+    big = rb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1r")
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1l"))
+    vocab = (
+        ref.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scal = big.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.countDistinct("w2").cast("double").alias("v2"),
+    ).crossJoin(F.broadcast(vocab))
+    s = bigram_stream(df, id_col, text_col)
+    j = (
+        s.join(big, on=["w1", "w2"], how="left")
+        .join(F.broadcast(ctx), on="w1", how="left")
+        .join(F.broadcast(cont), on="w2", how="left")
+        .crossJoin(F.broadcast(scal))
+    )
+    n1l = F.coalesce(F.col("n1l"), F.lit(0)).cast("double")
+    p_cont = (
+        F.greatest(n1l - D, F.lit(0.0)) / F.col("t")
+        + D * F.col("v2") / F.col("t") / F.col("v")
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
+    c1 = F.col("c1").cast("double")
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(c12 - D, F.lit(0.0)) / c1
+        + D * F.col("n1r") / c1 * p_cont,
+    ).otherwise(p_cont)
+    return (
+        j.select(id_col, (-F.log2(p)).alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("nll").alias("mean_nll"),
+        )
+    )

@@ -1960,3 +1960,133 @@ def gain_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lift"),
     )
+
+
+def _logistic_gd_oracle() -> str:
+    """Unrolled-SQL twin of the 4-step logistic gradient descent:
+    each iteration is one CTE that carries the previous β scalars
+    through a GROUP BY and adds η·avg-gradient — the same
+    differential-certification treatment as the ridge Cramer solve
+    and the unigram Viterbi DP."""
+    sql = """
+WITH p AS (
+  SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+), i0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+)"""
+    prev = "i0"
+    for k in range(1, 5):
+        sql += f""", i{k} AS (
+  SELECT b0 + 2.0 * AVG(y - s) AS b0,
+         b1 + 2.0 * AVG(x1 * (y - s)) AS b1,
+         b2 + 2.0 * AVG(x2 * (y - s)) AS b2
+  FROM (SELECT p.*, {prev}.b0, {prev}.b1, {prev}.b2,
+               1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                  + {prev}.b2 * x2))) AS s
+        FROM p, {prev})
+  GROUP BY b0, b1, b2
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+       ROUND(AVG(-(y * LN(s) + (1.0 - y) * LN(1.0 - s))), 6) AS log_loss
+FROM (SELECT p.*, {prev}.b0, {prev}.b1, {prev}.b2,
+             1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                + {prev}.b2 * x2))) AS s
+      FROM p, {prev})
+GROUP BY b0, b1, b2
+"""
+    return sql
+
+
+@register(
+    "logistic_gd_audit",
+    survey=("ST14",),
+    oracle=_logistic_gd_oracle(),
+)
+def logistic_gd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by batch gradient descent,
+    differentially certified: 4 unrolled iterations of
+    β ← β + η·avg(xᵢ(yᵢ − σ(xᵢ·β))) (η=2, β₀=0) predicting
+    l_returnflag='R' from scaled (quantity, discount), plus the final
+    mean log-loss. Every iteration is ONE map-side-combinable
+    aggregate over the feature projection with the current β riding
+    along as a broadcast one-row frame — the canonical distributed-GD
+    shape: per-executor partial sums, a d-sized combine, no weight
+    shuffling, no Python. The DuckDB oracle unrolls the identical
+    arithmetic CTE-per-iteration, so the whole optimizer trajectory
+    (not just the fixed point) is cross-engine certified — the same
+    treatment as ridge_normal_equation_audit's Cramer solve and the
+    unigram tokenizer's Viterbi DP. At 100 TB: cache the 3-column
+    projection once; each step is a scan + tiny combine (the known
+    5-pass cost of full-batch GD; SGD/minibatch trades passes for
+    steps but loses the differential oracle)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+    )
+    for _ in range(4):
+        j = p.crossJoin(F.broadcast(beta))
+        s = 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+            )
+        )
+        r = F.col("y") - s
+        beta = (
+            j.groupBy("b0", "b1", "b2")
+            .agg(
+                F.avg(r).alias("g0"),
+                F.avg(F.col("x1") * r).alias("g1"),
+                F.avg(F.col("x2") * r).alias("g2"),
+            )
+            .select(
+                (F.col("b0") + 2.0 * F.col("g0")).alias("b0"),
+                (F.col("b1") + 2.0 * F.col("g1")).alias("b1"),
+                (F.col("b2") + 2.0 * F.col("g2")).alias("b2"),
+            )
+        )
+    f = p.crossJoin(F.broadcast(beta))
+    s = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("b0")
+                + F.col("b1") * F.col("x1")
+                + F.col("b2") * F.col("x2")
+            )
+        )
+    )
+    ll = -(
+        F.col("y") * F.log(s) + (1.0 - F.col("y")) * F.log(1.0 - s)
+    )
+    return (
+        f.groupBy("b0", "b1", "b2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(ll).alias("log_loss"),
+        )
+        .select(
+            F.col("n"),
+            R6(F.col("b0")).alias("b0"),
+            R6(F.col("b1")).alias("b1"),
+            R6(F.col("b2")).alias("b2"),
+            R6(F.col("log_loss")).alias("log_loss"),
+        )
+    )

@@ -1349,6 +1349,79 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kn_bigram_perplexity",
+    survey=("A1", "F9", "J5"),
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, greatest(len(w) - 2, 0) + 1),
+                i -> struct_pack(w1 := w[i+1], w2 := w[i+2]))) AS p
+  FROM ws
+), s AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg WHERE p.w2 IS NOT NULL
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM s WHERE doc_id < 100 GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1r FROM big GROUP BY 1
+), cont AS (
+  SELECT w2, COUNT(*) AS n1l FROM big GROUP BY 1
+), scal AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS t,
+         CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v2,
+         (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE)
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 100)) AS v
+  FROM big
+), pc AS (
+  SELECT s.doc_id,
+         greatest(COALESCE(cont.n1l, 0) - 0.75, 0) / scal.t
+           + 0.75 * scal.v2 / scal.t / scal.v AS p_cont,
+         big.c12 AS c12, ctx.c1 AS c1, ctx.n1r AS n1r
+  FROM s LEFT JOIN big USING (w1, w2)
+         LEFT JOIN ctx USING (w1)
+         LEFT JOIN cont USING (w2), scal
+), scored AS (
+  SELECT doc_id,
+         -log2(CASE WHEN c1 IS NOT NULL THEN
+                 greatest(COALESCE(c12, 0) - 0.75, 0) / c1
+                   + 0.75 * n1r / c1 * p_cont
+               ELSE p_cont END) AS nll
+  FROM pc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 6) AS mean_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney BIGRAM LM perplexity per document —
+    the real KenLM-family estimator behind CCNet-style perplexity
+    filtering (`unigram_lm_quality` is the closed-form proxy; this
+    adds absolute discounting + continuation-probability backoff,
+    D=0.75). Trained on the doc_id<100 reference slice, scores every
+    document in bits/bigram. All model tables are TYPE-keyed (vocab
+    bounded, independent of corpus size): word-keyed tables broadcast,
+    the (w1,w2) count join left to AQE — broadcast at this vocab,
+    shuffle equi-join at web-scale vocab². Pair formation is a pure
+    HOF (split → indexed transform → filter → explode), no window.
+    Reference analog: insights_engine scores text quality via LM
+    surprisal buckets; KN is the standard estimator family."""
+    from bio_lakehouse_spark.operators.textops import (
+        kneser_ney_bigram_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    s = kneser_ney_bigram_score(
+        docs, "doc_id", "text", ref=docs.filter(F.col("doc_id") < 100)
+    )
+    return s.select(
+        "doc_id", "n_bigrams", R6(F.col("mean_nll")).alias("mean_nll")
+    )
+
+
 _H60 = "CAST(concat('0x', substr(md5({v}), 1, 15)) AS BIGINT)"
 
 

@@ -511,6 +511,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # fold table is the broadcast side — bounded nested loop.
         "walk_forward_cv_daily",
         "gain_lift_by_decile",  # scores × ONE-ROW decile thresholds
+        "kn_bigram_perplexity",  # bigram stream × ONE-ROW (T, V2, V) stats
+        "logistic_gd_audit",  # feature frame × ONE-ROW β per GD step
         "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
     }
     cartesian, bnlj = [], []
