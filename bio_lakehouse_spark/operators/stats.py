@@ -779,3 +779,72 @@ def kaplan_meier(
         "n_risk",
         "survival",
     )
+
+
+def msprt_two_sample(
+    daily: DataFrame, tau2: float = 1.0
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test — the always-valid
+    p-value behind "peeking-safe" A/B dashboards (Johari, Koomen,
+    Pekelis & Walsh, KDD'17; the reference's experiments layer
+    reports fixed-horizon DiD only, ref insights_engine/experiments/
+    did.py — this is its sequential upgrade).
+
+    Input: one row per date with per-arm daily sums
+    ``(date, nx, sx, sxx, ny, sy, syy)`` (counts, value sums, squared
+    sums for treatment x / control y). Everything downstream runs on
+    the DAILY-grain frame: cumulative windows give running means and
+    a pooled variance; the mixture (τ² normal prior) likelihood
+    ratio has the closed form
+    logΛ_t = ½·ln(V/(V+τ²)) + θ̂²τ² / (2V(V+τ²)),  V = s²(1/n+1/m),
+    and the always-valid p-value is the running minimum of 1/Λ
+    (computed in log space so early huge Λ cannot overflow).
+    The expression trees below are mirrored verbatim by the DuckDB
+    oracle, so the whole sequential trajectory is differentially
+    certified.
+    """
+    w = (
+        Window.orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "date",
+        F.sum("nx").over(w).cast("long").alias("cnx"),
+        F.sum("sx").over(w).alias("csx"),
+        F.sum("sxx").over(w).alias("csxx"),
+        F.sum("ny").over(w).cast("long").alias("cny"),
+        F.sum("sy").over(w).alias("csy"),
+        F.sum("syy").over(w).alias("csyy"),
+    ).where((F.col("cnx") > 1) & (F.col("cny") > 1))
+    m = (
+        cum.withColumn("mx", F.expr("csx / cnx"))
+        .withColumn("my", F.expr("csy / cny"))
+        .withColumn("theta", F.expr("mx - my"))
+        .withColumn(
+            "s2",
+            F.expr(
+                "(csxx - cnx * mx * mx + csyy - cny * my * my)"
+                " / cast(cnx + cny - 2 as double)"
+            ),
+        )
+        .withColumn("vv", F.expr("s2 * (1.0 / cnx + 1.0 / cny)"))
+        .where(F.col("vv") > 0)
+        .withColumn(
+            "loglam",
+            F.expr(
+                f"0.5 * ln(vv / (vv + {tau2})) + theta * theta * {tau2}"
+                f" / (2.0 * vv * (vv + {tau2}))"
+            ),
+        )
+    )
+    return m.withColumn(
+        "p_always_valid",
+        F.exp(-F.max(F.greatest(F.col("loglam"), F.lit(0.0))).over(w)),
+    ).select(
+        "date",
+        F.col("cnx").alias("n_treat"),
+        F.col("cny").alias("n_ctrl"),
+        "theta",
+        F.col("loglam").alias("log_lambda"),
+        "p_always_valid",
+    )

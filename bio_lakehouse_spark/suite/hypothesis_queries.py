@@ -24,6 +24,7 @@ from bio_lakehouse_spark.operators.stats import (
     cusum_changepoint,
     ks_two_sample,
     mad_anomalies,
+    msprt_two_sample,
     normal_sf_approx,
     theil_sen,
     welch_t,
@@ -1011,3 +1012,94 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "variance_reduction"
         ),
     ).drop("th", "mx")
+
+
+@register(
+    "msprt_sequential_daily",
+    survey=("ST11", "ST10"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nx,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS sx,
+         SUM(CASE WHEN event_type = 'click' THEN value * value ELSE 0 END)
+           AS sxx,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ny,
+         SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS sy,
+         SUM(CASE WHEN event_type = 'view' THEN value * value ELSE 0 END)
+           AS syy
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+), cum AS (
+  SELECT date,
+         CAST(SUM(nx) OVER w AS BIGINT) AS cnx,
+         SUM(sx) OVER w AS csx,
+         SUM(sxx) OVER w AS csxx,
+         CAST(SUM(ny) OVER w AS BIGINT) AS cny,
+         SUM(sy) OVER w AS csy,
+         SUM(syy) OVER w AS csyy
+  FROM daily
+  WINDOW w AS (ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m1 AS (
+  SELECT date, cnx, cny, csxx, csyy,
+         csx / cnx AS mx, csy / cny AS my
+  FROM cum WHERE cnx > 1 AND cny > 1
+), m2 AS (
+  SELECT date, cnx, cny, mx - my AS theta,
+         (csxx - cnx * mx * mx + csyy - cny * my * my)
+           / cast(cnx + cny - 2 as double) AS s2
+  FROM m1
+), m3 AS (
+  SELECT date, cnx, cny, theta, s2 * (1.0 / cnx + 1.0 / cny) AS vv
+  FROM m2
+), m4 AS (
+  SELECT date, cnx, cny, theta,
+         0.5 * ln(vv / (vv + 1.0)) + theta * theta * 1.0
+           / (2.0 * vv * (vv + 1.0)) AS loglam
+  FROM m3 WHERE vv > 0
+)
+SELECT date, cnx AS n_treat, cny AS n_ctrl,
+       ROUND(theta, 6) AS theta,
+       ROUND(loglam, 6) AS log_lambda,
+       ROUND(EXP(-MAX(GREATEST(loglam, 0.0)) OVER
+                 (ORDER BY date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS p_always_valid
+FROM m4
+""",
+)
+def msprt_sequential_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mSPRT, τ²=1) of click-vs-view
+    value means, one row per day of the experiment: running effect
+    θ̂, mixture log-likelihood ratio, and the running always-valid
+    p-value — the peeking-safe upgrade of the fixed-horizon DiD the
+    reference's experiments layer reports. One daily conditional
+    aggregate over the facts (map-side combinable), then cumulative
+    windows over the daily-grain frame; the p-value's running min is
+    a log-space running max so early large Λ can't overflow.
+    Ref: insights_engine/experiments/did.py (fixed-horizon only)."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    is_x = F.col("event_type") == "click"
+    is_y = F.col("event_type") == "view"
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum(is_x.cast("int")).alias("nx"),
+        F.sum(F.when(is_x, F.col("value")).otherwise(0.0)).alias("sx"),
+        F.sum(
+            F.when(is_x, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("sxx"),
+        F.sum(is_y.cast("int")).alias("ny"),
+        F.sum(F.when(is_y, F.col("value")).otherwise(0.0)).alias("sy"),
+        F.sum(
+            F.when(is_y, F.col("value") * F.col("value")).otherwise(0.0)
+        ).alias("syy"),
+    )
+    out = msprt_two_sample(daily, tau2=1.0)
+    return out.select(
+        "date",
+        "n_treat",
+        "n_ctrl",
+        R6(F.col("theta")).alias("theta"),
+        R6(F.col("log_lambda")).alias("log_lambda"),
+        R6(F.col("p_always_valid")).alias("p_always_valid"),
+    )

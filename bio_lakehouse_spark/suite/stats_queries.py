@@ -2090,3 +2090,101 @@ def logistic_gd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("log_loss")).alias("log_loss"),
         )
     )
+
+
+def _decision_stump_oracle() -> str:
+    """DuckDB twin of the histogram split search: identical binning
+    and gain expression trees (the gain SQL is literally the shared
+    ``_GINI_GAIN_SQL`` constant), window cumulative sums over the
+    per-(feature, bin) histogram, argmax by (rounded gain DESC, bin
+    ASC) — the same tie-break best_splits encodes as max(struct)."""
+    from bio_lakehouse_spark.operators.trees import _GINI_GAIN_SQL
+
+    return f"""
+WITH base AS (
+  SELECT CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT) AS y,
+         CAST(l_quantity AS DOUBLE) AS x_0,
+         CAST(l_discount AS DOUBLE) AS x_1
+  FROM lineitem
+), stats AS (
+  SELECT min(x_0) AS lo_0, max(x_0) AS hi_0,
+         min(x_1) AS lo_1, max(x_1) AS hi_1
+  FROM base
+), binned AS (
+  SELECT 'l_quantity' AS feature,
+         least(31, cast(floor((x_0 - lo_0) * 32.0
+                              / nullif(hi_0 - lo_0, 0.0)) as int)) AS bin,
+         lo_0 AS lo, hi_0 AS hi, y
+  FROM base, stats
+  UNION ALL
+  SELECT 'l_discount',
+         least(31, cast(floor((x_1 - lo_1) * 32.0
+                              / nullif(hi_1 - lo_1, 0.0)) as int)),
+         lo_1, hi_1, y
+  FROM base, stats
+), hist AS (
+  SELECT feature, bin, any_value(lo) AS lo, any_value(hi) AS hi,
+         count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT feature, bin, lo, hi,
+         CAST(sum(n) OVER w AS BIGINT) AS left_n,
+         CAST(sum(pos) OVER w AS BIGINT) AS left_pos,
+         CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS tot_n,
+         CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS tot_pos,
+         max(bin) OVER (PARTITION BY feature) AS max_bin
+  FROM hist
+  WINDOW w AS (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), gains AS (
+  SELECT feature, bin,
+         lo + (bin + 1) * (hi - lo) / 32.0 AS threshold,
+         {_GINI_GAIN_SQL} AS gain,
+         left_n, tot_n - left_n AS right_n
+  FROM cum
+  WHERE bin < max_bin AND left_n > 0 AND left_n < tot_n
+), ranked AS (
+  SELECT feature, threshold, gain, left_n, right_n,
+         row_number() OVER (PARTITION BY feature
+                            ORDER BY round(gain, 6) DESC, bin ASC) AS rn
+  FROM gains
+)
+SELECT feature, round(threshold, 6) AS threshold,
+       round(gain, 6) AS gain, left_n, right_n
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "decision_stump_gini",
+    survey=("ST14",),
+    oracle=_decision_stump_oracle(),
+)
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single Gini split per feature over lineitem, found the
+    way a distributed tree learner does it (LightGBM's histogram
+    method): ONE scan builds per-(feature, bin) label histograms —
+    a map-side-combinable groupBy whose shuffle is ≤ F×B rows no
+    matter the input size — then every candidate boundary is scored
+    with cumulative windows over that tiny table and the winner
+    picked by a sort-free max(struct) argmax. Predicts
+    l_returnflag='R' from l_quantity and l_discount, B=32.
+    Ref: insights_engine/models/zoo.py fits sklearn trees
+    driver-side; this is the split-search primitive those learners
+    would need on a cluster."""
+    from bio_lakehouse_spark.operators.trees import (
+        best_splits,
+        histogram_split_gains,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    gains = histogram_split_gains(
+        li,
+        {
+            "l_quantity": F.col("l_quantity"),
+            "l_discount": F.col("l_discount"),
+        },
+        label=(F.col("l_returnflag") == "R"),
+        nbins=32,
+    )
+    return best_splits(gains)

@@ -514,6 +514,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "kn_bigram_perplexity",  # bigram stream × ONE-ROW (T, V2, V) stats
         "logistic_gd_audit",  # feature frame × ONE-ROW β per GD step
         "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
+        "decision_stump_gini",  # scan × ONE-ROW per-feature min/max stats
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
