@@ -473,3 +473,73 @@ def bfs_distances(
         settled = settled.union(nxt).localCheckpoint()
         frontier = nxt
     return settled
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) by fixed-count
+    mutual power iteration — the third iterative-graph shape after
+    connected_components and pagerank, natural on a bipartite graph
+    (customers are pure hubs, suppliers pure authorities).
+
+    Per iteration: authority scores are ONE keyed join (edges ⋈ hubs
+    on src) + a partial-aggregated groupBy(dst), L2-normalized by a
+    one-row aggregate broadcast back (one-row-stat crossJoin); then
+    the hub update mirrors it through the new authorities. Lineage is
+    truncated per round via localCheckpoint exactly as pagerank does.
+    A fixed ``iters`` keeps the whole trajectory SQL-unrollable so
+    the DuckDB oracle certifies every iteration including the
+    normalizations. Returns (role, node, score) with role ∈
+    {'hub', 'auth'} — roles, not id-relabeling, disambiguate node
+    ids shared across the two sides.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    hubs = (
+        e.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.lit(1.0).alias("h"))
+        .localCheckpoint()
+    )
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["v"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("v"), "a")
+        )
+        za = F.broadcast(
+            a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("z"))
+        )
+        auths = (
+            a_raw.crossJoin(za)
+            .select("v", (F.col("a") / F.col("z")).alias("a"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["v"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("v"), "h")
+        )
+        zh = F.broadcast(
+            h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("z"))
+        )
+        hubs = (
+            h_raw.crossJoin(zh)
+            .select("v", (F.col("h") / F.col("z")).alias("h"))
+            .localCheckpoint()
+        )
+    return hubs.select(
+        F.lit("hub").alias("role"), "v", F.col("h").alias("score")
+    ).union(
+        auths.select(
+            F.lit("auth").alias("role"), "v", F.col("a").alias("score")
+        )
+    )

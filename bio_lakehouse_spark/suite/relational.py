@@ -1390,3 +1390,148 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("price"),
         F.col("p_size").alias("size"),
     )
+
+
+# Fellegi–Sunter field weights as shared decimal literals (m/u priors
+# m=(.9,.85,.95), u=(.3,.05,.01)): agreement weight ln(m/u),
+# disagreement ln((1−m)/(1−u)). The SAME literal text feeds F.expr and
+# the oracle so both engines parse identical doubles.
+_FS_SCORE_SQL = (
+    "(case when g1 then 1.0986122886681098 else -1.9459101490553132 end)"
+    " + (case when g2 then 2.833213344056216 else -1.845826690498331 end)"
+    " + (case when g3 then 4.553876891600541 else -2.9856819377004893 end)"
+)
+
+_FS_DECISION_SQL = (
+    "case when score >= 4.0 then 'link' "
+    "when score >= 0.0 then 'possible' else 'nonlink' end"
+)
+
+
+@register(
+    "entity_resolution_fs",
+    survey=("J6", "F8", "P10"),
+    oracle=f"""
+WITH rec AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+         floor(c_acctbal / 2000.0) AS bal_bucket,
+         right(c_name, 2) AS suffix
+  FROM customer
+), pairs AS (
+  SELECT a.c_mktsegment = b.c_mktsegment AS g1,
+         abs(a.c_acctbal - b.c_acctbal) < 100.0 AS g2,
+         a.suffix = b.suffix AS g3
+  FROM rec a JOIN rec b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.bal_bucket = b.bal_bucket
+   AND a.c_custkey < b.c_custkey
+), scored AS (
+  SELECT {_FS_SCORE_SQL} AS score FROM pairs
+), classed AS (
+  SELECT score, {_FS_DECISION_SQL} AS decision FROM scored
+)
+SELECT decision, COUNT(*) AS n_pairs,
+       ROUND(AVG(score), 6) AS avg_weight,
+       ROUND(MIN(score), 6) AS min_weight,
+       ROUND(MAX(score), 6) AS max_weight
+FROM classed GROUP BY decision ORDER BY decision
+""",
+)
+def entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi–Sunter style (JASA'69;
+    the model behind Splink/dedupe.io): candidate pairs from a
+    BOUNDED blocking key (nation × acctbal bucket — never a
+    corpus-sized block), a boolean agreement vector per pair
+    (segment, acctbal proximity, name suffix), and per-field
+    log-likelihood match weights ln(m/u) / ln((1−m)/(1−u)) summed
+    into a match score, classified link / possible / nonlink.
+    Upgrade of `fuzzy_name_match`'s deterministic edit-distance rule:
+    same blocked-pair shape, probabilistic decision layer. The m/u
+    priors are fixed literals; at scale they come from an EM pass
+    over the same agreement aggregates (one extra groupBy)."""
+    cust = load(spark, sf_dir, "customer")
+    rec = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.expr("floor(c_acctbal / 2000.0)").alias("bal_bucket"),
+        F.expr("right(c_name, 2)").alias("suffix"),
+    )
+    a, b = rec.alias("a"), rec.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bal_bucket") == F.col("b.bal_bucket"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0).alias(
+            "g2"
+        ),
+        (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
+    )
+    scored = pairs.select(F.expr(_FS_SCORE_SQL).alias("score"))
+    classed = scored.withColumn("decision", F.expr(_FS_DECISION_SQL))
+    return (
+        classed.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("score"), 6).alias("avg_weight"),
+            F.round(F.min("score"), 6).alias("min_weight"),
+            F.round(F.max("score"), 6).alias("max_weight"),
+        )
+        .orderBy("decision")
+    )
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled HITS over the directed customer→supplier trade graph
+    — fixed iteration count makes the mutual update + L2
+    normalizations SQL-expressible, same pattern as the unrolled
+    PageRank/Lloyd oracles."""
+    parts = ["""WITH base AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), hub0 AS (SELECT DISTINCT c AS v, 1.0 AS h FROM base)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", ar{i} AS (
+  SELECT b.s AS v, SUM(h.h) AS a
+  FROM base b JOIN hub{i-1} h ON h.v = b.c GROUP BY b.s
+), az{i} AS (SELECT SQRT(SUM(a * a)) AS z FROM ar{i}),
+auth{i} AS (SELECT v, a / z AS a FROM ar{i}, az{i}),
+hr{i} AS (
+  SELECT b.c AS v, SUM(a.a) AS h
+  FROM base b JOIN auth{i} a ON a.v = b.s GROUP BY b.c
+), hz{i} AS (SELECT SQRT(SUM(h * h)) AS z FROM hr{i}),
+hub{i} AS (SELECT v, h / z AS h FROM hr{i}, hz{i})""")
+    parts.append(f"""
+SELECT 'hub' AS role, v AS node, ROUND(h, 9) AS score FROM hub{iters}
+UNION ALL
+SELECT 'auth' AS role, v AS node, ROUND(a, 9) AS score FROM auth{iters}""")
+    return "".join(parts)
+
+
+@register(
+    "hits_hubs_authorities",
+    survey=("J4", "A1"),
+    oracle=_hits_oracle(3),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (3 mutual power iterations, L2-normalized) over the
+    DIRECTED customer→supplier trade graph: customers score as hubs
+    (order from authoritative suppliers), suppliers as authorities
+    (supply to strong hubs). Per iteration one keyed join + one
+    partial-aggregated groupBy per side, norms as one-row broadcast
+    stats, lineage checkpoint-truncated (operators/graph.hits)."""
+    from bio_lakehouse_spark.operators.graph import hits
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    out = hits(e, iters=3)
+    return out.select("role", F.col("v").alias("node"), F.round("score", 9).alias("score"))

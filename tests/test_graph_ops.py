@@ -109,3 +109,37 @@ def test_neighbor_jaccard_hub_cap_drops_hub_centers(graph):
     for p, c in capped.items():
         assert c <= full[p]
     assert any(p not in capped for p in only_hub) or not only_hub
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS on a random bipartite graph vs the numpy mutual power
+    iteration (same L2 normalization, same iteration count)."""
+    from bio_lakehouse_spark.operators.graph import hits
+
+    rng = np.random.default_rng(11)
+    n_h, n_a = 12, 9
+    edges = sorted(
+        {(int(rng.integers(n_h)), 100 + int(rng.integers(n_a)))
+         for _ in range(60)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["role"], r["v"]): r["score"]
+        for r in hits(df, iters=3).collect()
+    }
+
+    A = np.zeros((n_h, n_a))
+    for s, d in edges:
+        A[s, d - 100] = 1.0
+    hub_nodes = sorted({s for s, _ in edges})
+    auth_nodes = sorted({d for _, d in edges})
+    h = np.array([1.0 if i in hub_nodes else 0.0 for i in range(n_h)])
+    for _ in range(3):
+        a = A.T @ h
+        a = a / np.sqrt((a * a).sum())
+        h = A @ a
+        h = h / np.sqrt((h * h).sum())
+    for i in hub_nodes:
+        assert abs(got[("hub", i)] - h[i]) < 1e-9
+    for d in auth_nodes:
+        assert abs(got[("auth", d)] - a[d - 100]) < 1e-9

@@ -249,3 +249,47 @@ def test_walk_forward_ridge_sql_matches_numpy(spark, sf_dir):
         assert abs(row.ridge_mae - fold["mae"]) < 1e-4, (
             row.fold, row.ridge_mae, fold["mae"])
         assert abs(row.naive_mae - fold["naive_mae"]) < 1e-4
+
+
+def test_msprt_always_valid_p_is_monotone_and_detects_effect(spark):
+    """The always-valid p-value must be non-increasing in time and
+    ∈ (0, 1]; with a large persistent effect it must end far below
+    a null-effect trajectory's."""
+    import math
+
+    from bio_lakehouse_spark.operators.stats import msprt_two_sample
+
+    def daily_frame(effect):
+        rows = []
+        for t in range(40):
+            # deterministic pseudo-noise, mean 10 vs 10+effect
+            nx, ny = 50, 50
+            noise = math.sin(t * 1.7) * 2.0
+            mx, my = 10.0 + effect + noise, 10.0 + noise
+            sx, sy = nx * mx, ny * my
+            # per-arm squared sums with unit sample variance
+            sxx = nx * (mx * mx + 1.0)
+            syy = ny * (my * my + 1.0)
+            rows.append((f"2024-01-{t+1:02d}" if t < 31 else
+                         f"2024-02-{t-30:02d}", nx, sx, sxx, ny, sy, syy))
+        df = spark.createDataFrame(
+            rows,
+            "date string, nx long, sx double, sxx double,"
+            " ny long, sy double, syy double",
+        )
+        return df.selectExpr("cast(date as date) as date", "nx", "sx",
+                             "sxx", "ny", "sy", "syy")
+
+    with_effect = [
+        r["p_always_valid"]
+        for r in msprt_two_sample(daily_frame(2.0)).orderBy("date").collect()
+    ]
+    null = [
+        r["p_always_valid"]
+        for r in msprt_two_sample(daily_frame(0.0)).orderBy("date").collect()
+    ]
+    for seq in (with_effect, null):
+        assert all(0.0 < p <= 1.0 for p in seq)
+        assert all(a >= b for a, b in zip(seq, seq[1:]))  # monotone ↓
+    assert with_effect[-1] < 1e-6  # strong effect → tiny p
+    assert null[-1] > 0.05  # no effect → never "significant"

@@ -515,6 +515,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "logistic_gd_audit",  # feature frame × ONE-ROW β per GD step
         "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
         "decision_stump_gini",  # scan × ONE-ROW per-feature min/max stats
+        "hits_hubs_authorities",  # scores × ONE-ROW L2 norm per iteration
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
