@@ -1405,3 +1405,111 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("dcg") / idcg).alias("ndcg_at_10"),
         )
     )
+
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher (±1) projection matrix — a seeded
+    xorshift-free LCG so the SAME literals are inlined into the Spark
+    expression and the DuckDB oracle (no engine hash functions, whose
+    implementations differ)."""
+    state = 0x2545F491
+    rows = []
+    for _ in range(k):
+        row = []
+        for _ in range(d):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1 if state & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+_JL_K, _JL_D = 16, 64
+_JL_ROWS = _jl_signs(_JL_K, _JL_D)
+# 1/sqrt(k) scaling: k=16 → exact /4.0 in both engines.
+_JL_SPARK_MAT = "array(" + ", ".join(
+    "array(" + ", ".join(f"{s}.0D" for s in row) + ")" for row in _JL_ROWS
+) + ")"
+_JL_DUCK_MAT = "[" + ", ".join(
+    "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in _JL_ROWS
+) + "]"
+
+
+@register(
+    "random_projection_jl_audit",
+    survey=("F9", "ST6"),
+    oracle=f"""
+WITH proj AS (
+  SELECT vec_id,
+         embedding,
+         list_transform({_JL_DUCK_MAT}, r ->
+           list_sum(list_transform(range(1, {_JL_D} + 1),
+             i -> embedding[i]::DOUBLE * r[i])) / 4.0) AS p
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, {_JL_D} + 1), i ->
+           (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+           * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)))
+           AS orig_d2,
+         list_sum(list_transform(range(1, {_JL_K} + 1), j ->
+           (a.p[j] - b.p[j]) * (a.p[j] - b.p[j]))) AS proj_d2
+  FROM proj a JOIN proj b ON a.vec_id + 1 = b.vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(proj_d2 / orig_d2), 6) AS avg_ratio,
+       ROUND(MIN(proj_d2 / orig_d2), 6) AS min_ratio,
+       ROUND(MAX(proj_d2 / orig_d2), 6) AS max_ratio,
+       CAST(SUM(CASE WHEN proj_d2 / orig_d2 BETWEEN 0.5 AND 1.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_half
+FROM pairs WHERE orig_d2 > 0
+""",
+)
+def random_projection_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection audit: project the
+    64-dim embeddings to 16 dims with a fixed Rademacher ±1 matrix
+    (Achlioptas'03 — the database-friendly JL construction) and
+    measure pairwise squared-distance distortion on the consecutive-id
+    pair set. Everything is JVM higher-order functions on the scan —
+    transform/zip_with/aggregate folds, no Python, no shuffle except
+    the bounded consecutive-pair equi-join — and the projection
+    matrix literals are shared verbatim with the oracle. The scale
+    story: this is the cheap dimensionality step in front of the IVF/
+    PQ family (project once at ingest; distance work drops 4×), and
+    the audit certifies the distortion the JL lemma promises."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"transform({_JL_SPARK_MAT}, r -> "
+            "aggregate(zip_with(embedding, r,"
+            " (x, s) -> cast(x as double) * s),"
+            " cast(0.0 as double), (a, v) -> a + v) / 4.0)"
+        ).alias("p"),
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    d2 = (
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
+        " (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    p2 = (
+        "aggregate(zip_with(a.p, b.p, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    pairs = a.join(
+        b, F.col("a.vec_id") + 1 == F.col("b.vec_id")
+    ).select(
+        F.expr(d2).alias("orig_d2"), F.expr(p2).alias("proj_d2")
+    )
+    r = F.col("proj_d2") / F.col("orig_d2")
+    return pairs.where(F.col("orig_d2") > 0).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        R6(F.avg(r)).alias("avg_ratio"),
+        R6(F.min(r)).alias("min_ratio"),
+        R6(F.max(r)).alias("max_ratio"),
+        F.sum(
+            F.when((r >= 0.5) & (r <= 1.5), 1).otherwise(0)
+        ).cast("long").alias("n_within_half"),
+    )

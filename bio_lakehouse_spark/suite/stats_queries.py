@@ -2188,3 +2188,164 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbins=32,
     )
     return best_splits(gains)
+
+
+def _ipw_oracle(iters: int = 3) -> str:
+    """Unrolled-SQL twin of the IPW pipeline: per-user treatment/
+    outcome/covariates, 3 logistic-GD propensity steps (the
+    logistic_gd_audit treatment), then clipped Horvitz–Thompson and
+    Hájek ATEs in one aggregate."""
+    sql = """
+WITH p AS (
+  SELECT CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         THEN 1.0 ELSE 0.0 END AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+           AS yv,
+         COUNT(*) / 100.0 AS x1,
+         AVG(value) / 100.0 AS x2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), i0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        sql += f""", i{k} AS (
+  SELECT b0 + 2.0 * AVG(t - s) AS b0,
+         b1 + 2.0 * AVG(x1 * (t - s)) AS b1,
+         b2 + 2.0 * AVG(x2 * (t - s)) AS b2
+  FROM (SELECT p.*, {prev}.b0, {prev}.b1, {prev}.b2,
+               1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                  + {prev}.b2 * x2))) AS s
+        FROM p, {prev})
+  GROUP BY b0, b1, b2
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+       ROUND(AVG(CASE WHEN t = 1.0 THEN yv END)
+             - AVG(CASE WHEN t = 0.0 THEN yv END), 6) AS naive_diff,
+       ROUND(AVG(t * yv / e) - AVG((1.0 - t) * yv / (1.0 - e)), 6)
+         AS ate_ipw,
+       ROUND(SUM(t * yv / e) / SUM(t / e)
+             - SUM((1.0 - t) * yv / (1.0 - e))
+               / SUM((1.0 - t) / (1.0 - e)), 6) AS ate_hajek
+FROM (SELECT p.*, {prev}.b0, {prev}.b1, {prev}.b2,
+             GREATEST(0.05, LEAST(0.95,
+               1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                  + {prev}.b2 * x2))))) AS e
+      FROM p, {prev})
+GROUP BY b0, b1, b2
+"""
+    return sql
+
+
+@register(
+    "ipw_ate_audit",
+    survey=("ST11", "ST14"),
+    oracle=_ipw_oracle(3),
+)
+def ipw_ate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect, end-to-end
+    distributed and differentially certified: per-user frame
+    (treated = more clicks than errors; outcome = purchase value;
+    covariates =
+    scaled activity count / mean value), propensity from 3 unrolled
+    logistic-GD steps (each ONE map-side-combinable aggregate with β
+    as a broadcast one-row frame — logistic_gd_audit's shape), then
+    the naive difference, the clipped (0.05–0.95) Horvitz–Thompson
+    ATE, and the Hájek (self-normalized) ATE in one final aggregate.
+    The causal upgrade of `did_pre_post`/`cuped_adjustment`: same
+    experiments family, observational-confounding correction. The
+    DuckDB oracle unrolls the identical CTE trajectory, so the
+    certified surface includes the optimizer path AND the weighting
+    arithmetic."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    p = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            > F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("yv"),
+        (F.count(F.lit(1)) / 100.0).alias("x1"),
+        (F.avg("value") / 100.0).alias("x2"),
+    ).drop("user_id")
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"),
+        F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+    )
+    for _ in range(3):
+        j = p.crossJoin(F.broadcast(beta))
+        s = 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+            )
+        )
+        beta = j.groupBy("b0", "b1", "b2").agg(
+            F.avg(F.col("t") - s).alias("g0"),
+            F.avg(F.col("x1") * (F.col("t") - s)).alias("g1"),
+            F.avg(F.col("x2") * (F.col("t") - s)).alias("g2"),
+        ).select(
+            (F.col("b0") + 2.0 * F.col("g0")).alias("b0"),
+            (F.col("b1") + 2.0 * F.col("g1")).alias("b1"),
+            (F.col("b2") + 2.0 * F.col("g2")).alias("b2"),
+        )
+    f = p.crossJoin(F.broadcast(beta))
+    e = F.greatest(
+        F.lit(0.05),
+        F.least(
+            F.lit(0.95),
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("b0")
+                        + F.col("b1") * F.col("x1")
+                        + F.col("b2") * F.col("x2")
+                    )
+                )
+            ),
+        ),
+    )
+    t, yv = F.col("t"), F.col("yv")
+    return f.groupBy("b0", "b1", "b2").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        R6(
+            F.avg(F.when(t == 1.0, yv)) - F.avg(F.when(t == 0.0, yv))
+        ).alias("naive_diff"),
+        R6(
+            F.avg(t * yv / e) - F.avg((1.0 - t) * yv / (1.0 - e))
+        ).alias("ate_ipw"),
+        R6(
+            F.sum(t * yv / e) / F.sum(t / e)
+            - F.sum((1.0 - t) * yv / (1.0 - e))
+            / F.sum((1.0 - t) / (1.0 - e))
+        ).alias("ate_hajek"),
+    ).select(
+        "n_users",
+        R6(F.col("b0")).alias("b0"),
+        R6(F.col("b1")).alias("b1"),
+        R6(F.col("b2")).alias("b2"),
+        "naive_diff",
+        "ate_ipw",
+        "ate_hajek",
+    )

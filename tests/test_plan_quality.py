@@ -516,6 +516,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
         "decision_stump_gini",  # scan × ONE-ROW per-feature min/max stats
         "hits_hubs_authorities",  # scores × ONE-ROW L2 norm per iteration
+        "ipw_ate_audit",  # per-user frame × ONE-ROW β per GD step
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
