@@ -1513,3 +1513,160 @@ def random_projection_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((r >= 0.5) & (r <= 1.5), 1).otherwise(0)
         ).cast("long").alias("n_within_half"),
     )
+
+
+@register(
+    "silhouette_label_clusters",
+    survey=("ST14", "F9"),
+    oracle="""
+WITH longf AS (
+  SELECT label, i, embedding[i]::DOUBLE AS x
+  FROM embeddings, range(1, 65) r(i)
+), cent AS (
+  SELECT label, i, AVG(x) AS c FROM longf GROUP BY label, i
+), cent_arr AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label
+), dists AS (
+  SELECT e.vec_id, e.label AS plabel, ca.label AS clabel,
+         list_sum(list_transform(range(1, 65), i ->
+           (e.embedding[i]::DOUBLE - ca.cv[i])
+           * (e.embedding[i]::DOUBLE - ca.cv[i]))) AS d2
+  FROM embeddings e, cent_arr ca
+), ab AS (
+  SELECT vec_id, plabel,
+         MIN(CASE WHEN clabel = plabel THEN d2 END) AS a,
+         MIN(CASE WHEN clabel <> plabel THEN d2 END) AS b
+  FROM dists GROUP BY 1, 2
+), sil AS (
+  SELECT plabel AS label,
+         CASE WHEN GREATEST(a, b) > 0.0 THEN (b - a) / GREATEST(a, b)
+              ELSE 0.0 END AS s
+  FROM ab
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS avg_silhouette
+FROM sil GROUP BY label ORDER BY label
+""",
+)
+def silhouette_label_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the embedding corpus
+    grouped by its label column — the clustering-quality audit next
+    to kmeans_assign_audit. Centroids via ONE posexplode +
+    groupBy(label, dim) (shuffle bounded by k×d), packed into a
+    single broadcast row; per point, distance-to-every-centroid, own
+    (a) and nearest-other (b) cluster distances, and
+    s=(b−a)/max(a,b) are all ROW-LOCAL higher-order functions — the
+    kmeans packed-centroid idiom, zero corpus shuffle — then one tiny
+    per-label aggregate. Hollander's full silhouette needs all
+    pairwise distances (quadratic); the centroid form is the
+    standard scale substitute."""
+    emb = load(spark, sf_dir, "embeddings")
+    longf = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = longf.groupBy("label", "i").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    packed = F.broadcast(
+        cent_arr.agg(
+            F.sort_array(
+                F.collect_list(F.struct("label", "cv"))
+            ).alias("cents")
+        )
+    )
+    pt = emb.crossJoin(packed)
+    dists = (
+        "transform(cents, c -> struct("
+        "aggregate(zip_with(embedding, c.cv, (x, y) ->"
+        " (cast(x as double) - y) * (cast(x as double) - y)),"
+        " cast(0.0 as double), (acc, v) -> acc + v) as d2,"
+        " c.label as clabel))"
+    )
+    sil = pt.select(
+        "label",
+        F.expr(
+            f"filter({dists}, d -> d.clabel = label)[0].d2"
+        ).alias("a"),
+        F.expr(
+            f"array_min(transform(filter({dists},"
+            " d -> d.clabel != label), d -> d.d2))"
+        ).alias("b"),
+    ).select(
+        "label",
+        F.when(
+            F.greatest("a", "b") > 0.0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(0.0)
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R6(F.avg("s")).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    survey=("O4", "ST14"),
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS tl
+  FROM embeddings WHERE vec_id % 5 = 0
+), scored AS (
+  SELECT q.qid, q.tl, c.label AS pl,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+           ORDER BY {_COS.format(a='q.qv', b='c.embedding')} DESC,
+                    c.vec_id) AS rn
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.qid
+)
+SELECT tl AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pl = tl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(SUM(CASE WHEN pl = tl THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS accuracy
+FROM scored WHERE rn = 1 GROUP BY tl ORDER BY tl
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy over a deterministic 20%
+    probe sample (vec_id % 5): the embedding-space sanity check a
+    training pipeline runs before trusting vectors for curation —
+    if nearest neighbors don't share labels, neither SemDeDup nor
+    hard-negative mining can. Reuses the broadcast-query cosine
+    scorer (same plan family as ann_cosine_topk; the IVF-probed
+    variant is the drop-in at full corpus width), then one tiny
+    label join + per-label aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("pl")
+    )
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    nn = cosine_topk(emb, queries, k=1).where(F.col("rank") == 1)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("tl")
+    )
+    j = nn.join(F.broadcast(truth), "query_id").join(
+        F.broadcast(labels), nn["neighbor_id"] == labels["nid"]
+    )
+    hit = F.when(F.col("pl") == F.col("tl"), 1).otherwise(0)
+    return (
+        j.groupBy(F.col("tl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            R6(F.sum(hit) * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -2349,3 +2349,76 @@ def ipw_ate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ate_ipw",
         "ate_hajek",
     )
+
+
+@register(
+    "roc_auc_audit",
+    survey=("ST14", "A13"),
+    oracle="""
+WITH per_v AS (
+  SELECT l_quantity AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS np,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT v, np, n,
+         CAST(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) - n AS before_n
+  FROM per_v
+), spr AS (
+  SELECT SUM(np * (before_n + (n + 1) / 2.0)) AS pos_rank_sum FROM ranked
+), tot AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n1,
+         CAST(SUM(n - np) AS BIGINT) AS n0
+  FROM per_v
+)
+SELECT n1, n0,
+       ROUND((pos_rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * 1.0 * n0), 6)
+         AS auc,
+       ROUND(2.0 * ((pos_rank_sum - n1 * (n1 + 1) / 2.0)
+                    / (n1 * 1.0 * n0)) - 1.0, 6) AS gini
+FROM spr, tot
+""",
+)
+def roc_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (and Gini) of l_quantity as a scorer for
+    l_returnflag='R', via the rank-sum identity
+    AUC = (Σ midranks(positives) − n₁(n₁+1)/2) / (n₁n₀) with proper
+    tie midranks — the Mann–Whitney U relation, so NO per-threshold
+    rescans and NO global sort of the raw data: ONE per-distinct-score
+    aggregate (map-side combinable), a cumulative window over the
+    |distinct scores| frame (50 rows here, bounded at any corpus
+    size for banded scorers), and two one-row stat frames. The model
+    evaluation primitive next to gain_lift_by_decile /
+    nb_calibration_curve."""
+    li = load(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).cast("long").alias("np"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn(
+        "before_n", F.sum("n").over(w).cast("long") - F.col("n")
+    )
+    spr = ranked.agg(
+        F.sum(
+            F.col("np") * (F.col("before_n") + (F.col("n") + 1) / 2.0)
+        ).alias("pos_rank_sum")
+    )
+    tot = per_v.agg(
+        F.sum("np").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n0"),
+    )
+    j = spr.crossJoin(F.broadcast(tot))
+    auc = (
+        F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    ) / (F.col("n1") * 1.0 * F.col("n0"))
+    return j.select(
+        "n1",
+        "n0",
+        R6(auc).alias("auc"),
+        R6(2.0 * auc - 1.0).alias("gini"),
+    )

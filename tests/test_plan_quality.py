@@ -517,6 +517,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "decision_stump_gini",  # scan × ONE-ROW per-feature min/max stats
         "hits_hubs_authorities",  # scores × ONE-ROW L2 norm per iteration
         "ipw_ate_audit",  # per-user frame × ONE-ROW β per GD step
+        "roc_auc_audit",  # ONE-ROW rank sum × ONE-ROW class totals
+        "silhouette_label_clusters",  # corpus × ONE-ROW packed centroids
+        "knn_label_accuracy",  # corpus × broadcast query set (ANN scorer)
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
