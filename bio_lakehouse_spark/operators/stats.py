@@ -848,3 +848,69 @@ def msprt_two_sample(
         F.col("loglam").alias("log_lambda"),
         "p_always_valid",
     )
+
+
+def cox_ph_newton(
+    obs: DataFrame, steps: int = 2
+) -> DataFrame:
+    """Cox proportional hazards (one covariate, Breslow ties) fit by
+    ``steps`` Newton–Raphson iterations on the partial likelihood —
+    distributed with NO per-subject risk-set joins: the risk-set sums
+    S₀=Σe^{βx}, S₁=Σxe^{βx}, S₂=Σx²e^{βx} over {j: t_j ≥ t} are
+    suffix-cumulative windows (ORDER BY t DESC) over the per-duration
+    aggregated frame, which is bounded by the DURATION DOMAIN
+    (calendar days), never by subject count — the same frame shape as
+    kaplan_meier. Each Newton step is one scan + one duration-frame
+    window pass with β riding along as a group key (the logistic-GD
+    treatment), so a fixed step count unrolls into SQL and the whole
+    optimizer trajectory is oracle-certifiable.
+
+    ``obs`` columns: t (duration), ev (1 event / 0 censored),
+    x (covariate). Returns one row: n_events, beta, hazard_ratio,
+    score_u (≈0 at convergence), se (1/√I)."""
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def risk_frame(beta_df: DataFrame) -> DataFrame:
+        j = obs.crossJoin(F.broadcast(beta_df))
+        per_t = j.groupBy("b", "t").agg(
+            F.sum("ev").alias("d"),
+            F.sum(F.col("ev") * F.col("x")).alias("sx"),
+            F.sum(F.exp(F.col("b") * F.col("x"))).alias("e0"),
+            F.sum(F.col("x") * F.exp(F.col("b") * F.col("x"))).alias("e1"),
+            F.sum(
+                F.col("x") * F.col("x") * F.exp(F.col("b") * F.col("x"))
+            ).alias("e2"),
+        )
+        return (
+            per_t.withColumn("s0", F.sum("e0").over(w))
+            .withColumn("s1v", F.sum("e1").over(w))
+            .withColumn("s2v", F.sum("e2").over(w))
+            .where(F.col("d") > 0)
+        )
+
+    beta = obs.sparkSession.range(1).select(F.lit(0.0).alias("b"))
+    u_term = F.col("sx") - F.col("d") * (F.col("s1v") / F.col("s0"))
+    i_term = F.col("d") * (
+        F.col("s2v") / F.col("s0")
+        - (F.col("s1v") / F.col("s0")) * (F.col("s1v") / F.col("s0"))
+    )
+    for _ in range(steps):
+        r = risk_frame(beta)
+        beta = r.groupBy("b").agg(
+            F.sum(u_term).alias("u"), F.sum(i_term).alias("i")
+        ).select((F.col("b") + F.col("u") / F.col("i")).alias("b"))
+    final = risk_frame(beta)
+    return final.groupBy("b").agg(
+        F.sum("d").cast("long").alias("n_events"),
+        F.sum(u_term).alias("u"),
+        F.sum(i_term).alias("i"),
+    ).select(
+        "n_events",
+        F.col("b").alias("beta"),
+        F.exp("b").alias("hazard_ratio"),
+        F.col("u").alias("score_u"),
+        (1.0 / F.sqrt("i")).alias("se"),
+    )

@@ -2422,3 +2422,116 @@ def roc_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(auc).alias("auc"),
         R6(2.0 * auc - 1.0).alias("gini"),
     )
+
+
+def _cox_oracle(steps: int = 2) -> str:
+    """Unrolled-SQL twin of the Cox Newton fit: per-duration sums
+    with β carried as a group key, suffix-cumulative risk windows,
+    one Newton update per CTE pair — the logistic-GD treatment
+    applied to the partial likelihood."""
+    obs = """
+WITH span AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN last_d < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN last_d < DATE '2001-01-01'
+              THEN datediff('day', first_d, last_d)
+              ELSE datediff('day', first_d, DATE '2001-08-01') END AS t,
+         c_acctbal / 10000.0 AS x
+  FROM span JOIN customer ON c_custkey = o_custkey
+), b0 AS (SELECT 0.0 AS b)"""
+    sql = obs
+    prev = "b0"
+    for k in range(1, steps + 1):
+        sql += f""", p{k} AS (
+  SELECT b, t, SUM(ev) AS d, SUM(ev * x) AS sx,
+         SUM(EXP(b * x)) AS e0,
+         SUM(x * EXP(b * x)) AS e1,
+         SUM(x * x * EXP(b * x)) AS e2
+  FROM obs, {prev} GROUP BY b, t
+), r{k} AS (
+  SELECT b, d, sx,
+         SUM(e0) OVER w AS s0, SUM(e1) OVER w AS s1v,
+         SUM(e2) OVER w AS s2v
+  FROM p{k}
+  WINDOW w AS (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), b{k} AS (
+  SELECT b + SUM(sx - d * (s1v / s0))
+             / SUM(d * (s2v / s0 - (s1v / s0) * (s1v / s0))) AS b
+  FROM r{k} WHERE d > 0 GROUP BY b
+)"""
+        prev = f"b{k}"
+    sql += f""", pf AS (
+  SELECT b, t, SUM(ev) AS d, SUM(ev * x) AS sx,
+         SUM(EXP(b * x)) AS e0,
+         SUM(x * EXP(b * x)) AS e1,
+         SUM(x * x * EXP(b * x)) AS e2
+  FROM obs, {prev} GROUP BY b, t
+), rf AS (
+  SELECT b, d, sx,
+         SUM(e0) OVER w AS s0, SUM(e1) OVER w AS s1v,
+         SUM(e2) OVER w AS s2v
+  FROM pf
+  WINDOW w AS (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(SUM(d) AS BIGINT) AS n_events,
+       ROUND(b, 6) AS beta,
+       ROUND(EXP(b), 6) AS hazard_ratio,
+       ROUND(SUM(sx - d * (s1v / s0)), 6) AS score_u,
+       ROUND(1.0 / SQRT(SUM(d * (s2v / s0
+                                 - (s1v / s0) * (s1v / s0)))), 6) AS se
+FROM rf WHERE d > 0 GROUP BY b
+"""
+    return sql
+
+
+@register(
+    "cox_ph_newton_audit",
+    survey=("ST8", "ST14", "W7"),
+    oracle=_cox_oracle(2),
+)
+def cox_ph_newton_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional-hazards regression of customer churn hazard
+    on account balance — Kaplan–Meier's modeling upgrade, fit
+    DISTRIBUTED: 2 Newton–Raphson steps on the Breslow partial
+    likelihood where every risk-set sum (S₀, S₁, S₂ over subjects
+    still at risk) is a suffix-cumulative window on the per-duration
+    frame (bounded by calendar days, never subjects), and β rides
+    through each step as a broadcast one-row group key. Emits β,
+    exp(β) hazard ratio, the final score (≈0 at convergence) and
+    1/√I standard error; the DuckDB oracle unrolls the identical
+    two-step trajectory (operators/stats.cox_ph_newton). Same
+    birth/churn/censoring construction as kaplan_meier_churn."""
+    from bio_lakehouse_spark.operators.stats import cox_ph_newton
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+    obs = span.join(
+        cust, span["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.when(churned, 1).otherwise(0).alias("ev"),
+        F.when(
+            churned, F.datediff("last_d", "first_d")
+        ).otherwise(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.col("first_d"))
+        ).alias("t"),
+        (F.col("c_acctbal") / 10000.0).alias("x"),
+    )
+    out = cox_ph_newton(obs, steps=2)
+    return out.select(
+        "n_events",
+        R6(F.col("beta")).alias("beta"),
+        R6(F.col("hazard_ratio")).alias("hazard_ratio"),
+        R6(F.col("score_u")).alias("score_u"),
+        R6(F.col("se")).alias("se"),
+    )

@@ -3448,3 +3448,93 @@ def unigram_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_counts(
         docs, "doc_id", "text", PRETRAINED_UNIGRAM_V1
     )
+
+
+@register(
+    "ctfidf_cluster_terms",
+    survey=("F9", "A6", "O4"),
+    oracle=f"""
+WITH lab AS (
+  SELECT d.doc_id, e.label, d.text
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), dw AS (
+  SELECT label, unnest({_W}) AS w FROM lab
+), dw2 AS (
+  SELECT label, w FROM dw WHERE w <> ''
+), ctf AS (
+  SELECT label, w, COUNT(*) AS tf FROM dw2 GROUP BY 1, 2
+), ctot AS (
+  SELECT label, COUNT(*) AS tot FROM dw2 GROUP BY 1
+), cf AS (
+  SELECT w, COUNT(*) AS cf FROM dw2 GROUP BY 1
+), a AS (
+  SELECT COUNT(*) * 1.0 / COUNT(DISTINCT label) AS avg_tokens FROM dw2
+), scored AS (
+  SELECT t.label, t.w AS term, t.tf,
+         (t.tf / (tot * 1.0)) * LN(1.0 + avg_tokens / cf) AS score
+  FROM ctf t JOIN ctot USING (label) JOIN cf ON cf.w = t.w CROSS JOIN a
+), ranked AS (
+  SELECT label, term, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY ROUND(score, 9) DESC, term) AS rnk
+  FROM scored
+)
+SELECT label, term, tf, ROUND(score, 6) AS score, CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5 ORDER BY label, rnk
+""",
+)
+def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF topic labels (the BERTopic c-TF-IDF recipe,
+    Grootendorst'22): treat each embedding cluster as ONE meta-
+    document, score terms by in-cluster rate × ln(1 + A/cf) (A = mean
+    tokens per cluster, cf = corpus term frequency), and keep the
+    top-5 terms per cluster — the human-readable labeling step after
+    kmeans/IVF clustering. Clusters here are the embeddings' label
+    column (the kmeans cell id is the drop-in at curation time).
+    Shape: token stream → per-(cluster, term) counts (map-side
+    combinable), tiny per-cluster totals join, vocab-keyed corpus-
+    frequency join left to AQE, one-row A broadcast; the rank window
+    partitions by cluster over the cluster-term frame (bounded by
+    vocab, never corpus rows)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    dw = (
+        docs.join(emb, "doc_id")
+        .select("label", F.explode(words("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    ctf = dw.groupBy("label", "w").agg(F.count(F.lit(1)).alias("tf"))
+    ctot = dw.groupBy("label").agg(F.count(F.lit(1)).alias("tot"))
+    cf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    a = dw.agg(
+        (
+            F.count(F.lit(1)) * 1.0 / F.count_distinct("label")
+        ).alias("avg_tokens")
+    )
+    scored = (
+        ctf.join(F.broadcast(ctot), "label")
+        .join(cf, "w")
+        .crossJoin(F.broadcast(a))
+        .select(
+            "label",
+            F.col("w").alias("term"),
+            "tf",
+            (
+                (F.col("tf") / (F.col("tot") * 1.0))
+                * F.log(1.0 + F.col("avg_tokens") / F.col("cf"))
+            ).alias("score"),
+        )
+    )
+    wrk = Window.partitionBy("label").orderBy(
+        F.round("score", 9).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wrk))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "label", "term", "tf", R6(F.col("score")).alias("score"), "rnk"
+        )
+        .orderBy("label", "rnk")
+    )

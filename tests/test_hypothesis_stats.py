@@ -293,3 +293,48 @@ def test_msprt_always_valid_p_is_monotone_and_detects_effect(spark):
         assert all(a >= b for a, b in zip(seq, seq[1:]))  # monotone ↓
     assert with_effect[-1] < 1e-6  # strong effect → tiny p
     assert null[-1] > 0.05  # no effect → never "significant"
+
+
+def test_cox_ph_newton_matches_numpy(spark):
+    """2-step Newton Cox fit vs a direct numpy implementation of the
+    Breslow partial-likelihood score/information on a small frame."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.stats import cox_ph_newton
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x = rng.normal(size=n)
+    # true hazard increases with x → shorter durations for high x
+    t = np.ceil(rng.exponential(scale=np.exp(-0.8 * x)) * 30).astype(int) + 1
+    ev = (rng.random(n) < 0.7).astype(int)
+    df = spark.createDataFrame(
+        [(int(tt), int(e), float(xx)) for tt, e, xx in zip(t, ev, x)],
+        "t int, ev int, x double",
+    )
+    got = cox_ph_newton(df, steps=2).first()
+
+    def score_info(beta):
+        u = i = 0.0
+        for td in sorted(set(t[ev == 1])):
+            risk = t >= td
+            w = np.exp(beta * x[risk])
+            s0, s1 = w.sum(), (x[risk] * w).sum()
+            s2 = (x[risk] ** 2 * w).sum()
+            d = int(((t == td) & (ev == 1)).sum())
+            sx = x[(t == td) & (ev == 1)].sum()
+            u += sx - d * s1 / s0
+            i += d * (s2 / s0 - (s1 / s0) ** 2)
+        return u, i
+
+    beta = 0.0
+    for _ in range(2):
+        u, i = score_info(beta)
+        beta += u / i
+    u, i = score_info(beta)
+    assert got["beta"] == pytest.approx(beta, rel=1e-9)
+    assert got["score_u"] == pytest.approx(u, abs=1e-6)
+    assert got["se"] == pytest.approx(1.0 / np.sqrt(i), rel=1e-9)
+    assert got["n_events"] == int(ev.sum())
+    # scale = exp(−0.8x): high x → short durations → positive hazard β
+    assert got["beta"] > 0.3

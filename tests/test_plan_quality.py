@@ -520,6 +520,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "roc_auc_audit",  # ONE-ROW rank sum × ONE-ROW class totals
         "silhouette_label_clusters",  # corpus × ONE-ROW packed centroids
         "knn_label_accuracy",  # corpus × broadcast query set (ANN scorer)
+        "ctfidf_cluster_terms",  # term counts × ONE-ROW mean-tokens stat
+        "cox_ph_newton_audit",  # duration frame × ONE-ROW β per Newton step
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
