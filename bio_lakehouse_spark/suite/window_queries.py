@@ -1440,3 +1440,220 @@ def event_pattern_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("next_type", F.lit("")).alias("next_type"),
         recovered.alias("recovered"),
     )
+
+
+_MARKOV_CHANNELS = ("view", "click", "signup", "error")
+_MARKOV_ITERS = 16
+
+
+def _markov_oracle() -> str:
+    """Unrolled-SQL twin of the Markov removal-effect attribution:
+    journey transitions (one window pass), then per scenario (base +
+    one per removed channel) a fixed-count value iteration toward the
+    absorbing 'conv'/'drop' states — both engines run the SAME 16
+    truncated steps, so the comparison is exact regardless of
+    convergence rate."""
+    sql = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ts, event_id, event_type
+  FROM events
+), ord AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+                               ORDER BY ts, event_id) AS rn
+  FROM ev
+), cut AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+              OVER (PARTITION BY user_id, d) AS prn
+  FROM ord
+), kept AS (
+  SELECT user_id, d, rn,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS s
+  FROM cut WHERE rn <= COALESCE(prn, 1000000)
+), nx AS (
+  SELECT user_id, d, rn, s,
+         LEAD(s) OVER (PARTITION BY user_id, d ORDER BY rn) AS ns
+  FROM kept
+), edges AS (
+  SELECT 'start' AS i, s AS j FROM nx WHERE rn = 1
+  UNION ALL
+  SELECT s AS i, COALESCE(ns, 'drop') AS j FROM nx WHERE s <> 'conv'
+), trc AS (
+  SELECT i, j, COUNT(*) AS c FROM edges GROUP BY 1, 2
+), tr AS (
+  SELECT i, j, c * 1.0 / SUM(c) OVER (PARTITION BY i) AS p FROM trc
+)"""
+    scens = ("base",) + _MARKOV_CHANNELS
+    for sc in scens:
+        sql += f""", tr_{sc} AS (
+  SELECT i, CASE WHEN '{sc}' <> 'base' AND j = '{sc}' THEN 'drop'
+                 ELSE j END AS j2, SUM(p) AS p
+  FROM tr GROUP BY 1, 2
+), v_{sc}_0 AS (
+  SELECT 'conv' AS s, 1.0 AS val UNION ALL SELECT 'drop', 0.0
+)"""
+        for k in range(1, _MARKOV_ITERS + 1):
+            sql += f""", v_{sc}_{k} AS (
+  SELECT i AS s, SUM(p * COALESCE(v.val, 0.0)) AS val
+  FROM tr_{sc} t LEFT JOIN v_{sc}_{k - 1} v ON v.s = t.j2
+  GROUP BY i
+  UNION ALL SELECT 'conv', 1.0 UNION ALL SELECT 'drop', 0.0
+)"""
+    k = _MARKOV_ITERS
+    removed = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, val AS p_removed FROM v_{c}_{k}"
+        f" WHERE s = 'start'"
+        for c in _MARKOV_CHANNELS
+    )
+    sql += f""", base_p AS (
+  SELECT val AS pb FROM v_base_{k} WHERE s = 'start'
+), removed AS (
+{removed}
+), scored AS (
+  SELECT channel, pb, p_removed, (pb - p_removed) / pb AS eff
+  FROM removed, base_p
+)
+SELECT channel, ROUND(pb, 6) AS p_base, ROUND(p_removed, 6) AS p_removed,
+       ROUND(eff, 6) AS removal_effect,
+       ROUND(eff / SUM(eff) OVER (), 6) AS attribution_share
+FROM scored
+"""
+    return sql
+
+
+@register(
+    "markov_attribution_removal",
+    survey=("W5", "J4", "ST11"),
+    oracle=_markov_oracle(),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution by removal effect (Anderl et al.'16
+    — the data-driven upgrade of last-touch/linear): build the
+    journey transition matrix from per-(user, day) event paths cut at
+    first purchase (ONE entity-partitioned window pass over the
+    facts), then for the base chain and each channel-removed chain
+    (transitions into the channel redirected to the 'drop' absorber)
+    compute the start→conversion absorption probability by a FIXED
+    16-step value iteration over the tiny (scenario × state) frame —
+    all five scenarios iterate together in one frame, each step a
+    ≤40-row join, lineage checkpoint-truncated. Removal effects are
+    normalized into attribution shares. The data-sized work is one
+    window + one groupBy; the iteration cost is independent of
+    corpus size. Both engines truncate at the same step count, so
+    the oracle match is exact regardless of convergence."""
+    ev = load(spark, sf_dir, "events")
+    wj = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id",
+        "event_type",
+    ).withColumn("rn", F.row_number().over(wj))
+    cut = ordered.withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(Window.partitionBy("user_id", "d")),
+    )
+    kept = cut.where(
+        F.col("rn") <= F.coalesce(F.col("prn"), F.lit(1000000))
+    ).select(
+        "user_id", "d", "rn",
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    nx = kept.withColumn(
+        "ns",
+        F.lead("s").over(Window.partitionBy("user_id", "d").orderBy("rn")),
+    )
+    edges = nx.where(F.col("rn") == 1).select(
+        F.lit("start").alias("i"), F.col("s").alias("j")
+    ).unionAll(
+        nx.where(F.col("s") != "conv").select(
+            F.col("s").alias("i"),
+            F.coalesce("ns", F.lit("drop")).alias("j"),
+        )
+    )
+    trc = edges.groupBy("i", "j").agg(F.count(F.lit(1)).alias("c"))
+    tr = trc.select(
+        "i", "j",
+        (F.col("c") * 1.0 / F.sum("c").over(Window.partitionBy("i")))
+        .alias("p"),
+    )
+    scen = F.explode(
+        F.array(*[F.lit(s) for s in ("base",) + _MARKOV_CHANNELS])
+    ).alias("scenario")
+    tr_all = (
+        tr.select("*", scen)
+        .select(
+            "scenario", "i",
+            F.when(
+                (F.col("scenario") != "base")
+                & (F.col("j") == F.col("scenario")),
+                "drop",
+            ).otherwise(F.col("j")).alias("j2"),
+            "p",
+        )
+        .groupBy("scenario", "i", "j2")
+        .agg(F.sum("p").alias("p"))
+        .localCheckpoint()
+    )
+    terminals = (
+        tr_all.select("scenario")
+        .distinct()
+        .select(
+            "scenario",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("conv").alias("s"), F.lit(1.0).alias("val")
+                    ),
+                    F.struct(
+                        F.lit("drop").alias("s"), F.lit(0.0).alias("val")
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("scenario", "t.s", "t.val")
+        .localCheckpoint()
+    )
+    v = terminals
+    for _ in range(_MARKOV_ITERS):
+        stepped = (
+            tr_all.join(
+                v,
+                (tr_all["scenario"] == v["scenario"])
+                & (v["s"] == tr_all["j2"]),
+                "left",
+            )
+            .groupBy(tr_all["scenario"].alias("scenario"), F.col("i"))
+            .agg(
+                F.sum(
+                    F.col("p") * F.coalesce(F.col("val"), F.lit(0.0))
+                ).alias("val")
+            )
+            .select("scenario", F.col("i").alias("s"), "val")
+        )
+        v = stepped.unionByName(terminals).localCheckpoint()
+    starts = v.where(F.col("s") == "start")
+    base_p = F.broadcast(
+        starts.where(F.col("scenario") == "base").select(
+            F.col("val").alias("pb")
+        )
+    )
+    scored = (
+        starts.where(F.col("scenario") != "base")
+        .select(F.col("scenario").alias("channel"),
+                F.col("val").alias("p_removed"))
+        .crossJoin(base_p)
+        .withColumn(
+            "eff", (F.col("pb") - F.col("p_removed")) / F.col("pb")
+        )
+    )
+    tot = F.broadcast(scored.agg(F.sum("eff").alias("tot_eff")))
+    return scored.crossJoin(tot).select(
+        "channel",
+        R6(F.col("pb")).alias("p_base"),
+        R6(F.col("p_removed")).alias("p_removed"),
+        R6(F.col("eff")).alias("removal_effect"),
+        R6(F.col("eff") / F.col("tot_eff")).alias("attribution_share"),
+    )

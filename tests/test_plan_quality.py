@@ -522,6 +522,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "knn_label_accuracy",  # corpus × broadcast query set (ANN scorer)
         "ctfidf_cluster_terms",  # term counts × ONE-ROW mean-tokens stat
         "cox_ph_newton_audit",  # duration frame × ONE-ROW β per Newton step
+        "markov_attribution_removal",  # 4-row effects × ONE-ROW base/total
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
