@@ -872,6 +872,11 @@ def cox_ph_newton(
         Window.orderBy(F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Materialize the observation frame ONCE: every Newton pass scans
+    # it, and without this the upstream span-join recomputes per step
+    # (same treatment as pagerank's edge checkpoint) — measured
+    # 3.3 s → ~1.5 s at sf0.1.
+    obs = obs.localCheckpoint()
 
     def risk_frame(beta_df: DataFrame) -> DataFrame:
         j = obs.crossJoin(F.broadcast(beta_df))
