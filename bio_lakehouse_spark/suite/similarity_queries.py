@@ -1670,3 +1670,119 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _pca_oracle(iters: int = 3, d: int = 64) -> str:
+    """Unrolled-SQL twin of the covariance power iteration: per-dim
+    means, (i, j) covariance entries from one grouped sum, then
+    ``iters`` matrix-vector products with L2 normalization — each a
+    CTE pair over the d²-bounded frame."""
+    sql = f"""
+WITH m AS (
+  SELECT i, AVG(embedding[i + 1]::DOUBLE) AS mv
+  FROM embeddings, range(0, {d}) r(i) GROUP BY i
+), n AS (
+  SELECT COUNT(*) * 1.0 AS n FROM embeddings
+), cov AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM((e.embedding[a.i + 1]::DOUBLE - a.mv)
+             * (e.embedding[b.i + 1]::DOUBLE - b.mv)) / n.n AS c
+  FROM embeddings e, m a, m b, n
+  GROUP BY a.i, b.i, n.n
+), v0 AS (
+  SELECT i, 0.125 AS val FROM range(0, {d}) r(i)
+)"""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        sql += f""", u{k} AS (
+  SELECT cov.i AS i, SUM(cov.c * v.val) AS uv
+  FROM cov JOIN {prev} v ON v.i = cov.j GROUP BY cov.i
+), z{k} AS (SELECT SQRT(SUM(uv * uv)) AS z FROM u{k}),
+v{k} AS (SELECT i, uv / z AS val FROM u{k}, z{k})"""
+        prev = f"v{k}"
+    sql += f"""
+SELECT i AS dim, ROUND(val, 6) AS loading,
+       ROUND((SELECT z FROM z{iters}), 6) AS eigenvalue
+FROM v{iters} ORDER BY i
+"""
+    return sql
+
+
+@register(
+    "pca_power_iteration_audit",
+    survey=("ST14", "F9"),
+    oracle=_pca_oracle(3),
+)
+def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the 64-dim embedding covariance by
+    3 power iterations — distributed numerical linear algebra in the
+    shape that scales: the covariance build is ONE flattened
+    outer-product explode + groupBy(i, j) whose map-side combine
+    reduces every task to ≤ d² partial sums (the shuffle is
+    d²-bounded no matter the corpus), the per-dim mean vector rides
+    in as a broadcast one-row array, and each iteration is a keyed
+    (d²) ⋈ (d) join + a one-row L2 norm — never touching the corpus
+    again. The eigenvalue is ‖Cv‖ at the last step. Deterministic
+    uniform init (each engine runs the SAME 3 truncated steps, so
+    the oracle match is exact regardless of spectral gap). The
+    embedding-audit family's variance lens next to the JL distortion
+    and int8/truncation audits."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = 64
+    longf = emb.select(F.posexplode("embedding").alias("i", "x"))
+    mrow = F.broadcast(
+        longf.groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("mv"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "mv"))),
+                lambda s: s["mv"],
+            ).alias("mean_arr")
+        )
+    )
+    n_row = F.broadcast(
+        emb.agg((F.count(F.lit(1)) * 1.0).alias("n"))
+    )
+    centered = emb.crossJoin(mrow).select(
+        F.expr(
+            "zip_with(embedding, mean_arr,"
+            " (x, m) -> cast(x as double) - m)"
+        ).alias("cvec")
+    )
+    prods = centered.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(cvec, (xi, i) ->"
+                " transform(cvec, (xj, j) ->"
+                " struct(i as i, j as j, xi * xj as p))))"
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    cov = (
+        prods.groupBy("i", "j")
+        .agg(F.sum("p").alias("ps"))
+        .crossJoin(n_row)
+        .select("i", "j", (F.col("ps") / F.col("n")).alias("c"))
+        .localCheckpoint()
+    )
+    v = emb.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("val")
+    )
+    z = None
+    for _ in range(3):
+        u = (
+            cov.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy(cov["i"])
+            .agg(F.sum(F.col("c") * F.col("val")).alias("uv"))
+        )
+        z = F.broadcast(
+            u.agg(F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("z"))
+        )
+        v = u.crossJoin(z).select(
+            "i", (F.col("uv") / F.col("z")).alias("val")
+        ).localCheckpoint()
+    return v.crossJoin(z).select(
+        F.col("i").alias("dim"),
+        R6(F.col("val")).alias("loading"),
+        R6(F.col("z")).alias("eigenvalue"),
+    ).orderBy("dim")

@@ -2535,3 +2535,146 @@ def cox_ph_newton_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("score_u")).alias("score_u"),
         R6(F.col("se")).alias("se"),
     )
+
+
+def _gmm_oracle(steps: int = 2) -> str:
+    """Unrolled-SQL twin of the 2-component 1-D GMM EM fit: the
+    E-step is row-local arithmetic with the parameter 6-tuple riding
+    along as a one-row CTE, the M-step ONE aggregate using the
+    E[x]/E[x²] sufficient-statistic form — the same differential
+    treatment as logistic GD / Cox Newton."""
+    # shared literals: 1/√(2π) and the deterministic min/max init
+    inv_sqrt_2pi = "0.3989422804014327"
+
+    def pdf(mu: str, s2: str) -> str:
+        return (
+            f"({inv_sqrt_2pi} / SQRT({s2})"
+            f" * EXP(-(x - {mu}) * (x - {mu}) / (2.0 * {s2})))"
+        )
+
+    sql = f"""
+WITH xs AS (
+  SELECT o_totalprice / 100000.0 AS x FROM orders
+), init AS (
+  SELECT MIN(x) + 0.25 * (MAX(x) - MIN(x)) AS mu1,
+         MIN(x) + 0.75 * (MAX(x) - MIN(x)) AS mu2,
+         VAR_SAMP(x) AS s1, VAR_SAMP(x) AS s2w,
+         0.5 AS w1, 0.5 AS w2
+  FROM xs
+)"""
+    prev = "init"
+    for k in range(1, steps + 1):
+        sql += f""", e{k} AS (
+  SELECT x, mu1, mu2, s1, s2w, w1, w2,
+         w2 * {pdf('mu2', 's2w')}
+           / (w1 * {pdf('mu1', 's1')} + w2 * {pdf('mu2', 's2w')}) AS r2
+  FROM xs, {prev}
+), m{k} AS (
+  SELECT AVG(1.0 - r2) AS w1, AVG(r2) AS w2,
+         SUM((1.0 - r2) * x) / SUM(1.0 - r2) AS mu1,
+         SUM(r2 * x) / SUM(r2) AS mu2,
+         SUM((1.0 - r2) * x * x) / SUM(1.0 - r2)
+           - (SUM((1.0 - r2) * x) / SUM(1.0 - r2))
+             * (SUM((1.0 - r2) * x) / SUM(1.0 - r2)) AS s1,
+         SUM(r2 * x * x) / SUM(r2)
+           - (SUM(r2 * x) / SUM(r2)) * (SUM(r2 * x) / SUM(r2)) AS s2w
+  FROM e{k} GROUP BY mu1, mu2, s1, s2w, w1, w2
+)"""
+        prev = f"m{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2,
+       ROUND(mu1, 6) AS mu1, ROUND(mu2, 6) AS mu2,
+       ROUND(s1, 6) AS var1, ROUND(s2w, 6) AS var2,
+       ROUND(AVG(LN(w1 * {pdf('mu1', 's1')}
+                    + w2 * {pdf('mu2', 's2w')})), 6) AS avg_loglik
+FROM xs, {prev}
+GROUP BY w1, w2, mu1, mu2, s1, s2w
+"""
+    return sql
+
+
+@register(
+    "gmm_em_audit",
+    survey=("ST14", "ST10"),
+    oracle=_gmm_oracle(2),
+)
+def gmm_em_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fit by 2 unrolled EM steps
+    over scaled order totals — distributed EM in its canonical shape:
+    the E-step responsibilities are ROW-LOCAL arithmetic with the
+    6 parameters riding along as a broadcast one-row frame, the
+    M-step is ONE map-side-combinable aggregate via the E[x]/E[x²]
+    sufficient-statistic form (no second pass for the variance), and
+    deterministic quartile-of-range init makes the whole trajectory
+    — responsibilities, re-estimates, final mean log-likelihood —
+    DuckDB-certifiable, the logistic-GD treatment applied to a latent
+    -variable model. Completes the clustering family (kmeans = hard
+    EM; this is the soft version)."""
+    xs = load(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / 100000.0).alias("x")
+    )
+    init = xs.agg(
+        (F.min("x") + 0.25 * (F.max("x") - F.min("x"))).alias("mu1"),
+        (F.min("x") + 0.75 * (F.max("x") - F.min("x"))).alias("mu2"),
+        F.var_samp("x").alias("s1"),
+        F.var_samp("x").alias("s2w"),
+        F.lit(0.5).alias("w1"),
+        F.lit(0.5).alias("w2"),
+    )
+    inv = 0.3989422804014327
+
+    def pdf(mu, s2):
+        return (
+            inv
+            / F.sqrt(s2)
+            * F.exp(-(F.col("x") - mu) * (F.col("x") - mu) / (2.0 * s2))
+        )
+
+    params = init
+    for _ in range(2):
+        e = xs.crossJoin(F.broadcast(params))
+        p1 = F.col("w1") * pdf(F.col("mu1"), F.col("s1"))
+        p2 = F.col("w2") * pdf(F.col("mu2"), F.col("s2w"))
+        e = e.withColumn("r2", p2 / (p1 + p2))
+        r2, r1 = F.col("r2"), 1.0 - F.col("r2")
+        x = F.col("x")
+        params = e.groupBy("mu1", "mu2", "s1", "s2w", "w1", "w2").agg(
+            F.avg(r1).alias("nw1"),
+            F.avg(r2).alias("nw2"),
+            (F.sum(r1 * x) / F.sum(r1)).alias("nmu1"),
+            (F.sum(r2 * x) / F.sum(r2)).alias("nmu2"),
+            (
+                F.sum(r1 * x * x) / F.sum(r1)
+                - (F.sum(r1 * x) / F.sum(r1))
+                * (F.sum(r1 * x) / F.sum(r1))
+            ).alias("ns1"),
+            (
+                F.sum(r2 * x * x) / F.sum(r2)
+                - (F.sum(r2 * x) / F.sum(r2))
+                * (F.sum(r2 * x) / F.sum(r2))
+            ).alias("ns2"),
+        ).select(
+            F.col("nw1").alias("w1"),
+            F.col("nw2").alias("w2"),
+            F.col("nmu1").alias("mu1"),
+            F.col("nmu2").alias("mu2"),
+            F.col("ns1").alias("s1"),
+            F.col("ns2").alias("s2w"),
+        )
+    f = xs.crossJoin(F.broadcast(params))
+    lp1 = F.col("w1") * pdf(F.col("mu1"), F.col("s1"))
+    lp2 = F.col("w2") * pdf(F.col("mu2"), F.col("s2w"))
+    return f.groupBy("w1", "w2", "mu1", "mu2", "s1", "s2w").agg(
+        F.count(F.lit(1)).alias("n"),
+        R6(F.avg(F.log(lp1 + lp2))).alias("avg_loglik"),
+    ).select(
+        "n",
+        R6(F.col("w1")).alias("w1"),
+        R6(F.col("w2")).alias("w2"),
+        R6(F.col("mu1")).alias("mu1"),
+        R6(F.col("mu2")).alias("mu2"),
+        R6(F.col("s1")).alias("var1"),
+        R6(F.col("s2w")).alias("var2"),
+        "avg_loglik",
+    )

@@ -523,6 +523,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "ctfidf_cluster_terms",  # term counts × ONE-ROW mean-tokens stat
         "cox_ph_newton_audit",  # duration frame × ONE-ROW β per Newton step
         "markov_attribution_removal",  # 4-row effects × ONE-ROW base/total
+        "gmm_em_audit",  # scan × ONE-ROW parameter 6-tuple per EM step
+        "pca_power_iteration_audit",  # d²/d frames × ONE-ROW mean/n/norm
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
