@@ -1535,3 +1535,114 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hits(e, iters=3)
     return out.select("role", F.col("v").alias("node"), F.round("score", 9).alias("score"))
+
+
+@register(
+    "als_rank1_audit",
+    survey=("J4", "ST14", "A1"),
+    oracle="""
+WITH ratings AS (
+  SELECT o_custkey AS c, l_partkey AS p, SUM(l_quantity) AS r
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), u1 AS (
+  SELECT c, SUM(r * 1.0) / SUM(1.0 * 1.0) AS uv FROM ratings GROUP BY c
+), v1 AS (
+  SELECT p, SUM(r * u1.uv) / SUM(u1.uv * u1.uv) AS vv
+  FROM ratings JOIN u1 USING (c) GROUP BY p
+), u2 AS (
+  SELECT c, SUM(r * v1.vv) / SUM(v1.vv * v1.vv) AS uv
+  FROM ratings JOIN v1 USING (p) GROUP BY c
+), v2 AS (
+  SELECT p, SUM(r * u2.uv) / SUM(u2.uv * u2.uv) AS vv
+  FROM ratings JOIN u2 USING (c) GROUP BY p
+), pred AS (
+  SELECT r, u2.uv * v2.vv AS pr
+  FROM ratings JOIN u2 USING (c) JOIN v2 USING (p)
+), un AS (SELECT SUM(uv * uv) AS u2n FROM u2),
+vn AS (SELECT SUM(vv * vv) AS v2n FROM v2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+       ROUND(SQRT(AVG((r - pr) * (r - pr))), 6) AS rmse,
+       ROUND(un.u2n, 6) AS u_sq_norm,
+       ROUND(vn.v2n, 6) AS v_sq_norm
+FROM pred, un, vn GROUP BY un.u2n, vn.v2n
+""",
+)
+def als_rank1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 alternating least squares over the sparse
+    customer×part quantity matrix — the recommender-system factor
+    primitive in its distributed shape: each half-step is ONE keyed
+    join (ratings ⋈ the frozen factor) + ONE partial-aggregated
+    groupBy on the other side's key, exactly how large-scale ALS
+    alternates (u ← Σrv/Σv², v ← Σru/Σu² over OBSERVED entries
+    only; the sparse matrix is never densified). Two full
+    alternations from the deterministic v≡1 init, then training RMSE
+    and factor norms — every half-step certified by the unrolled
+    oracle. Higher rank replaces the scalar divisions with per-key
+    d×d Cramer solves (ridge_normal_equation_audit's treatment);
+    the join/aggregate skeleton is identical."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    ratings = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum("l_quantity").alias("r"))
+        .localCheckpoint()
+    )
+    def v_from(u_df):
+        return (
+            ratings.join(u_df, "c")
+            .groupBy("p")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("uv"))
+                    / F.sum(F.col("uv") * F.col("uv"))
+                ).alias("vv")
+            )
+            .localCheckpoint()
+        )
+
+    def u_from(v_df):
+        return (
+            ratings.join(v_df, "p")
+            .groupBy("c")
+            .agg(
+                (
+                    F.sum(F.col("r") * F.col("vv"))
+                    / F.sum(F.col("vv") * F.col("vv"))
+                ).alias("uv")
+            )
+            .localCheckpoint()
+        )
+
+    # exactly the oracle's half-step sequence: u1 → v1 → u2 → v2,
+    # predicting with the LAST COMPLETED pair (u2, v2)
+    u = ratings.groupBy("c").agg(
+        (F.sum(F.col("r") * 1.0) / F.sum(F.lit(1.0) * 1.0)).alias("uv")
+    ).localCheckpoint()
+    v = v_from(u)
+    u = u_from(v)
+    v = v_from(u)
+    pred = ratings.join(u, "c").join(v, "p")
+    un = F.broadcast(u.agg(F.sum(F.col("uv") * F.col("uv")).alias("u2n")))
+    vn = F.broadcast(v.agg(F.sum(F.col("vv") * F.col("vv")).alias("v2n")))
+    err = F.col("r") - F.col("uv") * F.col("vv")
+    return (
+        pred.crossJoin(un)
+        .crossJoin(vn)
+        .groupBy("u2n", "v2n")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            R6(F.sqrt(F.avg(err * err))).alias("rmse"),
+        )
+        .select(
+            "n_ratings",
+            "rmse",
+            R6(F.col("u2n")).alias("u_sq_norm"),
+            R6(F.col("v2n")).alias("v_sq_norm"),
+        )
+    )

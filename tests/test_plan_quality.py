@@ -525,6 +525,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "markov_attribution_removal",  # 4-row effects × ONE-ROW base/total
         "gmm_em_audit",  # scan × ONE-ROW parameter 6-tuple per EM step
         "pca_power_iteration_audit",  # d²/d frames × ONE-ROW mean/n/norm
+        "als_rank1_audit",  # ratings × ONE-ROW factor norms
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
