@@ -68,6 +68,17 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    # Local mode only: put shuffle/spill files on tmpfs. This VM's
+    # balloon pins the page cache to ~1 GB, so disk-backed shuffle
+    # files go uncached and EVERY stage boundary pays virtio latency —
+    # measured 3.1 s → 8–10 s on the 80-stage pagerank query with a
+    # reclaimed cache; /dev/shm restores 3.4 s and makes bench numbers
+    # reproducible across host cache states. On a real cluster
+    # spark.local.dir is the operator's NVMe array — never set here.
+    if master.startswith("local") and os.access("/dev/shm", os.W_OK):
+        shm_dir = "/dev/shm/bio_lakehouse_spark_local"
+        os.makedirs(shm_dir, exist_ok=True)
+        conf["spark.local.dir"] = shm_dir
     # Table-format runtimes (tools/run_delta_parity.sh): absent in this
     # sandbox (no Maven/PyPI reachability), so these default to unset;
     # on a networked machine they pull the Delta/Iceberg jars and wire
