@@ -2678,3 +2678,183 @@ def gmm_em_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("s2w")).alias("var2"),
         "avg_loglik",
     )
+
+
+def _aipw_oracle(iters: int = 3) -> str:
+    """Unrolled-SQL twin of the AIPW pipeline: the ipw_ate_audit
+    propensity trajectory plus per-arm closed-form OLS outcome models
+    in one aggregate, combined into the doubly-robust estimator."""
+    sql = """
+WITH p AS (
+  SELECT CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         THEN 1.0 ELSE 0.0 END AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+           AS yv,
+         COUNT(*) / 100.0 AS x1,
+         AVG(value) / 100.0 AS x2
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), om AS (
+  SELECT
+    (AVG(CASE WHEN t = 1.0 THEN x1 * yv END)
+     - AVG(CASE WHEN t = 1.0 THEN x1 END)
+       * AVG(CASE WHEN t = 1.0 THEN yv END))
+    / (AVG(CASE WHEN t = 1.0 THEN x1 * x1 END)
+       - AVG(CASE WHEN t = 1.0 THEN x1 END)
+         * AVG(CASE WHEN t = 1.0 THEN x1 END)) AS slope1,
+    (AVG(CASE WHEN t = 0.0 THEN x1 * yv END)
+     - AVG(CASE WHEN t = 0.0 THEN x1 END)
+       * AVG(CASE WHEN t = 0.0 THEN yv END))
+    / (AVG(CASE WHEN t = 0.0 THEN x1 * x1 END)
+       - AVG(CASE WHEN t = 0.0 THEN x1 END)
+         * AVG(CASE WHEN t = 0.0 THEN x1 END)) AS slope0,
+    AVG(CASE WHEN t = 1.0 THEN yv END) AS my1,
+    AVG(CASE WHEN t = 0.0 THEN yv END) AS my0,
+    AVG(CASE WHEN t = 1.0 THEN x1 END) AS mx1,
+    AVG(CASE WHEN t = 0.0 THEN x1 END) AS mx0
+  FROM p
+), i0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        sql += f""", i{k} AS (
+  SELECT b0 + 2.0 * AVG(t - s) AS b0,
+         b1 + 2.0 * AVG(x1 * (t - s)) AS b1,
+         b2 + 2.0 * AVG(x2 * (t - s)) AS b2
+  FROM (SELECT p.*, {prev}.b0, {prev}.b1, {prev}.b2,
+               1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                  + {prev}.b2 * x2))) AS s
+        FROM p, {prev})
+  GROUP BY b0, b1, b2
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(slope1, 6) AS m1_slope, ROUND(slope0, 6) AS m0_slope,
+       ROUND(AVG((my1 - slope1 * mx1 + slope1 * x1)
+                 - (my0 - slope0 * mx0 + slope0 * x1)
+                 + t * (yv - (my1 - slope1 * mx1 + slope1 * x1)) / e
+                 - (1.0 - t) * (yv - (my0 - slope0 * mx0 + slope0 * x1))
+                   / (1.0 - e)), 6) AS ate_aipw
+FROM (SELECT p.*, om.*, {prev}.b0, {prev}.b1, {prev}.b2,
+             GREATEST(0.05, LEAST(0.95,
+               1.0 / (1.0 + EXP(-({prev}.b0 + {prev}.b1 * x1
+                                  + {prev}.b2 * x2))))) AS e
+      FROM p, om, {prev})
+GROUP BY slope1, slope0, my1, my0, mx1, mx0
+"""
+    return sql
+
+
+@register(
+    "aipw_doubly_robust",
+    survey=("ST11", "ST14"),
+    oracle=_aipw_oracle(3),
+)
+def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented IPW (doubly-robust) treatment effect — consistent if
+    EITHER the propensity model OR the outcome model is right
+    (Robins–Rotnitzky–Zhao): ipw_ate_audit's unrolled 3-step logistic
+    propensity PLUS per-arm closed-form OLS outcome models
+    m_a(x) = ȳ_a + b_a(x − x̄_a) fit in ONE conditional aggregate,
+    combined as avg[(m₁−m₀) + t(y−m₁)/e − (1−t)(y−m₀)/(1−e)] with the
+    0.05–0.95 clip. Everything rides as two broadcast one-row frames
+    (outcome coefficients, β) over the per-user scan; the DuckDB
+    oracle unrolls the identical trajectory, completing the causal
+    triad (naive → IPW/Hájek → AIPW)."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    p = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+            1.0,
+        ).otherwise(0.0).alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("yv"),
+        (F.count(F.lit(1)) / 100.0).alias("x1"),
+        (F.avg("value") / 100.0).alias("x2"),
+    ).drop("user_id")
+
+    def cavg(cond, col):
+        return F.avg(F.when(cond, col))
+
+    t1, t0 = F.col("t") == 1.0, F.col("t") == 0.0
+    x1, yv = F.col("x1"), F.col("yv")
+    om = p.agg(
+        (
+            (cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv))
+            / (cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1))
+        ).alias("slope1"),
+        (
+            (cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv))
+            / (cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1))
+        ).alias("slope0"),
+        cavg(t1, yv).alias("my1"),
+        cavg(t0, yv).alias("my0"),
+        cavg(t1, x1).alias("mx1"),
+        cavg(t0, x1).alias("mx0"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+    )
+    for _ in range(3):
+        j = p.crossJoin(F.broadcast(beta))
+        s = 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+            )
+        )
+        beta = j.groupBy("b0", "b1", "b2").agg(
+            F.avg(F.col("t") - s).alias("g0"),
+            F.avg(F.col("x1") * (F.col("t") - s)).alias("g1"),
+            F.avg(F.col("x2") * (F.col("t") - s)).alias("g2"),
+        ).select(
+            (F.col("b0") + 2.0 * F.col("g0")).alias("b0"),
+            (F.col("b1") + 2.0 * F.col("g1")).alias("b1"),
+            (F.col("b2") + 2.0 * F.col("g2")).alias("b2"),
+        )
+    f = p.crossJoin(F.broadcast(om)).crossJoin(F.broadcast(beta))
+    e = F.greatest(
+        F.lit(0.05),
+        F.least(
+            F.lit(0.95),
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -(
+                        F.col("b0")
+                        + F.col("b1") * F.col("x1")
+                        + F.col("b2") * F.col("x2")
+                    )
+                )
+            ),
+        ),
+    )
+    m1 = F.col("my1") - F.col("slope1") * F.col("mx1") + F.col("slope1") * x1
+    m0 = F.col("my0") - F.col("slope0") * F.col("mx0") + F.col("slope0") * x1
+    t = F.col("t")
+    aipw = (
+        (m1 - m0)
+        + t * (yv - m1) / e
+        - (1.0 - t) * (yv - m0) / (1.0 - e)
+    )
+    return f.groupBy("slope1", "slope0", "my1", "my0", "mx1", "mx0").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        R6(F.avg(aipw)).alias("ate_aipw"),
+    ).select(
+        "n_users",
+        R6(F.col("slope1")).alias("m1_slope"),
+        R6(F.col("slope0")).alias("m0_slope"),
+        "ate_aipw",
+    )
