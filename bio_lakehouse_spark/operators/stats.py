@@ -919,3 +919,83 @@ def cox_ph_newton(
         F.col("u").alias("score_u"),
         (1.0 / F.sqrt("i")).alias("se"),
     )
+
+
+def auc_rank_sum(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank-sum identity with tie
+    midranks: ONE per-distinct-score aggregate (map-side combinable),
+    a cumulative window over the distinct-score frame, two one-row
+    stat frames. No global sort of raw rows; distinct scores bound
+    the window (quantize continuous scores to keep that bound at
+    100 TB). Returns one row (n1, n0, auc, gini), unrounded."""
+    per_v = df.select(score.alias("v"), label.cast("int").alias("y")).groupBy(
+        "v"
+    ).agg(
+        F.sum("y").cast("long").alias("np"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = per_v.withColumn(
+        "before_n", F.sum("n").over(w).cast("long") - F.col("n")
+    )
+    spr = ranked.agg(
+        F.sum(
+            F.col("np") * (F.col("before_n") + (F.col("n") + 1) / 2.0)
+        ).alias("pos_rank_sum")
+    )
+    tot = per_v.agg(
+        F.sum("np").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n0"),
+    )
+    j = spr.crossJoin(F.broadcast(tot))
+    auc = (
+        F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    ) / (F.col("n1") * 1.0 * F.col("n0"))
+    return j.select(
+        "n1", "n0", auc.alias("auc"), (2.0 * auc - 1.0).alias("gini")
+    )
+
+
+def logrank_two_groups(obs: DataFrame) -> DataFrame:
+    """Log-rank (Mantel–Cox) test from an ``(g, ev, t)`` observation
+    frame: per-duration event/at-risk counts, suffix-cumulative risk
+    windows (the KM/Cox frame shape — duration-domain bounded), then
+    observed-vs-expected group-1 events with the hypergeometric
+    variance summed into the 1-df χ². Returns one row
+    (obs_events_g1, exp_events_g1, logrank_chi2), unrounded."""
+    per_t = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("g") * F.col("ev")).cast("long").alias("d1"),
+        F.count(F.lit(1)).alias("all_n"),
+        F.sum("g").cast("long").alias("all_n1"),
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = (
+        per_t.withColumn("n", F.sum("all_n").over(w).cast("long"))
+        .withColumn("n1", F.sum("all_n1").over(w).cast("long"))
+        .where(F.col("d") > 0)
+    )
+    p1 = F.col("n1") / F.col("n").cast("double")
+    e1 = F.col("d") * p1
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * p1
+        * (1.0 - p1)
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1).cast("double"),
+    ).otherwise(0.0)
+    terms = risk.select(F.col("d1"), e1.alias("e1"), v.alias("v"))
+    chi = (
+        (F.sum("d1") - F.sum("e1"))
+        * (F.sum("d1") - F.sum("e1"))
+        / F.sum("v")
+    )
+    return terms.agg(
+        F.sum("d1").cast("long").alias("obs_events_g1"),
+        F.sum("e1").alias("exp_events_g1"),
+        chi.alias("logrank_chi2"),
+    )

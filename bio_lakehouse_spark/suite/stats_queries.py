@@ -2392,35 +2392,17 @@ def roc_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     size for banded scorers), and two one-row stat frames. The model
     evaluation primitive next to gain_lift_by_decile /
     nb_calibration_curve."""
+    from bio_lakehouse_spark.operators.stats import auc_rank_sum
+
     li = load(spark, sf_dir, "lineitem")
-    per_v = li.groupBy(F.col("l_quantity").alias("v")).agg(
-        F.sum(
-            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-        ).cast("long").alias("np"),
-        F.count(F.lit(1)).alias("n"),
+    out = auc_rank_sum(
+        li, F.col("l_quantity"), F.col("l_returnflag") == "R"
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = per_v.withColumn(
-        "before_n", F.sum("n").over(w).cast("long") - F.col("n")
-    )
-    spr = ranked.agg(
-        F.sum(
-            F.col("np") * (F.col("before_n") + (F.col("n") + 1) / 2.0)
-        ).alias("pos_rank_sum")
-    )
-    tot = per_v.agg(
-        F.sum("np").cast("long").alias("n1"),
-        F.sum(F.col("n") - F.col("np")).cast("long").alias("n0"),
-    )
-    j = spr.crossJoin(F.broadcast(tot))
-    auc = (
-        F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0
-    ) / (F.col("n1") * 1.0 * F.col("n0"))
-    return j.select(
+    return out.select(
         "n1",
         "n0",
-        R6(auc).alias("auc"),
-        R6(2.0 * auc - 1.0).alias("gini"),
+        R6(F.col("auc")).alias("auc"),
+        R6(F.col("gini")).alias("gini"),
     )
 
 
@@ -2857,4 +2839,90 @@ def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("slope1")).alias("m1_slope"),
         R6(F.col("slope0")).alias("m0_slope"),
         "ate_aipw",
+    )
+
+
+@register(
+    "logrank_test_groups",
+    survey=("ST8", "ST3"),
+    oracle="""
+WITH span AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+         CASE WHEN last_d < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN last_d < DATE '2001-01-01'
+              THEN datediff('day', first_d, last_d)
+              ELSE datediff('day', first_d, DATE '2001-08-01') END AS t
+  FROM span JOIN customer ON c_custkey = o_custkey
+), per_t AS (
+  SELECT t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(g * ev) AS BIGINT) AS d1,
+         COUNT(*) AS all_n,
+         CAST(SUM(g) AS BIGINT) AS all_n1
+  FROM obs GROUP BY t
+), risk AS (
+  SELECT t, d, d1,
+         CAST(SUM(all_n) OVER w AS BIGINT) AS n,
+         CAST(SUM(all_n1) OVER w AS BIGINT) AS n1
+  FROM per_t
+  WINDOW w AS (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), terms AS (
+  SELECT d1, d * (n1 / CAST(n AS DOUBLE)) AS e1,
+         CASE WHEN n > 1 THEN
+           d * (n1 / CAST(n AS DOUBLE)) * (1.0 - n1 / CAST(n AS DOUBLE))
+             * (n - d) / CAST(n - 1 AS DOUBLE)
+         ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS obs_events_g1,
+       ROUND(SUM(e1), 6) AS exp_events_g1,
+       ROUND((SUM(d1) - SUM(e1)) * (SUM(d1) - SUM(e1)) / SUM(v), 6)
+         AS logrank_chi2
+FROM terms
+""",
+)
+def logrank_test_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel–Cox) comparing churn survival of the
+    BUILDING market segment against everyone else — the hypothesis
+    test that goes with the Kaplan–Meier curve and is the score test
+    of cox_ph_newton at β=0: at each event time, observed-vs-expected
+    group-1 events with the hypergeometric variance, summed into the
+    1-df χ². All risk-set quantities are the SAME suffix-cumulative
+    windows over the per-duration frame as KM/Cox — one scan, one
+    duration-bounded window pass, no per-subject joins."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+    obs = span.join(
+        cust, span["o_custkey"] == cust["c_custkey"]
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("g"),
+        F.when(churned, 1).otherwise(0).alias("ev"),
+        F.when(
+            churned, F.datediff("last_d", "first_d")
+        ).otherwise(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.col("first_d"))
+        ).alias("t"),
+    )
+    from bio_lakehouse_spark.operators.stats import logrank_two_groups
+
+    out = logrank_two_groups(obs)
+    return out.select(
+        "obs_events_g1",
+        R6(F.col("exp_events_g1")).alias("exp_events_g1"),
+        R6(F.col("logrank_chi2")).alias("logrank_chi2"),
     )
