@@ -151,3 +151,172 @@ def best_splits(gains: DataFrame) -> DataFrame:
         F.col("best.left_n").alias("left_n"),
         F.col("best.right_n").alias("right_n"),
     )
+
+
+def gbdt_two_round(
+    df: DataFrame,
+    features: dict[str, Column],
+    target: Column,
+    nbins: int = 32,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Two unrolled rounds of gradient-boosted stumps (squared loss)
+    — the distributed-GBM primitive under the reference's driver-side
+    model zoo, in the histogram shape that scales (same skeleton as
+    ``histogram_split_gains``): per round, ONE scan computes
+    residuals against the broadcast model-so-far and bins them
+    (shuffle ≤ F×B rows of (n, Σe) sums), cumulative windows over the
+    tiny histogram score every boundary by variance reduction
+    S_L²/n_L + S_R²/n_R − S²/n, a global rank window over the ≤F×B
+    gains frame picks the cross-feature best, and the leaf values
+    γ = mean residual ride forward as a ONE-ROW broadcast frame into
+    the next round's residual expression. Fixed rounds/bins unroll
+    into SQL, so the full boosting trajectory — splits, leaf values,
+    per-round train RMSE — is oracle-certifiable.
+
+    Returns 2 rows: (round, feature, threshold, gamma_l, gamma_r,
+    gain, rmse_after), unrounded.
+    """
+    feats = list(features.items())
+    assert len(feats) == 2, "two-feature audit form"
+    (n0, c0), (n1, c1) = feats
+    base = df.select(
+        target.cast("double").alias("y"),
+        c0.cast("double").alias("x_0"),
+        c1.cast("double").alias("x_1"),
+    )
+    stats = base.agg(
+        F.min("x_0").alias("lo_0"),
+        F.max("x_0").alias("hi_0"),
+        F.min("x_1").alias("lo_1"),
+        F.max("x_1").alias("hi_1"),
+        F.avg("y").alias("f0"),
+    )
+
+    def bin_expr(i: int) -> str:
+        return (
+            f"least({nbins - 1}, cast(floor((x_{i} - lo_{i}) * {nbins}.0"
+            f" / nullif(hi_{i} - lo_{i}, 0.0)) as int))"
+        )
+
+    def delta_expr(feat: str, thr: str, gl: str, gr: str) -> str:
+        """Leaf-value lookup for a chosen (feature, threshold)."""
+        return (
+            f"(case when {feat} = '{n0}' then"
+            f" (case when x_0 <= {thr} then {gl} else {gr} end)"
+            f" else (case when x_1 <= {thr} then {gl} else {gr} end) end)"
+        )
+
+    wcum = Window.partitionBy("feature").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy("feature")
+    wpick = Window.orderBy(
+        F.round("gain", 6).desc(), F.col("feature").asc(), F.col("bin").asc()
+    )
+
+    def best_split(joined: DataFrame, resid_sql: str) -> DataFrame:
+        stack_args = []
+        for i, (name, _) in enumerate(feats):
+            stack_args += [f"'{name}'", bin_expr(i), f"lo_{i}", f"hi_{i}"]
+        binned = joined.select(
+            F.expr(
+                f"stack(2, {', '.join(stack_args)})"
+                " as (feature, bin, lo, hi)"
+            ),
+            F.expr(resid_sql).alias("e"),
+        )
+        hist = binned.groupBy("feature", "bin").agg(
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum("e").alias("s_b"),
+        )
+        scored = (
+            hist.withColumn("nl", F.sum("n_b").over(wcum))
+            .withColumn("sl", F.sum("s_b").over(wcum))
+            .withColumn("n", F.sum("n_b").over(wtot))
+            .withColumn("s", F.sum("s_b").over(wtot))
+            .withColumn("max_bin", F.max("bin").over(wtot))
+            .where(
+                (F.col("bin") < F.col("max_bin"))
+                & (F.col("nl") > 0)
+                & (F.col("nl") < F.col("n"))
+            )
+            .select(
+                "feature",
+                "bin",
+                F.expr(f"lo + (bin + 1) * (hi - lo) / {nbins}.0").alias(
+                    "threshold"
+                ),
+                F.expr(
+                    "sl * sl / cast(nl as double)"
+                    " + (s - sl) * (s - sl) / cast(n - nl as double)"
+                    " - s * s / cast(n as double)"
+                ).alias("gain"),
+                F.expr("sl / cast(nl as double)").alias("gamma_l"),
+                F.expr("(s - sl) / cast(n - nl as double)").alias(
+                    "gamma_r"
+                ),
+            )
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(wpick))
+            .where(F.col("rn") == 1)
+            .drop("rn", "bin")
+        )
+
+    j1 = base.crossJoin(F.broadcast(stats))
+    best1 = best_split(j1, "y - f0")
+    b1 = F.broadcast(
+        best1.select(
+            F.col("feature").alias("feat1"),
+            F.col("threshold").alias("thr1"),
+            F.col("gamma_l").alias("gl1"),
+            F.col("gamma_r").alias("gr1"),
+            F.col("gain").alias("gain1"),
+        )
+    )
+    d1 = delta_expr("feat1", "thr1", "gl1", "gr1")
+    j2 = j1.crossJoin(b1)
+    rmse1 = j2.agg(
+        F.sqrt(
+            F.avg(
+                F.expr(f"(y - (f0 + {lr} * {d1}))"
+                       f" * (y - (f0 + {lr} * {d1}))")
+            )
+        ).alias("rmse_after")
+    )
+    best2 = best_split(j2, f"y - (f0 + {lr} * {d1})")
+    b2 = F.broadcast(
+        best2.select(
+            F.col("feature").alias("feat2"),
+            F.col("threshold").alias("thr2"),
+            F.col("gamma_l").alias("gl2"),
+            F.col("gamma_r").alias("gr2"),
+            F.col("gain").alias("gain2"),
+        )
+    )
+    d2 = delta_expr("feat2", "thr2", "gl2", "gr2")
+    rmse2 = j2.crossJoin(b2).agg(
+        F.sqrt(
+            F.avg(
+                F.expr(
+                    f"(y - (f0 + {lr} * {d1} + {lr} * {d2}))"
+                    f" * (y - (f0 + {lr} * {d1} + {lr} * {d2}))"
+                )
+            )
+        ).alias("rmse_after")
+    )
+    r1 = (
+        best1.withColumn("round", F.lit(1))
+        .crossJoin(F.broadcast(rmse1))
+    )
+    r2 = (
+        best2.withColumn("round", F.lit(2))
+        .crossJoin(F.broadcast(rmse2))
+    )
+    return r1.unionByName(r2).select(
+        "round", "feature", "threshold", "gamma_l", "gamma_r", "gain",
+        "rmse_after",
+    )

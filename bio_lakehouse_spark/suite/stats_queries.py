@@ -2926,3 +2926,134 @@ def logrank_test_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("exp_events_g1")).alias("exp_events_g1"),
         R6(F.col("logrank_chi2")).alias("logrank_chi2"),
     )
+
+
+def _gbdt_oracle(nbins: int = 16, lr: str = "0.5") -> str:
+    """Unrolled-SQL twin of the two-round boosted-stump fit: the
+    histogram/cumulative-window/argmax triple per round, with leaf
+    values carried into round 2's residual expression — the boosting
+    extension of the decision_stump treatment."""
+    def bins(i: int) -> str:
+        return (
+            f"least({nbins - 1}, cast(floor((x_{i} - lo_{i}) * {nbins}.0"
+            f" / nullif(hi_{i} - lo_{i}, 0.0)) as int))"
+        )
+
+    def delta(k: int) -> str:
+        return (
+            f"(case when feat{k} = 'l_quantity' then"
+            f" (case when x_0 <= thr{k} then gl{k} else gr{k} end)"
+            f" else (case when x_1 <= thr{k} then gl{k} else gr{k} end)"
+            " end)"
+        )
+
+    def round_ctes(r: int, src: str, resid: str) -> str:
+        return f"""binned{r} AS (
+  SELECT 'l_quantity' AS feature, {bins(0)} AS bin,
+         lo_0 AS lo, hi_0 AS hi, {resid} AS e FROM {src}
+  UNION ALL
+  SELECT 'l_discount', {bins(1)}, lo_1, hi_1, {resid} FROM {src}
+), hist{r} AS (
+  SELECT feature, bin, any_value(lo) AS lo, any_value(hi) AS hi,
+         COUNT(*) AS n_b, SUM(e) AS s_b
+  FROM binned{r} GROUP BY 1, 2
+), cum{r} AS (
+  SELECT feature, bin, lo, hi,
+         SUM(n_b) OVER w AS nl, SUM(s_b) OVER w AS sl,
+         SUM(n_b) OVER (PARTITION BY feature) AS n,
+         SUM(s_b) OVER (PARTITION BY feature) AS s,
+         MAX(bin) OVER (PARTITION BY feature) AS max_bin
+  FROM hist{r}
+  WINDOW w AS (PARTITION BY feature ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), gains{r} AS (
+  SELECT feature, bin,
+         lo + (bin + 1) * (hi - lo) / {nbins}.0 AS threshold,
+         sl * sl / cast(nl as double)
+           + (s - sl) * (s - sl) / cast(n - nl as double)
+           - s * s / cast(n as double) AS gain,
+         sl / cast(nl as double) AS gamma_l,
+         (s - sl) / cast(n - nl as double) AS gamma_r
+  FROM cum{r} WHERE bin < max_bin AND nl > 0 AND nl < n
+), best{r} AS (
+  SELECT feature AS feat{r}, threshold AS thr{r},
+         gamma_l AS gl{r}, gamma_r AS gr{r}, gain AS gain{r}
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY round(gain, 6) DESC,
+                                     feature ASC, bin ASC) AS rn
+        FROM gains{r})
+  WHERE rn = 1
+)"""
+
+    d1, d2 = delta(1), delta(2)
+    f1 = f"(f0 + {lr} * {d1})"
+    f2 = f"(f0 + {lr} * {d1} + {lr} * {d2})"
+    return f"""
+WITH base AS (
+  SELECT l_extendedprice / 1000.0 AS y,
+         CAST(l_quantity AS DOUBLE) AS x_0,
+         CAST(l_discount AS DOUBLE) AS x_1
+  FROM lineitem
+), stats AS (
+  SELECT MIN(x_0) AS lo_0, MAX(x_0) AS hi_0,
+         MIN(x_1) AS lo_1, MAX(x_1) AS hi_1, AVG(y) AS f0
+  FROM base
+), j1 AS (
+  SELECT base.*, stats.* FROM base, stats
+), {round_ctes(1, "j1", "y - f0")}, j2 AS (
+  SELECT j1.*, best1.* FROM j1, best1
+), rmse1 AS (
+  SELECT SQRT(AVG((y - {f1}) * (y - {f1}))) AS rmse_after FROM j2
+), {round_ctes(2, "j2", f"y - {f1}")}, rmse2 AS (
+  SELECT SQRT(AVG((y - {f2}) * (y - {f2}))) AS rmse_after
+  FROM j2, best2
+)
+SELECT 1 AS round, feat1 AS feature, ROUND(thr1, 6) AS threshold,
+       ROUND(gl1, 6) AS gamma_l, ROUND(gr1, 6) AS gamma_r,
+       ROUND(gain1, 6) AS gain, ROUND(rmse1.rmse_after, 6) AS rmse_after
+FROM best1, rmse1
+UNION ALL
+SELECT 2, feat2, ROUND(thr2, 6), ROUND(gl2, 6), ROUND(gr2, 6),
+       ROUND(gain2, 6), ROUND(rmse2.rmse_after, 6)
+FROM best2, rmse2
+"""
+
+
+@register(
+    "gbdt_two_round_audit",
+    survey=("ST14",),
+    oracle=_gbdt_oracle(16, "0.5"),
+)
+def gbdt_two_round_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted stumps, two unrolled rounds, squared loss:
+    predict scaled extendedprice from (quantity, discount). Each
+    round is the histogram-split skeleton (ONE residual scan →
+    ≤ F×B-row (count, Σresidual) shuffle → cumulative-window variance
+    gains → global-rank argmax over the tiny gains frame), with the
+    model-so-far (f0 + Σ lr·γ lookups) riding as broadcast one-row
+    frames — the in-engine version of the GBM the reference's model
+    zoo fits driver-side, and the boosting upgrade of
+    decision_stump_gini. Both splits, all four leaf values, and each
+    round's train RMSE are certified by the unrolled oracle
+    (operators/trees.gbdt_two_round)."""
+    from bio_lakehouse_spark.operators.trees import gbdt_two_round
+
+    li = load(spark, sf_dir, "lineitem")
+    out = gbdt_two_round(
+        li,
+        {
+            "l_quantity": F.col("l_quantity"),
+            "l_discount": F.col("l_discount"),
+        },
+        target=F.col("l_extendedprice") / 1000.0,
+        nbins=16,
+        lr=0.5,
+    )
+    return out.select(
+        "round",
+        "feature",
+        R6(F.col("threshold")).alias("threshold"),
+        R6(F.col("gamma_l")).alias("gamma_l"),
+        R6(F.col("gamma_r")).alias("gamma_r"),
+        R6(F.col("gain")).alias("gain"),
+        R6(F.col("rmse_after")).alias("rmse_after"),
+    )

@@ -527,6 +527,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "pca_power_iteration_audit",  # d²/d frames × ONE-ROW mean/n/norm
         "als_rank1_audit",  # ratings × ONE-ROW factor norms
         "aipw_doubly_robust",  # per-user frame × ONE-ROW OLS/β frames
+        "gbdt_two_round_audit",  # scan × ONE-ROW stats/split frames
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():

@@ -103,3 +103,46 @@ def test_shuffle_is_histogram_bounded(spark):
     # raw data is never exchanged
     assert plan.count("Exchange hashpartitioning(feature") == 2
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_gbdt_two_rounds_reduce_rmse_and_match_bruteforce(spark):
+    """On a frame where y is piecewise in x, round 1 must find the
+    true breakpoint, leaf values must match the brute-force mean
+    residuals, and train RMSE must fall monotonically."""
+    import math
+
+    from bio_lakehouse_spark.operators.trees import gbdt_two_round
+
+    rows = []
+    for i in range(2000):
+        x0 = float(i % 100)
+        x1 = float((i * 7) % 10)
+        y = (10.0 if x0 < 50 else 40.0) + 2.0 * x1 + math.sin(i * 0.37)
+        rows.append((y, x0, x1))
+    df = spark.createDataFrame(rows, "y double, x0 double, x1 double")
+    out = {
+        r["round"]: r
+        for r in gbdt_two_round(
+            df,
+            {"a": df["x0"], "b": df["x1"]},
+            target=df["y"],
+            nbins=10,
+            lr=1.0,  # full step: round 1 absorbs the x0 step entirely,
+            # so round 2 must move to the x1 slope (at lr=0.5 half the
+            # step survives and legitimately wins again)
+        ).collect()
+    }
+    r1, r2 = out[1], out[2]
+    # the dominant structure is the x0 step at 50 → bin boundary 50.0
+    # (lo=0, hi=99, B=10 → boundary 5 edges at 49.5... nearest edge)
+    assert r1["feature"] == "a"
+    assert 40.0 <= r1["threshold"] <= 60.0
+    assert r1["gamma_l"] < 0 < r1["gamma_r"]
+    # residual structure after round 1 is the x1 slope → round 2
+    # picks feature b
+    assert r2["feature"] == "b"
+    base_rmse = float(
+        df.selectExpr("stddev_pop(y) as r").first()["r"]
+    )
+    assert r1["rmse_after"] < base_rmse
+    assert r2["rmse_after"] < r1["rmse_after"]
