@@ -3057,3 +3057,97 @@ def gbdt_two_round_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("gain")).alias("gain"),
         R6(F.col("rmse_after")).alias("rmse_after"),
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    survey=("ST8", "A13"),
+    oracle="""
+WITH span AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN last_d < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN last_d < DATE '2001-01-01'
+              THEN datediff('day', first_d, last_d)
+              ELSE datediff('day', first_d, DATE '2001-08-01') END AS t
+  FROM span
+), by_t AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d, COUNT(*) AS all_n
+  FROM obs GROUP BY 1
+), risk AS (
+  SELECT t, d,
+         CAST(SUM(all_n) OVER (ORDER BY t DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n
+  FROM by_t
+)
+SELECT t AS duration_days, d AS n_events, n AS n_risk,
+       ROUND(SUM(d / CAST(n AS DOUBLE))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 6) AS cum_hazard,
+       ROUND(SUM(d / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 6) AS hazard_var
+FROM risk WHERE d > 0 ORDER BY t
+""",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t)=Σ dᵢ/nᵢ with its Poisson
+    variance Σ dᵢ/nᵢ² — Kaplan–Meier's estimator twin (KM ≈ exp(−H)),
+    preferred when hazards are the modeling target (it feeds the Cox
+    baseline). Same one-aggregate + duration-frame-window shape as
+    kaplan_meier_churn: suffix window for the risk set, prefix window
+    for the hazard accumulation, nothing corpus-sized."""
+    orders = load(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+    obs = span.select(
+        F.when(churned, 1).otherwise(0).alias("ev"),
+        F.when(
+            churned, F.datediff("last_d", "first_d")
+        ).otherwise(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.col("first_d"))
+        ).alias("t"),
+    )
+    by_t = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).alias("all_n"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_haz = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_t.withColumn(
+        "n", F.sum("all_n").over(w_risk).cast("long")
+    )
+    return (
+        risk.withColumn(
+            "cum_hazard",
+            F.sum(F.col("d") / F.col("n").cast("double")).over(w_haz),
+        )
+        .withColumn(
+            "hazard_var",
+            F.sum(
+                F.col("d")
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
+            ).over(w_haz),
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("d").alias("n_events"),
+            F.col("n").alias("n_risk"),
+            R6(F.col("cum_hazard")).alias("cum_hazard"),
+            R6(F.col("hazard_var")).alias("hazard_var"),
+        )
+        .orderBy("duration_days")
+    )

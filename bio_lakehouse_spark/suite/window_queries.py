@@ -1663,3 +1663,72 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("eff")).alias("removal_effect"),
         R6(F.col("eff") / F.col("tot_eff")).alias("attribution_share"),
     )
+
+
+@register(
+    "frequent_event_trigrams",
+    survey=("W5", "O4", "A11"),
+    oracle="""
+WITH ord AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), tri AS (
+  SELECT user_id, d, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM ord
+  WINDOW w AS (PARTITION BY user_id, d ORDER BY rn)
+), counted AS (
+  SELECT e1, e2, e3, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM tri WHERE e3 IS NOT NULL
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC,
+                               e1, e2, e3) AS rnk
+  FROM counted
+)
+SELECT e1, e2, e3, n_occurrences, CAST(n_users AS BIGINT) AS n_users,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 10 ORDER BY rnk
+""",
+)
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent consecutive event-type trigrams within
+    per-(user, day) journeys — the PrefixSpan-style sequence-mining
+    primitive behind path analysis, one level deeper than
+    event_transition_matrix's bigrams. ONE entity-partitioned window
+    pass emits the trigram stream (no self-joins; the classic
+    sequence-pair join explodes quadratically), then a
+    map-side-combined count and a top-k over the bounded
+    (|event types|³) trigram frame."""
+    ev = load(spark, sf_dir, "events")
+    wj = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id",
+        "event_type",
+    ).withColumn("rn", F.row_number().over(wj))
+    ws = Window.partitionBy("user_id", "d").orderBy("rn")
+    tri = ordered.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(ws).alias("e2"),
+        F.lead("event_type", 2).over(ws).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    counted = tri.groupBy("e1", "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    wr = Window.orderBy(
+        F.col("n_occurrences").desc(),
+        F.col("e1").asc(),
+        F.col("e2").asc(),
+        F.col("e3").asc(),
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
