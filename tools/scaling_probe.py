@@ -125,6 +125,110 @@ def replicate(docs, mult: int, mode: str = "density"):
     return out.localCheckpoint()
 
 
+
+
+def _fact_ops(spark):
+    """Fact-table operators added in r7 parts 5–8: each has a
+    PROVABLY bounded shuffle (F×B histograms, distinct-score frames,
+    duration frames, daily grain), so the probe should show ~linear
+    scan-dominated scaling — this is the experiment that would catch
+    a regression reintroducing a data-sized exchange."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.stats import (
+        auc_rank_sum,
+        cox_ph_newton,
+        msprt_two_sample,
+    )
+    from bio_lakehouse_spark.operators.trees import (
+        best_splits,
+        gbdt_two_round,
+        histogram_split_gains,
+    )
+    from bio_lakehouse_spark.streaming.monitor import daily_arm_sums
+
+    def stump(t):
+        return best_splits(
+            histogram_split_gains(
+                t["lineitem"],
+                {"l_quantity": F.col("l_quantity"),
+                 "l_discount": F.col("l_discount")},
+                F.col("l_returnflag") == "R",
+                32,
+            )
+        )
+
+    def gbdt(t):
+        return gbdt_two_round(
+            t["lineitem"],
+            {"l_quantity": F.col("l_quantity"),
+             "l_discount": F.col("l_discount")},
+            target=F.col("l_extendedprice") / 1000.0,
+            nbins=16,
+            lr=0.5,
+        )
+
+    def auc(t):
+        return auc_rank_sum(
+            t["lineitem"], F.col("l_quantity"),
+            F.col("l_returnflag") == "R",
+        )
+
+    def cox(t):
+        span = t["orders"].groupBy("o_custkey").agg(
+            F.min(F.to_date("o_orderdate")).alias("first_d"),
+            F.max(F.to_date("o_orderdate")).alias("last_d"),
+        )
+        churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+        obs = span.join(
+            t["customer"], span["o_custkey"] == t["customer"]["c_custkey"]
+        ).select(
+            F.when(churned, 1).otherwise(0).alias("ev"),
+            F.when(churned, F.datediff("last_d", "first_d"))
+            .otherwise(F.datediff(F.lit("2001-08-01").cast("date"),
+                                  F.col("first_d"))).alias("t"),
+            (F.col("c_acctbal") / 10000.0).alias("x"),
+        )
+        return cox_ph_newton(obs, steps=2)
+
+    def msprt(t):
+        return msprt_two_sample(daily_arm_sums(t["events"]))
+
+    return {"decision_stump": stump, "gbdt_two_round": gbdt,
+            "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
+            "msprt_daily": msprt}
+
+
+def replicate_facts(spark, mult: int):
+    """Replicate lineitem/orders/customer/events with ENTITY-OFFSET
+    keys (copy i shifts custkeys/user_ids/orderkeys by i·10⁷), so the
+    entity population grows with the data — no artificial hot keys,
+    and per-entity structure (order spans, daily journeys) is
+    preserved within each copy."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    specs = {
+        "lineitem": ("l_orderkey",),
+        "orders": ("o_orderkey", "o_custkey"),
+        "customer": ("c_custkey",),
+        "events": ("event_id", "user_id"),
+    }
+    for name, keys in specs.items():
+        base = spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        parts = []
+        for i in range(mult):
+            p = base
+            for k in keys:
+                p = p.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+            parts.append(p)
+        t = parts[0]
+        for p in parts[1:]:
+            t = t.unionByName(p)
+        out[name] = t.localCheckpoint()
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     mode = "density"
@@ -134,9 +238,39 @@ def main() -> int:
         del args[i : i + 2]
     if mode not in ("density", "worstcase"):
         raise SystemExit(f"unknown mode {mode!r}")
+    facts = "--facts" in args
+    if facts:
+        args.remove("--facts")
     mults = [int(a) for a in args] or [1, 4, 8, 16]
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if facts:
+        ops = _fact_ops(spark)
+        results = {k: {} for k in ops}
+        for mult in mults:
+            tables = replicate_facts(spark, mult)
+            print(f"--- facts mult {mult}", file=sys.stderr)
+            for name, fn in ops.items():
+                fn(tables).write.format("noop").mode("overwrite").save()
+                t0 = time.perf_counter()
+                fn(tables).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                results[name][mult] = round(dt, 2)
+                print(f"    {name}: {dt:.2f}s", file=sys.stderr)
+        base = mults[0]
+        table = {
+            name: {
+                "sec": times,
+                "scale_factor": {
+                    m: round(times[m] / times[base], 2)
+                    for m in mults if times.get(base)
+                },
+            }
+            for name, times in results.items()
+        }
+        print(json.dumps({"mode": "facts", "mults": mults,
+                          "ops": table}, indent=1))
+        return 0
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ops = _ops()
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
