@@ -3151,3 +3151,140 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("duration_days")
     )
+
+
+@register(
+    "uplift_two_model_bins",
+    survey=("ST11", "ST14", "A6"),
+    oracle="""
+WITH p AS (
+  SELECT CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         THEN 1.0 ELSE 0.0 END AS t,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+           AS yv,
+         COUNT(*) / 100.0 AS x1
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), om AS (
+  SELECT
+    (AVG(CASE WHEN t = 1.0 THEN x1 * yv END)
+     - AVG(CASE WHEN t = 1.0 THEN x1 END)
+       * AVG(CASE WHEN t = 1.0 THEN yv END))
+    / (AVG(CASE WHEN t = 1.0 THEN x1 * x1 END)
+       - AVG(CASE WHEN t = 1.0 THEN x1 END)
+         * AVG(CASE WHEN t = 1.0 THEN x1 END)) AS slope1,
+    (AVG(CASE WHEN t = 0.0 THEN x1 * yv END)
+     - AVG(CASE WHEN t = 0.0 THEN x1 END)
+       * AVG(CASE WHEN t = 0.0 THEN yv END))
+    / (AVG(CASE WHEN t = 0.0 THEN x1 * x1 END)
+       - AVG(CASE WHEN t = 0.0 THEN x1 END)
+         * AVG(CASE WHEN t = 0.0 THEN x1 END)) AS slope0,
+    AVG(CASE WHEN t = 1.0 THEN yv END) AS my1,
+    AVG(CASE WHEN t = 0.0 THEN yv END) AS my0,
+    AVG(CASE WHEN t = 1.0 THEN x1 END) AS mx1,
+    AVG(CASE WHEN t = 0.0 THEN x1 END) AS mx0
+  FROM p
+), scored AS (
+  SELECT t, yv,
+         (my1 - slope1 * mx1 + slope1 * x1)
+           - (my0 - slope0 * mx0 + slope0 * x1) AS u
+  FROM p, om
+), lim AS (
+  SELECT MIN(u) AS lo, MAX(u) AS hi FROM scored
+), binned AS (
+  SELECT least(4, cast(floor((u - lo) * 5.0
+                             / nullif(hi - lo, 0.0)) as int)) AS bin,
+         t, yv, u
+  FROM scored, lim
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(u), 6) AS predicted_uplift,
+       ROUND(AVG(CASE WHEN t = 1.0 THEN yv END)
+             - AVG(CASE WHEN t = 0.0 THEN yv END), 6)
+         AS observed_uplift
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def uplift_two_model_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model calibration (two-model / T-learner): score each
+    user's predicted treatment uplift u(x) = m₁(x) − m₀(x) from the
+    per-arm closed-form OLS outcome models, bin users into 5
+    equi-width uplift bands (one-row min/max broadcast — NOT a
+    global NTILE sort, which wouldn't scale), and compare predicted
+    vs OBSERVED uplift (treated-minus-control outcome) per band —
+    the uplift calibration table behind Qini curves, and the
+    targeting counterpart of gain_lift_by_decile. Shares the AIPW
+    machinery: one per-user aggregate, one-row model frames, tiny
+    band aggregate."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    p = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+            1.0,
+        ).otherwise(0.0).alias("t"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("yv"),
+        (F.count(F.lit(1)) / 100.0).alias("x1"),
+    ).drop("user_id")
+
+    def cavg(cond, col):
+        return F.avg(F.when(cond, col))
+
+    t1, t0 = F.col("t") == 1.0, F.col("t") == 0.0
+    x1, yv = F.col("x1"), F.col("yv")
+    om = p.agg(
+        (
+            (cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv))
+            / (cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1))
+        ).alias("slope1"),
+        (
+            (cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv))
+            / (cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1))
+        ).alias("slope0"),
+        cavg(t1, yv).alias("my1"),
+        cavg(t0, yv).alias("my0"),
+        cavg(t1, x1).alias("mx1"),
+        cavg(t0, x1).alias("mx0"),
+    )
+    scored = p.crossJoin(F.broadcast(om)).select(
+        "t",
+        "yv",
+        (
+            (
+                F.col("my1")
+                - F.col("slope1") * F.col("mx1")
+                + F.col("slope1") * x1
+            )
+            - (
+                F.col("my0")
+                - F.col("slope0") * F.col("mx0")
+                + F.col("slope0") * x1
+            )
+        ).alias("u"),
+    )
+    lim = scored.agg(F.min("u").alias("lo"), F.max("u").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(lim)).select(
+        F.expr(
+            "least(4, cast(floor((u - lo) * 5.0"
+            " / nullif(hi - lo, 0.0)) as int))"
+        ).alias("bin"),
+        "t",
+        "yv",
+        "u",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            R6(F.avg("u")).alias("predicted_uplift"),
+            R6(
+                F.avg(F.when(F.col("t") == 1.0, F.col("yv")))
+                - F.avg(F.when(F.col("t") == 0.0, F.col("yv")))
+            ).alias("observed_uplift"),
+        )
+        .orderBy("bin")
+    )

@@ -528,6 +528,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "als_rank1_audit",  # ratings × ONE-ROW factor norms
         "aipw_doubly_robust",  # per-user frame × ONE-ROW OLS/β frames
         "gbdt_two_round_audit",  # scan × ONE-ROW stats/split frames
+        "uplift_two_model_bins",  # per-user frame × ONE-ROW model/limits
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
