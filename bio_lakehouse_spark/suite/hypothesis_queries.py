@@ -1103,3 +1103,73 @@ def msprt_sequential_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("log_lambda")).alias("log_lambda"),
         R6(F.col("p_always_valid")).alias("p_always_valid"),
     )
+
+
+@register(
+    "page_hinkley_drift",
+    survey=("ST6", "ST7"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, AVG(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), cum AS (
+  SELECT date, v,
+         AVG(v) OVER w AS run_mean,
+         ROW_NUMBER() OVER (ORDER BY date) AS rn
+  FROM daily
+  WINDOW w AS (ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT date, v, run_mean,
+         SUM(v - run_mean - 0.005) OVER (ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+  FROM cum
+), ph AS (
+  SELECT date, v, run_mean, mt,
+         mt - MIN(mt) OVER (ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_stat
+  FROM m
+)
+SELECT date, ROUND(v, 6) AS daily_mean,
+       ROUND(run_mean, 6) AS running_mean,
+       ROUND(ph_stat, 6) AS ph_stat,
+       CAST(CASE WHEN ph_stat > 5.0 THEN 1 ELSE 0 END AS INTEGER)
+         AS drift_flag
+FROM ph ORDER BY date
+""",
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley upward-drift detector over the daily event-value
+    mean — the sequential monitoring sibling of cusum_changepoint
+    (CUSUM needs the baseline fixed up front; PH tracks the RUNNING
+    mean, so it is the form a live pipeline monitor runs):
+    Mₜ = Σ(vᵢ − v̄ᵢ − δ) with v̄ᵢ the running mean, statistic
+    PHₜ = Mₜ − min_{s≤t} Mₛ, flagged when PHₜ > λ (δ=0.005, λ=5).
+    Three stacked prefix windows over the daily-grain frame — the
+    data-sized work is one conditional aggregate, exactly the
+    msprt/acf/cusum shape."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.avg("value").alias("v")
+    )
+    w = Window.orderBy("date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.withColumn("run_mean", F.avg("v").over(w))
+    m = cum.withColumn(
+        "mt",
+        F.sum(F.col("v") - F.col("run_mean") - 0.005).over(w),
+    )
+    ph = m.withColumn(
+        "ph_stat", F.col("mt") - F.min("mt").over(w)
+    )
+    return ph.select(
+        "date",
+        R6(F.col("v")).alias("daily_mean"),
+        R6(F.col("run_mean")).alias("running_mean"),
+        R6(F.col("ph_stat")).alias("ph_stat"),
+        F.when(F.col("ph_stat") > 5.0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("drift_flag"),
+    ).orderBy("date")
