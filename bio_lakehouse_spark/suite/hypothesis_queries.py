@@ -1173,3 +1173,191 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drift_flag"),
     ).orderBy("date")
+
+
+@register(
+    "two_proportion_ztest",
+    survey=("ST3", "ST11"),
+    oracle=f"""
+WITH per_user AS (
+  SELECT CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS t,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END)
+              > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS conv
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), g AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n1,
+         CAST(SUM(1 - t) AS BIGINT) AS n2,
+         CAST(SUM(t * conv) AS BIGINT) AS c1,
+         CAST(SUM((1 - t) * conv) AS BIGINT) AS c2
+  FROM per_user
+), s AS (
+  SELECT n1, n2, c1, c2,
+         c1 / CAST(n1 AS DOUBLE) AS p1,
+         c2 / CAST(n2 AS DOUBLE) AS p2,
+         (c1 + c2) / CAST(n1 + n2 AS DOUBLE) AS pp
+  FROM g
+), zc AS (
+  SELECT *, (p1 - p2) / SQRT(pp * (1.0 - pp)
+             * (1.0 / n1 + 1.0 / n2)) AS z
+  FROM s
+)
+SELECT n1, n2, c1, c2,
+       ROUND(p1, 6) AS rate_treat, ROUND(p2, 6) AS rate_ctrl,
+       ROUND(z, 6) AS z_stat,
+       ROUND(2.0 * {_SF(z="ABS(z)")}, 6) AS p_two_sided
+FROM zc
+""",
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (more purchases than views)
+    between the click-heavy and error-heavy arms — the pooled-SE
+    rate test every experiment readout starts with, ONE per-user
+    aggregate + ONE 4-counter combine; the two-sided p-value uses
+    the Zelen–Severo polynomial so it participates in the
+    cross-engine hash contract like welch/ks/bh before it."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)),
+            1,
+        ).otherwise(0).alias("t"),
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ),
+            1,
+        ).otherwise(0).alias("conv"),
+    )
+    g = per_user.agg(
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(1 - F.col("t")).cast("long").alias("n2"),
+        F.sum(F.col("t") * F.col("conv")).cast("long").alias("c1"),
+        F.sum((1 - F.col("t")) * F.col("conv")).cast("long").alias("c2"),
+    )
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    p2 = F.col("c2") / F.col("n2").cast("double")
+    pp = (F.col("c1") + F.col("c2")) / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    z = (p1 - p2) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return g.select(
+        "n1",
+        "n2",
+        "c1",
+        "c2",
+        R6(p1).alias("rate_treat"),
+        R6(p2).alias("rate_ctrl"),
+        R6(z).alias("z_stat"),
+        R6(2.0 * normal_sf_approx(F.abs(z))).alias("p_two_sided"),
+    )
+
+
+@register(
+    "mann_kendall_trend",
+    survey=("ST7", "ST3"),
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS date, SUM(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN b.v > a.v THEN 1
+              WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.date < b.date
+), s AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs
+), n AS (
+  SELECT COUNT(*) AS n FROM daily
+), ties AS (
+  SELECT COALESCE(CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT), 0)
+           AS tie_term
+  FROM (SELECT COUNT(*) AS tc FROM daily GROUP BY v HAVING COUNT(*) > 1)
+), var AS (
+  SELECT (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS vs
+  FROM n, ties
+), zc AS (
+  SELECT s_stat, n, vs,
+         CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(vs)
+              WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(vs)
+              ELSE 0.0 END AS z
+  FROM s, n, var
+)
+SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+       ROUND(vs, 6) AS var_s, ROUND(z, 6) AS z_stat,
+       ROUND(2.0 * {_SF(z="ABS(z)")}, 6) AS p_two_sided
+FROM zc
+""",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall nonparametric trend test on the daily value
+    series: S = Σ sign(vⱼ − vᵢ) over ordered day pairs, tie-corrected
+    variance, continuity-corrected z, Zelen–Severo two-sided p — the
+    distribution-free companion of theil_sen_slope (which estimates
+    the slope MK tests). The pair join is DAILY-grain (n² in days —
+    the lowess/walk-forward-CV bounded-frame precedent), never event
+    rows; everything upstream is one conditional aggregate."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum("value").alias("v")
+    ).localCheckpoint()
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(b, F.col("a.date") < F.col("b.date"))
+        .select(sgn.alias("sgn"))
+        .agg(F.sum("sgn").cast("long").alias("s_stat"))
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .where(F.col("tc") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tc")
+                    * (F.col("tc") - 1)
+                    * (2 * F.col("tc") + 5)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    vs = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    j = j.withColumn("vs", vs)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("vs")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("vs")),
+        )
+        .otherwise(0.0)
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_days"),
+        "s_stat",
+        R6(F.col("vs")).alias("var_s"),
+        R6(z).alias("z_stat"),
+        R6(2.0 * normal_sf_approx(F.abs(z))).alias("p_two_sided"),
+    )
