@@ -1361,3 +1361,111 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(z).alias("z_stat"),
         R6(2.0 * normal_sf_approx(F.abs(z))).alias("p_two_sided"),
     )
+
+
+@register(
+    "kruskal_wallis_groups",
+    survey=("ST3", "A10"),
+    oracle="""
+WITH per_v AS (
+  SELECT value AS v, event_type AS g, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), vt AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS tc FROM per_v GROUP BY v
+), ranked AS (
+  SELECT v, tc,
+         CAST(SUM(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) - tc AS before_n
+  FROM vt
+), joined AS (
+  SELECT p.g, p.c, r.before_n + (r.tc + 1) / 2.0 AS midrank
+  FROM per_v p JOIN ranked r ON r.v = p.v
+), gsum AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+         SUM(c * midrank) AS r_g
+  FROM joined GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM vt
+), h AS (
+  SELECT (SELECT COUNT(*) FROM gsum) AS k, n, tie_sum,
+         12.0 / (n * (n + 1.0))
+           * (SELECT SUM(r_g * r_g / CAST(n_g AS DOUBLE)) FROM gsum)
+           - 3.0 * (n + 1.0) AS h_raw
+  FROM tot
+), hc AS (
+  SELECT k, n, h_raw,
+         h_raw / (1.0 - tie_sum
+                  / (CAST(n AS DOUBLE) * n * n - n)) AS h_corr
+  FROM h
+)
+SELECT CAST(k AS INTEGER) AS k_groups, n AS n_obs,
+       ROUND(h_raw, 6) AS h_stat,
+       ROUND(h_corr, 6) AS h_tie_corrected,
+       CAST(k - 1 AS INTEGER) AS dof,
+       ROUND(EXP(-h_corr / 2.0) * (1.0 + h_corr / 2.0), 6)
+         AS p_value
+FROM hc
+""",
+)
+def kruskal_wallis_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis k-sample rank test across ALL five event types
+    — the ANOVA-free generalization of mann_whitney_groups: pooled
+    tie midranks from per-distinct-value counts (the ks_two_sample
+    frame shape — the window is |distinct values|, never rows),
+    per-group rank sums, tie-corrected H, and — because k=5 gives an
+    EVEN 4 degrees of freedom — the exact closed-form χ² upper tail
+    e^{−H/2}(1 + H/2), so even the p-value sits in the cross-engine
+    hash contract with no approximation polynomial needed."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_v = ev.groupBy(
+        F.col("value").alias("v"), F.col("event_type").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    vt = per_v.groupBy("v").agg(F.sum("c").cast("long").alias("tc"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vt.withColumn(
+        "before_n", F.sum("tc").over(w).cast("long") - F.col("tc")
+    )
+    joined = per_v.join(ranked, "v").select(
+        "g",
+        "c",
+        (F.col("before_n") + (F.col("tc") + 1) / 2.0).alias("midrank"),
+    )
+    gsum = joined.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(F.col("c") * F.col("midrank")).alias("r_g"),
+    )
+    tot = vt.agg(
+        F.sum("tc").cast("long").alias("n"),
+        F.sum(
+            F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")
+        ).cast("long").alias("tie_sum"),
+    )
+    gstat = gsum.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("r_g") * F.col("r_g") / F.col("n_g").cast("double")
+        ).alias("rsum"),
+    )
+    j = gstat.crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("rsum") - 3.0 * (n + 1.0)
+    j = j.withColumn("h_raw", h_raw)
+    h_corr = F.col("h_raw") / (
+        1.0
+        - F.col("tie_sum") / (n.cast("double") * n * n - n)
+    )
+    j = j.withColumn("h_corr", h_corr)
+    return j.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n").alias("n_obs"),
+        R6(F.col("h_raw")).alias("h_stat"),
+        R6(F.col("h_corr")).alias("h_tie_corrected"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+        R6(
+            F.exp(-F.col("h_corr") / 2.0) * (1.0 + F.col("h_corr") / 2.0)
+        ).alias("p_value"),
+    )

@@ -530,6 +530,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "gbdt_two_round_audit",  # scan × ONE-ROW stats/split frames
         "uplift_two_model_bins",  # per-user frame × ONE-ROW model/limits
         "mann_kendall_trend",  # daily-grain pair table + ONE-ROW stats
+        "kruskal_wallis_groups",  # ONE-ROW group stats × ONE-ROW totals
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
