@@ -2464,7 +2464,7 @@ WITH span AS (
 SELECT CAST(SUM(d) AS BIGINT) AS n_events,
        ROUND(b, 6) AS beta,
        ROUND(EXP(b), 6) AS hazard_ratio,
-       ROUND(SUM(sx - d * (s1v / s0)), 6) AS score_u,
+       ROUND(SUM(sx - d * (s1v / s0)), 6) + 0.0 AS score_u,
        ROUND(1.0 / SQRT(SUM(d * (s2v / s0
                                  - (s1v / s0) * (s1v / s0)))), 6) AS se
 FROM rf WHERE d > 0 GROUP BY b
@@ -2514,7 +2514,10 @@ def cox_ph_newton_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         R6(F.col("beta")).alias("beta"),
         R6(F.col("hazard_ratio")).alias("hazard_ratio"),
-        R6(F.col("score_u")).alias("score_u"),
+        # + 0.0 normalizes IEEE signed zero: at convergence the score
+        # rounds to ±0 and Spark emits 0.0 where DuckDB emits -0.0,
+        # which the driver's repr hash distinguishes (r07 hash-red).
+        (R6(F.col("score_u")) + F.lit(0.0)).alias("score_u"),
         R6(F.col("se")).alias("se"),
     )
 

@@ -6,7 +6,10 @@ dtype families, and order-insensitive values (floats to 1e-9 after
 both sides' explicit rounding; everything else exact).
 
 Usable as a library (pytest) and as a script:
-    python tests/oracle_harness.py [--sf DIR] [query ...]
+    python tests/oracle_harness.py [--sf DIR] [--strict] [--vanilla] [query ...]
+
+--strict adds the driver-faithful repr compare (signed zeros, Decimal
+vs float, int vs float) on top of the tolerance compare.
 """
 
 from __future__ import annotations
@@ -61,11 +64,42 @@ def _dtype_family(s: pd.Series) -> str:
         return "float"
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
+    if s.dtype == object:
+        # Spark DecimalType arrives in pandas as object-dtype
+        # decimal.Decimal cells. The r07 entity_resolution_fs red was
+        # exactly a Decimal-vs-float split (driver repr-hashes
+        # Decimal('5.441180') vs 5.44118) that the old "other" family
+        # exempted from the family gate.
+        import decimal
+
+        for v in s:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            break
     return "other"
 
 
-def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
-    """Return a list of mismatch descriptions (empty → pass)."""
+def _repr_cell(v) -> str:
+    """The driver's value-hash token for one cell: the post-round
+    repr, signed zeros and Decimal trailing zeros included."""
+    if v is None:
+        return "None"
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return repr(v)
+
+
+def compare(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame, strict: bool = False
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty → pass).
+
+    strict=True adds the driver-faithful repr compare: every cell's
+    repr must match EXACTLY (so 0.0 vs -0.0, Decimal vs float, and
+    last-ulp float differences that survive the query's own rounding
+    all fail here instead of in CORRECTNESS_r{N}.json)."""
     problems: list[str] = []
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         problems.append(
@@ -85,10 +119,11 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         # Any numeric/bool family split reprs differently in the
         # driver's value hash (5 vs 5.0, True vs 1) even when values
         # are bit-identical — flag them all, not just int-vs-float.
-        if sf != of and {sf, of} <= {"bool", "int", "float"}:
+        if sf != of and {sf, of} <= {"bool", "int", "float", "decimal"}:
             problems.append(
                 f"column {c}: dtype family mismatch spark={sf} oracle={of} "
-                f"(driver hashes 5/5.0/True differently — CAST the oracle)"
+                f"(driver hashes 5/5.0/True/Decimal('5.0') differently — "
+                f"CAST whichever side is wrong)"
             )
     if problems:
         return problems
@@ -122,6 +157,25 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
                     f"column {c}: {int(neq.sum())} mismatches "
                     f"(first at row {idx}: spark={sc[idx]!r} oracle={oc[idx]!r})"
                 )
+    if strict and not problems:
+        # Driver-faithful repr pass: the driver hashes value reprs, so
+        # anything that reprs differently — 0.0 vs -0.0, Decimal vs
+        # float, 5 vs 5.0 — is a red there even when numerically equal.
+        for c in s.columns:
+            bad = first = None
+            n_bad = 0
+            for i, (a, b) in enumerate(zip(s[c], o[c])):
+                ra, rb = _repr_cell(a), _repr_cell(b)
+                if ra != rb:
+                    n_bad += 1
+                    if first is None:
+                        first = (i, ra, rb)
+            if n_bad:
+                i, ra, rb = first
+                problems.append(
+                    f"column {c}: {n_bad} STRICT repr mismatches (driver "
+                    f"hash red; first at row {i}: spark={ra} oracle={rb})"
+                )
     return problems
 
 
@@ -135,6 +189,9 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    strict = "--strict" in args
+    if strict:
+        args.remove("--strict")
 
     from bio_lakehouse_spark.suite import REGISTRY
 
@@ -178,7 +235,7 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: oracle error: {e}")
             continue
-        problems = compare(sdf, odf)
+        problems = compare(sdf, odf, strict=strict)
         # Vacuity gate (VERDICT r6 #2): a 0-row match on a query whose
         # fixture guarantees data certifies nothing — the predicate
         # missed the testdata entirely.

@@ -130,7 +130,7 @@ def main() -> int:
         proc = subprocess.run(
             [sys.executable,
              os.path.join(_ROOT, "tests", "oracle_harness.py"),
-             "--vanilla", *to_run],
+             "--vanilla", "--strict", *to_run],
             cwd=_ROOT,
         )
         rc = proc.returncode
