@@ -73,6 +73,19 @@ def _round_file_mtime() -> dict[int, float]:
     return out
 
 
+# Queries whose standing green row certifies OLD code (the fix landed
+# after the round that produced the green) — pinned to the front of
+# the sweep until a fresh driver row exists. VERDICT r7 #2: the r6
+# fixes to both landed mid-r7 but the 50-slot sweep cap was consumed
+# by new queries, so their greens still certify the pre-fix code
+# (the ORC one vacuously, on 0 rows). Remove a name once a green
+# row from round >= its pinned round appears.
+_FORCE_RECERT: dict[str, int] = {
+    "orc_sink_pruned_read": 8,
+    "dedup_simhash_pairs": 8,
+}
+
+
 def _ordered_names() -> list[str]:
     last = _last_green_round()
     round_mtime = _round_file_mtime()
@@ -80,6 +93,9 @@ def _ordered_names() -> list[str]:
 
     def key(n: str) -> tuple[int, int]:
         rnd = last.get(n, -1)
+        if n in _FORCE_RECERT and rnd < _FORCE_RECERT[n]:
+            # Tier 0: stale green — the row predates the current code.
+            return (0, 0)
         if rnd < 0:
             # Tier 0: never green — always swept first.
             return (0, 0)

@@ -95,10 +95,22 @@ def unigram_word_tokens(
     extend the vocab's char floor instead of filtering here."""
     w = F.col(word_col)
     dpn = _dp_final(w, piece_cost_map(vocab), max_len)
+    # Packing guard (ADVICE r7): n_pieces ≤ word length, so a word of
+    # length ≥ _PIECES_SCALE could bleed its piece count into the
+    # millibits field and silently wrap n_tokens. For such words fall
+    # back to the character count (the char-closure vocab's worst
+    # case — exact when no multi-char piece applies, a defined upper
+    # bound otherwise, and identical to the pandas seam encoder's
+    # guard) and NULL the millibits, which are genuinely unknown.
+    ok = F.length(w) < F.lit(_PIECES_SCALE)
     return word_df.select(
         w.alias("word"),
-        (dpn % _PIECES_SCALE).cast("long").alias("n_tokens"),
-        F.floor(dpn / _PIECES_SCALE).cast("long").alias("millibits"),
+        F.when(ok, (dpn % _PIECES_SCALE).cast("long"))
+        .otherwise(F.length(w).cast("long"))
+        .alias("n_tokens"),
+        F.when(ok, F.floor(dpn / _PIECES_SCALE).cast("long")).alias(
+            "millibits"
+        ),
     )
 
 
@@ -328,6 +340,12 @@ def unigram_token_counter(
 
     def encode_word(w: str) -> int:
         n = len(w)
+        if n >= _PIECES_SCALE:
+            # same packing guard as unigram_word_tokens: n_pieces
+            # would bleed into the millibits field. Character count
+            # is the exact token count for a char-closure vocab's
+            # worst case, and it keeps the counter total-safe.
+            return n
         dp = [0] + [None] * n
         for i in range(1, n + 1):
             best = None

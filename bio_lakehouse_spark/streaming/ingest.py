@@ -323,7 +323,20 @@ def stream_documents_dedup_ingest(
     touched only through one pruned id-column scan). Per-batch cost
     stays O(batch + matching store keys); the store grows by one row
     per distinct text ever seen, exactly the `dedup_incremental_batch`
-    shape scaled to a continuous stream."""
+    shape scaled to a continuous stream.
+
+    ASSUMPTION (ADVICE r7): ``id_col`` is globally unique across the
+    stream's lifetime — the standard contract for ingest doc ids. The
+    crash guard compares ids only (comparing text would force a
+    corpus-text scan per batch, breaking the O(batch) shape), so a NEW
+    document that reuses a previously-ingested id is treated as a
+    replay: dropped from the corpus while its fingerprint is still
+    appended. If the upstream cannot guarantee unique ids, mint them
+    (e.g. ``sha2(concat(source, text), 256)``) before landing. On a
+    transactional table format (sources/table_format.py Delta/Iceberg
+    backends) the two appends become ONE atomic commit keyed by
+    foreachBatch's (queryId, batchId), the crash window disappears,
+    and this guard — and the assumption — go away entirely."""
     from bio_lakehouse_spark.operators.dedup import exact_dedup_groups
     from pyspark.sql.utils import AnalysisException
 

@@ -3240,30 +3240,45 @@ def pii_pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """DuckDB oracle for the fixed-merge BPE encoder — an INDEPENDENT
-    implementation of greedy BPE: each word becomes a '|'-delimited
-    character string ('abc' → '|a|b|c|'), and merge (a,b) is ONE
-    string replace of '|a|b|' with '|ab|'. replace() scans
-    left-to-right over the ORIGINAL string without rescanning its own
-    output — exactly BPE's non-overlapping greedy pass — and the '|'
-    anchors make token boundaries unambiguous (a pattern can never
-    match inside a longer token). Token count = pipes − 1."""
+def _bpe_word_expr(word_sql: str = "word") -> str:
+    """The DuckDB expression chain encoding one word under the fixed
+    merges: each word becomes a DOUBLE-pipe-delimited token string
+    ('abc' → '||a||b||c||'), and merge (a,b) is ONE string replace of
+    '|a||b|' with '|ab|'. The doubled boundary is the point: each
+    match consumes the left boundary's SECOND pipe and the right
+    boundary's FIRST pipe, so the shared pipe between back-to-back
+    matches ('erer' under (e,r)) survives for the next match and one
+    replace() is an exact left-to-right NON-OVERLAPPING sweep — the
+    same semantics as the Spark fold and the pandas encoder. (The r7
+    single-pipe version consumed the shared boundary and under-merged
+    adjacent repeats — green only because the fixture corpus lacked
+    such words; tests/test_bpe.py::test_oracle_expr_adjacent_repeats
+    pins it.) A pattern can never match inside a longer token: the
+    '||' in the pattern only aligns to a real boundary, and the
+    single-pipe anchors force a and b to be complete tokens.
+    Token count = pipes/2 − 1."""
     from bio_lakehouse_spark.operators.bpe import PRETRAINED_MERGES_V1
 
-    s = "'|' || regexp_replace(word, '(.)', '\\1|', 'g')"
+    s = f"'||' || regexp_replace({word_sql}, '(.)', '\\1||', 'g')"
     for a, b in PRETRAINED_MERGES_V1:
-        s = f"replace({s}, '|{a}|{b}|', '|{a}{b}|')"
+        s = f"replace({s}, '|{a}||{b}|', '|{a}{b}|')"
+    return s
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB oracle for the fixed-merge BPE encoder — an INDEPENDENT
+    greedy-BPE implementation via boundary-anchored string replaces
+    (see _bpe_word_expr)."""
     return f"""
 WITH w AS (
   SELECT doc_id, unnest({_W}) AS word FROM documents
 ), enc AS (
   SELECT doc_id,
-         {s} AS s
+         {_bpe_word_expr()} AS s
   FROM w
 )
 SELECT doc_id,
-       CAST(SUM(length(s) - length(replace(s, '|', '')) - 1) AS BIGINT)
+       CAST(SUM((length(s) - length(replace(s, '|', ''))) / 2 - 1) AS BIGINT)
          AS n_bpe_tokens
 FROM enc GROUP BY doc_id
 """

@@ -97,3 +97,56 @@ def test_token_counter_seam_integration(spark, corpus, merges):
         ).collect()
     }
     assert via_seam == via_pipeline
+
+
+def test_oracle_expr_adjacent_repeats():
+    """ADVICE r7: the single-pipe oracle under-merged words with
+    back-to-back occurrences of a merge pair ('erer' under (e,r) →
+    3 tokens instead of 2) because one replace() consumed the shared
+    boundary pipe. The doubled-pipe expression must agree with the
+    pandas encoder on exactly those words — and on ordinary words,
+    merge-interaction words, and single chars."""
+    import duckdb
+
+    from bio_lakehouse_spark.operators.bpe import (
+        PRETRAINED_MERGES_V1,
+        bpe_token_counter,
+    )
+    from bio_lakehouse_spark.suite.text_queries import _bpe_word_expr
+
+    def encode_len(w: str) -> int:
+        toks = list(w)
+        for a, b in PRETRAINED_MERGES_V1:
+            out = []
+            for t in toks:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            toks = out
+        return len(toks)
+
+    words = [
+        "erer", "ererer", "erere",          # adjacent repeats of (e,r)
+        "inin", "orador", "arar", "parpar",  # more repeat shapes
+        "stst", "atat", "anan", "cancan",
+        "parar",                             # merge interaction (a,r)->(p,ar)
+        "merer",                             # (e,r) then (m,er) then dangling er
+        "e", "r", "x", "word", "pattern", "canonical",
+    ]
+    con = duckdb.connect()
+    expr = _bpe_word_expr("word")
+    for w in words:
+        s = con.execute(
+            f"SELECT {expr} AS s FROM (SELECT '{w}' AS word)"
+        ).fetchone()[0]
+        n_oracle = (len(s) - len(s.replace("|", ""))) // 2 - 1
+        assert n_oracle == encode_len(w), (
+            f"{w}: oracle {n_oracle} ({s}) vs encoder {encode_len(w)}"
+        )
+    # the specific ADVICE case: erer must be 2, not 3
+    s = con.execute(
+        f"SELECT {expr} AS s FROM (SELECT 'erer' AS word)"
+    ).fetchone()[0]
+    assert s == "||er||er||"
+    con.close()

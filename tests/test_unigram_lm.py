@@ -160,3 +160,39 @@ def test_every_corpus_word_segments_under_pretrained(spark):
         F.col("millibits") >= _BIG // _PIECES_SCALE
     ).count()
     assert bad == 0
+
+
+def test_overlong_word_packing_guard(spark):
+    """ADVICE r7: dp = millibits*64 + n_pieces corrupts for words of
+    length >= _PIECES_SCALE (piece count bleeds into the millibits
+    field). Both encoders must guard: Spark falls back to char count
+    with NULL millibits; the pandas seam encoder returns char count."""
+    import pandas as pd
+
+    from bio_lakehouse_spark.operators.unigram_lm import (
+        _PIECES_SCALE,
+        PRETRAINED_UNIGRAM_V1,
+        unigram_token_counter,
+        unigram_word_tokens,
+    )
+
+    long_word = "ab" * _PIECES_SCALE  # length 128 >= 64
+    short_word = "data"
+    df = spark.createDataFrame(
+        [(long_word,), (short_word,)], ["word"]
+    )
+    rows = {
+        r["word"]: r
+        for r in unigram_word_tokens(
+            df, "word", PRETRAINED_UNIGRAM_V1
+        ).collect()
+    }
+    assert rows[long_word]["n_tokens"] == len(long_word)
+    assert rows[long_word]["millibits"] is None
+    assert 0 < rows[short_word]["n_tokens"] <= len(short_word)
+    assert rows[short_word]["millibits"] is not None
+
+    counter = unigram_token_counter(PRETRAINED_UNIGRAM_V1)
+    out = counter(pd.Series([long_word, short_word]))
+    assert out.iloc[0] == len(long_word)
+    assert out.iloc[1] == rows[short_word]["n_tokens"]
