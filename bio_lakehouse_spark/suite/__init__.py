@@ -23,4 +23,7 @@ from bio_lakehouse_spark.suite import pipeline_queries  # noqa: F401
 from bio_lakehouse_spark.suite import hypothesis_queries  # noqa: F401
 from bio_lakehouse_spark.suite import graph_queries  # noqa: F401
 
+# after hypothesis_queries: reuses its registered batch oracle
+from bio_lakehouse_spark.suite import streaming_queries  # noqa: F401
+
 __all__ = ["REGISTRY", "QuerySpec", "load"]

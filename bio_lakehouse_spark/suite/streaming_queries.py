@@ -1,0 +1,112 @@
+"""Driver-certified streaming queries.
+
+VERDICT r7 #7: the streaming mSPRT monitor was pytest-only
+(stream ≡ batch + replay idempotence in tests/test_streaming_monitor.py)
+— this module puts its RESTART semantics under the driver's
+differential gate. ``msprt_streaming_replay`` feeds the events table
+through the real Structured Streaming job across THREE separate
+``start()``s of the same checkpointed query (initial run, restart
+with late-landed data, restart with nothing new — the crash-repair
+path), then returns the trajectory recomputed from the persistent
+state table. Its oracle is byte-for-byte the certified
+``msprt_sequential_daily`` batch oracle, so a green row certifies
+stream-across-restarts ≡ batch.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
+from bio_lakehouse_spark.suite.registry import REGISTRY, load, register
+
+R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+_EVENT_SCHEMA = "event_id long, ts string, event_type string, value double"
+
+
+def _land(ev: DataFrame, landing: str, bucket: int) -> None:
+    """Append one third of the events (pmod(event_id, 3) == bucket)
+    to the landing dir as JSON — new part-files, which the next
+    stream start discovers as new input."""
+    (
+        ev.where(F.pmod("event_id", F.lit(3)) == bucket)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .write.mode("append")
+        .json(landing)
+    )
+
+
+@register(
+    "msprt_streaming_replay",
+    survey=("ST11", "ST10", "S12"),
+    # The exact batch oracle: stream-across-restarts must equal the
+    # all-at-once computation. hypothesis_queries is imported before
+    # this module (suite/__init__ order), so the registry has it.
+    oracle=REGISTRY["msprt_sequential_daily"].oracle,
+)
+def msprt_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid mSPRT trajectory computed by the STREAMING monitor
+    (streaming/monitor.stream_msprt_monitor) across three restarts of
+    one checkpointed query: (1) two thirds of the events land and the
+    job runs to availableNow-completion; (2) the last third lands and
+    the SAME query restarts from its checkpoint, folding only the new
+    files into the batch_id-guarded state table; (3) a final restart
+    with no new input exercises the crash-repair republish path (a
+    no-op on state). The returned frame is ``msprt_from_state`` —
+    the trajectory as a pure function of the persistent state — with
+    the same column contract as ``msprt_sequential_daily``, whose
+    batch oracle this query shares verbatim. Per-batch cost is
+    O(batch + days); state grows one row per (batch, day), never per
+    event."""
+    from bio_lakehouse_spark.streaming.monitor import (
+        msprt_from_state,
+        stream_msprt_monitor,
+    )
+
+    root = fixture_path("msprt_stream", sf_dir)
+    done = root.parent / (root.name + "_DONE")
+    landing = str(root / "landing")
+    state = str(root / "state")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+
+    def _run() -> None:
+        q = stream_msprt_monitor(
+            spark,
+            landing_dir=landing,
+            state_dir=state,
+            out_dir=out,
+            checkpoint_dir=ckpt,
+            schema=_EVENT_SCHEMA,
+        )
+        q.awaitTermination(600)
+
+    if not done.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events")
+        _land(ev, landing, 0)
+        _land(ev, landing, 1)
+        _run()                    # initial run: two thirds
+        _land(ev, landing, 2)
+        _run()                    # restart: folds only the new files
+        _run()                    # restart with nothing new: no-op
+        done.touch()
+
+    traj = msprt_from_state(spark, state, tau2=1.0)
+    return traj.select(
+        "date",
+        "n_treat",
+        "n_ctrl",
+        R6(F.col("theta")).alias("theta"),
+        R6(F.col("log_lambda")).alias("log_lambda"),
+        R6(F.col("p_always_valid")).alias("p_always_valid"),
+    )

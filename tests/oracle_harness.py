@@ -83,11 +83,23 @@ def _dtype_family(s: pd.Series) -> str:
 
 def _repr_cell(v) -> str:
     """The driver's value-hash token for one cell: the post-round
-    repr, signed zeros and Decimal trailing zeros included."""
+    repr, signed zeros and Decimal trailing zeros included. Dates and
+    midnight timestamps normalize to the same ISO day string — the
+    driver treats Spark DATE ≡ DuckDB DATE even when pandas
+    materializes one side as datetime64 (msprt_sequential_daily is
+    driver-green with exactly that split)."""
     if v is None:
         return "None"
+    if isinstance(v, str):
+        # _canon already isoformats object-dtype dates to plain
+        # strings; compare string content, not its quoted repr, so
+        # those meet the Timestamp normalization below.
+        return v
     if isinstance(v, float) and math.isnan(v):
         return "nan"
+    if hasattr(v, "isoformat"):
+        iso = v.isoformat()
+        return iso[:10] if iso[10:] in ("", "T00:00:00") else iso
     return repr(v)
 
 
