@@ -669,3 +669,25 @@ def test_unigram_encode_plan_is_one_pass_plus_broadcast(spark, sf_dir):
     assert "Window" not in plan
     for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert python_node not in plan, python_node
+
+
+def test_entity_resolution_blocking_is_keyed_hash_join(spark, sf_dir):
+    """entity_resolution_fs (r8 re-block): both Splink-style blocking
+    rules must compile to equi-KEYED hash joins (broadcast here, SMJ
+    under AQE at scale) on the fine blocking keys — never a nested
+    loop — and the pair dedupe is one aggregate exchange. The r7
+    version's single nation×2000-wide-bucket key made block size grow
+    with N (candidate pairs ∝ N²/150); the fine keys are what this
+    test pins."""
+    plan = _plan(spark, sf_dir, "entity_resolution_fs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # two blocking joins, each equi-keyed (only the custkey ordering
+    # stays a non-equi condition)
+    n_hash_joins = plan.count("BroadcastHashJoin") + plan.count(
+        "SortMergeJoin"
+    ) + plan.count("ShuffledHashJoin")
+    assert n_hash_joins >= 2, plan
+    # the fine blocking keys appear as join keys
+    assert "bal_band" in plan
+    assert "suffix" in plan

@@ -194,9 +194,61 @@ def _fact_ops(spark):
     def msprt(t):
         return msprt_two_sample(daily_arm_sums(t["events"]))
 
+    def fs_linkage(t):
+        # entity_resolution_fs's multi-rule blocked pair generation +
+        # score rollup (suite/relational.py). NOTE on interpretation:
+        # replicate_facts copies records VERBATIM under new custkeys,
+        # so every copy of a record shares every blocking attribute —
+        # matching pairs genuinely grow ∝ dup² in this data, for any
+        # attribute blocking. What the probe certifies is that the
+        # measured time tracks the CANDIDATE-PAIR count (bounded by
+        # the fine multi-rule blocks), not an all-pairs nation×bucket
+        # explosion like the r7 version's.
+        cust = t["customer"]
+        rec = cust.select(
+            "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment",
+            F.expr("floor(c_acctbal / 100.0)").alias("bal_band"),
+            F.expr("right(c_name, 2)").alias("suffix"),
+        )
+        a, b = rec.alias("a"), rec.alias("b")
+        cols = [
+            F.col("a.c_custkey").alias("ka"),
+            F.col("b.c_custkey").alias("kb"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
+            (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal"))
+             < 100.0).alias("g2"),
+            (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
+        ]
+        r1 = a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.bal_band") == F.col("b.bal_band"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ).select(*cols)
+        r2 = a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.suffix") == F.col("b.suffix"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ).select(*cols)
+        pairs = r1.unionByName(r2).dropDuplicates(["ka", "kb"])
+        return (
+            pairs.select(
+                (F.when(F.col("g1"), 1.0986122886681098)
+                 .otherwise(-1.9459101490553132)
+                 + F.when(F.col("g2"), 2.833213344056216)
+                 .otherwise(-1.845826690498331)
+                 + F.when(F.col("g3"), 4.553876891600541)
+                 .otherwise(-2.9856819377004893)).alias("score")
+            )
+            .groupBy((F.col("score") >= 4.0).alias("is_link"))
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg"))
+        )
+
     return {"decision_stump": stump, "gbdt_two_round": gbdt,
             "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
-            "msprt_daily": msprt}
+            "msprt_daily": msprt, "fs_linkage": fs_linkage}
 
 
 def replicate_facts(spark, mult: int):
