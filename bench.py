@@ -135,29 +135,84 @@ HEADLINE = [
 
 # The HEADLINE list above is PINNED (same membership every round) so
 # round-over-round totals are apples-to-apples. Queries not in it are
-# still benched on a rotation: each bench run times a deterministic
-# 32-query slice of the remaining registry, advanced by round index
-# (inferred from the BENCH_r*.json files the driver leaves in the repo
-# root), so the whole registry gets a perf datapoint about every 4
-# rounds without inflating the comparable headline total.
+# still benched on a rotation: each bench run times a 32-query slice
+# of the remaining registry, chosen COVERAGE-FIRST (r8, VERDICT r7
+# #6): never-recorded queries first, then least-recently-recorded,
+# judged from the BENCH_r*.json files the driver leaves in the repo
+# root. A registry that grew 131 → 276 under the old fixed-stride
+# rotation had accumulated 95 never-benched queries; this ordering
+# drains that tail in ~3 rounds and then degrades to oldest-first
+# round-robin.
 ROTATION_SLICE = 32
+
+
+_COVERAGE_FILE = "bench_coverage.json"
+
+
+def _current_round() -> int:
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        return 1 + len(
+            [f for f in os.listdir(here)
+             if f.startswith("BENCH_r") and f.endswith(".json")]
+        )
+    except OSError:
+        return 1
+
+
+def _last_benched_round() -> dict[str, int]:
+    """name → latest round with a recorded sf0.1 timing. Two sources,
+    max-merged: the cumulative ledger bench.py itself maintains
+    (bench_coverage.json — needed because the driver's BENCH_r{N}
+    stdout line truncates to the slowest headline entries and the
+    full detail file is overwritten every run), and whatever the
+    parsed BENCH_r*.json lines do contain."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    try:
+        with open(os.path.join(here, _COVERAGE_FILE)) as fh:
+            last.update({k: int(v) for k, v in json.load(fh).items()})
+    except (OSError, ValueError):
+        pass
+    for f in sorted(os.listdir(here)):
+        if not (f.startswith("BENCH_r") and f.endswith(".json")):
+            continue
+        try:
+            rnd = int(f[len("BENCH_r"):-len(".json")])
+            with open(os.path.join(here, f)) as fh:
+                parsed = (json.load(fh) or {}).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        for sect in ("queries", "rotation"):
+            for name in parsed.get(sect) or {}:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _update_coverage(timed: list[str]) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, _COVERAGE_FILE)
+    last = {}
+    try:
+        with open(path) as fh:
+            last = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    rnd = _current_round()
+    for name in timed:
+        last[name] = max(int(last.get(name, 0)), rnd)
+    with open(path, "w") as fh:
+        json.dump(dict(sorted(last.items())), fh, indent=1)
 
 
 def rotation_queries() -> tuple[list[str], int]:
     extras = sorted(set(REGISTRY) - set(HEADLINE))
     if not extras:
         return [], 0
-    here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        round_idx = len(
-            [f for f in os.listdir(here)
-             if f.startswith("BENCH_r") and f.endswith(".json")]
-        )
-    except OSError:
-        round_idx = 0
-    start = (round_idx * ROTATION_SLICE) % len(extras)
-    picked = (extras + extras)[start : start + ROTATION_SLICE]
-    return picked[: len(extras)], start
+    last = _last_benched_round()
+    ordered = sorted(extras, key=lambda n: (last.get(n, -1), n))
+    never = sum(1 for n in extras if n not in last)
+    return ordered[:ROTATION_SLICE], never
 
 
 def main() -> None:
@@ -272,7 +327,9 @@ def main() -> None:
         "subset": {
             "headline": "pinned-v6",
             "n_headline": len(HEADLINE),
-            "rotation_start": rotation_start,
+            # coverage-first rotation (r8): count of never-recorded
+            # queries remaining BEFORE this run's slice
+            "rotation_never_benched_before": rotation_start,
             "rotation_slice": len(rotation),
         },
         "rotation": rotation_timings,
@@ -289,6 +346,10 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+    _update_coverage(
+        [n for n, t in timings.items() if t is not None]
+        + [n for n, t in rotation_timings.items() if t is not None]
+    )
 
     out = {
         "metric": "suite_headline_total",

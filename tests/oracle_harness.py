@@ -89,14 +89,17 @@ def _repr_cell(v) -> str:
     materializes one side as datetime64 (msprt_sequential_daily is
     driver-green with exactly that split)."""
     if v is None:
-        return "None"
+        return "null"
     if isinstance(v, str):
         # _canon already isoformats object-dtype dates to plain
         # strings; compare string content, not its quoted repr, so
         # those meet the Timestamp normalization below.
         return v
-    if isinstance(v, float) and math.isnan(v):
-        return "nan"
+    try:
+        if pd.isna(v):  # NaN, NaT, pd.NA — all one null token, like
+            return "null"  # the driver (safe_cast_mixed_dates is
+    except (TypeError, ValueError):  # green with None vs NaT)
+        pass
     if hasattr(v, "isoformat"):
         iso = v.isoformat()
         return iso[:10] if iso[10:] in ("", "T00:00:00") else iso
