@@ -999,3 +999,78 @@ def logrank_two_groups(obs: DataFrame) -> DataFrame:
         F.sum("e1").alias("exp_events_g1"),
         chi.alias("logrank_chi2"),
     )
+
+
+def isotonic_fit_ordered(
+    df: DataFrame, order_col: str, y_col: str, w_col: str
+) -> DataFrame:
+    """Weighted L2 isotonic regression (pool-adjacent-violators fit)
+    over an ORDERED, BOUNDED frame — e.g. a daily-grain calibration
+    series, never raw events. Uses the minimax characterization
+    ŷ(k) = max_{i≤k} min_{j≥k} Ā(i,j) with Ā the weighted mean of
+    y over positions i..j (Robertson, Wright & Dykstra 1988, "Order
+    Restricted Statistical Inference", §1.2 — equivalent to PAV but
+    expressible as two windowed passes over the O(D²) position-pair
+    frame instead of an inherently sequential pool merge).
+
+    Scale shape: the quadratic pair frame is quadratic in the GROUP
+    count D (days), not rows — the aggregation producing the daily
+    frame is what scales; D² stays thousands when D is a quarter of
+    daily grain. Returns the input columns plus ``y_fit``.
+    """
+    w = F.col(w_col).cast("double")
+    y = F.col(y_col).cast("double")
+    idx = df.select(
+        F.col(order_col).alias("_ord"),
+        w.alias("_w"),
+        y.alias("_y"),
+    ).withColumn(
+        "_k",
+        F.row_number().over(Window.orderBy("_ord")),
+    )
+    cum = idx.select(
+        "*",
+        F.sum(F.col("_w") * F.col("_y"))
+        .over(Window.orderBy("_k"))
+        .alias("_p"),
+        F.sum("_w").over(Window.orderBy("_k")).alias("_cw"),
+    )
+    i = cum.select(
+        F.col("_k").alias("ik"),
+        (F.col("_p") - F.col("_w") * F.col("_y")).alias("p_before"),
+        (F.col("_cw") - F.col("_w")).alias("w_before"),
+    )
+    j = cum.select(
+        F.col("_k").alias("jk"), F.col("_p").alias("p_j"),
+        F.col("_cw").alias("w_j"),
+    )
+    pairs = i.join(j, F.col("jk") >= F.col("ik")).select(
+        "ik",
+        "jk",
+        (
+            (F.col("p_j") - F.col("p_before"))
+            / (F.col("w_j") - F.col("w_before"))
+        ).alias("a"),
+    )
+    # min over j' >= jk for fixed ik: suffix running-min on the j axis
+    bmin = pairs.select(
+        "ik",
+        "jk",
+        F.min("a")
+        .over(
+            Window.partitionBy("ik")
+            .orderBy(F.desc("jk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("bmin"),
+    )
+    fit = bmin.groupBy("jk").agg(F.max("bmin").alias("y_fit"))
+    return (
+        idx.join(fit, idx["_k"] == fit["jk"])
+        .select(
+            F.col("_ord").alias(order_col),
+            F.col("_w").alias(w_col),
+            F.col("_y").alias(y_col),
+            "y_fit",
+        )
+    )

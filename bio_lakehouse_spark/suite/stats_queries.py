@@ -3291,3 +3291,65 @@ def uplift_two_model_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "isotonic_calibration_daily",
+    survey=("ST7", "W2", "A1"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS w,
+         AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT d, w, y, ROW_NUMBER() OVER (ORDER BY d) AS k FROM daily
+), cum AS (
+  SELECT *, SUM(w * y) OVER (ORDER BY k) AS p,
+         SUM(w) OVER (ORDER BY k) AS cw
+  FROM idx
+), pairs AS (
+  SELECT i.k AS ik, j.k AS jk,
+         (j.p - (i.p - i.w * i.y)) / (j.cw - (i.cw - i.w)) AS a
+  FROM cum i JOIN cum j ON j.k >= i.k
+), b AS (
+  SELECT ik, jk,
+         MIN(a) OVER (PARTITION BY ik ORDER BY jk DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS bmin
+  FROM pairs
+), fit AS (
+  SELECT jk, MAX(bmin) AS y_fit FROM b GROUP BY jk
+)
+SELECT x.d AS date, CAST(x.w AS BIGINT) AS n_events,
+       ROUND(x.y, 6) AS rate_raw, ROUND(f.y_fit, 6) AS rate_fit
+FROM idx x JOIN fit f ON f.jk = x.k
+""",
+)
+def isotonic_calibration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted isotonic (monotone nondecreasing) regression of the
+    daily purchase rate — the PAV fit every score-calibration layer
+    (sklearn IsotonicRegression, ads pCTR calibration) runs, computed
+    DISTRIBUTED via the minimax characterization ŷ(k) =
+    max_{i≤k} min_{j≥k} weightedmean(y[i..j]) instead of the
+    inherently sequential pool-merge (operators/stats.
+    isotonic_fit_ordered). The O(D²) position-pair frame is quadratic
+    in DAYS, never rows — the daily aggregate underneath is the only
+    corpus-scale pass. The oracle mirrors the same two windowed
+    passes in SQL; isotonicity + mean preservation are
+    property-pinned in tests/test_hypothesis_stats.py."""
+    from bio_lakehouse_spark.operators.stats import isotonic_fit_ordered
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)
+        ).alias("rate"),
+    )
+    out = isotonic_fit_ordered(daily, "date", "rate", "n_events")
+    return out.select(
+        "date",
+        F.col("n_events").cast("long").alias("n_events"),
+        R6(F.col("rate")).alias("rate_raw"),
+        R6(F.col("y_fit")).alias("rate_fit"),
+    )

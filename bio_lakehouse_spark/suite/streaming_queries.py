@@ -110,3 +110,83 @@ def msprt_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("log_lambda")).alias("log_lambda"),
         R6(F.col("p_always_valid")).alias("p_always_valid"),
     )
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@register(
+    "stream_dedup_ingest_replay",
+    survey=("A11", "F9", "S12"),
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')))
+         AS text_hash,
+       CAST(1 AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
+""",
+)
+def stream_dedup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once corpus construction by the STREAMING exact-dedup
+    ingest (streaming/ingest.stream_documents_dedup_ingest) across
+    three restarts of one checkpointed query: two thirds of the
+    documents land and the job runs to completion, the last third
+    lands and the job restarts from its checkpoint, then a final
+    restart with nothing new exercises the no-op path. The returned
+    frame is the ingested corpus grouped by normalized-text
+    fingerprint with its row count — the contract is the core
+    exact-dedup invariant, ONE corpus row per distinct normalized
+    text, no matter how the file source grouped the landed files
+    into microbatches (which id survives is batch-order-dependent by
+    design — first batch wins — so the id itself is deliberately NOT
+    in the hash contract; the keep-min-per-batch policy is pinned in
+    tests/test_streaming_ivm.py). Oracle: the certified dedup_exact
+    grouping over the same documents, n_rows ≡ 1."""
+    from bio_lakehouse_spark.operators.textops import fingerprint_exact
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_dedup_ingest,
+    )
+
+    root = fixture_path("dedup_stream", sf_dir)
+    done = root.parent / (root.name + "_DONE")
+    landing = str(root / "landing")
+    corpus = str(root / "corpus")
+    fps = str(root / "fingerprints")
+    ckpt = str(root / "ckpt")
+
+    def _run() -> None:
+        q = stream_documents_dedup_ingest(
+            spark,
+            landing_dir=landing,
+            corpus_dir=corpus,
+            fingerprint_dir=fps,
+            checkpoint_dir=ckpt,
+            schema=_DOC_SCHEMA,
+        )
+        q.awaitTermination(600)
+
+    if not done.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+
+        def land(bucket: int) -> None:
+            (
+                docs.where(F.pmod("doc_id", F.lit(3)) == bucket)
+                .write.mode("append")
+                .json(landing)
+            )
+
+        land(0)
+        land(1)
+        _run()                    # initial run: two thirds
+        land(2)
+        _run()                    # restart: only the new files fold in
+        _run()                    # restart with nothing new: no-op
+        done.touch()
+
+    got = spark.read.parquet(corpus)
+    return (
+        got.groupBy(fingerprint_exact("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

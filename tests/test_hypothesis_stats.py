@@ -338,3 +338,37 @@ def test_cox_ph_newton_matches_numpy(spark):
     assert got["n_events"] == int(ev.sum())
     # scale = exp(−0.8x): high x → short durations → positive hazard β
     assert got["beta"] > 0.3
+
+
+def test_isotonic_fit_properties(spark):
+    """The minimax isotonic fit must (1) be nondecreasing in the
+    order, (2) preserve the weighted mean, (3) reproduce known PAV
+    poolings exactly, (4) be idempotent on already-monotone input."""
+    from bio_lakehouse_spark.operators.stats import isotonic_fit_ordered
+
+    # classic PAV example: violator (3, 1) pools to 2, then stays
+    rows = [(1, 1.0, 1.0), (2, 1.0, 3.0), (3, 1.0, 1.0), (4, 1.0, 4.0)]
+    df = spark.createDataFrame(rows, ["t", "w", "y"])
+    got = {
+        r["t"]: r["y_fit"]
+        for r in isotonic_fit_ordered(df, "t", "y", "w").collect()
+    }
+    assert got == {1: 1.0, 2: 2.0, 3: 2.0, 4: 4.0}
+
+    # weighted pooling: (3 w=1, 1 w=3) pools to 1.5
+    rows = [(1, 1.0, 0.0), (2, 1.0, 3.0), (3, 3.0, 1.0)]
+    df = spark.createDataFrame(rows, ["t", "w", "y"])
+    out = isotonic_fit_ordered(df, "t", "y", "w").orderBy("t").collect()
+    fits = [r["y_fit"] for r in out]
+    assert fits == [0.0, 1.5, 1.5]
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    assert abs(
+        sum(r["w"] * r["y_fit"] for r in out)
+        - sum(r["w"] * r["y"] for r in out)
+    ) < 1e-9
+
+    # idempotence on monotone input
+    rows = [(i, 2.0, float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, ["t", "w", "y"])
+    out = isotonic_fit_ordered(df, "t", "y", "w").orderBy("t").collect()
+    assert [r["y_fit"] for r in out] == [float(i) for i in range(1, 7)]
