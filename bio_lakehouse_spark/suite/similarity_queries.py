@@ -1743,46 +1743,79 @@ def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_row = F.broadcast(
         emb.agg((F.count(F.lit(1)) * 1.0).alias("n"))
     )
-    centered = emb.crossJoin(mrow).select(
+    # single-split fixture → the 2080-structs-per-row explode below
+    # would run as ONE task; spread to session parallelism first
+    # (no-op on a multi-split production input)
+    from bio_lakehouse_spark.suite.registry import spread
+
+    centered = spread(emb, "vec_id", barrier=True).crossJoin(mrow).select(
         F.expr(
             "zip_with(embedding, mean_arr,"
             " (x, m) -> cast(x as double) - m)"
         ).alias("cvec")
     )
+    # Upper triangle only (r8, after the tail sweep flagged 6 s at
+    # sf0.1): the outer-product explode was the whole cost — d² = 4096
+    # structs per row; symmetry halves it to d(d+1)/2 = 2080 and the
+    # mirror happens AFTER aggregation on the d²-bounded frame.
     prods = centered.select(
         F.explode(
             F.expr(
                 "flatten(transform(cvec, (xi, i) ->"
-                " transform(cvec, (xj, j) ->"
-                " struct(i as i, j as j, xi * xj as p))))"
+                " transform(slice(cvec, i + 1, size(cvec) - i),"
+                " (xj, dj) ->"
+                " struct(i as i, i + dj as j, xi * xj as p))))"
             )
         ).alias("t")
     ).select("t.i", "t.j", "t.p")
-    cov = (
+    tri = (
         prods.groupBy("i", "j")
         .agg(F.sum("p").alias("ps"))
         .crossJoin(n_row)
         .select("i", "j", (F.col("ps") / F.col("n")).alias("c"))
-        .localCheckpoint()
     )
-    v = emb.sparkSession.range(d).select(
-        F.col("id").cast("int").alias("i"), F.lit(0.125).alias("val")
+    cov = tri.unionByName(
+        tri.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
     )
-    z = None
+    # All 3 power iterations as HOF expressions over ONE row holding
+    # the packed row-major covariance (d² doubles) — the one-row
+    # parameter-frame pattern (Cox/GMM/logistic). One tiny
+    # checkpointed job per step: the checkpoint is load-bearing, NOT
+    # just plan hygiene — without it project-collapse inlines step
+    # k−1's vector into step k's per-element lambdas and the
+    # interpreted cost multiplies by d per step (measured: >300 s for
+    # the fully-nested 3-step expression vs milliseconds stepped).
+    cmat_row = cov.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "j", "c"))),
+            lambda s: s["c"],
+        ).alias("cmat")
+    )
+    dims = f"sequence(0, {d - 1})"
+    row = cmat_row.select(
+        "cmat", F.expr(f"transform({dims}, i -> 0.125d)").alias("v")
+    ).localCheckpoint()
+    mat_u = (
+        f"transform({dims}, i -> aggregate({dims}, 0d,"
+        f" (acc, j) -> acc + cmat[i * {d} + j] * v[j]))"
+    )
+    z_of_u = "sqrt(aggregate(u, 0d, (acc, x) -> acc + x * x))"
     for _ in range(3):
-        u = (
-            cov.join(v.withColumnRenamed("i", "j"), "j")
-            .groupBy(cov["i"])
-            .agg(F.sum(F.col("c") * F.col("val")).alias("uv"))
+        row = (
+            row.select("cmat", F.expr(mat_u).alias("u"))
+            .select(
+                "cmat",
+                F.expr(f"transform(u, x -> x / ({z_of_u}))").alias("v"),
+                F.expr(z_of_u).alias("z"),
+            )
+            .localCheckpoint()
         )
-        z = F.broadcast(
-            u.agg(F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("z"))
-        )
-        v = u.crossJoin(z).select(
-            "i", (F.col("uv") / F.col("z")).alias("val")
-        ).localCheckpoint()
-    return v.crossJoin(z).select(
-        F.col("i").alias("dim"),
-        R6(F.col("val")).alias("loading"),
+    return row.select(
+        F.posexplode("v").alias("dim", "loading"), "z"
+    ).select(
+        "dim",
+        R6(F.col("loading")).alias("loading"),
         R6(F.col("z")).alias("eigenvalue"),
     ).orderBy("dim")
