@@ -126,6 +126,11 @@ def token_count_bpe_ish(col: Column | str) -> Column:
 # token counts — the adapter shape both sentencepiece and tiktoken
 # fit in one line, e.g.
 #     lambda s: s.map(lambda t: len(enc.encode(t)))
+# The LIBRARIES aren't needed for their model FILES (r8,
+# operators/tokenizer_files.py): `sentencepiece_token_counter(path)`
+# parses a real .model protobuf and runs it through the certified
+# unigram Viterbi DP; `tiktoken_token_counter(path)` parses a
+# .tiktoken rank table and byte-BPE encodes — both dependency-free.
 # The engine default stays the JVM-side regex proxy (zero Python in
 # the hot path); a caller with a real tokenizer pays one Arrow-batched
 # pandas UDF, never a row-at-a-time Python UDF.
