@@ -246,3 +246,81 @@ def audio_chunk_batches(
             )
 
     return df.select(id_col, content_col).mapInPandas(gen, schema)
+
+
+class HeaderDecoder(Decoder):
+    """REAL decoder for the two simple media formats that need no
+    library (r8 — shrinks the ``LibraryDecoder`` seam to compressed
+    formats only): uncompressed BMP (``image/bmp``) and PCM WAV
+    (``audio/wav``), both plain struct-packed headers + raw samples,
+    parsed with stdlib ``struct`` + numpy.
+
+    Contract mapping (DECODED_SCHEMA): BMP → (width, height,
+    channels = bytes/pixel, features = 8-octile means of the pixel
+    bytes / 255); WAV → (width = n_frames, height = 1, channels,
+    features = 8-band RMS of the normalized PCM16 signal). Unknown
+    media types delegate to ``fallback`` (default: FakeDecoder, so a
+    mixed corpus still decodes everything deterministically)."""
+
+    def __init__(self, fallback: Decoder | None = None):
+        self.fallback = fallback if fallback is not None else FakeDecoder()
+
+    def decode(self, content: bytes, media_type: str) -> tuple:
+        if media_type == "image/bmp" and content[:2] == b"BM":
+            return self._bmp(content)
+        if media_type == "audio/wav" and content[:4] == b"RIFF":
+            return self._wav(content)
+        return self.fallback.decode(content, media_type)
+
+    @staticmethod
+    def _octile_stats(arr, scale: float) -> list:
+        import numpy as np
+
+        if arr.size == 0:
+            return [0.0] * 8
+        chunks = np.array_split(arr.astype("float64"), 8)
+        return [
+            round(float(np.sqrt(np.mean(c * c)) / scale), 6) if c.size else 0.0
+            for c in chunks
+        ]
+
+    def _bmp(self, b: bytes) -> tuple:
+        import struct as _struct
+
+        import numpy as np
+
+        data_off = _struct.unpack_from("<I", b, 10)[0]
+        width = _struct.unpack_from("<i", b, 18)[0]
+        height = abs(_struct.unpack_from("<i", b, 22)[0])
+        bitcount = _struct.unpack_from("<H", b, 28)[0]
+        channels = max(1, bitcount // 8)
+        px = np.frombuffer(b, dtype=np.uint8, offset=data_off)
+        return width, height, channels, self._octile_stats(px, 255.0)
+
+    def _wav(self, b: bytes) -> tuple:
+        import struct as _struct
+
+        import numpy as np
+
+        # walk RIFF chunks: fmt_ then data (chunks are 2-byte padded)
+        pos, channels, bits = 12, 1, 16
+        data = b""
+        while pos + 8 <= len(b):
+            cid, size = b[pos : pos + 4], _struct.unpack_from("<I", b, pos + 4)[0]
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                channels = _struct.unpack_from("<H", body, 2)[0]
+                bits = _struct.unpack_from("<H", body, 14)[0]
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if bits == 16:
+            sig = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype("float64")
+            scale = 32768.0
+        else:  # 8-bit PCM is unsigned, centered at 128
+            sig = np.frombuffer(data, dtype=np.uint8).astype("float64") - 128.0
+            scale = 128.0
+        n_frames = sig.size // max(1, channels)
+        return n_frames, 1, channels, self._octile_stats(sig, scale)
