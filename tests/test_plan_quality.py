@@ -460,6 +460,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # n² where n = number of days, bounded whatever the raw-event
         # volume (the aggregation below it is what scales)
         "lowess_daily_trend",
+        # isotonic minimax position-pair frame: same days²-bounded
+        # class (the j ≥ i range join over the daily-grain frame)
+        "isotonic_calibration_daily",
         # scalar-aggregate joins: a ONE-ROW global stat (threshold,
         # corpus stats, bin spec, cohort size, rate table) broadcast
         # back onto the table — no equi-key exists, and the build side
