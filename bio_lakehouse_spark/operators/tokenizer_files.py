@@ -190,3 +190,52 @@ def tiktoken_token_counter(path: str):
         )
 
     return count_series
+
+
+# ---------------------------------------------------------------- writer
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_sentencepiece_model(
+    path: str, pieces: list[tuple[str, float]]
+) -> None:
+    """Write ``[(piece, score)]`` as a SentencePiece-compatible
+    ``.model`` ModelProto (the exact wire format the loader parses —
+    and the format the real sentencepiece library loads). Lets a
+    vocab trained by operators/unigram_lm ship to any sentencepiece
+    consumer, and gives the loader a byte-exact roundtrip target
+    (suite query ``sp_model_roundtrip_encode``)."""
+    with open(path, "wb") as fh:
+        for piece, score in pieces:
+            pb = piece.encode("utf-8")
+            body = (
+                _varint((1 << 3) | 2) + _varint(len(pb)) + pb
+                + _varint((2 << 3) | 5) + struct.pack("<f", score)
+                + _varint((3 << 3) | 0) + _varint(1)
+            )
+            fh.write(_varint((1 << 3) | 2) + _varint(len(body)) + body)
+
+
+def millibits_to_score(millibits: int) -> float:
+    """Integer millibit cost → sentencepiece ln-prob score (float32
+    rounded, matching what a .model file stores)."""
+    return struct.unpack(
+        "<f", struct.pack("<f", -millibits * math.log(2) / 1000.0)
+    )[0]
+
+
+def score_to_millibits(score: float) -> int:
+    """Inverse of millibits_to_score — exact for any realistic cost
+    (float32 keeps ~7 significant digits; millibit costs are ≤ ~10⁵,
+    so the roundtrip error is ≪ 0.5)."""
+    return max(1, round(-score / math.log(2) * 1000.0))

@@ -3553,3 +3553,53 @@ def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rnk")
     )
+
+
+@register(
+    "sp_model_roundtrip_encode",
+    survey=("F8", "F9", "S1"),
+    oracle=_unigram_oracle(),
+)
+def sp_model_roundtrip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentencepiece FILE seam certified end to end (r8,
+    operators/tokenizer_files): the frozen PRETRAINED_UNIGRAM_V1
+    vocab is exported as a REAL SentencePiece ``.model`` ModelProto
+    (write_sentencepiece_model), parsed back by the dependency-free
+    wire-format loader, converted score→millibits, and the corpus is
+    encoded through the certified distributed Viterbi DP with the
+    LOADED vocab — against the same independent unrolled-SQL oracle
+    as ``unigram_encode_fixed``. A green row proves the protobuf
+    writer/loader roundtrip is EXACT (any drift in a piece or its
+    float32 score changes token counts and reds the hash); a
+    vendor-trained .model drops into the identical path."""
+    import os
+
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        load_sentencepiece_model,
+        millibits_to_score,
+        score_to_millibits,
+        write_sentencepiece_model,
+    )
+    from bio_lakehouse_spark.operators.unigram_lm import (
+        PRETRAINED_UNIGRAM_V1,
+        unigram_token_counts,
+    )
+    from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
+
+    root = fixture_path("sp_model", sf_dir)
+    os.makedirs(root, exist_ok=True)
+    model_path = str(root / "unigram_v1.model")
+    write_sentencepiece_model(
+        model_path,
+        [(p, millibits_to_score(mb)) for p, mb in PRETRAINED_UNIGRAM_V1],
+    )
+    loaded = [
+        (p, score_to_millibits(s))
+        for p, s in load_sentencepiece_model(model_path)
+    ]
+    if loaded != list(PRETRAINED_UNIGRAM_V1):
+        raise AssertionError(
+            "sentencepiece .model roundtrip drifted from the frozen vocab"
+        )
+    docs = load(spark, sf_dir, "documents")
+    return unigram_token_counts(docs, "doc_id", "text", loaded)
