@@ -249,18 +249,20 @@ def audio_chunk_batches(
 
 
 class HeaderDecoder(Decoder):
-    """REAL decoder for the two simple media formats that need no
-    library (r8 — shrinks the ``LibraryDecoder`` seam to compressed
-    formats only): uncompressed BMP (``image/bmp``) and PCM WAV
-    (``audio/wav``), both plain struct-packed headers + raw samples,
-    parsed with stdlib ``struct`` + numpy.
+    """REAL decoder for the media formats that need no library
+    (r8 — shrinks the ``LibraryDecoder`` seam to video/lossy-audio
+    only): uncompressed BMP (``image/bmp``), PCM WAV (``audio/wav``),
+    and full PNG (``image/png`` — zlib inflate via the stdlib, all
+    five scanline filters, color types 0/2/3/4/6 at bit depth 8),
+    parsed with stdlib ``struct``/``zlib`` + numpy.
 
-    Contract mapping (DECODED_SCHEMA): BMP → (width, height,
-    channels = bytes/pixel, features = 8-octile means of the pixel
-    bytes / 255); WAV → (width = n_frames, height = 1, channels,
-    features = 8-band RMS of the normalized PCM16 signal). Unknown
-    media types delegate to ``fallback`` (default: FakeDecoder, so a
-    mixed corpus still decodes everything deterministically)."""
+    Contract mapping (DECODED_SCHEMA): BMP/PNG → (width, height,
+    channels, features = 8-octile RMS of the pixel bytes / 255);
+    WAV → (width = n_frames, height = 1, channels, features = 8-band
+    RMS of the normalized PCM16 signal). Unknown media types — and
+    PNG variants outside the supported profile (16-bit, Adam7) —
+    delegate to ``fallback`` (default: FakeDecoder, so a mixed corpus
+    still decodes everything deterministically)."""
 
     def __init__(self, fallback: Decoder | None = None):
         self.fallback = fallback if fallback is not None else FakeDecoder()
@@ -270,6 +272,14 @@ class HeaderDecoder(Decoder):
             return self._bmp(content)
         if media_type == "audio/wav" and content[:4] == b"RIFF":
             return self._wav(content)
+        if (
+            media_type == "image/png"
+            and content[:8] == b"\x89PNG\r\n\x1a\n"
+        ):
+            try:
+                return self._png(content)
+            except ValueError:
+                return self.fallback.decode(content, media_type)
         return self.fallback.decode(content, media_type)
 
     @staticmethod
@@ -296,6 +306,103 @@ class HeaderDecoder(Decoder):
         channels = max(1, bitcount // 8)
         px = np.frombuffer(b, dtype=np.uint8, offset=data_off)
         return width, height, channels, self._octile_stats(px, 255.0)
+
+    def _png(self, b: bytes) -> tuple:
+        """Full PNG decode with no media library: chunk walk →
+        IHDR/PLTE/IDAT → stdlib zlib inflate → per-scanline
+        un-filtering (None/Sub/Up/Average/Paeth, PNG spec §9).
+        Sub/Up are vectorized (per-lane cumsum / row add); Average
+        and Paeth carry a left-pixel dependency and run scalar.
+        Supported profile: bit depth 8, color types 0 (gray),
+        2 (RGB), 3 (palette → expanded to RGB), 4 (gray+alpha),
+        6 (RGBA), non-interlaced. Anything else raises ValueError
+        (→ caller falls back)."""
+        import struct as _struct
+        import zlib
+
+        import numpy as np
+
+        pos, meta, plte, idat = 8, None, None, bytearray()
+        while pos + 8 <= len(b):
+            size = _struct.unpack_from(">I", b, pos)[0]
+            cid = b[pos + 4 : pos + 8]
+            body = b[pos + 8 : pos + 8 + size]
+            if cid == b"IHDR":
+                meta = _struct.unpack(">IIBBBBB", body)
+            elif cid == b"PLTE":
+                plte = np.frombuffer(
+                    body[: len(body) // 3 * 3], dtype=np.uint8
+                ).reshape(-1, 3)
+            elif cid == b"IDAT":
+                idat += body
+            elif cid == b"IEND":
+                break
+            pos += 12 + size  # length + type + data + crc
+        if meta is None:
+            raise ValueError("PNG missing IHDR")
+        width, height, bitd, ctype, comp, filt, interlace = meta
+        n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if (
+            n_ch is None
+            or bitd != 8
+            or comp != 0
+            or filt != 0
+            or interlace != 0
+        ):
+            raise ValueError(
+                "unsupported PNG profile (need bit depth 8, "
+                "non-interlaced, color type 0/2/3/4/6)"
+            )
+        raw = zlib.decompress(bytes(idat))
+        stride = width * n_ch
+        if len(raw) < height * (stride + 1):
+            raise ValueError("PNG pixel data truncated")
+        px = np.zeros((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        off = 0
+        for y in range(height):
+            ftype = raw[off]
+            line = np.frombuffer(
+                raw, np.uint8, stride, off + 1
+            ).astype(np.int64)
+            off += 1 + stride
+            if ftype == 0:
+                recon = line
+            elif ftype == 1:  # Sub: per-channel-lane prefix sum
+                recon = (
+                    np.cumsum(line.reshape(-1, n_ch), axis=0).reshape(-1)
+                    & 0xFF
+                )
+            elif ftype == 2:  # Up
+                recon = (line + prev) & 0xFF
+            elif ftype in (3, 4):  # Average / Paeth: left-dependent
+                recon = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(recon[x - n_ch]) if x >= n_ch else 0
+                    up = int(prev[x])
+                    if ftype == 3:
+                        pred = (a + up) // 2
+                    else:
+                        c = int(prev[x - n_ch]) if x >= n_ch else 0
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        pred = (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (up if pb <= pc else c)
+                        )
+                    recon[x] = (line[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            px[y] = recon.astype(np.uint8)
+            prev = recon
+        flat = px.reshape(-1)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE chunk")
+            flat = plte[flat].reshape(-1)
+            n_ch = 3
+        return width, height, n_ch, self._octile_stats(flat, 255.0)
 
     def _wav(self, b: bytes) -> tuple:
         import struct as _struct
