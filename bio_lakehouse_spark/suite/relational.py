@@ -950,6 +950,63 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaro_winkler_name_pairs",
+    survey=("J6", "F8"),
+    oracle="""
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+WHERE a.p_name <> b.p_name
+  AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85
+""",
+)
+def jaro_winkler_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler near-match name pairs — the probabilistic string
+    comparator Spark has NO built-in for (DuckDB ships it as
+    ``jaro_winkler_similarity``, the oracle), implemented as a pure
+    SQL higher-order-function expression in
+    functions/strings.py:jaro_winkler_sql: the greedy match state
+    rides an ``aggregate`` fold over character positions, floored
+    transpositions via ``zip_with``, Winkler prefix boost gated at
+    jaro > 0.7 — semantics pinned byte-for-byte against DuckDB on
+    8,000 random pairs (tests/test_jaro_winkler.py). JVM-side
+    whole-stage codegen throughout, zero Python.
+
+    Complements `fuzzy_name_match` (bounded Levenshtein, same
+    blocked-pair shape): edit distance counts operations, JW rewards
+    shared prefixes — the comparator Splink/dedupe.io reach for on
+    person/product names. Blocked by (brand, type) so the quadratic
+    comparison stays per-block; equal names are excluded (exact
+    duplicates are `dedup_exact`'s job — this is the NEAR-match
+    band), threshold 0.85 on the rounded score keeps both engines'
+    boundary decisions identical."""
+    from bio_lakehouse_spark.functions.strings import jaro_winkler
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    a, b = part.alias("a"), part.alias("b")
+    jw = F.round(jaro_winkler("a.p_name", "b.p_name"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(F.col("a.p_name") != F.col("b.p_name"))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            jw.alias("jw_sim"),
+        )
+        .filter(F.col("jw_sim") >= 0.85)
+    )
+
+
+@register(
     "unpivot_order_metrics",
     survey=("SET1", "F9"),
     oracle="""
