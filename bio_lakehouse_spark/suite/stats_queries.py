@@ -3353,3 +3353,252 @@ def isotonic_calibration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("rate")).alias("rate_raw"),
         R6(F.col("y_fit")).alias("rate_fit"),
     )
+
+
+def _huber_irls_oracle(iters: int = 3) -> str:
+    """Unrolled-SQL twin of the Huber IRLS fit: OLS warm start, one
+    MAD-scale CTE, then one weighted-least-squares CTE per iteration
+    carrying (a, b, delta) scalars through a GROUP BY — the
+    logistic_gd_audit treatment applied to robust regression."""
+    sql = """
+WITH d AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS x,
+         ROUND(SUM(value), 6) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+), ols AS (
+  SELECT (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+           / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS b
+  FROM d
+), i0 AS (
+  SELECT (SELECT AVG(y) FROM d) - b * (SELECT AVG(x) FROM d) AS a, b
+  FROM ols
+), scale AS (
+  SELECT 1.345 * 1.4826 * MEDIAN(ABS(y - a - b * x)) AS delta
+  FROM d, i0
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        sql += f""", i{k} AS (
+  SELECT (swy - (swxy - swx * swy / sw)
+                 / (swxx - swx * swx / sw) * swx) / sw AS a,
+         (swxy - swx * swy / sw) / (swxx - swx * swx / sw) AS b
+  FROM (
+    SELECT SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * y) AS swy,
+           SUM(w * x * x) AS swxx, SUM(w * x * y) AS swxy
+    FROM (
+      SELECT x, y,
+             CASE WHEN ABS(y - a - b * x) <= delta THEN 1.0
+                  ELSE delta / ABS(y - a - b * x) END AS w
+      FROM d, {prev}, scale))
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(a, 6) AS intercept, ROUND(b, 6) AS slope,
+       ROUND(delta, 6) AS delta,
+       ROUND(AVG(CASE WHEN ABS(y - a - b * x) <= delta
+                      THEN 0.5 * (y - a - b * x) * (y - a - b * x)
+                      ELSE delta * (ABS(y - a - b * x) - 0.5 * delta)
+                 END), 6) AS huber_loss
+FROM d, {prev}, scale
+GROUP BY a, b, delta
+"""
+    return sql
+
+
+@register(
+    "huber_irls_audit",
+    survey=("ST14",),
+    oracle=_huber_irls_oracle(),
+)
+def huber_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust linear regression (Huber M-estimator) by IRLS,
+    differentially certified: OLS warm start on the daily
+    (n_events → total_value) frame, robust scale from the MAD of the
+    warm-start residuals (delta = 1.345·1.4826·median|r|, the
+    textbook 95%-efficiency tuning), then 3 weighted-least-squares
+    iterations with Huber weights w = min(1, delta/|r|). Every
+    iteration is ONE map-side-combinable aggregate with (a, b,
+    delta) riding along as a broadcast one-row frame — the
+    logistic_gd_audit shape; the median is a single exact-median
+    aggregate over the daily grain (cross-engine pinned by
+    mode_median_by_type). The DuckDB oracle unrolls the identical
+    arithmetic CTE-per-iteration, certifying the whole IRLS
+    trajectory. At 100 TB the daily grain is the only corpus-scale
+    pass; iterations touch a days-sized frame."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        R6(F.sum("value")).alias("y"),
+    )
+    ols = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b0 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    fit = ols.select(
+        (F.col("sy") / F.col("n") - b0 * F.col("sx") / F.col("n")).alias("a"),
+        b0.alias("b"),
+    )
+    r = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    scale = (
+        d.crossJoin(F.broadcast(fit))
+        .agg(
+            (1.345 * 1.4826 * F.expr("median(abs(y - a - b * x))")).alias(
+                "delta"
+            )
+        )
+    )
+    params = fit.crossJoin(F.broadcast(scale))
+    for _ in range(3):
+        w = F.when(F.abs(r) <= F.col("delta"), 1.0).otherwise(
+            F.col("delta") / F.abs(r)
+        )
+        sums = (
+            d.crossJoin(F.broadcast(params))
+            .groupBy("delta")
+            .agg(
+                F.sum(w).alias("sw"),
+                F.sum(w * F.col("x")).alias("swx"),
+                F.sum(w * F.col("y")).alias("swy"),
+                F.sum(w * F.col("x") * F.col("x")).alias("swxx"),
+                F.sum(w * F.col("x") * F.col("y")).alias("swxy"),
+            )
+        )
+        bn = (
+            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
+        ) / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
+        params = sums.select(
+            ((F.col("swy") - bn * F.col("swx")) / F.col("sw")).alias("a"),
+            bn.alias("b"),
+            "delta",
+        )
+    loss = F.when(
+        F.abs(r) <= F.col("delta"), 0.5 * r * r
+    ).otherwise(F.col("delta") * (F.abs(r) - 0.5 * F.col("delta")))
+    return (
+        d.crossJoin(F.broadcast(params))
+        .groupBy("a", "b", "delta")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg(loss).alias("huber_loss"),
+        )
+        .select(
+            F.col("n_days"),
+            R6(F.col("a")).alias("intercept"),
+            R6(F.col("b")).alias("slope"),
+            R6(F.col("delta")).alias("delta"),
+            R6(F.col("huber_loss")).alias("huber_loss"),
+        )
+    )
+
+
+def _poisson_irls_oracle(iters: int = 3) -> str:
+    """Unrolled-SQL twin of the Poisson-GLM Newton iterations: each
+    CTE carries (b0, b1) through a GROUP BY and applies the 2x2
+    closed-form Newton step on the log-link likelihood."""
+    sql = """
+WITH d AS (
+  SELECT EXTRACT(DAY FROM CAST(ts AS DATE)) / 31.0 AS x,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+), i0 AS (
+  SELECT LN(AVG(y)) AS b0, 0.0 AS b1 FROM d
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        sql += f""", i{k} AS (
+  SELECT b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01) AS b0,
+         b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01) AS b1
+  FROM (
+    SELECT b0, b1,
+           SUM(y - mu) AS g0, SUM(x * (y - mu)) AS g1,
+           SUM(mu) AS h00, SUM(x * mu) AS h01, SUM(x * x * mu) AS h11
+    FROM (SELECT d.*, b0, b1, EXP(b0 + b1 * x) AS mu FROM d, {prev})
+    GROUP BY b0, b1)
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+       ROUND(2.0 * SUM(CASE WHEN y > 0.0 THEN y * LN(y / mu) ELSE 0.0 END
+                       - (y - mu)), 6) AS deviance
+FROM (SELECT d.*, b0, b1, EXP(b0 + b1 * x) AS mu FROM d, {prev})
+GROUP BY b0, b1
+"""
+    return sql
+
+
+@register(
+    "poisson_glm_irls_audit",
+    survey=("ST14",),
+    oracle=_poisson_irls_oracle(),
+)
+def poisson_glm_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM (log link) by Newton/IRLS, differentially
+    certified: daily event COUNT regressed on day-of-month/31 with
+    3 unrolled Newton steps from the saturated-intercept start
+    b0 = ln(avg y) — gradient Sum(y − mu)·(1, x), Hessian
+    Sum(mu)·(1,x)(1,x)ᵀ inverted in closed 2×2 form, plus the final
+    model deviance. The count-data companion of logistic_gd_audit
+    (same one-row broadcast parameter frame, same
+    CTE-per-iteration oracle): each step is one map-side-combinable
+    aggregate over the days-grain frame — at 100 TB the daily
+    grouping is the only corpus-scale pass."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    ).select(
+        (F.dayofmonth("date") / 31.0).alias("x"), "y"
+    )
+    beta = d.agg(F.log(F.avg("y")).alias("b0")).select(
+        "b0", F.lit(0.0).alias("b1")
+    )
+    for _ in range(3):
+        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+        sums = (
+            d.crossJoin(F.broadcast(beta))
+            .groupBy("b0", "b1")
+            .agg(
+                F.sum(F.col("y") - mu).alias("g0"),
+                F.sum(F.col("x") * (F.col("y") - mu)).alias("g1"),
+                F.sum(mu).alias("h00"),
+                F.sum(F.col("x") * mu).alias("h01"),
+                F.sum(F.col("x") * F.col("x") * mu).alias("h11"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        beta = sums.select(
+            (
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det
+            ).alias("b1"),
+        )
+    mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    dev_term = F.when(
+        F.col("y") > 0.0, F.col("y") * F.log(F.col("y") / mu)
+    ).otherwise(0.0) - (F.col("y") - mu)
+    return (
+        d.crossJoin(F.broadcast(beta))
+        .groupBy("b0", "b1")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (2.0 * F.sum(dev_term)).alias("deviance"),
+        )
+        .select(
+            F.col("n_days"),
+            R6(F.col("b0")).alias("b0"),
+            R6(F.col("b1")).alias("b1"),
+            R6(F.col("deviance")).alias("deviance"),
+        )
+    )
