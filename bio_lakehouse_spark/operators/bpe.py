@@ -88,11 +88,15 @@ def _adjacent_pairs(toks: Column) -> Column:
     )
 
 
-def _apply_merge(toks: Column, a: str, b: str) -> Column:
+def _apply_merge(
+    toks: Column, a: str, b: str, merged_tok: str | None = None
+) -> Column:
     """Replace every left-to-right non-overlapping adjacent (a, b)
     with the merged token — greedy BPE merge application as a pure
-    JVM-side array fold (no UDF)."""
-    merged = F.lit(a + b)
+    JVM-side array fold (no UDF). ``merged_tok`` defaults to plain
+    concatenation (BPE); WordPiece passes ``a + b[2:]`` so the
+    continuation marker is not duplicated."""
+    merged = F.lit(a + b if merged_tok is None else merged_tok)
     return F.aggregate(
         toks,
         F.array().cast("array<string>"),

@@ -3310,6 +3310,99 @@ def bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, "doc_id", "text", PRETRAINED_MERGES_V1)
 
 
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB oracle for the fixed-vocab WordPiece encoder — an
+    INDEPENDENT greedy longest-match-first implementation as a
+    recursive CTE: each word advances one piece per recursion step,
+    the step's piece length is the MAX matching length from a
+    correlated range scan, and a no-match state terminates the word
+    as [UNK]. Encodes DISTINCT words once and joins counts back —
+    the same type/token shape as the Spark side."""
+    from bio_lakehouse_spark.operators.wordpiece import (
+        _CONT,
+        PRETRAINED_WORDPIECE_V1,
+    )
+
+    maxp = max(
+        len(v) - (len(_CONT) if v.startswith(_CONT) else 0)
+        for v in PRETRAINED_WORDPIECE_V1
+    )
+    vlist = "[" + ", ".join(
+        "'" + v.replace("'", "''") + "'" for v in PRETRAINED_WORDPIECE_V1
+    ) + "]"
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest({_W}) AS word FROM documents
+), dw AS (
+  SELECT DISTINCT word FROM w
+), enc AS (
+  SELECT word, 0 AS pos, 0 AS n, false AS unk FROM dw
+  UNION ALL
+  SELECT word,
+         CASE WHEN best IS NULL THEN length(word) ELSE pos + best END,
+         CASE WHEN best IS NULL THEN n ELSE n + 1 END,
+         best IS NULL
+  FROM (
+    SELECT word, pos, n,
+           (SELECT MAX(t.L)
+            FROM (SELECT unnest(range(1, {maxp + 1})) AS L) t
+            WHERE t.L <= length(word) - pos
+              AND list_contains({vlist},
+                    CASE WHEN pos = 0 THEN substr(word, 1, t.L)
+                         ELSE '{_CONT}' || substr(word, pos + 1, t.L)
+                    END)) AS best
+    FROM enc WHERE pos < length(word) AND NOT unk
+  )
+), done AS (
+  SELECT word,
+         CASE WHEN unk THEN 1 ELSE n END AS n_tokens,
+         CASE WHEN unk THEN 1 ELSE 0 END AS unk1
+  FROM enc WHERE pos >= length(word)
+)
+SELECT doc_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_wp_tokens,
+       CAST(SUM(unk1) AS BIGINT) AS n_unk_words
+FROM w JOIN done USING (word)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "wordpiece_encode_fixed",
+    survey=("F8", "F9", "A1"),
+    oracle=_wordpiece_oracle_sql(),
+)
+def wordpiece_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WordPiece token + UNK-word counts under the
+    shipped PRETRAINED_WORDPIECE_V1 vocabulary (operators/
+    wordpiece.py — from-scratch distributed WordPiece; the
+    likelihood-scored TRAINING is golden-gated in
+    tests/test_wordpiece.py since the merge loop is iterative, but
+    the greedy longest-match-first ENCODER is differentially
+    certified here). The third tokenizer family next to BPE
+    (merge-rank application) and unigram-LM (Viterbi DP) — WordPiece
+    encoding ignores merge order and matches greedily against the
+    final vocab, so its oracle is a genuinely different program: a
+    DuckDB recursive CTE advancing one piece per step. Spark side:
+    the greedy fold runs once per DISTINCT word (pure HOF
+    expressions, vocab as an array literal) + broadcast
+    word→counts join — the type/token leverage that makes encoding
+    a single corpus pass at 100 TB. The trained alphabet happens to
+    cover every word-initial char at the shipped SFs, so the corpus
+    run never produces [UNK]; the UNK contract (whole word → one
+    token) is pinned by unit parity tests
+    (tests/test_wordpiece.py) on words outside the alphabet."""
+    from bio_lakehouse_spark.operators.wordpiece import (
+        PRETRAINED_WORDPIECE_V1,
+        wordpiece_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return wordpiece_token_counts(
+        docs, "doc_id", "text", PRETRAINED_WORDPIECE_V1
+    )
+
+
 @register(
     "domain_mixture_weights",
     survey=("A6", "F11", "ST13"),
