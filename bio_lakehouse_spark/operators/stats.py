@@ -1074,3 +1074,112 @@ def isotonic_fit_ordered(
             "y_fit",
         )
     )
+
+
+def huber_irls_fit(
+    d: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    iters: int = 3,
+) -> DataFrame:
+    """Huber M-estimator simple regression by IRLS: OLS warm start,
+    robust scale delta = 1.345·1.4826·median|r₀| (the textbook
+    95%-efficiency tuning over the MAD of warm-start residuals),
+    then ``iters`` weighted-least-squares steps with Huber weights
+    w = min(1, delta/|r|). Returns the ONE-ROW (a, b, delta) frame —
+    every step is a single map-side-combinable aggregate with the
+    parameters riding along broadcast (the logistic-GD shape), so
+    the cost is ``iters + 2`` scans of ``d`` and nothing else.
+    Differentially certified end-to-end by
+    suite.stats_queries.huber_irls_audit's unrolled-CTE oracle."""
+    xc, yc = F.col(x), F.col(y)
+    ols = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xc).alias("sx"), F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+    b0 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    fit = ols.select(
+        (F.col("sy") / F.col("n") - b0 * F.col("sx") / F.col("n")).alias("a"),
+        b0.alias("b"),
+    )
+    r = yc - F.col("a") - F.col("b") * xc
+    scale = d.crossJoin(F.broadcast(fit)).agg(
+        (
+            1.345 * 1.4826 * F.expr(f"median(abs({y} - a - b * {x}))")
+        ).alias("delta")
+    )
+    params = fit.crossJoin(F.broadcast(scale))
+    for _ in range(iters):
+        w = F.when(F.abs(r) <= F.col("delta"), 1.0).otherwise(
+            F.col("delta") / F.abs(r)
+        )
+        sums = (
+            d.crossJoin(F.broadcast(params))
+            .groupBy("delta")
+            .agg(
+                F.sum(w).alias("sw"),
+                F.sum(w * xc).alias("swx"),
+                F.sum(w * yc).alias("swy"),
+                F.sum(w * xc * xc).alias("swxx"),
+                F.sum(w * xc * yc).alias("swxy"),
+            )
+        )
+        bn = (
+            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
+        ) / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
+        params = sums.select(
+            ((F.col("swy") - bn * F.col("swx")) / F.col("sw")).alias("a"),
+            bn.alias("b"),
+            "delta",
+        )
+    return params
+
+
+def poisson_glm_fit(
+    d: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    iters: int = 3,
+) -> DataFrame:
+    """Poisson GLM (log link) by Newton/IRLS from the
+    saturated-intercept start b0 = ln(avg y): gradient
+    Σ(y−μ)·(1, x), Hessian Σμ·(1,x)(1,x)ᵀ inverted in closed 2×2
+    form. Returns the ONE-ROW (b0, b1) frame; each step is one
+    broadcast-parameter aggregate over ``d`` (cox_ph_newton's
+    shape for count data). Differentially certified by
+    suite.stats_queries.poisson_glm_irls_audit."""
+    xc, yc = F.col(x), F.col(y)
+    beta = d.agg(F.log(F.avg(yc)).alias("b0")).select(
+        "b0", F.lit(0.0).alias("b1")
+    )
+    for _ in range(iters):
+        mu = F.exp(F.col("b0") + F.col("b1") * xc)
+        sums = (
+            d.crossJoin(F.broadcast(beta))
+            .groupBy("b0", "b1")
+            .agg(
+                F.sum(yc - mu).alias("g0"),
+                F.sum(xc * (yc - mu)).alias("g1"),
+                F.sum(mu).alias("h00"),
+                F.sum(xc * mu).alias("h01"),
+                F.sum(xc * xc * mu).alias("h11"),
+            )
+        )
+        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        beta = sums.select(
+            (
+                F.col("b0")
+                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
+                / det
+            ).alias("b0"),
+            (
+                F.col("b1")
+                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
+                / det
+            ).alias("b1"),
+        )
+    return beta

@@ -3426,57 +3426,15 @@ def huber_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic CTE-per-iteration, certifying the whole IRLS
     trajectory. At 100 TB the daily grain is the only corpus-scale
     pass; iterations touch a days-sized frame."""
+    from bio_lakehouse_spark.operators.stats import huber_irls_fit
+
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("date")).agg(
         F.count(F.lit(1)).cast("double").alias("x"),
         R6(F.sum("value")).alias("y"),
     )
-    ols = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    b0 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-    )
-    fit = ols.select(
-        (F.col("sy") / F.col("n") - b0 * F.col("sx") / F.col("n")).alias("a"),
-        b0.alias("b"),
-    )
+    params = huber_irls_fit(d, "x", "y", iters=3)
     r = F.col("y") - F.col("a") - F.col("b") * F.col("x")
-    scale = (
-        d.crossJoin(F.broadcast(fit))
-        .agg(
-            (1.345 * 1.4826 * F.expr("median(abs(y - a - b * x))")).alias(
-                "delta"
-            )
-        )
-    )
-    params = fit.crossJoin(F.broadcast(scale))
-    for _ in range(3):
-        w = F.when(F.abs(r) <= F.col("delta"), 1.0).otherwise(
-            F.col("delta") / F.abs(r)
-        )
-        sums = (
-            d.crossJoin(F.broadcast(params))
-            .groupBy("delta")
-            .agg(
-                F.sum(w).alias("sw"),
-                F.sum(w * F.col("x")).alias("swx"),
-                F.sum(w * F.col("y")).alias("swy"),
-                F.sum(w * F.col("x") * F.col("x")).alias("swxx"),
-                F.sum(w * F.col("x") * F.col("y")).alias("swxy"),
-            )
-        )
-        bn = (
-            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
-        ) / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
-        params = sums.select(
-            ((F.col("swy") - bn * F.col("swx")) / F.col("sw")).alias("a"),
-            bn.alias("b"),
-            "delta",
-        )
     loss = F.when(
         F.abs(r) <= F.col("delta"), 0.5 * r * r
     ).otherwise(F.col("delta") * (F.abs(r) - 0.5 * F.col("delta")))
@@ -3549,41 +3507,15 @@ def poisson_glm_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE-per-iteration oracle): each step is one map-side-combinable
     aggregate over the days-grain frame — at 100 TB the daily
     grouping is the only corpus-scale pass."""
+    from bio_lakehouse_spark.operators.stats import poisson_glm_fit
+
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("date")).agg(
         F.count(F.lit(1)).cast("double").alias("y")
     ).select(
         (F.dayofmonth("date") / 31.0).alias("x"), "y"
     )
-    beta = d.agg(F.log(F.avg("y")).alias("b0")).select(
-        "b0", F.lit(0.0).alias("b1")
-    )
-    for _ in range(3):
-        mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
-        sums = (
-            d.crossJoin(F.broadcast(beta))
-            .groupBy("b0", "b1")
-            .agg(
-                F.sum(F.col("y") - mu).alias("g0"),
-                F.sum(F.col("x") * (F.col("y") - mu)).alias("g1"),
-                F.sum(mu).alias("h00"),
-                F.sum(F.col("x") * mu).alias("h01"),
-                F.sum(F.col("x") * F.col("x") * mu).alias("h11"),
-            )
-        )
-        det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
-        beta = sums.select(
-            (
-                F.col("b0")
-                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
-                / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
-                / det
-            ).alias("b1"),
-        )
+    beta = poisson_glm_fit(d, "x", "y", iters=3)
     mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
     dev_term = F.when(
         F.col("y") > 0.0, F.col("y") * F.log(F.col("y") / mu)

@@ -246,9 +246,30 @@ def _fact_ops(spark):
             .agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg"))
         )
 
+    def huber(t):
+        from bio_lakehouse_spark.operators.stats import huber_irls_fit
+
+        d = t["events"].groupBy(F.to_date("ts").alias("date")).agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.round(F.sum("value"), 6).alias("y"),
+        )
+        return huber_irls_fit(d, "x", "y", iters=3)
+
+    def poisson(t):
+        from bio_lakehouse_spark.operators.stats import poisson_glm_fit
+
+        d = (
+            t["events"]
+            .groupBy(F.to_date("ts").alias("date"))
+            .agg(F.count(F.lit(1)).cast("double").alias("y"))
+            .select((F.dayofmonth("date") / 31.0).alias("x"), "y")
+        )
+        return poisson_glm_fit(d, "x", "y", iters=3)
+
     return {"decision_stump": stump, "gbdt_two_round": gbdt,
             "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
-            "msprt_daily": msprt, "fs_linkage": fs_linkage}
+            "msprt_daily": msprt, "fs_linkage": fs_linkage,
+            "huber_irls": huber, "poisson_glm": poisson}
 
 
 def replicate_facts(spark, mult: int):
