@@ -250,19 +250,21 @@ def audio_chunk_batches(
 
 class HeaderDecoder(Decoder):
     """REAL decoder for the media formats that need no library
-    (r8 — shrinks the ``LibraryDecoder`` seam to video/lossy-audio
-    only): uncompressed BMP (``image/bmp``), PCM WAV (``audio/wav``),
-    and full PNG (``image/png`` — zlib inflate via the stdlib, all
-    five scanline filters, color types 0/2/3/4/6 at bit depth 8),
-    parsed with stdlib ``struct``/``zlib`` + numpy.
+    (r8 — shrinks the ``LibraryDecoder`` seam to JPEG/video/lossy
+    audio only): uncompressed BMP (``image/bmp``), PCM WAV
+    (``audio/wav``), full PNG (``image/png`` — stdlib zlib inflate,
+    all five scanline filters, color types 0/2/3/4/6 at bit depth 8),
+    and GIF (``image/gif`` — real GIF-variant LZW decompression,
+    first frame of animations), parsed with stdlib
+    ``struct``/``zlib`` + numpy.
 
-    Contract mapping (DECODED_SCHEMA): BMP/PNG → (width, height,
+    Contract mapping (DECODED_SCHEMA): BMP/PNG/GIF → (width, height,
     channels, features = 8-octile RMS of the pixel bytes / 255);
     WAV → (width = n_frames, height = 1, channels, features = 8-band
     RMS of the normalized PCM16 signal). Unknown media types — and
-    PNG variants outside the supported profile (16-bit, Adam7) —
-    delegate to ``fallback`` (default: FakeDecoder, so a mixed corpus
-    still decodes everything deterministically)."""
+    variants outside the supported profiles (16-bit or Adam7 PNG,
+    interlaced GIF) — delegate to ``fallback`` (default: FakeDecoder,
+    so a mixed corpus still decodes everything deterministically)."""
 
     def __init__(self, fallback: Decoder | None = None):
         self.fallback = fallback if fallback is not None else FakeDecoder()
@@ -278,6 +280,11 @@ class HeaderDecoder(Decoder):
         ):
             try:
                 return self._png(content)
+            except ValueError:
+                return self.fallback.decode(content, media_type)
+        if media_type == "image/gif" and content[:4] == b"GIF8":
+            try:
+                return self._gif(content)
             except ValueError:
                 return self.fallback.decode(content, media_type)
         return self.fallback.decode(content, media_type)
@@ -403,6 +410,112 @@ class HeaderDecoder(Decoder):
             flat = plte[flat].reshape(-1)
             n_ch = 3
         return width, height, n_ch, self._octile_stats(flat, 255.0)
+
+    def _gif(self, b: bytes) -> tuple:
+        """GIF87a/89a decode with no media library: logical screen
+        descriptor → color tables → the FIRST image block's LZW
+        stream, decompressed with the real GIF-variant LZW (LSB-first
+        variable-width codes, clear/end codes, 12-bit table cap),
+        palette-expanded to RGB for the feature contract. Animated
+        GIFs decode their first frame; interlaced frames raise
+        ValueError (→ caller falls back)."""
+        import struct as _struct
+
+        import numpy as np
+
+        if len(b) < 13:
+            raise ValueError("GIF truncated before screen descriptor")
+        packed = b[10]
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = np.frombuffer(b, np.uint8, n, pos).reshape(-1, 3)
+            pos += n
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                width, height = _struct.unpack_from("<HH", b, pos + 5)
+                ipacked = b[pos + 9]
+                pos += 10
+                table = gct
+                if ipacked & 0x80:
+                    n = 3 * (2 << (ipacked & 0x07))
+                    table = np.frombuffer(b, np.uint8, n, pos).reshape(
+                        -1, 3
+                    )
+                    pos += n
+                if ipacked & 0x40:
+                    raise ValueError("interlaced GIF not supported")
+                if table is None:
+                    raise ValueError("GIF image without a color table")
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while pos < len(b) and b[pos] != 0:
+                    data += b[pos + 1 : pos + 1 + b[pos]]
+                    pos += 1 + b[pos]
+                idx = self._lzw(min_code, bytes(data), width * height)
+                if len(idx) < width * height:
+                    raise ValueError("GIF pixel data truncated")
+                px = table[
+                    np.asarray(idx[: width * height], dtype=np.int64)
+                    % len(table)
+                ].reshape(-1)
+                return width, height, 3, self._octile_stats(px, 255.0)
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{block:02x}")
+        raise ValueError("GIF contains no image block")
+
+    @staticmethod
+    def _lzw(min_code: int, data: bytes, max_pixels: int) -> list:
+        """GIF-variant LZW: codes are LSB-first in the byte stream,
+        width starts at min_code+1 and grows as the table fills,
+        capped at 12 bits; CLEAR resets the table, END terminates."""
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        base = [(i,) for i in range(clear)] + [None, None]
+        table = list(base)
+        width = min_code + 1
+        out: list = []
+        prev: tuple | None = None
+        bitpos, total = 0, len(data) * 8
+        while bitpos + width <= total and len(out) < max_pixels:
+            v = 0
+            for k in range(width):
+                if data[(bitpos + k) >> 3] >> ((bitpos + k) & 7) & 1:
+                    v |= 1 << k
+            bitpos += width
+            if v == end:
+                break
+            if v == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if prev is None:
+                if v >= clear:
+                    raise ValueError("LZW stream starts with a non-literal")
+                entry = table[v]
+            elif v < len(table) and table[v] is not None:
+                entry = table[v]
+            elif v == len(table):
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("LZW code out of range")
+            if prev is not None:
+                table.append(prev + (entry[0],))
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            prev = entry
+        return out
 
     def _wav(self, b: bytes) -> tuple:
         import struct as _struct
