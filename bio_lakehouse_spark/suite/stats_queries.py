@@ -3534,3 +3534,101 @@ def poisson_glm_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("deviance")).alias("deviance"),
         )
     )
+
+
+def _quantile_sgd_oracle(tau: float = 0.9, eta: float = 1.0,
+                         iters: int = 5) -> str:
+    """Unrolled-SQL twin of the pinball-loss subgradient descent:
+    one CTE per step carries (a, b) through a GROUP BY and adds
+    eta·avg-subgradient — the logistic_gd_audit treatment for the
+    tau-quantile objective."""
+    sql = """
+WITH d AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) / 100.0 AS x,
+         ROUND(SUM(value), 6) / 1000.0 AS y
+  FROM events GROUP BY CAST(ts AS DATE)
+), i0 AS (
+  SELECT 0.0 AS a, 0.0 AS b
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        sql += f""", i{k} AS (
+  SELECT a + {eta} * AVG({tau} - CASE WHEN y - a - b * x < 0.0
+                                      THEN 1.0 ELSE 0.0 END) AS a,
+         b + {eta} * AVG(x * ({tau} - CASE WHEN y - a - b * x < 0.0
+                                           THEN 1.0 ELSE 0.0 END)) AS b
+  FROM d, {prev}
+  GROUP BY a, b
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(a, 6) AS intercept, ROUND(b, 6) AS slope,
+       ROUND(AVG((y - a - b * x)
+                 * ({tau} - CASE WHEN y - a - b * x < 0.0
+                                 THEN 1.0 ELSE 0.0 END)), 6) AS pinball_loss
+FROM d, {prev}
+GROUP BY a, b
+"""
+    return sql
+
+
+@register(
+    "quantile_regression_sgd",
+    survey=("ST14",),
+    oracle=_quantile_sgd_oracle(),
+)
+def quantile_regression_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tau=0.9 quantile regression (Koenker-Bassett pinball loss) by
+    full-batch subgradient descent, differentially certified: 5
+    unrolled steps of (a,b) += eta·avg((1,x)·(tau − 1{r<0})) on the
+    scaled daily frame, plus the final mean pinball loss. The
+    conditional-quantile member of the regression-audit family
+    (OLS walk-forward, ridge Cramer, logistic GD, Huber IRLS,
+    Poisson Newton) — the estimator behind p90-latency/value
+    modeling, where the mean regressions are blind to the tail.
+    Each step is ONE map-side-combinable aggregate with (a, b)
+    riding broadcast; the oracle unrolls identical arithmetic, so
+    the whole optimizer trajectory is cross-engine certified. The
+    r = 0 subgradient choice (indicator strictly-less-than) is part
+    of the pinned contract."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        (F.count(F.lit(1)).cast("double") / 100.0).alias("x"),
+        (R6(F.sum("value")) / 1000.0).alias("y"),
+    )
+    tau, eta = 0.9, 1.0
+    params = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b")
+    )
+    grad = tau - F.when(
+        F.col("y") - F.col("a") - F.col("b") * F.col("x") < 0.0, 1.0
+    ).otherwise(0.0)
+    for _ in range(5):
+        params = (
+            d.crossJoin(F.broadcast(params))
+            .groupBy("a", "b")
+            .agg(
+                F.avg(grad).alias("g0"),
+                F.avg(F.col("x") * grad).alias("g1"),
+            )
+            .select(
+                (F.col("a") + eta * F.col("g0")).alias("a"),
+                (F.col("b") + eta * F.col("g1")).alias("b"),
+            )
+        )
+    r = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    return (
+        d.crossJoin(F.broadcast(params))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg(r * grad).alias("pinball_loss"),
+        )
+        .select(
+            F.col("n_days"),
+            R6(F.col("a")).alias("intercept"),
+            R6(F.col("b")).alias("slope"),
+            R6(F.col("pinball_loss")).alias("pinball_loss"),
+        )
+    )
