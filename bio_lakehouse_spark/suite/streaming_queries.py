@@ -190,3 +190,128 @@ def stream_dedup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         got.groupBy(fingerprint_exact("text").alias("text_hash"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     )
+
+
+@register(
+    "stream_hopping_replay",
+    survey=("A1", "W2", "S12"),
+    # Byte-for-byte the certified batch hopping-window oracle:
+    # stream-across-restarts (with watermark finalization) must equal
+    # the all-at-once computation.
+    oracle=REGISTRY["hopping_window_counts"].oracle,
+)
+def stream_hopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE stateful windowed aggregation under
+    readStream — 10-minute windows hopping every 5, watermark 1
+    minute, APPEND mode into an exactly-once parquet file sink —
+    across three restarts of one checkpointed query: (1) two thirds
+    of the events land and run to availableNow-completion, (2) the
+    last third lands and the SAME query restarts from its
+    checkpoint, (3) a far-future SENTINEL event lands and the final
+    restart pushes the watermark past every real window, so append
+    mode finalizes and emits them all (the production heartbeat
+    trick for bounded replays; Spark's no-data micro-batch then
+    evicts state). The sentinel's own windows sit beyond the final
+    watermark and are never emitted, so the result equals the batch
+    `hopping_window_counts` exactly — whose oracle this query shares
+    verbatim. This certifies the third streaming pillar after custom
+    state (msprt) and forEachBatch ingest (dedup): built-in window
+    state + watermark semantics + append finalization across
+    restarts."""
+    root = fixture_path("hopping_stream", sf_dir)
+    done = root.parent / (root.name + "_DONE")
+    landing = str(root / "landing")
+    out = str(root / "out")
+    ckpt = str(root / "ckpt")
+
+    def _run() -> None:
+        src = (
+            spark.readStream.schema(_EVENT_SCHEMA)
+            .json(landing)
+            .select(F.to_timestamp("ts").alias("ts"), "event_type")
+        )
+        agg = (
+            src.withWatermark("ts", "1 minute")
+            .groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    if not done.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load(spark, sf_dir, "events")
+        # Land in EVENT-TIME terciles: each restart appends strictly
+        # NEWER data, as a replayed production feed would. (Bucketing
+        # by id would hand the watermark wholesale late data — which
+        # native windowed aggregation CORRECTLY drops; that
+        # drop-late-data contract is exercised in pytest, while this
+        # query certifies restart/finalization equivalence.)
+        lo, hi = ev.agg(
+            F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+        ).first()
+        c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+        def _land_span(lo_s: int | None, hi_s: int | None) -> None:
+            cond = F.lit(True)
+            if lo_s is not None:
+                cond = cond & (F.unix_timestamp("ts") >= lo_s)
+            if hi_s is not None:
+                cond = cond & (F.unix_timestamp("ts") < hi_s)
+            (
+                ev.where(cond)
+                .select(
+                    "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "event_type",
+                    "value",
+                )
+                .write.mode("append")
+                .json(landing)
+            )
+
+        _land_span(None, c1)
+        _land_span(c1, c2)
+        _run()                    # initial run: two thirds
+        _land_span(c2, None)
+        _run()                    # restart: folds only the new files
+        # sentinel: one event 60 days past the corpus, advancing the
+        # watermark beyond every real window on the final restart
+        sentinel = ev.agg(
+            F.date_format(
+                F.max("ts") + F.expr("INTERVAL 60 DAYS"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("ts")
+        ).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            "ts",
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        sentinel.write.mode("append").json(landing)
+        _run()                    # restart: watermark push + finalize
+        done.touch()
+
+    got = spark.read.parquet(out)
+    return got.select(
+        "win_start",
+        "win_end",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+    )

@@ -534,6 +534,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "uplift_two_model_bins",  # per-user frame × ONE-ROW model/limits
         "mann_kendall_trend",  # daily-grain pair table + ONE-ROW stats
         "kruskal_wallis_groups",  # ONE-ROW group stats × ONE-ROW totals
+        "huber_irls_audit",  # daily frame × ONE-ROW (a, b, delta) per step
+        "poisson_glm_irls_audit",  # daily frame × ONE-ROW β per Newton step
+        "quantile_regression_sgd",  # daily frame × ONE-ROW (a, b) per step
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
