@@ -239,3 +239,79 @@ def score_to_millibits(score: float) -> int:
     (float32 keeps ~7 significant digits; millibit costs are ≤ ~10⁵,
     so the roundtrip error is ≪ 0.5)."""
     return max(1, round(-score / math.log(2) * 1000.0))
+
+
+def byte_bpe_encode_parts(
+    ranks: dict[bytes, int], word: bytes
+) -> list[bytes]:
+    """tiktoken's merge loop returning the PARTS (byte_bpe_encode_len
+    is its length): start from single bytes, repeatedly merge the
+    adjacent pair whose concatenation has the lowest rank (leftmost
+    on ties) until no adjacent pair is in the table."""
+    parts = [word[i : i + 1] for i in range(len(word))]
+    while len(parts) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(parts) - 1):
+            r = ranks.get(parts[i] + parts[i + 1])
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def write_tiktoken_bpe(path: str, ranks: dict[bytes, int]) -> None:
+    """Write a rank table in the ``.tiktoken`` format (one
+    ``base64(token_bytes) rank`` per line, rank-ascending) — the
+    exact format ``load_tiktoken_bpe`` and the real tiktoken library
+    parse. The writer half of the tiktoken seam; byte-exact roundtrip
+    certified by suite query ``tiktoken_roundtrip_encode``."""
+    with open(path, "wb") as fh:
+        for tok, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+            fh.write(
+                base64.b64encode(tok) + b" " + str(rank).encode() + b"\n"
+            )
+
+
+def tiktoken_ranks_from_merges(
+    merges: list[tuple[str, str]]
+) -> dict[bytes, int]:
+    """BPE merge list → tiktoken rank table: the alphabet's single
+    bytes take the low ranks (identity ordering), each merge product
+    takes the next rank in merge order — the standard construction
+    (lowest-rank-first pair merging then reproduces rank-order merge
+    application exactly)."""
+    chars = sorted({c for a, b in merges for c in a + b})
+    ranks: dict[bytes, int] = {
+        c.encode("utf-8"): i for i, c in enumerate(chars)
+    }
+    for i, (a, b) in enumerate(merges):
+        ranks[(a + b).encode("utf-8")] = len(chars) + i
+    return ranks
+
+
+def merges_from_tiktoken(
+    ranks: dict[bytes, int]
+) -> list[tuple[str, str]]:
+    """Recover the merge list from a rank table (the HF-tokenizers
+    conversion): for each multi-byte token rank-ascending, encoding
+    it with only STRICTLY-LOWER ranks must yield exactly its two
+    constituent parts — that pair is the merge. Raises on tables not
+    producible by a pair-merge process."""
+    out: list[tuple[str, str]] = []
+    for rank, tok in sorted(
+        (r, t) for t, r in ranks.items() if len(t) > 1
+    ):
+        sub = {t: r for t, r in ranks.items() if r < rank}
+        parts = byte_bpe_encode_parts(sub, tok)
+        if len(parts) != 2:
+            raise ValueError(
+                f"rank table is not a merge sequence at {tok!r} "
+                f"(splits into {len(parts)} parts)"
+            )
+        out.append(
+            (parts[0].decode("utf-8"), parts[1].decode("utf-8"))
+        )
+    return out

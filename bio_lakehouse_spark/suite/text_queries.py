@@ -3696,3 +3696,53 @@ def sp_model_roundtrip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     docs = load(spark, sf_dir, "documents")
     return unigram_token_counts(docs, "doc_id", "text", loaded)
+
+
+@register(
+    "tiktoken_roundtrip_encode",
+    survey=("F8", "F9", "S1"),
+    oracle=_bpe_oracle_sql(),
+)
+def tiktoken_roundtrip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiktoken FILE seam certified end to end — the BPE twin of
+    ``sp_model_roundtrip_encode``: the frozen PRETRAINED_MERGES_V1
+    list is converted to a rank table (alphabet bytes then merge
+    products, the standard construction), exported as a REAL
+    ``.tiktoken`` file (write_tiktoken_bpe — base64 token + rank
+    lines, the format the tiktoken library loads), parsed back by
+    load_tiktoken_bpe, and the MERGE LIST is recovered from ranks
+    alone (merges_from_tiktoken, the HF-conversion construction:
+    encode each multi-byte token under strictly-lower ranks → its
+    two parts). The corpus is then encoded through the certified
+    distributed merge folds with the RECOVERED merges — against the
+    same independent boundary-replace oracle as ``bpe_encode_fixed``.
+    A green row proves writer → loader → rank-to-merge recovery is
+    EXACT (any drift reorders a merge and changes token counts); a
+    vendor .tiktoken file drops into the identical path."""
+    import os
+
+    from bio_lakehouse_spark.operators.bpe import (
+        PRETRAINED_MERGES_V1,
+        bpe_token_counts,
+    )
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        load_tiktoken_bpe,
+        merges_from_tiktoken,
+        tiktoken_ranks_from_merges,
+        write_tiktoken_bpe,
+    )
+    from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
+
+    root = fixture_path("tiktoken_model", sf_dir)
+    os.makedirs(root, exist_ok=True)
+    path = str(root / "bpe_v1.tiktoken")
+    write_tiktoken_bpe(
+        path, tiktoken_ranks_from_merges(PRETRAINED_MERGES_V1)
+    )
+    recovered = merges_from_tiktoken(load_tiktoken_bpe(path))
+    if recovered != list(PRETRAINED_MERGES_V1):
+        raise AssertionError(
+            ".tiktoken roundtrip drifted from the frozen merge list"
+        )
+    docs = load(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "doc_id", "text", recovered)

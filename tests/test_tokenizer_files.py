@@ -140,3 +140,76 @@ def test_counters_plug_into_textops_seam(tmp_path, spark):
     got = [r["n"] for r in df.select(col_fn("text").alias("n")).collect()]
     # 'ab'=1, 'ba'=2 → 3; 'aaa': a,a,a no 'aa' merge → 3
     assert got == [3, 3]
+
+
+# ------------------------------------------------------- tiktoken writer
+
+
+def test_tiktoken_write_load_roundtrip(tmp_path):
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        load_tiktoken_bpe,
+        write_tiktoken_bpe,
+    )
+
+    ranks = {b"a": 0, b"b": 1, b"ab": 2, b"abb": 3}
+    p = str(tmp_path / "t.tiktoken")
+    write_tiktoken_bpe(p, ranks)
+    assert load_tiktoken_bpe(p) == ranks
+
+
+def test_merges_ranks_inverse():
+    """merges → ranks → merges is the identity for any real BPE
+    training output (prefix-closed merge lists)."""
+    from bio_lakehouse_spark.operators.bpe import PRETRAINED_MERGES_V1
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        merges_from_tiktoken,
+        tiktoken_ranks_from_merges,
+    )
+
+    ranks = tiktoken_ranks_from_merges(PRETRAINED_MERGES_V1)
+    assert merges_from_tiktoken(ranks) == list(PRETRAINED_MERGES_V1)
+
+
+def test_merges_ranks_inverse_random(spark):
+    """Train tiny BPE merge lists on synthetic word tables and check
+    the conversion inverts for each."""
+    from bio_lakehouse_spark.operators.bpe import bpe_train
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        merges_from_tiktoken,
+        tiktoken_ranks_from_merges,
+    )
+
+    rows = [("banana", 5), ("bandana", 3), ("cabana", 2), ("nab", 7)]
+    wf = spark.createDataFrame(rows, "word string, count long")
+    merges = bpe_train(wf, num_merges=6)
+    assert merges  # trained something
+    ranks = tiktoken_ranks_from_merges(merges)
+    assert merges_from_tiktoken(ranks) == merges
+
+
+def test_merges_from_tiktoken_rejects_non_merge_table():
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        merges_from_tiktoken,
+    )
+
+    # 'abc' cannot be built from two lower-rank parts ('bc'/'ab' absent)
+    ranks = {b"a": 0, b"b": 1, b"c": 2, b"abc": 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merges_from_tiktoken(ranks)
+
+
+def test_parts_vs_len_consistency():
+    from bio_lakehouse_spark.operators.tokenizer_files import (
+        byte_bpe_encode_len,
+        byte_bpe_encode_parts,
+        tiktoken_ranks_from_merges,
+    )
+    from bio_lakehouse_spark.operators.bpe import PRETRAINED_MERGES_V1
+
+    ranks = tiktoken_ranks_from_merges(PRETRAINED_MERGES_V1)
+    for w in (b"erer", b"cancan", b"partner", b"atone", b"q"):
+        parts = byte_bpe_encode_parts(ranks, w)
+        assert b"".join(parts) == w
+        assert len(parts) == byte_bpe_encode_len(ranks, w)
