@@ -1744,3 +1744,197 @@ def als_rank1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("v2n")).alias("v_sq_norm"),
         )
     )
+
+
+_FS_PAIRS_CTE = """
+WITH rec AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+         floor(c_acctbal / 100.0) AS bal_band,
+         right(c_name, 2) AS suffix
+  FROM customer
+), pairs AS (
+  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
+         a.c_mktsegment = b.c_mktsegment AS g1,
+         abs(a.c_acctbal - b.c_acctbal) < 100.0 AS g2,
+         a.suffix = b.suffix AS g3
+  FROM rec a JOIN rec b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.bal_band = b.bal_band
+   AND a.c_custkey < b.c_custkey
+  UNION
+  SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
+         a.c_mktsegment = b.c_mktsegment AS g1,
+         abs(a.c_acctbal - b.c_acctbal) < 100.0 AS g2,
+         a.suffix = b.suffix AS g3
+  FROM rec a JOIN rec b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.suffix = b.suffix
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+)"""
+
+
+def _fs_em_oracle(iters: int = 3) -> str:
+    """Unrolled-SQL twin of the Fellegi-Sunter EM: the candidate
+    pairs collapse to their 8 agreement PATTERNS once, then each EM
+    iteration is one CTE over that tiny frame carrying the
+    (p, m_k, u_k) scalars through a GROUP BY."""
+
+    def _prod(which: str) -> str:
+        return " * ".join(
+            f"(CASE WHEN g{k} THEN {which}{k} ELSE 1.0 - {which}{k} END)"
+            for k in (1, 2, 3)
+        )
+
+    sql = _FS_PAIRS_CTE + """, pat AS (
+  SELECT g1, g2, g3, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM pairs GROUP BY g1, g2, g3
+), i0 AS (
+  SELECT 0.1 AS p, 0.9 AS m1, 0.9 AS m2, 0.9 AS m3,
+         0.1 AS u1, 0.1 AS u2, 0.1 AS u3
+)"""
+    prev = "i0"
+    for k in range(1, iters + 1):
+        terms = []
+        for j in (1, 2, 3):
+            terms.append(
+                f"SUM(c * g * CASE WHEN g{j} THEN 1.0 ELSE 0.0 END)"
+                f" / SUM(c * g) AS m{j}"
+            )
+        for j in (1, 2, 3):
+            terms.append(
+                f"SUM(c * (1.0 - g) * CASE WHEN g{j} THEN 1.0 ELSE 0.0 END)"
+                f" / SUM(c * (1.0 - g)) AS u{j}"
+            )
+        sql += f""", i{k} AS (
+  SELECT SUM(c * g) / SUM(c) AS p, {', '.join(terms)}
+  FROM (
+    SELECT w.g1, w.g2, w.g3, w.c, w.wm / (w.wm + w.wu) AS g
+    FROM (SELECT pat.g1, pat.g2, pat.g3, pat.c,
+                 p * {_prod('m')} AS wm,
+                 (1.0 - p) * {_prod('u')} AS wu
+          FROM pat, {prev}) w) e
+)"""
+        prev = f"i{k}"
+    sql += f"""
+SELECT CAST((SELECT SUM(c) FROM pat) AS BIGINT) AS n_pairs,
+       ROUND(p, 6) AS p_match,
+       ROUND(m1, 6) AS m1, ROUND(m2, 6) AS m2, ROUND(m3, 6) AS m3,
+       ROUND(u1, 6) AS u1, ROUND(u2, 6) AS u2, ROUND(u3, 6) AS u3
+FROM {prev}
+"""
+    return sql
+
+
+@register(
+    "fs_em_priors_audit",
+    survey=("J6", "ST10", "P10"),
+    oracle=_fs_em_oracle(),
+)
+def fs_em_priors_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EM pass `entity_resolution_fs`'s docstring promises —
+    Splink's core training loop, differentially certified: learn the
+    Fellegi-Sunter (p, m_k, u_k) parameters from the SAME blocked
+    candidate pairs by 3 unrolled EM iterations over the agreement-
+    PATTERN frame. The corpus-scale work is the pair generation +
+    one (g1,g2,g3) GROUP BY — after that the pattern frame has at
+    most 2³ = 8 rows, and every EM step (E: posterior match weight
+    per pattern under a naive-Bayes product; M: closed-form weighted
+    shares) is one aggregate over it with the parameter row riding
+    broadcast. The oracle unrolls identical CTE arithmetic, so the
+    whole EM trajectory is cross-engine certified. At 100 TB the
+    pattern collapse is what makes linkage training tractable: EM
+    never revisits pairs, only the 8-row sufficient statistics."""
+    cust = load(spark, sf_dir, "customer")
+    rec = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.expr("floor(c_acctbal / 100.0)").alias("bal_band"),
+        F.expr("right(c_name, 2)").alias("suffix"),
+    )
+    a, b = rec.alias("a"), rec.alias("b")
+    pair_cols = [
+        F.col("a.c_custkey").alias("ka"),
+        F.col("b.c_custkey").alias("kb"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0).alias(
+            "g2"
+        ),
+        (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
+    ]
+    rule1 = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bal_band") == F.col("b.bal_band"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(*pair_cols)
+    rule2 = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.suffix") == F.col("b.suffix"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(*pair_cols)
+    pat = (
+        rule1.unionByName(rule2)
+        .dropDuplicates(["ka", "kb"])
+        .groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+
+    def prod(prefix: str):
+        out = F.lit(1.0)
+        for k in (1, 2, 3):
+            pk = F.col(f"{prefix}{k}")
+            out = out * F.when(F.col(f"g{k}"), pk).otherwise(1.0 - pk)
+        return out
+
+    params = spark.range(1).select(
+        F.lit(0.1).alias("p"),
+        *[F.lit(0.9).alias(f"m{k}") for k in (1, 2, 3)],
+        *[F.lit(0.1).alias(f"u{k}") for k in (1, 2, 3)],
+    )
+    for _ in range(3):
+        e = pat.crossJoin(F.broadcast(params)).select(
+            "g1", "g2", "g3", "c",
+            (
+                (F.col("p") * prod("m"))
+                / (F.col("p") * prod("m") + (1.0 - F.col("p")) * prod("u"))
+            ).alias("g"),
+        )
+        aggs = [
+            (F.sum(F.col("c") * F.col("g")) / F.sum("c")).alias("p")
+        ]
+        for j in (1, 2, 3):
+            xj = F.when(F.col(f"g{j}"), 1.0).otherwise(0.0)
+            aggs.append(
+                (
+                    F.sum(F.col("c") * F.col("g") * xj)
+                    / F.sum(F.col("c") * F.col("g"))
+                ).alias(f"m{j}")
+            )
+        for j in (1, 2, 3):
+            xj = F.when(F.col(f"g{j}"), 1.0).otherwise(0.0)
+            aggs.append(
+                (
+                    F.sum(F.col("c") * (1.0 - F.col("g")) * xj)
+                    / F.sum(F.col("c") * (1.0 - F.col("g")))
+                ).alias(f"u{j}")
+            )
+        params = e.agg(*aggs)
+    total = pat.agg(F.sum("c").cast("long").alias("n_pairs"))
+    return (
+        total.crossJoin(F.broadcast(params))
+        .select(
+            "n_pairs",
+            R6(F.col("p")).alias("p_match"),
+            R6(F.col("m1")).alias("m1"),
+            R6(F.col("m2")).alias("m2"),
+            R6(F.col("m3")).alias("m3"),
+            R6(F.col("u1")).alias("u1"),
+            R6(F.col("u2")).alias("u2"),
+            R6(F.col("u3")).alias("u3"),
+        )
+    )
