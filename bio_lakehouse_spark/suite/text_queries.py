@@ -3746,3 +3746,126 @@ def tiktoken_roundtrip_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     docs = load(spark, sf_dir, "documents")
     return bpe_token_counts(docs, "doc_id", "text", recovered)
+
+
+@register(
+    "heaps_law_audit",
+    survey=("A1", "W3", "ST1"),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_W}) AS wd FROM documents
+), span AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(((doc_id - lo) * 32) // (hi - lo + 1) AS INT) AS bk
+  FROM documents, span
+), tok AS (
+  SELECT b.bk, CAST(COUNT(*) AS DOUBLE) AS n_tok
+  FROM w JOIN b USING (doc_id) GROUP BY 1
+), firsts AS (
+  SELECT wd, MIN(doc_id) AS fd FROM w GROUP BY 1
+), nw AS (
+  SELECT b.bk, CAST(COUNT(*) AS DOUBLE) AS n_new
+  FROM firsts JOIN b ON b.doc_id = firsts.fd GROUP BY 1
+), curve AS (
+  SELECT bk,
+         SUM(n_tok) OVER (ORDER BY bk) AS cum_tokens,
+         SUM(COALESCE(n_new, 0.0)) OVER (ORDER BY bk) AS cum_vocab
+  FROM tok LEFT JOIN nw USING (bk)
+), pts AS (
+  SELECT LN(cum_tokens) AS x, LN(cum_vocab) AS y FROM curve
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT SUM(n_tok) FROM tok) AS BIGINT) AS total_tokens,
+       CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS vocab_size,
+       ROUND((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+             / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)), 6) AS beta,
+       ROUND(SUM(y) / COUNT(*)
+             - (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+               / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+               * SUM(x) / COUNT(*), 6) AS ln_k
+FROM pts
+""",
+)
+def heaps_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit — V(N) ≈ K·N^β, the
+    companion of `zipf_slope_audit` and the curve every tokenizer /
+    dedup capacity plan reads off first. DISTRIBUTED design that
+    survives 100 TB: docs are bucketed into 32 fixed id-range
+    buckets by pure integer arithmetic (no global sort), the
+    corpus-scale passes are ONE token count per bucket and ONE
+    first-occurrence-doc min per word; the cumulative curve and the
+    log-log OLS slope β then live entirely on the 32-row frame. A
+    per-doc cumulative window — the naive formulation — would be a
+    corpus-sized single-partition sort; the bucket grain is the knob
+    (more buckets = finer curve, same two scans)."""
+    from bio_lakehouse_spark.operators.textops import words
+
+    docs = load(spark, sf_dir, "documents")
+    span = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    b = docs.crossJoin(F.broadcast(span)).select(
+        "doc_id",
+        "text",
+        F.expr("cast(((doc_id - lo) * 32) div (hi - lo + 1) as int)").alias(
+            "bk"
+        ),
+    )
+    w = b.select("doc_id", "bk", F.explode(words("text")).alias("wd"))
+    tok = w.groupBy("bk").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok")
+    )
+    firsts = w.groupBy("wd").agg(F.min("doc_id").alias("fd"))
+    nw = (
+        firsts.join(
+            b.select("doc_id", "bk"), firsts["fd"] == F.col("doc_id")
+        )
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_new"))
+    )
+    cw = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        tok.join(nw, "bk", "left")
+        .select(
+            "bk",
+            F.sum("n_tok").over(cw).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0.0)))
+            .over(cw)
+            .alias("cum_vocab"),
+        )
+    )
+    pts = curve.select(
+        F.log("cum_tokens").alias("x"), F.log("cum_vocab").alias("y")
+    )
+    slope = (
+        F.sum(F.col("x") * F.col("y"))
+        - F.sum("x") * F.sum("y") / F.count(F.lit(1))
+    ) / (
+        F.sum(F.col("x") * F.col("x"))
+        - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+    )
+    reg = pts.agg(
+        R6(slope).alias("beta"),
+        R6(
+            F.sum("y") / F.count(F.lit(1))
+            - slope * F.sum("x") / F.count(F.lit(1))
+        ).alias("ln_k"),
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        F.broadcast(
+            tok.agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+        )
+    ).crossJoin(
+        F.broadcast(
+            firsts.agg(F.count(F.lit(1)).cast("long").alias("vocab_size"))
+        )
+    )
+    return totals.crossJoin(F.broadcast(reg)).select(
+        "n_docs", "total_tokens", "vocab_size", "beta", "ln_k"
+    )

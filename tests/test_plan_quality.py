@@ -537,6 +537,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "huber_irls_audit",  # daily frame × ONE-ROW (a, b, delta) per step
         "poisson_glm_irls_audit",  # daily frame × ONE-ROW β per Newton step
         "quantile_regression_sgd",  # daily frame × ONE-ROW (a, b) per step
+        "fs_em_priors_audit",  # 8-row pattern frame × ONE-ROW EM params
+        "heaps_law_audit",  # docs × ONE-ROW (lo, hi) span; ONE-ROW totals
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
