@@ -268,6 +268,41 @@ class HeaderDecoder(Decoder):
 
     def __init__(self, fallback: Decoder | None = None):
         self.fallback = fallback if fallback is not None else FakeDecoder()
+        if HeaderDecoder._G711_MU is None:
+            HeaderDecoder._G711_MU, HeaderDecoder._G711_A = (
+                self._g711_tables()
+            )
+
+    @staticmethod
+    def _g711_tables():
+        """ITU-T G.711 expansion tables (mu-law and A-law byte →
+        16-bit linear), built from the spec formulas."""
+        import numpy as np
+
+        mu = np.zeros(256, dtype=np.int16)
+        for i in range(256):
+            u = ~i & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            mag = ((mant << 3) + 0x84) << exp
+            mag -= 0x84
+            mu[i] = -mag if sign else mag
+        al = np.zeros(256, dtype=np.int16)
+        for i in range(256):
+            a = i ^ 0x55
+            sign = a & 0x80
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            if exp == 0:
+                mag = (mant << 4) + 8
+            else:
+                mag = ((mant << 4) + 0x108) << (exp - 1)
+            al[i] = -mag if sign else mag
+        return mu, al
+
+    # class-level lazy init happens on first access below
+    _G711_MU, _G711_A = None, None
 
     def decode(self, content: bytes, media_type: str) -> tuple:
         if media_type == "image/bmp" and content[:2] == b"BM":
@@ -523,18 +558,29 @@ class HeaderDecoder(Decoder):
         import numpy as np
 
         # walk RIFF chunks: fmt_ then data (chunks are 2-byte padded)
-        pos, channels, bits = 12, 1, 16
+        pos, channels, bits, audio_fmt = 12, 1, 16, 1
         data = b""
         while pos + 8 <= len(b):
             cid, size = b[pos : pos + 4], _struct.unpack_from("<I", b, pos + 4)[0]
             body = b[pos + 8 : pos + 8 + size]
             if cid == b"fmt ":
+                audio_fmt = _struct.unpack_from("<H", body, 0)[0]
                 channels = _struct.unpack_from("<H", body, 2)[0]
                 bits = _struct.unpack_from("<H", body, 14)[0]
             elif cid == b"data":
                 data = body
             pos += 8 + size + (size & 1)
-        if bits == 16:
+        if audio_fmt == 7:  # G.711 mu-law: 8-bit companded → 16-bit
+            sig = self._G711_MU[
+                np.frombuffer(data, dtype=np.uint8)
+            ].astype("float64")
+            scale = 32768.0
+        elif audio_fmt == 6:  # G.711 A-law
+            sig = self._G711_A[
+                np.frombuffer(data, dtype=np.uint8)
+            ].astype("float64")
+            scale = 32768.0
+        elif bits == 16:
             sig = np.frombuffer(
                 data[: len(data) // 2 * 2], dtype="<i2"
             ).astype("float64")

@@ -110,3 +110,65 @@ def test_header_decoder_through_spark_plumbing(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (4, 4, 3)
     assert (got[2]["width"], got[2]["height"], got[2]["n_channels"]) == (64, 1, 1)
     assert all(abs(f - 0.25) < 1e-3 for f in got[2]["feature_vec"])
+
+
+def make_g711_wav(
+    payload: bytes, fmt: int, channels: int = 1, rate: int = 8000
+) -> bytes:
+    """WAV wrapper for 8-bit companded G.711 payloads (fmt 6 = A-law,
+    7 = mu-law)."""
+    fmtc = struct.pack(
+        "<HHIIHH", fmt, channels, rate, rate * channels, channels, 8
+    )
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmtc)) + fmtc
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mu_law_compress(x: int) -> int:
+    """Reference G.711 mu-law compressor (spec formula) for test
+    vectors."""
+    sign = 0x80 if x < 0 else 0
+    mag = min(abs(x), 32635) + 0x84
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (mag & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def test_wav_mu_law_roundtrip():
+    """Compress known amplitudes with the reference compressor; the
+    decoder's expansion must recover them within mu-law quantization
+    error (<= 3% of full scale at these levels)."""
+    amps = [0, 128, 1024, 8192, 30000, -30000, -1024]
+    payload = bytes(mu_law_compress(a) for a in amps) * 64
+    blob = make_g711_wav(payload, fmt=7)
+    w, h, c, feats = HeaderDecoder().decode(blob, "audio/wav")
+    assert (w, h, c) == (len(amps) * 64, 1, 1)
+    import numpy as np
+
+    expect_rms = float(
+        np.sqrt(np.mean(np.array(amps, dtype="float64") ** 2))
+    ) / 32768.0
+    got_rms = float(np.sqrt(np.mean(np.array(feats) ** 2)))
+    assert abs(got_rms - expect_rms) < 0.03
+
+
+def test_wav_a_law_expansion_known_values():
+    """A-law spec vectors: byte 0x55 (a=0 after XOR) is the smallest
+    positive step +8; 0xD5 its negative."""
+    dec = HeaderDecoder()
+    tbl = dec._G711_A
+    assert tbl[0x55] == 8 and tbl[0xD5] == -8
+    # mu-law: byte 0xFF is +0 (silence), 0x7F is -0
+    assert dec._G711_MU[0xFF] == 0 and dec._G711_MU[0x7F] == 0
+
+    blob = make_g711_wav(bytes([0x55, 0xD5]) * 100, fmt=6)
+    w, h, c, feats = dec.decode(blob, "audio/wav")
+    assert (w, h, c) == (200, 1, 1)
+    # features are rounded to 6 decimals by _octile_stats
+    assert all(abs(f - 8.0 / 32768.0) < 1e-6 for f in feats)
