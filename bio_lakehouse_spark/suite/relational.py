@@ -1938,3 +1938,73 @@ def fs_em_priors_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("u3")).alias("u3"),
         )
     )
+
+
+@register(
+    "k_anonymity_audit",
+    survey=("P10", "A6", "F6"),
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+         COUNT(*) AS k,
+         COUNT(DISTINCT c_mktsegment) AS l
+  FROM customer
+  GROUP BY 1, 2
+), banded AS (
+  SELECT CASE WHEN k = 1 THEN '1'
+              WHEN k < 5 THEN '2-4'
+              WHEN k < 10 THEN '5-9'
+              ELSE '10+' END AS k_band,
+         k, l
+  FROM g
+)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       ROUND(AVG(l), 6) AS avg_l
+FROM banded GROUP BY k_band ORDER BY k_band
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a training
+    corpus passes before release (the re-identification companion of
+    the PII scanners, pii_column_scan / pii_redaction): group rows
+    by the quasi-identifier tuple (nation, 1000-wide balance band),
+    k = group size (rows in a QI group of size 1 are singled out),
+    l = distinct sensitive values (market segment) per group
+    (a group where everyone shares the sensitive value leaks it even
+    at high k). Reports the k-band histogram with group/row counts
+    and the worst-case l per band. ONE groupBy at the QI grain +
+    ONE 4-row rollup — at 100 TB the QI aggregation is the only
+    corpus-scale pass, and generalization (widening the bands until
+    min_k clears policy) just re-runs it."""
+    cust = load(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.expr("floor(c_acctbal / 1000.0)").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct("c_mktsegment").alias("l"),
+    )
+    banded = g.select(
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") < 5, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .otherwise("10+")
+        .alias("k_band"),
+        "k",
+        "l",
+    )
+    return (
+        banded.groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_k"),
+            F.min("l").cast("long").alias("min_l"),
+            R6(F.avg("l")).alias("avg_l"),
+        )
+        .orderBy("k_band")
+    )
