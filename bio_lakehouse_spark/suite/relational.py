@@ -1276,6 +1276,41 @@ SELECT v AS node, lab AS community FROM l{iters}""")
     return "".join(parts)
 
 
+def _modularity_oracle(iters: int = 2) -> str:
+    """Newman modularity of the LP communities: reuses _lpa_oracle's
+    unrolled CTE chain verbatim, then Q's per-community decomposition
+    e_c/m − (d_c/2m)² over the undirected edge set."""
+    lpa = _lpa_oracle(iters)
+    chain = lpa[: lpa.rindex("\nSELECT v AS node")]
+    return chain + f""", lab AS (
+  SELECT v, lab FROM l{iters}
+), mm AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM base
+), ec AS (
+  SELECT la.lab AS community, CAST(COUNT(*) AS DOUBLE) AS e_in
+  FROM base
+  JOIN lab la ON la.v = base.c
+  JOIN lab lb ON lb.v = base.s
+  WHERE la.lab = lb.lab
+  GROUP BY 1
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY 1
+), dc AS (
+  SELECT lab.lab AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         SUM(deg.d) AS d_c
+  FROM deg JOIN lab ON lab.v = deg.v GROUP BY 1
+)
+SELECT dc.community,
+       dc.n_nodes,
+       CAST(COALESCE(ec.e_in, 0.0) AS BIGINT) AS e_in,
+       ROUND(COALESCE(ec.e_in, 0.0) / m
+             - (dc.d_c / (2.0 * m)) * (dc.d_c / (2.0 * m)), 6) + 0.0
+         AS q_contribution
+FROM dc LEFT JOIN ec USING (community), mm
+"""
+
+
 @register(
     "label_propagation_communities",
     survey=("J4", "A1", "W7"),
@@ -2007,4 +2042,83 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.avg("l")).alias("avg_l"),
         )
         .orderBy("k_band")
+    )
+
+@register(
+    "community_modularity_audit",
+    survey=("J4", "A1", "F11"),
+    oracle=_modularity_oracle(2),
+)
+def community_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the LP communities — the
+    quality score community detection is judged by (Q = Σ_c e_c/m −
+    (d_c/2m)², one term per community): certifies not just WHERE the
+    labels land (label_propagation_communities) but that the
+    partition's edge bookkeeping — internal-edge counts, degree
+    volumes, the m normalization — is exact. Three keyed joins
+    against the label table + two community-grain aggregates; the
+    edge set is scanned twice (e_c and degrees), everything else is
+    community-sized. The oracle reuses the unrolled-LPA CTE chain
+    verbatim and layers the same decomposition on top."""
+    from bio_lakehouse_spark.operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    lab = label_propagation(e, iters=2).select(
+        F.col("node").alias("v"), F.col("community").alias("lab")
+    )
+    m = base.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    ec = (
+        base.join(
+            lab.select(F.col("v").alias("c"), F.col("lab").alias("lab_a")),
+            "c",
+        )
+        .join(
+            lab.select(F.col("v").alias("s"), F.col("lab").alias("lab_b")),
+            "s",
+        )
+        .filter(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_in"))
+    )
+    deg = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    dc = (
+        deg.join(lab, "v")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").alias("d_c"),
+        )
+    )
+    half = F.col("d_c") / (2.0 * F.col("m"))
+    return (
+        dc.join(ec, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("e_in"), F.lit(0.0))
+            .cast("long")
+            .alias("e_in"),
+            (
+                R6(
+                    F.coalesce(F.col("e_in"), F.lit(0.0)) / F.col("m")
+                    - half * half
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 (strict contract)
+            ).alias("q_contribution"),
+        )
     )
