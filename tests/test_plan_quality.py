@@ -539,6 +539,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "quantile_regression_sgd",  # daily frame × ONE-ROW (a, b) per step
         "fs_em_priors_audit",  # 8-row pattern frame × ONE-ROW EM params
         "heaps_law_audit",  # docs × ONE-ROW (lo, hi) span; ONE-ROW totals
+        "community_modularity_audit",  # community frame × ONE-ROW m
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
