@@ -3632,3 +3632,108 @@ def quantile_regression_sgd(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("pinball_loss")).alias("pinball_loss"),
         )
     )
+
+
+@register(
+    "hbos_outlier_scores",
+    survey=("ST6", "A13", "F6"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey,
+         CAST(c.c_acctbal AS DOUBLE) AS x1,
+         CAST(COALESCE(o.n, 0) AS DOUBLE) AS x2
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1
+  ) o ON o.o_custkey = c.c_custkey
+), stats AS (
+  SELECT MIN(x1) AS lo1, MAX(x1) AS hi1,
+         MIN(x2) AS lo2, MAX(x2) AS hi2,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM f
+), binned AS (
+  SELECT c_custkey,
+         LEAST(15, CAST(FLOOR((x1 - lo1) * 16.0
+                              / NULLIF(hi1 - lo1, 0.0)) AS INT)) AS b1,
+         LEAST(15, CAST(FLOOR((x2 - lo2) * 16.0
+                              / NULLIF(hi2 - lo2, 0.0)) AS INT)) AS b2,
+         n
+  FROM f, stats
+), h1 AS (
+  SELECT b1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM binned GROUP BY 1
+), h2 AS (
+  SELECT b2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM binned GROUP BY 1
+), scored AS (
+  SELECT b.c_custkey,
+         ROUND(-LN(h1.c1 / b.n) - LN(h2.c2 / b.n), 6) AS hbos
+  FROM binned b JOIN h1 USING (b1) JOIN h2 USING (b2)
+)
+SELECT c_custkey, hbos FROM scored
+ORDER BY hbos DESC, c_custkey LIMIT 20
+""",
+)
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS (Histogram-Based Outlier Score, Goldstein & Dengel 2012)
+    — the deterministic, embarrassingly-parallel anomaly detector
+    production pipelines reach for before isolation forests: per
+    feature an equi-width histogram (16 bins over account balance
+    and order count), each record scored −Σ ln(density of its own
+    bin), top-20 by score. Multivariate companion of the univariate
+    `zscore_anomaly_days` / `mad_robust_anomaly`: a record is
+    anomalous if it sits in thin bins of SEVERAL features, with no
+    covariance estimation and nothing iterative. Plan shape: one
+    min/max one-row broadcast, one bin assignment scan, two 16-row
+    histograms broadcast back — the identical binning contract as
+    decision_stump_gini (floor((x−lo)·16/(hi−lo)), top bin closed),
+    so the cross-engine float behavior is already certified there.
+    At 100 TB: histograms are fixed-size whatever N; the only
+    corpus-scale work is two scans."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    n_ord = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    f = cust.join(n_ord, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("x1"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x2"),
+    )
+    stats = f.agg(
+        F.min("x1").alias("lo1"), F.max("x1").alias("hi1"),
+        F.min("x2").alias("lo2"), F.max("x2").alias("hi2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+
+    def bin_expr(x: str, lo: str, hi: str):
+        return F.least(
+            F.lit(15),
+            F.floor(
+                (F.col(x) - F.col(lo))
+                * 16.0
+                / F.nullif(F.col(hi) - F.col(lo), F.lit(0.0))
+            ).cast("int"),
+        )
+
+    binned = f.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        bin_expr("x1", "lo1", "hi1").alias("b1"),
+        bin_expr("x2", "lo2", "hi2").alias("b2"),
+        "n",
+    )
+    h1 = binned.groupBy("b1").agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    h2 = binned.groupBy("b2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    scored = (
+        binned.join(F.broadcast(h1), "b1")
+        .join(F.broadcast(h2), "b2")
+        .select(
+            "c_custkey",
+            R6(
+                -F.log(F.col("c1") / F.col("n"))
+                - F.log(F.col("c2") / F.col("n"))
+            ).alias("hbos"),
+        )
+    )
+    return scored.orderBy(F.desc("hbos"), "c_custkey").limit(20)
