@@ -3737,3 +3737,218 @@ def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("hbos"), "c_custkey").limit(20)
+
+
+@register(
+    "rmst_churn_audit",
+    survey=("ST8", "A13", "W5"),
+    oracle="""
+WITH span AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY 1
+), obs AS (
+  SELECT CASE WHEN last_d < DATE '2001-01-01' THEN 1 ELSE 0 END AS ev,
+         CASE WHEN last_d < DATE '2001-01-01'
+              THEN datediff('day', first_d, last_d)
+              ELSE datediff('day', first_d, DATE '2001-08-01') END AS t
+  FROM span
+), by_t AS (
+  SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM obs GROUP BY 1
+), curve AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_risk
+  FROM by_t
+), surv AS (
+  SELECT t, d,
+         MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t) AS zero_flag,
+         SUM(LN(CASE WHEN d >= n_risk THEN 1.0
+                     ELSE 1.0 - CAST(d AS DOUBLE) / n_risk END))
+           OVER (ORDER BY t) AS lnsum
+  FROM curve
+), ev AS (
+  SELECT t,
+         CASE WHEN zero_flag = 1 THEN 0.0 ELSE EXP(lnsum) END AS s
+  FROM surv WHERE d > 0
+), tau AS (
+  SELECT CAST(MAX(t) AS DOUBLE) AS tau FROM obs
+), seg AS (
+  SELECT t, s, COALESCE(LEAD(t) OVER (ORDER BY t), tau) AS t_next
+  FROM ev, tau
+)
+SELECT CAST((SELECT tau FROM tau) AS BIGINT) AS tau_days,
+       CAST(COUNT(*) AS BIGINT) AS n_knots,
+       ROUND((SELECT MIN(t) FROM ev)
+             + SUM(s * (t_next - t)), 6) AS rmst_days,
+       ROUND(MIN(s), 6) AS s_tau
+FROM seg
+""",
+)
+def rmst_churn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted Mean Survival Time at τ = max follow-up — the
+    clinically-reported area under the Kaplan-Meier curve (expected
+    customer lifetime within the observation window), computed as
+    the exact step integral over the certified KM knots: S = 1 from
+    0 to the first event time, then Σ S(tᵢ)·(tᵢ₊₁ − tᵢ) with the
+    last segment closed at τ. Rides the same duration-domain frame
+    as kaplan_meier_churn (corpus pass = one groupBy(duration));
+    the integral is two window functions over the knot frame. The
+    headline number a retention team quotes from the curve, now in
+    the hash contract."""
+    from bio_lakehouse_spark.operators.stats import kaplan_meier
+
+    orders = load(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_d"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    churned = F.col("last_d") < F.lit("2001-01-01").cast("date")
+    obs = span.select(
+        churned.cast("int").alias("ev"),
+        F.when(churned, F.datediff("last_d", "first_d"))
+        .otherwise(
+            F.datediff(F.lit("2001-08-01").cast("date"), F.col("first_d"))
+        )
+        .alias("t"),
+    )
+    km = kaplan_meier(obs, "t", "ev").select("duration", "survival")
+    tau = obs.agg(F.max("t").cast("double").alias("tau"))
+    seg = km.crossJoin(F.broadcast(tau)).select(
+        "duration",
+        "survival",
+        F.coalesce(
+            F.lead("duration").over(Window.orderBy("duration")).cast(
+                "double"
+            ),
+            F.col("tau"),
+        ).alias("t_next"),
+        "tau",
+    )
+    return seg.agg(
+        F.max("tau").cast("long").alias("tau_days"),
+        F.count(F.lit(1)).cast("long").alias("n_knots"),
+        R6(
+            F.min("duration")
+            + F.sum(F.col("survival") * (F.col("t_next") - F.col("duration")))
+        ).alias("rmst_days"),
+        R6(F.min("survival")).alias("s_tau"),
+    )
+
+
+@register(
+    "mmd_two_sample_daily",
+    survey=("ST3", "ST6", "A13"),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), pool AS (
+  SELECT AVG(v) AS mu, STDDEV_SAMP(v) AS sd
+  FROM (SELECT x AS v FROM d UNION ALL SELECT y AS v FROM d) u
+), z AS (
+  SELECT date, (x - mu) / sd AS zx, (y - mu) / sd AS zy FROM d, pool
+), kxx AS (
+  SELECT SUM(EXP(-0.5 * (a.zx - b.zx) * (a.zx - b.zx))) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS np
+  FROM z a JOIN z b ON a.date <> b.date
+), kyy AS (
+  SELECT SUM(EXP(-0.5 * (a.zy - b.zy) * (a.zy - b.zy))) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS np
+  FROM z a JOIN z b ON a.date <> b.date
+), kxy AS (
+  SELECT SUM(EXP(-0.5 * (a.zx - b.zy) * (a.zx - b.zy))) AS s,
+         CAST(COUNT(*) AS DOUBLE) AS np
+  FROM z a JOIN z b ON true
+)
+SELECT CAST((SELECT COUNT(*) FROM z) AS BIGINT) AS n_days,
+       ROUND((SELECT s / np FROM kxx), 6) AS kxx_mean,
+       ROUND((SELECT s / np FROM kyy), 6) AS kyy_mean,
+       ROUND((SELECT s / np FROM kxy), 6) AS kxy_mean,
+       ROUND((SELECT s / np FROM kxx) + (SELECT s / np FROM kyy)
+             - 2.0 * (SELECT s / np FROM kxy), 6) AS mmd2
+""",
+)
+def mmd_two_sample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased MMD² two-sample test (Gretton et al., JMLR 2012)
+    between the daily click-value and purchase-value distributions —
+    the kernel two-sample test modern drift monitoring uses where
+    KS/PSI only see marginals' CDF gaps: RBF kernel on
+    pooled-standardized values (γ = 1/2 after z-scoring, the unit
+    bandwidth the median heuristic approaches for standardized
+    data), MMD² = mean k(x,x′) + mean k(y,y′) − 2·mean k(x,y) over
+    off-diagonal pairs. The pair frames are DAYS² — the
+    lowess/isotonic bounded-quadratic class — while the corpus-scale
+    work is the one daily rollup. Companion of `ks_two_sample`
+    (CDF-based) and `psi_drift_monitor` (binned)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(0.0)
+        ).alias("y"),
+    )
+    pool = (
+        d.select(F.col("x").alias("v"))
+        .unionAll(d.select(F.col("y").alias("v")))
+        .agg(
+            F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
+        )
+    )
+    z = d.crossJoin(F.broadcast(pool)).select(
+        "date",
+        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("zx"),
+        ((F.col("y") - F.col("mu")) / F.col("sd")).alias("zy"),
+    ).localCheckpoint()
+    a, b = z.alias("a"), z.alias("b")
+
+    def rbf(u, v):
+        return F.exp(-0.5 * (u - v) * (u - v))
+
+    off = a.join(b, F.col("a.date") != F.col("b.date"))
+    kxx = off.agg(
+        (
+            F.sum(rbf(F.col("a.zx"), F.col("b.zx")))
+            / F.count(F.lit(1))
+        ).alias("kxx_mean")
+    )
+    kyy = off.agg(
+        (
+            F.sum(rbf(F.col("a.zy"), F.col("b.zy")))
+            / F.count(F.lit(1))
+        ).alias("kyy_mean")
+    )
+    kxy = a.crossJoin(b).agg(
+        (
+            F.sum(rbf(F.col("a.zx"), F.col("b.zy")))
+            / F.count(F.lit(1))
+        ).alias("kxy_mean")
+    )
+    n = z.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        n.crossJoin(F.broadcast(kxx))
+        .crossJoin(F.broadcast(kyy))
+        .crossJoin(F.broadcast(kxy))
+        .select(
+            "n_days",
+            R6(F.col("kxx_mean")).alias("kxx_mean"),
+            R6(F.col("kyy_mean")).alias("kyy_mean"),
+            R6(F.col("kxy_mean")).alias("kxy_mean"),
+            R6(
+                F.col("kxx_mean")
+                + F.col("kyy_mean")
+                - 2.0 * F.col("kxy_mean")
+            ).alias("mmd2"),
+        )
+    )

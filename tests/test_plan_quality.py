@@ -540,6 +540,9 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "fs_em_priors_audit",  # 8-row pattern frame × ONE-ROW EM params
         "heaps_law_audit",  # docs × ONE-ROW (lo, hi) span; ONE-ROW totals
         "community_modularity_audit",  # community frame × ONE-ROW m
+        "hbos_outlier_scores",  # scan × ONE-ROW min/max bin edges
+        "rmst_churn_audit",  # KM knot frame × ONE-ROW tau
+        "mmd_two_sample_daily",  # days² kernel pairs + ONE-ROW stats
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
