@@ -3952,3 +3952,256 @@ def mmd_two_sample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mmd2"),
         )
     )
+
+
+@register(
+    "shapley_linear_audit",
+    survey=("ST14", "ST13"),
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         ROUND(SUM(value), 6) AS total_value,
+         CAST(COUNT(*) AS DOUBLE) AS n_events,
+         ROUND(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1
+), p AS (
+  SELECT date, n_events AS x1, avg_value AS x2,
+         LEAD(total_value) OVER (ORDER BY date) AS y
+  FROM d
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+  FROM p WHERE y IS NOT NULL
+), c AS (
+  SELECT n,
+         s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         s12 - s1 * s2 / n AS c12,
+         s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y,
+         s1 / n AS m1, s2 / n AS m2
+  FROM m
+), beta AS (
+  SELECT m1, m2,
+         ((c22 + 1.0) * c1y - c12 * c2y)
+           / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b1,
+         ((c11 + 1.0) * c2y - c12 * c1y)
+           / ((c11 + 1.0) * (c22 + 1.0) - c12 * c12) AS b2
+  FROM c
+), latest AS (
+  SELECT x1 AS lx1, x2 AS lx2 FROM p WHERE y IS NOT NULL
+  ORDER BY date DESC LIMIT 1
+), phi AS (
+  SELECT 'n_events' AS feature, b1 AS beta,
+         AVG(ABS(b1 * (x1 - m1))) AS mean_abs_shap,
+         MAX(b1 * (lx1 - m1)) AS last_day_shap
+  FROM p, beta, latest WHERE y IS NOT NULL
+  GROUP BY b1
+  UNION ALL
+  SELECT 'avg_value' AS feature, b2 AS beta,
+         AVG(ABS(b2 * (x2 - m2))) AS mean_abs_shap,
+         MAX(b2 * (lx2 - m2)) AS last_day_shap
+  FROM p, beta, latest WHERE y IS NOT NULL
+  GROUP BY b2
+)
+SELECT feature, ROUND(beta, 6) AS beta,
+       ROUND(mean_abs_shap, 6) AS mean_abs_shap,
+       ROUND(last_day_shap, 6) AS last_day_shap
+FROM phi ORDER BY feature
+""",
+)
+def shapley_linear_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP values for the certified ridge model — for a
+    linear model the Shapley decomposition is closed-form,
+    φ_k(x) = β_k·(x_k − E[x_k]) (Lundberg & Lee 2017, the Linear
+    SHAP case), so the model-EXPLANATION layer gets the same
+    differential treatment as the model itself
+    (ridge_normal_equation_audit, whose Cramer solve this reuses):
+    per-feature global importance E|φ_k| and the attribution of the
+    LATEST day's prediction. One aggregate over the daily frame
+    with (β, means, latest-x) riding one-row broadcasts — the
+    explanation a feature-attribution dashboard serves, in the hash
+    contract. At 100 TB: exact SHAP stays one scan for linear
+    models; tree/kernel SHAP falls back to per-model audits
+    (gbdt_two_round_audit pins the tree side)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("total_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        R6(F.avg("value")).alias("avg_value"),
+    )
+    p = d.select(
+        "date",
+        F.col("n_events").alias("x1"),
+        F.col("avg_value").alias("x2"),
+        F.lead("total_value").over(Window.orderBy("date")).alias("y"),
+    ).filter(F.col("y").isNotNull()).localCheckpoint()
+    m = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n")
+    c = m.select(
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+    )
+    det = (F.col("c11") + 1.0) * (F.col("c22") + 1.0) - F.col("c12") * F.col(
+        "c12"
+    )
+    beta = c.select(
+        "m1",
+        "m2",
+        (
+            ((F.col("c22") + 1.0) * F.col("c1y") - F.col("c12") * F.col("c2y"))
+            / det
+        ).alias("b1"),
+        (
+            ((F.col("c11") + 1.0) * F.col("c2y") - F.col("c12") * F.col("c1y"))
+            / det
+        ).alias("b2"),
+    )
+    latest = (
+        p.orderBy(F.desc("date"))
+        .limit(1)
+        .select(F.col("x1").alias("lx1"), F.col("x2").alias("lx2"))
+    )
+    base = p.crossJoin(F.broadcast(beta)).crossJoin(F.broadcast(latest))
+    phi1 = base.groupBy("b1").agg(
+        F.avg(F.abs(F.col("b1") * (F.col("x1") - F.col("m1")))).alias(
+            "mean_abs_shap"
+        ),
+        F.max(F.col("b1") * (F.col("lx1") - F.col("m1"))).alias(
+            "last_day_shap"
+        ),
+    ).select(
+        F.lit("n_events").alias("feature"),
+        F.col("b1").alias("beta"),
+        "mean_abs_shap",
+        "last_day_shap",
+    )
+    phi2 = base.groupBy("b2").agg(
+        F.avg(F.abs(F.col("b2") * (F.col("x2") - F.col("m2")))).alias(
+            "mean_abs_shap"
+        ),
+        F.max(F.col("b2") * (F.col("lx2") - F.col("m2"))).alias(
+            "last_day_shap"
+        ),
+    ).select(
+        F.lit("avg_value").alias("feature"),
+        F.col("b2").alias("beta"),
+        "mean_abs_shap",
+        "last_day_shap",
+    )
+    return (
+        phi1.unionByName(phi2)
+        .select(
+            "feature",
+            R6(F.col("beta")).alias("beta"),
+            R6(F.col("mean_abs_shap")).alias("mean_abs_shap"),
+            R6(F.col("last_day_shap")).alias("last_day_shap"),
+        )
+        .orderBy("feature")
+    )
+
+
+def _pd_oracle() -> str:
+    """Partial-dependence oracle: reuses _logistic_gd_oracle's
+    unrolled GD chain verbatim, then averages the model over the
+    data with x1 clamped to each grid point."""
+    lg = _logistic_gd_oracle()
+    chain = lg[: lg.rindex("\nSELECT CAST(COUNT(*) AS BIGINT)")]
+    return chain + """, grid AS (
+  SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS v
+)
+SELECT v AS x1_grid,
+       ROUND(AVG(1.0 / (1.0 + EXP(-(b0 + b1 * v + b2 * x2)))), 6)
+         AS partial_dependence
+FROM p, i4, grid
+GROUP BY v ORDER BY v
+"""
+
+
+@register(
+    "partial_dependence_audit",
+    survey=("ST14", "ST5"),
+    oracle=_pd_oracle(),
+)
+def partial_dependence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-dependence curve of the certified logistic model
+    (Friedman 2001): PD(v) = E_x₂[σ(β₀ + β₁·v + β₂·x₂)] at five
+    grid points of the scaled-quantity feature — the standard
+    model-inspection readout next to SHAP (shapley_linear_audit
+    covers the linear side; this marginalizes the trained GLM the
+    way a model card plots it). The model is logistic_gd_audit's
+    exact 4-step GD trajectory (its oracle chain reused verbatim);
+    each grid point is one pass of the SAME map-side-combinable
+    aggregate with (β, v) riding broadcast — grid × one scan, never
+    grid × shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    beta = spark.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"),
+        F.lit(0.0).alias("b2"),
+    )
+    for _ in range(4):
+        j = p.crossJoin(F.broadcast(beta))
+        s = 1.0 / (
+            1.0
+            + F.exp(
+                -(
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1")
+                    + F.col("b2") * F.col("x2")
+                )
+            )
+        )
+        r = F.col("y") - s
+        beta = (
+            j.groupBy("b0", "b1", "b2")
+            .agg(
+                F.avg(r).alias("g0"),
+                F.avg(F.col("x1") * r).alias("g1"),
+                F.avg(F.col("x2") * r).alias("g2"),
+            )
+            .select(
+                (F.col("b0") + 2.0 * F.col("g0")).alias("b0"),
+                (F.col("b1") + 2.0 * F.col("g1")).alias("b1"),
+                (F.col("b2") + 2.0 * F.col("g2")).alias("b2"),
+            )
+        )
+    grid = spark.createDataFrame(
+        [(0.1,), (0.3,), (0.5,), (0.7,), (0.9,)], "v double"
+    )
+    pd_s = 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("b0")
+                + F.col("b1") * F.col("v")
+                + F.col("b2") * F.col("x2")
+            )
+        )
+    )
+    return (
+        p.crossJoin(F.broadcast(beta))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("v")
+        .agg(R6(F.avg(pd_s)).alias("partial_dependence"))
+        .select(F.col("v").alias("x1_grid"), "partial_dependence")
+        .orderBy("x1_grid")
+    )

@@ -543,6 +543,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "hbos_outlier_scores",  # scan × ONE-ROW min/max bin edges
         "rmst_churn_audit",  # KM knot frame × ONE-ROW tau
         "mmd_two_sample_daily",  # days² kernel pairs + ONE-ROW stats
+        "shapley_linear_audit",  # daily frame × ONE-ROW (β, means, latest)
+        "partial_dependence_audit",  # scan × ONE-ROW β × 5-row grid
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
