@@ -3869,3 +3869,94 @@ def heaps_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(F.broadcast(reg)).select(
         "n_docs", "total_tokens", "vocab_size", "beta", "ln_k"
     )
+
+
+def _tokenize_pack_oracle() -> str:
+    """Composition oracle: the WordPiece recursive-CTE counts feed
+    the per-shard packing cumsum and the export manifest rollup."""
+    wp = _wordpiece_oracle_sql()
+    chain = wp[: wp.rindex("\nSELECT doc_id,")]
+    return chain + """, per_doc AS (
+  SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS n_tok
+  FROM w JOIN done USING (word) GROUP BY doc_id
+), packed AS (
+  SELECT doc_id % 8 AS shard, doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_off
+  FROM per_doc
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tok) + 255) // 256 AS BIGINT) AS n_chunks,
+       CAST((SUM(n_tok) + 255) // 256 * 256 - SUM(n_tok) AS BIGINT)
+         AS pad_tokens,
+       CAST(SUM(CASE WHEN start_off // 256
+                     <> (start_off + greatest(n_tok, 1) - 1) // 256
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE)
+             / ((SUM(n_tok) + 255) // 256 * 256), 6) AS efficiency
+FROM packed GROUP BY shard ORDER BY shard
+"""
+
+
+@register(
+    "tokenize_pack_manifest",
+    survey=("F9", "W2", "A1", "S14"),
+    oracle=_tokenize_pack_oracle(),
+)
+def tokenize_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data EXPORT accounting query — tokenizer →
+    packing → manifest composed end to end, each stage individually
+    certified elsewhere (`wordpiece_encode_fixed`,
+    `sequence_packing`, `dataset_manifest`): REAL WordPiece token
+    counts per document, concat-and-chunk packing into 256-token
+    context windows across 8 shards, and the per-shard manifest a
+    data loader consumes — docs, tokens, chunks, padding waste,
+    boundary-split docs, packing efficiency. This is the number a
+    pretraining run budgets GPU-hours from; certifying the
+    composition pins that per-doc counts, the packing cumsum, and
+    the ceil/padding arithmetic agree cross-engine SIMULTANEOUSLY.
+    Corpus-scale work: one explode + the per-distinct-word encode +
+    one per-shard window — no stage exceeds its standalone shape."""
+    from bio_lakehouse_spark.operators.packing import pack_sequences
+    from bio_lakehouse_spark.operators.wordpiece import (
+        PRETRAINED_WORDPIECE_V1,
+        wordpiece_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = wordpiece_token_counts(
+        docs, "doc_id", "text", PRETRAINED_WORDPIECE_V1
+    )
+    packed = pack_sequences(
+        counts,
+        "doc_id",
+        F.col("n_wp_tokens").cast("bigint"),
+        ctx=256,
+        num_shards=8,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    n_chunks_shard = F.ceil(F.sum("n_tok") / 256.0).cast("long")
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            n_chunks_shard.alias("n_chunks"),
+            (n_chunks_shard * 256 - F.sum("n_tok"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum(
+                (F.col("chunk_first") != F.col("chunk_last")).cast("long")
+            )
+            .cast("long")
+            .alias("n_split_docs"),
+            R6(
+                F.sum("n_tok").cast("double") / (n_chunks_shard * 256.0)
+            ).alias("efficiency"),
+        )
+        .orderBy("shard")
+    )
