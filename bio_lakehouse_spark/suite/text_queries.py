@@ -3960,3 +3960,87 @@ def tokenize_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "binary_file_decode_scan",
+    survey=("S7", "F9", "P4"),
+    oracle="""
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 11 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(54 + ((4 + doc_id % 13) * 3
+                  + (4 - ((4 + doc_id % 13) * 3) % 4) % 4)
+                 * (3 + doc_id % 11) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id < 64
+""",
+)
+def binary_file_decode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``binaryFile`` source feeding the REAL media
+    decoder, certified under the driver gate: 64 byte-exact BMP
+    files (dimensions an arithmetic function of doc_id, rows padded
+    to 4 bytes per the spec) are landed once per fixture, read back
+    with ``spark.read.format("binaryFile")`` — the production
+    ingestion path for raw media directories at 100 TB (each file
+    one row: path, length, content; Spark parallelizes over files
+    and prunes on path/length pushed filters) — and decoded through
+    ``HeaderDecoder`` in the Arrow-batched mapInPandas stage. The
+    oracle derives every expected (width, height, channels, bytes)
+    from the SAME arithmetic over the documents table, so a green
+    row certifies file write → binaryFile scan → header decode
+    agree byte-for-byte on every file. Feature-vector math is pinned
+    by tests/test_header_decoder.py; this pins the PLUMBING."""
+    import os
+    import struct as _struct
+
+    from bio_lakehouse_spark.operators.multimodal import (
+        HeaderDecoder,
+        decode_batches,
+    )
+    from bio_lakehouse_spark.suite.pipeline_queries import fixture_path
+
+    root = fixture_path("binfiles", sf_dir)
+    done = root.parent / (root.name + "_DONE")
+    if not done.exists():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        ids = [
+            r["doc_id"]
+            for r in load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 64)
+            .select("doc_id")
+            .collect()
+        ]
+        for i in ids:
+            w, h, px = 4 + i % 13, 3 + i % 11, i % 256
+            row = bytes([px, px, px]) * w
+            row += b"\x00" * ((4 - len(row) % 4) % 4)
+            pixels = row * h
+            hdr = b"BM" + _struct.pack(
+                "<IHHI", 54 + len(pixels), 0, 0, 54
+            )
+            hdr += _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels),
+                2835, 2835, 0, 0,
+            )
+            with open(root / f"{i}.bmp", "wb") as fh:
+                fh.write(hdr + pixels)
+        done.touch()
+
+    raw = spark.read.format("binaryFile").load(str(root) + "/*.bmp")
+    wrapped = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "content",
+        F.lit("image/bmp").alias("media_type"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+    decoded = decode_batches(wrapped, decoder=HeaderDecoder())
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels", "n_bytes"
+    )
