@@ -1501,3 +1501,64 @@ def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value_micros",
     )
+
+
+@register(
+    "ivm_agg_retraction_audit",
+    survey=("A1", "A11", "S13"),
+    oracle="""
+WITH live AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders
+  WHERE NOT (o_orderpriority = '1-URGENT'
+             AND CAST(o_orderdate AS DATE) < DATE '1994-01-01')
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 6) AS total_price
+FROM live GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ivm_agg_retraction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under DELETES (the signed-
+    weight / Z-set counting method, DBSP VLDB'23 — operators/ivm):
+    the priority-level revenue view is built incrementally through
+    three refreshes — two insert batches split by order date, then a
+    RETRACTION batch (weight −1) deleting every pre-1994 1-URGENT
+    order — and the final view must equal the batch aggregate over
+    the surviving rows, which is exactly what the oracle computes
+    from scratch. Certifies the full-outer keyed merge, the signed
+    partials, and the count-0 tombstone rule under the driver's hash
+    gate (ivm_join_refresh_audit covers the join-delta rule; this is
+    the aggregate-with-deletes half). Each refresh costs one partial
+    agg of the delta + one keyed merge — the base is never
+    rescanned."""
+    from bio_lakehouse_spark.operators.ivm import (
+        agg_view_delta,
+        agg_view_refresh,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    cut = F.lit("1994-01-01").cast("date")
+    b1 = orders.filter(F.col("d") < cut).withColumn("__w", F.lit(1))
+    b2 = orders.filter(F.col("d") >= cut).withColumn("__w", F.lit(1))
+    # retraction: delete every pre-1994 1-URGENT order (weight −1)
+    b3 = (
+        orders.filter(
+            (F.col("d") < cut) & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .withColumn("__w", F.lit(-1))
+    )
+    keys, sums = ["o_orderpriority"], ["price"]
+    view = agg_view_delta(b1, keys, sums).localCheckpoint()
+    for delta in (b2, b3):
+        view = agg_view_refresh(view, delta, keys, sums).localCheckpoint()
+    return view.select(
+        "o_orderpriority",
+        F.col("__cnt").cast("long").alias("n_orders"),
+        R6(F.col("__sum_price")).alias("total_price"),
+    ).orderBy("o_orderpriority")
