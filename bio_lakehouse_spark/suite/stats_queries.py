@@ -4205,3 +4205,159 @@ def partial_dependence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("v").alias("x1_grid"), "partial_dependence")
         .orderBy("x1_grid")
     )
+
+
+def _binseg_oracle(n_splits: int = 3) -> str:
+    """Unrolled greedy binary segmentation: prefix sums once, then
+    per split one candidate scan bounded by the current boundary set
+    (the argmax-per-CTE treatment)."""
+    sql = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date, ROUND(SUM(value), 6) AS x
+  FROM events GROUP BY 1
+), p AS (
+  SELECT date,
+         ROW_NUMBER() OVER (ORDER BY date) AS rn,
+         SUM(x) OVER (ORDER BY date) AS cs,
+         SUM(x * x) OVER (ORDER BY date) AS css
+  FROM d
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM p
+), bnd0 AS (
+  SELECT CAST(0 AS BIGINT) AS x
+  UNION ALL SELECT nn FROM n
+)"""
+    for k in range(1, n_splits + 1):
+        sql += f""", cand{k} AS (
+  SELECT p.rn AS t,
+         (SELECT MAX(x) FROM bnd{k-1} WHERE x < p.rn) AS a,
+         (SELECT MIN(x) FROM bnd{k-1} WHERE x >= p.rn) AS b
+  FROM p
+  WHERE p.rn < (SELECT MAX(x) FROM bnd{k-1})
+    AND p.rn NOT IN (SELECT x FROM bnd{k-1})
+), gain{k} AS (
+  SELECT c.t, c.a, c.b,
+         (COALESCE(pb.css, 0) - COALESCE(pa.css, 0)
+          - (COALESCE(pb.cs, 0) - COALESCE(pa.cs, 0))
+            * (COALESCE(pb.cs, 0) - COALESCE(pa.cs, 0)) / (c.b - c.a))
+       - (COALESCE(pt.css, 0) - COALESCE(pa.css, 0)
+          - (COALESCE(pt.cs, 0) - COALESCE(pa.cs, 0))
+            * (COALESCE(pt.cs, 0) - COALESCE(pa.cs, 0)) / (c.t - c.a))
+       - (COALESCE(pb.css, 0) - COALESCE(pt.css, 0)
+          - (COALESCE(pb.cs, 0) - COALESCE(pt.cs, 0))
+            * (COALESCE(pb.cs, 0) - COALESCE(pt.cs, 0)) / (c.b - c.t))
+         AS gain
+  FROM cand{k} c
+  LEFT JOIN p pa ON pa.rn = c.a
+  LEFT JOIN p pb ON pb.rn = c.b
+  LEFT JOIN p pt ON pt.rn = c.t
+), pick{k} AS (
+  SELECT t, gain FROM gain{k} ORDER BY gain DESC, t LIMIT 1
+), bnd{k} AS (
+  SELECT x FROM bnd{k-1} UNION ALL SELECT t FROM pick{k}
+)"""
+    picks = "\nUNION ALL ".join(
+        f"SELECT {k} AS split_order, t, gain FROM pick{k}"
+        for k in range(1, n_splits + 1)
+    )
+    return sql + f"""
+SELECT s.split_order, p.date AS cp_date, ROUND(s.gain, 6) AS sse_drop
+FROM ({picks}) s JOIN p ON p.rn = s.t
+ORDER BY s.split_order
+"""
+
+
+@register(
+    "binseg_changepoints",
+    survey=("ST7", "W3", "A13"),
+    oracle=_binseg_oracle(),
+)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy binary segmentation (Scott & Knott 1974; the offline
+    standard behind ruptures.Binseg) on the daily revenue series —
+    the OFFLINE changepoint detector next to the sequential monitors
+    (cusum_changepoint, page_hinkley_drift): 3 splits, each chosen
+    as the argmax SSE drop over all candidate positions given the
+    current boundary set, computed entirely from ONE pass of prefix
+    sums (SSE of any segment is css/cs/n differences — no rescan per
+    candidate). Per split: candidates × a ≤5-row boundary frame,
+    then a 1-row argmax (bounded driver-side pick, the bpe_train
+    posture). Days-grain throughout; the corpus-scale work is the
+    one daily rollup. Tie-break: earliest position — pinned in both
+    engines."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        R6(F.sum("value")).alias("x")
+    )
+    w = Window.orderBy("date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p = d.select(
+        "date",
+        F.row_number().over(Window.orderBy("date")).alias("rn"),
+        F.sum("x").over(w).alias("cs"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("css"),
+    ).localCheckpoint()
+    nn = p.count()
+    bounds = [0, nn]
+    picks: list[tuple[int, int, float]] = []
+    pa = p.select(
+        F.col("rn").alias("a"),
+        F.col("cs").alias("cs_a"),
+        F.col("css").alias("css_a"),
+    )
+    pb = p.select(
+        F.col("rn").alias("b"),
+        F.col("cs").alias("cs_b"),
+        F.col("css").alias("css_b"),
+    )
+    for k in (1, 2, 3):
+        bdf = spark.createDataFrame([(x,) for x in bounds], "x long")
+        cand = (
+            p.crossJoin(F.broadcast(bdf))
+            .filter(F.col("rn") < max(bounds))
+            .filter(~F.col("rn").isin(bounds))
+            .groupBy("rn", "cs", "css")
+            .agg(
+                F.max(F.when(F.col("x") < F.col("rn"), F.col("x"))).alias(
+                    "a"
+                ),
+                F.min(F.when(F.col("x") >= F.col("rn"), F.col("x"))).alias(
+                    "b"
+                ),
+            )
+        )
+        g = (
+            cand.join(F.broadcast(pa), "a", "left")
+            .join(F.broadcast(pb), "b", "left")
+        )
+        csa = F.coalesce(F.col("cs_a"), F.lit(0.0))
+        cssa = F.coalesce(F.col("css_a"), F.lit(0.0))
+        csb = F.coalesce(F.col("cs_b"), F.lit(0.0))
+        cssb = F.coalesce(F.col("css_b"), F.lit(0.0))
+        cst, csst = F.col("cs"), F.col("css")
+        gain = (
+            (cssb - cssa - (csb - csa) * (csb - csa) / (F.col("b") - F.col("a")))
+            - (csst - cssa - (cst - csa) * (cst - csa) / (F.col("rn") - F.col("a")))
+            - (cssb - csst - (csb - cst) * (csb - cst) / (F.col("b") - F.col("rn")))
+        )
+        top = (
+            g.select(F.col("rn").alias("t"), gain.alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("t"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((k, int(top["t"]), float(top["gain"])))
+        bounds = sorted(bounds + [int(top["t"])])
+    pk = spark.createDataFrame(
+        picks, "split_order int, t long, gain double"
+    )
+    return (
+        pk.join(F.broadcast(p.select("rn", "date")), pk["t"] == F.col("rn"))
+        .select(
+            "split_order",
+            F.col("date").alias("cp_date"),
+            R6(F.col("gain")).alias("sse_drop"),
+        )
+        .orderBy("split_order")
+    )

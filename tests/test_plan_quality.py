@@ -545,6 +545,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "mmd_two_sample_daily",  # days² kernel pairs + ONE-ROW stats
         "shapley_linear_audit",  # daily frame × ONE-ROW (β, means, latest)
         "partial_dependence_audit",  # scan × ONE-ROW β × 5-row grid
+        "binseg_changepoints",  # days frame × ≤5-row boundary set
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
