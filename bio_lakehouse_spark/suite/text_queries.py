@@ -4044,3 +4044,75 @@ def binary_file_decode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "width", "height", "n_channels", "n_bytes"
     )
+
+
+@register(
+    "ece_calibration_audit",
+    survey=("ST14", "A6", "F11"),
+    oracle=_NB_SCORES_CTE
+    + """, scored AS (
+  SELECT y, 1.0 / (1.0 + EXP(-nb_logodds)) AS p FROM d
+), bucketed AS (
+  SELECT LEAST(CAST(FLOOR(p * 10) AS INTEGER), 9) AS bucket, p, y
+  FROM scored
+), per_bucket AS (
+  SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(p) AS conf, AVG(y) AS acc
+  FROM bucketed GROUP BY bucket
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(SUM(n * ABS(acc - conf)) / SUM(n), 6) AS ece,
+       ROUND(MAX(ABS(acc - conf)), 6) AS mce,
+       ROUND((SELECT AVG((p - y) * (p - y)) FROM scored), 6) AS brier
+FROM per_bucket
+""",
+)
+def ece_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected / Maximum Calibration Error of the NB quality
+    classifier — the scalar summary a model card quotes from the
+    reliability diagram (`nb_calibration_curve` is the per-bucket
+    curve; this is its weighted rollup: ECE = Σ n_b/N·|acc_b −
+    conf_b|, MCE = worst bucket, plus the global Brier score).
+    Completes the calibration family (curve → isotonic recalibration
+    → scalar gate): a corpus filter whose keep-threshold is a
+    probability needs ECE under policy before the 100 TB pass. Same
+    single classifier scan, a 10-row aggregate and its 1-row
+    rollup."""
+    from bio_lakehouse_spark.operators.textops import nb_quality_classifier
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__pos", F.col("lang") == "en"
+    )
+    out = nb_quality_classifier(docs, "doc_id", "text", "__pos", dim=4096)
+    j = out.join(
+        docs.select("doc_id", F.col("__pos").cast("int").alias("y")),
+        "doc_id",
+    )
+    p = 1.0 / (1.0 + F.exp(-F.round("nb_logodds", 6)))
+    scored = j.select(
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bucket"),
+        p.alias("p"),
+        "y",
+    ).localCheckpoint()
+    per_bucket = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    brier = scored.agg(
+        R6(F.avg((F.col("p") - F.col("y")) ** 2)).alias("brier")
+    )
+    return (
+        per_bucket.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            R6(
+                F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf")))
+                / F.sum("n")
+            ).alias("ece"),
+            R6(F.max(F.abs(F.col("acc") - F.col("conf")))).alias("mce"),
+        )
+        .crossJoin(F.broadcast(brier))
+        .select("n_docs", "n_buckets", "ece", "mce", "brier")
+    )

@@ -546,6 +546,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "shapley_linear_audit",  # daily frame × ONE-ROW (β, means, latest)
         "partial_dependence_audit",  # scan × ONE-ROW β × 5-row grid
         "binseg_changepoints",  # days frame × ≤5-row boundary set
+        "ece_calibration_audit",  # 10-bucket rollup × ONE-ROW brier
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
