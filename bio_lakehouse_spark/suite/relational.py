@@ -15,7 +15,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.operators.aggregates import (
@@ -2143,4 +2143,183 @@ def community_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.0)  # normalize IEEE -0.0 (strict contract)
             ).alias("q_contribution"),
         )
+    )
+
+
+@register(
+    "degree_assortativity",
+    survey=("J4", "A1", "ST1"),
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM base
+  UNION ALL SELECT s AS src, c AS dst FROM base
+), deg AS (
+  SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY 1
+), pairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         AS assortativity
+FROM m
+""",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier trade graph
+    (Newman 2002) — the Pearson correlation of endpoint degrees over
+    edge ends, the one-number answer to "do hubs trade with hubs or
+    with the periphery?" (bipartite trade graphs are typically
+    DISassortative: big buyers spread across many small suppliers).
+    Plan: one degree aggregate, two keyed joins attaching endpoint
+    degrees, one moment rollup — the correlation is computed from
+    raw sums with the same expression tree on both engines (never
+    the builtin corr(), whose internal algorithm differs between
+    engines at the last bit). Completes the graph-metric family
+    (modularity = partition quality; assortativity = mixing
+    structure)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    e = base.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        base.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    pairs = (
+        e.join(
+            deg.select(F.col("v").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("v").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return m.select(
+        n.cast("long").alias("n_edge_ends"),
+        R6(r).alias("assortativity"),
+    )
+
+
+@register(
+    "markov_next_event_accuracy",
+    survey=("W4", "A6", "ST14"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS prev, next_type
+  FROM seq WHERE next_type IS NOT NULL
+), counts AS (
+  SELECT prev, next_type, COUNT(*) AS c
+  FROM trans GROUP BY 1, 2
+), model AS (
+  SELECT prev, next_type AS predicted
+  FROM (
+    SELECT prev, next_type,
+           ROW_NUMBER() OVER (
+             PARTITION BY prev ORDER BY c DESC, next_type
+           ) AS rn
+    FROM counts) WHERE rn = 1
+)
+SELECT t.prev,
+       m.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       ROUND(AVG(CASE WHEN t.next_type = m.predicted
+                      THEN 1.0 ELSE 0.0 END), 6) AS hit_rate
+FROM trans t JOIN model m USING (prev)
+GROUP BY t.prev, m.predicted ORDER BY t.prev
+""",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov
+    model — the eval half of `event_transition_matrix` (which
+    certifies the transition probabilities; this certifies the
+    argmax DECISION rule and its realized hit rate per state):
+    per-user ordered transitions, the mode next-event per previous
+    event (ties broken lexicographically), and the fraction of
+    transitions the rule gets right. In-sample by construction —
+    the standard Markov-baseline readout a session-recommendation
+    eval quotes before anything learned; the out-of-fold discipline
+    lives in `target_encode_oof`/`group_split_no_leakage`. One
+    window pass for transitions, a (state × state)-bounded count
+    frame, a broadcast model join back."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("next_type"),
+    )
+    trans = seq.filter(F.col("next_type").isNotNull()).select(
+        F.col("event_type").alias("prev"), "next_type"
+    )
+    counts = trans.groupBy("prev", "next_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    model = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("prev").orderBy(
+                    F.desc("c"), F.asc("next_type")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("next_type").alias("predicted"))
+    )
+    return (
+        trans.join(F.broadcast(model), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            R6(
+                F.avg(
+                    F.when(
+                        F.col("next_type") == F.col("predicted"), 1.0
+                    ).otherwise(0.0)
+                )
+            ).alias("hit_rate"),
+        )
+        .select("prev", "predicted", "n_transitions", "hit_rate")
+        .orderBy("prev")
     )

@@ -4361,3 +4361,81 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_order")
     )
+
+
+@register(
+    "mahalanobis_outliers",
+    survey=("ST6", "A13", "F11"),
+    oracle="""
+WITH f AS (
+  SELECT c.c_custkey,
+         CAST(c.c_acctbal AS DOUBLE) AS x1,
+         CAST(COALESCE(o.n, 0) AS DOUBLE) AS x2
+  FROM customer c LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1
+  ) o ON o.o_custkey = c.c_custkey
+), m AS (
+  SELECT AVG(x1) AS m1, AVG(x2) AS m2,
+         SUM(x1 * x1) / COUNT(*) - AVG(x1) * AVG(x1) AS v11,
+         SUM(x2 * x2) / COUNT(*) - AVG(x2) * AVG(x2) AS v22,
+         SUM(x1 * x2) / COUNT(*) - AVG(x1) * AVG(x2) AS v12
+  FROM f
+), scored AS (
+  SELECT c_custkey,
+         ROUND(((x1 - m1) * (x1 - m1) * v22
+                - 2.0 * (x1 - m1) * (x2 - m2) * v12
+                + (x2 - m2) * (x2 - m2) * v11)
+               / (v11 * v22 - v12 * v12), 6) AS d2
+  FROM f, m
+)
+SELECT c_custkey, d2 FROM scored
+ORDER BY d2 DESC, c_custkey LIMIT 20
+""",
+)
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis-distance outliers over (account balance, order
+    count) — the covariance-aware companion of `hbos_outlier_scores`
+    (HBOS treats features independently; Mahalanobis catches points
+    that are unremarkable per-axis but off the correlation ridge).
+    The 2×2 covariance inverts in closed form, so the whole detector
+    is ONE moment aggregate (population covariance from raw sums)
+    broadcast back onto the scan: d² = Δᵀ Σ⁻¹ Δ expanded to scalar
+    arithmetic, top-20 by (rounded d², key). At 100 TB: two scans —
+    moments, then scoring; d features mean a d²-sized broadcast and
+    the same two scans (the inverse runs driver-side like the ridge
+    Cramer solve)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    n_ord = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    f = cust.join(n_ord, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("x1"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x2"),
+    )
+    nr = F.count(F.lit(1))
+    m = f.agg(
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        (F.sum(F.col("x1") * F.col("x1")) / nr
+         - F.avg("x1") * F.avg("x1")).alias("v11"),
+        (F.sum(F.col("x2") * F.col("x2")) / nr
+         - F.avg("x2") * F.avg("x2")).alias("v22"),
+        (F.sum(F.col("x1") * F.col("x2")) / nr
+         - F.avg("x1") * F.avg("x2")).alias("v12"),
+    )
+    d1 = F.col("x1") - F.col("m1")
+    d2c = F.col("x2") - F.col("m2")
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    d2 = (
+        d1 * d1 * F.col("v22")
+        - 2.0 * d1 * d2c * F.col("v12")
+        + d2c * d2c * F.col("v11")
+    ) / det
+    return (
+        f.crossJoin(F.broadcast(m))
+        .select("c_custkey", R6(d2).alias("d2"))
+        .orderBy(F.desc("d2"), "c_custkey")
+        .limit(20)
+    )

@@ -547,6 +547,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "partial_dependence_audit",  # scan × ONE-ROW β × 5-row grid
         "binseg_changepoints",  # days frame × ≤5-row boundary set
         "ece_calibration_audit",  # 10-bucket rollup × ONE-ROW brier
+        "mahalanobis_outliers",  # scan × ONE-ROW moment/covariance frame
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
