@@ -4127,3 +4127,110 @@ def ece_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(brier))
         .select("n_docs", "n_buckets", "ece", "mce", "brier")
     )
+
+
+@register(
+    "rake_keyphrases",
+    survey=("F8", "F9", "A6", "O4"),
+    oracle=f"""
+WITH pw AS (
+  SELECT doc_id, g AS pos, w[g] AS wd
+  FROM (SELECT doc_id, {_W} AS w FROM documents) t,
+       unnest(generate_series(1, len(w))) AS u(g)
+), flagged AS (
+  SELECT doc_id, pos, wd,
+         wd IN ('the', 'a', 'and', 'of', 'to', 'is', 'in', 'that')
+           AS is_stop
+  FROM pw
+), isl0 AS (
+  SELECT doc_id, pos, wd, is_stop,
+         SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+), isl AS (
+  SELECT doc_id, pos, wd, island FROM isl0 WHERE NOT is_stop
+), sized AS (
+  SELECT doc_id, island, pos, wd,
+         COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+  FROM isl
+), wscore AS (
+  SELECT wd,
+         CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS score
+  FROM sized GROUP BY wd
+), phrase AS (
+  SELECT s.doc_id, s.island,
+         STRING_AGG(s.wd, ' ' ORDER BY s.pos) AS phrase,
+         SUM(ws.score) AS pscore
+  FROM sized s JOIN wscore ws USING (wd)
+  GROUP BY s.doc_id, s.island
+)
+SELECT phrase,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(MAX(pscore), 6) AS rake_score
+FROM phrase GROUP BY phrase
+ORDER BY rake_score DESC, phrase LIMIT 15
+""",
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the
+    unsupervised multi-word keyphrase layer above the single-term
+    scorers (tfidf_top_terms, collocations_pmi_topk): candidate
+    phrases are maximal stopword-free word runs (islands via a
+    cumulative stop-count window), each word scored
+    degree/frequency where degree sums the lengths of every phrase
+    containing it, each phrase scored by the sum of its word
+    scores; top-15 phrase types with occurrence counts. All set
+    operations: one posexplode pass, island windows partitioned by
+    document, a vocab-sized word-score aggregate joined back
+    broadcast — no per-phrase Python, no quadratic anything. The
+    deterministic 8-word English stopword list is textops.STOPWORDS
+    (production swaps in a fuller list — the plan shape is
+    unchanged)."""
+    from bio_lakehouse_spark.operators.textops import STOPWORDS, words
+
+    docs = load(spark, sf_dir, "documents")
+    pw = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos", "wd")
+    )
+    stop = F.col("wd").isin(*STOPWORDS["en"])
+    isl = (
+        pw.withColumn(
+            "island",
+            F.sum(stop.cast("int")).over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+        .filter(~stop)
+    )
+    sized = isl.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "island")),
+    )
+    wscore = sized.groupBy("wd").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1))).alias("score")
+    )
+    phrase = (
+        sized.join(F.broadcast(wscore), "wd")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "wd"))
+                    ),
+                    lambda s: s["wd"],
+                ),
+            ).alias("phrase"),
+            F.sum("score").alias("pscore"),
+        )
+    )
+    return (
+        phrase.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            R6(F.max("pscore")).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(15)
+    )
