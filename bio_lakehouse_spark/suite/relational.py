@@ -2323,3 +2323,76 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "predicted", "n_transitions", "hit_rate")
         .orderBy("prev")
     )
+
+
+@register(
+    "gini_concentration_audit",
+    survey=("A6", "W9", "F11"),
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r,
+         ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(r) OVER () AS total
+  FROM rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(MAX(total), 2) AS total_revenue,
+       ROUND(2.0 * SUM(i * r) / (MAX(n) * MAX(total))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       ROUND(SUM(CASE WHEN i > n - CAST(CEIL(0.1 * n) AS BIGINT)
+                      THEN r ELSE 0 END) / MAX(total), 6)
+         AS top10pct_share
+FROM ranked
+""",
+)
+def gini_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient + top-decile share of customer revenue — the
+    concentration readout a curation pipeline runs on SOURCE token
+    counts before fixing mixture weights (a corpus where 10% of
+    sources carry 90% of tokens needs `domain_mixture_weights`'
+    reweighting; same math, classic revenue framing here): Gini via
+    the rank formula 2Σi·xᵢ/(nΣx) − (n+1)/n over ascending revenue,
+    deterministic tie-break by key. One entity-grain aggregate, one
+    global rank window over the per-CUSTOMER frame (orders-of-
+    magnitude smaller than the fact table — the ntile_rank_quintiles
+    posture; at extreme entity counts the rank becomes the two-pass
+    bucketed cumsum heaps_law_audit demonstrates)."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+    )
+    totals = rev.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r").alias("total"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.round(F.max("total"), 2).alias("total_revenue"),
+            R6(
+                2.0 * F.sum(F.col("i") * F.col("r"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n")
+            ).alias("gini"),
+            R6(
+                F.sum(
+                    F.when(
+                        F.col("i")
+                        > F.col("n") - F.ceil(0.1 * F.col("n")),
+                        F.col("r"),
+                    ).otherwise(0.0)
+                )
+                / F.max("total")
+            ).alias("top10pct_share"),
+        )
+    )

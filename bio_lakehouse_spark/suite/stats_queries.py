@@ -4439,3 +4439,70 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d2"), "c_custkey")
         .limit(20)
     )
+
+
+def _poisson_dispersion_oracle() -> str:
+    """Reuses the Poisson-GLM oracle chain verbatim, then the Pearson
+    dispersion statistic over the fitted means."""
+    pg = _poisson_irls_oracle()
+    chain = pg[: pg.rindex("\nSELECT CAST(COUNT(*) AS BIGINT)")]
+    return chain + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM((y - mu) * (y - mu) / mu) / (COUNT(*) - 2), 6)
+         AS pearson_dispersion,
+       ROUND(AVG(y), 6) AS mean_y,
+       ROUND((SUM(y * y) / COUNT(*) - AVG(y) * AVG(y))
+             * COUNT(*) / (COUNT(*) - 1) / AVG(y), 6)
+         AS variance_mean_ratio
+FROM (SELECT d.*, b0, b1, EXP(b0 + b1 * x) AS mu FROM d, i3)
+GROUP BY b0, b1
+"""
+
+
+@register(
+    "poisson_dispersion_audit",
+    survey=("ST14", "ST6"),
+    oracle=_poisson_dispersion_oracle(),
+)
+def poisson_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check of the certified Poisson GLM — the test
+    you run BEFORE trusting Poisson standard errors: the Pearson
+    dispersion statistic Σ(y−μ̂)²/μ̂ / (n−p) (≈1 under a true
+    Poisson; ≫1 says negative-binomial territory) plus the raw
+    sample variance/mean ratio. Reuses poisson_glm_irls_audit's
+    exact Newton trajectory (oracle chain verbatim); one extra
+    aggregate over the days frame with β riding broadcast. The
+    model-criticism companion every GLM audit needs — same posture
+    as ece_calibration_audit for the classifier."""
+    from bio_lakehouse_spark.operators.stats import poisson_glm_fit
+
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    ).select(
+        (F.dayofmonth("date") / 31.0).alias("x"), "y"
+    )
+    beta = poisson_glm_fit(d, "x", "y", iters=3)
+    mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    n = F.count(F.lit(1))
+    return (
+        d.crossJoin(F.broadcast(beta))
+        .groupBy("b0", "b1")
+        .agg(
+            n.cast("long").alias("n_days"),
+            R6(
+                F.sum((F.col("y") - mu) * (F.col("y") - mu) / mu)
+                / (n - 2)
+            ).alias("pearson_dispersion"),
+            R6(F.avg("y")).alias("mean_y"),
+            R6(
+                (F.sum(F.col("y") * F.col("y")) / n
+                 - F.avg("y") * F.avg("y"))
+                * n / (n - 1) / F.avg("y")
+            ).alias("variance_mean_ratio"),
+        )
+        .select(
+            "n_days", "pearson_dispersion", "mean_y",
+            "variance_mean_ratio",
+        )
+    )

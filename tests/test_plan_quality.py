@@ -548,6 +548,8 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "binseg_changepoints",  # days frame × ≤5-row boundary set
         "ece_calibration_audit",  # 10-bucket rollup × ONE-ROW brier
         "mahalanobis_outliers",  # scan × ONE-ROW moment/covariance frame
+        "poisson_dispersion_audit",  # days frame × ONE-ROW β
+        "gini_concentration_audit",  # customer frame × ONE-ROW totals
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
