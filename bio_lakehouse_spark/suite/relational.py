@@ -2396,3 +2396,67 @@ def gini_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top10pct_share"),
         )
     )
+
+
+@register(
+    "hill_tail_index",
+    survey=("A13", "W9", "ST7"),
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(o_totalprice) AS r
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM rev
+), k AS (
+  SELECT CAST(CEIL(0.05 * MAX(n)) AS BIGINT) AS kk FROM ranked
+), thresh AS (
+  SELECT r AS xk1 FROM ranked, k WHERE i = kk + 1
+)
+SELECT CAST((SELECT kk FROM k) AS BIGINT) AS k_top,
+       ROUND((SELECT xk1 FROM thresh), 2) AS threshold,
+       ROUND((SELECT kk FROM k)
+             / SUM(LN(r / (SELECT xk1 FROM thresh))), 6) AS hill_alpha
+FROM ranked, k WHERE i <= kk
+""",
+)
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index on customer revenue —
+    the heavy-tail diagnostic completing the power-law trio
+    (`zipf_slope_audit` fits ranks, `heaps_law_audit` fits growth,
+    this fits the TAIL: α̂ = k / Σᵢ≤k ln(x₍ᵢ₎/x₍k+1₎) over the top
+    5% order statistics). α ≤ 2 means infinite variance — the
+    regime where mean-based capacity planning and uniform sampling
+    both break, and the knob that says whether `salted_skew_agg` /
+    temperature sampling are needed. One entity-grain aggregate +
+    one rank window over the per-customer frame (ntile posture),
+    then a k-row sum; the threshold order statistic rounds to 2
+    decimals (absolute magnitude; the index itself to 6)."""
+    orders = load(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), F.asc("o_custkey")))
+        .alias("i"),
+    ).localCheckpoint()
+    n = ranked.count()
+    kk = -(-n * 5 // 100)  # ceil(0.05 n), integer-exact
+    xk1 = ranked.filter(F.col("i") == kk + 1).select(
+        F.col("r").alias("xk1")
+    )
+    return (
+        ranked.filter(F.col("i") <= kk)
+        .crossJoin(F.broadcast(xk1))
+        .agg(
+            F.lit(kk).cast("long").alias("k_top"),
+            F.round(F.max("xk1"), 2).alias("threshold"),
+            R6(
+                F.lit(float(kk))
+                / F.sum(F.log(F.col("r") / F.col("xk1")))
+            ).alias("hill_alpha"),
+        )
+    )

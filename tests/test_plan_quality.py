@@ -550,6 +550,7 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         "mahalanobis_outliers",  # scan × ONE-ROW moment/covariance frame
         "poisson_dispersion_audit",  # days frame × ONE-ROW β
         "gini_concentration_audit",  # customer frame × ONE-ROW totals
+        "hill_tail_index",  # top-k frame × ONE-ROW threshold stat
     }
     cartesian, bnlj = [], []
     for name, spec in REGISTRY.items():
