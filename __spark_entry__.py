@@ -74,15 +74,21 @@ def _round_file_mtime() -> dict[int, float]:
 
 
 # Queries whose standing green row certifies OLD code (the fix landed
-# after the round that produced the green) — pinned to the front of
-# the sweep until a fresh driver row exists. VERDICT r7 #2: the r6
-# fixes to both landed mid-r7 but the 50-slot sweep cap was consumed
-# by new queries, so their greens still certify the pre-fix code
-# (the ORC one vacuously, on 0 rows). Remove a name once a green
-# row from round >= its pinned round appears.
+# after the round that produced the green, and the change is one the
+# builder DELIBERATELY wants re-certified before anything else) —
+# pinned to the front of the sweep until a fresh driver row appears.
+# The r8 pins (orc_sink_pruned_read, dedup_simhash_pairs) both went
+# green in r08 and have self-retired. Round-9 pins: the three queries
+# whose plans changed this round (single-partition global rank sorts
+# replaced by the dense_ids partition-offset rank; adaptive
+# cardinality-derived blocking for the Fellegi-Sunter linkage) —
+# VERDICT r8 items #2 and #7 require fresh driver rows for each.
 _FORCE_RECERT: dict[str, int] = {
     "orc_sink_pruned_read": 8,
     "dedup_simhash_pairs": 8,
+    "gini_concentration_audit": 9,
+    "hill_tail_index": 9,
+    "entity_resolution_fs": 9,
 }
 
 
@@ -91,18 +97,28 @@ def _ordered_names() -> list[str]:
     round_mtime = _round_file_mtime()
     names = list(REGISTRY)
 
-    def key(n: str) -> tuple[int, int]:
+    def key(n: str) -> tuple[int, int, int]:
         rnd = last.get(n, -1)
         if n in _FORCE_RECERT and rnd < _FORCE_RECERT[n]:
             # Tier 0: stale green — the row predates the current code.
-            return (0, 0)
+            return (0, 0, 0)
         if rnd < 0:
             # Tier 0: never green — always swept first.
-            return (0, 0)
-        # Tier 1: green once, but the implementing module changed
-        # after that round's correctness file was written — the row
-        # no longer certifies this code, re-check before rotating
-        # old greens.
+            return (0, 0, 0)
+        # Among greens, the ROUND of the last green row dominates the
+        # sort (oldest first), and "the implementing module changed
+        # since that round" only breaks ties WITHIN a round. Until r8
+        # the changed-module signal was its own tier ABOVE all
+        # unchanged greens — which meant one edit to a large suite
+        # module could promote dozens of recently-green queries past
+        # r02/r03-green queries in other files and stall the
+        # staleness drain for rounds (VERDICT r8 #1: the hard external
+        # signal for a quarter of the registry was six rounds old).
+        # Freshness of the oldest rows is the scarcer signal; a query
+        # whose module changed AND must be re-certified promptly is
+        # what _FORCE_RECERT is for, and every changed module is also
+        # swept by the local --strict oracle harness at preclose.
+        changed = 1
         try:
             import inspect
 
@@ -110,11 +126,10 @@ def _ordered_names() -> list[str]:
             if os.path.getmtime(mod_file) > round_mtime.get(
                 rnd, float("inf")
             ):
-                return (1, rnd)
+                changed = 0
         except (OSError, TypeError):
             pass
-        # Tier 2: green and unchanged — rotate oldest-first.
-        return (2, rnd)
+        return (1, rnd, changed)
 
     # Stable sort within tiers (registry order breaks ties).
     return sorted(names, key=key)

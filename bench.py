@@ -146,7 +146,14 @@ HEADLINE = [
 ROTATION_SLICE = 32
 
 
+# Tracked, committed-by-the-builder coverage snapshot (read-only at
+# run time) + an UNTRACKED live overlay under bench_out/ that every
+# run appends to. The split keeps `git status` clean after a driver
+# bench run (VERDICT r8 #4: the driver's run used to overwrite the
+# builder's tracked ledger in place); the builder folds the overlay
+# into the tracked snapshot when committing a round.
 _COVERAGE_FILE = "bench_coverage.json"
+_OUT_DIR = "bench_out"
 
 
 def _current_round() -> int:
@@ -169,11 +176,16 @@ def _last_benched_round() -> dict[str, int]:
     parsed BENCH_r*.json lines do contain."""
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
-    try:
-        with open(os.path.join(here, _COVERAGE_FILE)) as fh:
-            last.update({k: int(v) for k, v in json.load(fh).items()})
-    except (OSError, ValueError):
-        pass
+    for cov in (
+        os.path.join(here, _COVERAGE_FILE),
+        os.path.join(here, _OUT_DIR, _COVERAGE_FILE),
+    ):
+        try:
+            with open(cov) as fh:
+                for k, v in json.load(fh).items():
+                    last[k] = max(last.get(k, 0), int(v))
+        except (OSError, ValueError):
+            pass
     for f in sorted(os.listdir(here)):
         if not (f.startswith("BENCH_r") and f.endswith(".json")):
             continue
@@ -190,8 +202,11 @@ def _last_benched_round() -> dict[str, int]:
 
 
 def _update_coverage(timed: list[str]) -> None:
+    """Append this run's coverage to the UNTRACKED overlay (never the
+    tracked snapshot — a bench run must leave `git status` clean)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    path = os.path.join(here, _COVERAGE_FILE)
+    os.makedirs(os.path.join(here, _OUT_DIR), exist_ok=True)
+    path = os.path.join(here, _OUT_DIR, _COVERAGE_FILE)
     last = {}
     try:
         with open(path) as fh:
@@ -341,9 +356,20 @@ def main() -> None:
         detail["errors"] = errors
     if gold_rebuild_s is not None:
         detail["gold_rebuild_3_tables_sec"] = gold_rebuild_s
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
+    # Detail goes to --out PATH when given, else to the untracked
+    # bench_out/detail_r{N}.json — never in-place over the tracked
+    # bench_detail.json ledger (the builder updates that deliberately
+    # via --out when committing a round). VERDICT r8 #4.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if "--out" in sys.argv:
+        detail_path = sys.argv[sys.argv.index("--out") + 1]
+        if not os.path.isabs(detail_path):
+            detail_path = os.path.join(here, detail_path)
+    else:
+        os.makedirs(os.path.join(here, _OUT_DIR), exist_ok=True)
+        detail_path = os.path.join(
+            here, _OUT_DIR, f"detail_r{_current_round()}.json"
+        )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     _update_coverage(
@@ -357,7 +383,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
-        "detail_file": "bench_detail.json",
+        "detail_file": os.path.relpath(detail_path, here),
     }
     if errors:
         out["n_errors"] = len(errors)
