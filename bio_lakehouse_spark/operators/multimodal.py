@@ -298,7 +298,13 @@ class HeaderDecoder(Decoder):
                 mag = (mant << 4) + 8
             else:
                 mag = ((mant << 4) + 0x108) << (exp - 1)
-            al[i] = -mag if sign else mag
+            # A-law sign convention (ITU-T G.711 / Sun / ffmpeg): the
+            # sign bit SET after the 0x55 XOR means POSITIVE — e.g.
+            # byte 0x55 → -8, byte 0xD5 → +8 (audioop.alaw2lin
+            # agrees). Was inverted pre-r9; RMS features were
+            # unaffected (sign-invariant) but any waveform consumer
+            # would have seen a negated signal.
+            al[i] = mag if sign else -mag
         return mu, al
 
     # class-level lazy init happens on first access below
@@ -347,6 +353,18 @@ class HeaderDecoder(Decoder):
         bitcount = _struct.unpack_from("<H", b, 28)[0]
         channels = max(1, bitcount // 8)
         px = np.frombuffer(b, dtype=np.uint8, offset=data_off)
+        # BMP rows are 4-byte padded and files may carry trailing
+        # bytes: feature stats must cover exactly height rows of
+        # width*channels PIXEL bytes, not the padding (which would
+        # skew the RMS octiles whenever width*channels % 4 != 0).
+        row_px = width * channels
+        stride = (row_px + 3) & ~3
+        if row_px > 0 and px.size >= stride * height:
+            px = (
+                px[: stride * height]
+                .reshape(height, stride)[:, :row_px]
+                .reshape(-1)
+            )
         return width, height, channels, self._octile_stats(px, 255.0)
 
     def _png(self, b: bytes) -> tuple:

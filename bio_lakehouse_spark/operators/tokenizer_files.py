@@ -153,22 +153,11 @@ def load_tiktoken_bpe(path: str) -> dict[bytes, int]:
 
 
 def byte_bpe_encode_len(ranks: dict[bytes, int], word: bytes) -> int:
-    """tiktoken's core merge loop: start from single bytes, repeatedly
-    merge the adjacent pair whose CONCATENATION has the lowest rank,
-    until no adjacent pair is in the table. Returns the token count
-    (unknown single bytes count as one token each)."""
-    parts = [word[i : i + 1] for i in range(len(word))]
-    while len(parts) > 1:
-        best_rank = None
-        best_i = -1
-        for i in range(len(parts) - 1):
-            r = ranks.get(parts[i] + parts[i + 1])
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
-    return len(parts)
+    """Token count of tiktoken's core merge loop (unknown single bytes
+    count as one token each). Thin wrapper over
+    ``byte_bpe_encode_parts`` — ONE copy of the merge loop, so a
+    future tie-break fix cannot drift between the two."""
+    return len(byte_bpe_encode_parts(ranks, word))
 
 
 def tiktoken_token_counter(path: str):

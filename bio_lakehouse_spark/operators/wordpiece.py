@@ -91,6 +91,13 @@ def _merge_product(a: str, b: str) -> str:
     return a + (b[len(_CONT):] if b.startswith(_CONT) else b)
 
 
+# Hard cap on the float-score tie group collected for the exact
+# Fraction tie-break (driver-side). Exceeding it raises rather than
+# silently truncating — the documented exactness guarantee fails
+# LOUDLY or not at all.
+_TIE_GROUP_CAP = 4096
+
+
 def wordpiece_train(
     word_freqs: DataFrame,
     num_merges: int = 48,
@@ -103,9 +110,11 @@ def wordpiece_train(
     one merged piece per learned merge in rank order. Each iteration
     is one distributed pass over the type table: adjacent-pair
     counts and unigram token counts from the same exploded frame,
-    scored count(ab)/(count(a)·count(b)) with Fraction-exact
-    comparison on the driver's top slice (bounded: only the best
-    pair per left token reaches the driver via one ordered take)."""
+    scored count(ab)/(count(a)·count(b)). The merge choice is EXACT:
+    the float-score max's tie group (equal rationals always round to
+    the identical double) is collected and re-broken with Fraction
+    arithmetic on the driver — bounded by _TIE_GROUP_CAP, failing
+    loudly rather than truncating."""
     from fractions import Fraction
 
     wt = word_freqs.select(
@@ -140,7 +149,7 @@ def wordpiece_train(
             .agg(F.sum("count").alias("n_pair"))
             .filter(F.col("n_pair") >= min_pair_count)
         )
-        scored = (
+        cand = (
             pairs.join(
                 F.broadcast(
                     tok_counts.select(
@@ -157,19 +166,37 @@ def wordpiece_train(
                 ),
                 "b",
             )
-            # float score only PRE-RANKS; ties are re-broken exactly
-            # below, so take a safety margin of candidates
-            .orderBy(
-                F.desc(F.col("n_pair") / (F.col("na") * F.col("nb"))),
-                F.desc("n_pair"),
-                F.asc("a"),
-                F.asc("b"),
+            .withColumn(
+                "__s", F.col("n_pair") / (F.col("na") * F.col("nb"))
             )
-            .limit(16)
+            # vocab²-bounded small frame; barrier so the max-score agg
+            # and the tie-group filter below don't each re-run the
+            # corpus-scale pair aggregation
+            .localCheckpoint()
+        )
+        smax = cand.agg(F.max("__s").alias("m")).collect()[0]["m"]
+        if smax is None:
+            break
+        # Exactness: equal rationals always round to the IDENTICAL
+        # double (correctly-rounded division is monotone), so every
+        # exact-max-score pair sits in the float tie group
+        # __s == max(__s) — collect THAT group, however large, and
+        # re-break ties with Fraction on the driver. The pre-r9
+        # float-ordered .limit(16) could silently exclude the exact
+        # best when >16 candidates float-tied at the boundary
+        # (plausible with small integer counts).
+        scored = (
+            cand.filter(F.col("__s") == smax)
+            .orderBy(F.desc("n_pair"), F.asc("a"), F.asc("b"))
+            .limit(_TIE_GROUP_CAP + 1)
             .collect()
         )
-        if not scored:
-            break
+        if len(scored) > _TIE_GROUP_CAP:
+            raise AssertionError(
+                "wordpiece_train: float tie group exceeds "
+                f"{_TIE_GROUP_CAP} pairs; raise _TIE_GROUP_CAP to "
+                "keep the exact tie-break guarantee"
+            )
         best = min(
             scored,
             key=lambda r: (

@@ -159,11 +159,13 @@ def test_wav_mu_law_roundtrip():
 
 
 def test_wav_a_law_expansion_known_values():
-    """A-law spec vectors: byte 0x55 (a=0 after XOR) is the smallest
-    positive step +8; 0xD5 its negative."""
+    """A-law spec vectors (ITU-T G.711 / audioop.alaw2lin): byte 0x55
+    (a=0 after XOR, sign bit CLEAR) is the smallest NEGATIVE step -8;
+    0xD5 (sign bit set) its positive +8. The pre-r9 table had the
+    convention inverted."""
     dec = HeaderDecoder()
     tbl = dec._G711_A
-    assert tbl[0x55] == 8 and tbl[0xD5] == -8
+    assert tbl[0x55] == -8 and tbl[0xD5] == 8
     # mu-law: byte 0xFF is +0 (silence), 0x7F is -0
     assert dec._G711_MU[0xFF] == 0 and dec._G711_MU[0x7F] == 0
 
