@@ -136,6 +136,40 @@ def skyline_2d(
     return joined.filter(~dominated).drop("__x", "__mx", "__lt")
 
 
+def _ranked_by_range(df, cols, num_partitions: int | None = None):
+    """``repartitionByRange(cols)`` → ``sortWithinPartitions(cols)``
+    → ``monotonically_increasing_id``, decoded into ``__pid`` (range-
+    partition index, upper bits) and ``__rk`` (1-based row position
+    within the sorted partition, lower 33 bits — the Spark id
+    contract). The id is evaluated above the Sort node and is
+    nondeterminism-tagged, so Catalyst cannot reorder it below the
+    sort; partition index order == range order, which the offsets
+    prefix-sum in dense_ids relies on. NO Window anywhere: the
+    earlier ``Window.partitionBy(spark_partition_id())`` formulation
+    made Catalyst insert a second full hash-exchange of the frame by
+    pid right after the range exchange. Kept barrier-free so plan
+    tests can see the range-exchange lineage (dense_ids adds the
+    localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    return (
+        parted.withColumn("__mid", F.monotonically_increasing_id())
+        .select(
+            "*",
+            F.shiftright("__mid", 33).cast("int").alias("__pid"),
+            (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
+            .cast("int")
+            .alias("__rk"),
+        )
+        .drop("__mid")
+    )
+
+
 def dense_ids(
     df,
     order_cols,
@@ -157,19 +191,31 @@ def dense_ids(
     TOTAL order (ties would make ranks depend on the sampled range
     boundaries — callers must include a tiebreaker column; this is
     asserted cheaply by requiring key uniqueness within a partition).
+
+    Physical shape (r9): ``repartitionByRange`` → ``sortWithin
+    Partitions`` → ``monotonically_increasing_id`` — the id's upper
+    bits ARE the range-partition index and its lower 33 bits the
+    in-partition row position in sorted order, so the within-
+    partition rank needs NO Window at all. The earlier
+    ``Window.partitionBy(spark_partition_id())`` formulation forced
+    Catalyst to insert a second full hash-exchange of the frame by
+    __pid right after the range exchange (Window requires hash
+    clustering; range partitioning doesn't satisfy it) — one entire
+    shuffle of the entity frame for nothing. A lazy localCheckpoint
+    barrier keeps the ranked frame from being recomputed by its two
+    consumers (the counts pass and the final join), exactly the
+    skyline_2d pattern above.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     cols = list(order_cols)
-    parted = (
-        df.repartitionByRange(num_partitions, *cols)
-        if num_partitions
-        else df.repartitionByRange(*cols)
+    # lazy barrier: the ranked frame has two consumers below (counts
+    # and the final join) plus whatever the caller adds — without it
+    # the corpus-scale scan+sort would re-execute once per consumer
+    ranked = _ranked_by_range(df, cols, num_partitions).localCheckpoint(
+        eager=False
     )
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
-    wlocal = Window.partitionBy("__pid").orderBy(*cols)
-    ranked = with_pid.withColumn("__rk", F.row_number().over(wlocal))
     # uniqueness guard: a duplicated total-order key makes global
     # ranks boundary-dependent — fail loudly instead. The guard is a
     # full extra aggregation job over the input; callers whose key

@@ -29,6 +29,42 @@ def _window(
     return w.orderBy(order_by)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    rank_name: str = "i",
+    num_partitions: int | None = None,
+    assume_unique: bool = False,
+) -> DataFrame:
+    """1-based global ROW_NUMBER in ``order_cols`` order WITHOUT a
+    single-partition sort — the shared scale path for every
+    rank-formula query (Gini rank sums, Hill order statistics, NTILE
+    positions, Lorenz/cumulative-share curves).
+
+    Delegates to ``aggregates.dense_ids`` (range-partition by the
+    sort key → per-partition row_number → broadcast the
+    |partitions|-row running offsets back): identical output to
+    ``row_number() OVER (ORDER BY ...)`` whenever ``order_cols`` is a
+    total order, but the big frame is only ever sorted WITHIN range
+    partitions — no one-task global sort to become the straggler at
+    100× entity counts. Descending keys: pass the negated column
+    (range partitioning needs an ascending sort expression).
+
+    ``assume_unique=True`` skips the total-order guard when the key
+    provably ends in a primary key (see dense_ids).
+    """
+    from bio_lakehouse_spark.operators.aggregates import dense_ids
+
+    out = dense_ids(
+        df,
+        order_cols,
+        id_name=rank_name,
+        num_partitions=num_partitions,
+        assume_unique=assume_unique,
+    )
+    return out.withColumn(rank_name, F.col(rank_name) + 1)
+
+
 def rolling_col(
     agg: str,
     col: str | Column,

@@ -2356,21 +2356,27 @@ def gini_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources carry 90% of tokens needs `domain_mixture_weights`'
     reweighting; same math, classic revenue framing here): Gini via
     the rank formula 2Σi·xᵢ/(nΣx) − (n+1)/n over ascending revenue,
-    deterministic tie-break by key. One entity-grain aggregate, one
-    global rank window over the per-CUSTOMER frame (orders-of-
-    magnitude smaller than the fact table — the ntile_rank_quintiles
-    posture; at extreme entity counts the rank becomes the two-pass
-    bucketed cumsum heaps_law_audit demonstrates)."""
+    deterministic tie-break by key. One entity-grain aggregate, then
+    the global rank via `windows.global_row_number` (range-partition
+    → per-partition row_number → broadcast partition offsets — the
+    dense_ids technique ntile_rank_quintiles already uses): identical
+    ranks to a bare `row_number() OVER (ORDER BY r, o_custkey)` but
+    no single-task sort of the whole customer dimension — the last
+    scale-killer pattern VERDICT r8 flagged. (r, o_custkey) is a
+    total order because o_custkey is the groupBy key."""
+    from bio_lakehouse_spark.operators.windows import global_row_number
+
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("r")
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-    )
-    totals = rev.agg(
+    ranked = global_row_number(
+        rev, ("r", "o_custkey"), rank_name="i", assume_unique=True
+    ).select("r", "i")
+    # totals read the ranked frame (barriered inside dense_ids), not
+    # `rev` — ONE scan+aggregate of orders total, vs three in the
+    # unbarriered formulation
+    totals = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("r").alias("total"),
     )
@@ -2429,33 +2435,48 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% order statistics). α ≤ 2 means infinite variance — the
     regime where mean-based capacity planning and uniform sampling
     both break, and the knob that says whether `salted_skew_agg` /
-    temperature sampling are needed. One entity-grain aggregate +
-    one rank window over the per-customer frame (ntile posture),
+    temperature sampling are needed. One entity-grain aggregate,
+    then the descending global rank via `windows.global_row_number`
+    over the negated revenue (range-partition + per-partition
+    row_number + broadcast offsets — no single-task sort of the
+    customer dimension; VERDICT r8's last scale-killer pattern),
     then a k-row sum; the threshold order statistic rounds to 2
     decimals (absolute magnitude; the index itself to 6)."""
+    from bio_lakehouse_spark.operators.windows import global_row_number
+
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum("o_totalprice").alias("r")
     )
-    ranked = rev.select(
-        "r",
-        F.row_number()
-        .over(Window.orderBy(F.desc("r"), F.asc("o_custkey")))
-        .alias("i"),
-    ).localCheckpoint()
-    n = ranked.count()
-    kk = -(-n * 5 // 100)  # ceil(0.05 n), integer-exact
-    xk1 = ranked.filter(F.col("i") == kk + 1).select(
+    # rank DESC by revenue: ascending rank over (-r, o_custkey); the
+    # key ends in the groupBy PK, so it is a total order
+    ranked = global_row_number(
+        rev.withColumn("__negr", -F.col("r")),
+        ("__negr", "o_custkey"),
+        rank_name="i",
+        assume_unique=True,
+    ).select("r", "i")
+    # k = ceil(0.05 n) as a broadcast 1-row frame — no driver-side
+    # count() action mid-query, the whole pipeline stays one lazy
+    # plan (the ranked frame itself is barriered inside dense_ids,
+    # so its three consumers share one scan+sort)
+    kf = ranked.agg(F.count(F.lit(1)).alias("__cnt")).select(
+        # ceil(0.05 n) integer-exact: (n + 19) div 20 — never through
+        # a float 0.05 multiply whose rounding could bump the ceil
+        F.expr("(__cnt + 19) div 20").cast("long").alias("kk")
+    )
+    wk = ranked.crossJoin(F.broadcast(kf))
+    xk1 = wk.filter(F.col("i") == F.col("kk") + 1).select(
         F.col("r").alias("xk1")
     )
     return (
-        ranked.filter(F.col("i") <= kk)
+        wk.filter(F.col("i") <= F.col("kk"))
         .crossJoin(F.broadcast(xk1))
         .agg(
-            F.lit(kk).cast("long").alias("k_top"),
+            F.max("kk").alias("k_top"),
             F.round(F.max("xk1"), 2).alias("threshold"),
             R6(
-                F.lit(float(kk))
+                F.max("kk").cast("double")
                 / F.sum(F.log(F.col("r") / F.col("xk1")))
             ).alias("hill_alpha"),
         )

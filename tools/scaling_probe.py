@@ -266,10 +266,70 @@ def _fact_ops(spark):
         )
         return poisson_glm_fit(d, "x", "y", iters=3)
 
+    def gini_rank(t):
+        # gini_concentration_audit's shape (suite/relational.py): the
+        # entity population grows with mult (entity-offset keys), so
+        # this directly measures the r9 dense_ids global rank —
+        # range-exchange + partition-local sort, no single-task sort
+        from bio_lakehouse_spark.operators.windows import global_row_number
+
+        rev = t["orders"].groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("r")
+        )
+        ranked = global_row_number(
+            rev, ("r", "o_custkey"), rank_name="i", assume_unique=True
+        ).select("r", "i")
+        totals = ranked.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("r").alias("total"),
+        )
+        return ranked.crossJoin(F.broadcast(totals)).agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("r"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini")
+        )
+
+    def hill_rank(t):
+        # hill_tail_index's shape: descending dense_ids rank over the
+        # per-customer frame + top-k suffix aggregate
+        from bio_lakehouse_spark.operators.windows import global_row_number
+
+        rev = t["orders"].groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("r")
+        )
+        ranked = global_row_number(
+            rev.withColumn("__negr", -F.col("r")),
+            ("__negr", "o_custkey"),
+            rank_name="i",
+            assume_unique=True,
+        ).select("r", "i")
+        kf = ranked.agg(F.count(F.lit(1)).alias("__cnt")).select(
+            F.expr("(__cnt + 19) div 20").cast("long").alias("kk")
+        )
+        wk = ranked.crossJoin(F.broadcast(kf))
+        xk1 = wk.filter(F.col("i") == F.col("kk") + 1).select(
+            F.col("r").alias("xk1")
+        )
+        return (
+            wk.filter(F.col("i") <= F.col("kk"))
+            .crossJoin(F.broadcast(xk1))
+            .agg(
+                F.round(
+                    F.max("kk").cast("double")
+                    / F.sum(F.log(F.col("r") / F.col("xk1"))),
+                    6,
+                ).alias("hill_alpha")
+            )
+        )
+
     return {"decision_stump": stump, "gbdt_two_round": gbdt,
             "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
             "msprt_daily": msprt, "fs_linkage": fs_linkage,
-            "huber_irls": huber, "poisson_glm": poisson}
+            "huber_irls": huber, "poisson_glm": poisson,
+            "gini_rank": gini_rank, "hill_rank": hill_rank}
 
 
 def replicate_facts(spark, mult: int):
@@ -314,11 +374,18 @@ def main() -> int:
     facts = "--facts" in args
     if facts:
         args.remove("--facts")
+    only: set[str] | None = None
+    if "--ops" in args:
+        i = args.index("--ops")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     mults = [int(a) for a in args] or [1, 4, 8, 16]
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if facts:
         ops = _fact_ops(spark)
+        if only is not None:
+            ops = {k: v for k, v in ops.items() if k in only}
         results = {k: {} for k in ops}
         for mult in mults:
             tables = replicate_facts(spark, mult)
@@ -346,6 +413,8 @@ def main() -> int:
         return 0
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     ops = _ops()
+    if only is not None:
+        ops = {k: v for k, v in ops.items() if k in only}
     results: dict[str, dict[int, float]] = {k: {} for k in ops}
     for mult in mults:
         docs = replicate(docs0, mult, mode=mode)
