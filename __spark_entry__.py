@@ -89,6 +89,7 @@ _FORCE_RECERT: dict[str, int] = {
     "gini_concentration_audit": 9,
     "hill_tail_index": 9,
     "entity_resolution_fs": 9,
+    "fs_em_priors_audit": 9,
 }
 
 

@@ -1521,6 +1521,82 @@ _FS_DECISION_SQL = (
     "when score >= 0.0 then 'possible' else 'nonlink' end"
 )
 
+# Adaptive-blocking reference population: at or below this customer
+# count the derived knobs are exactly the documented baseline
+# (band width 100, suffix length 2) — which covers every tested SF,
+# so the static DuckDB oracles remain literally valid there.
+_FS_NREF = 2000
+
+
+def _fs_adaptive_knobs(cust) -> tuple[float, int]:
+    """Derive the two blocking knobs from the entity-dimension
+    cardinality so per-block population stays ~constant as N grows
+    (VERDICT r8 #7 — the 'production knob' now turns itself):
+
+    - acctbal band width halves each time N doubles past _FS_NREF
+      (block size ∝ N·width, so width ∝ 1/N keeps it flat);
+    - name-suffix length grows one character per 10× N past _FS_NREF
+      (TPC-H names end in digits — each char divides block size ~10×).
+
+    One bounded driver-side action (a 1-row count of the entity
+    DIMENSION — metadata-grade at any scale); returning plain Python
+    literals keeps the blocking columns constant-foldable so both
+    rules still compile to pure equi-keyed hash joins
+    (test_entity_resolution_blocking_is_keyed_hash_join). Recall
+    trade is the standard blocking one and is unchanged in kind:
+    narrower bands drop cross-block near-matches; the g2 comparison
+    radius (±100) is part of the MATCH definition and never scales."""
+    import math
+
+    n = cust.count()
+    ratio = n / float(_FS_NREF)
+    k = max(0, math.ceil(math.log2(ratio))) if ratio > 1.0 else 0
+    slen = 2 + (max(0, math.ceil(math.log10(ratio))) if ratio > 1.0 else 0)
+    return 100.0 / (2**k), slen
+
+
+def _fs_blocked_pairs(cust, bal_width: float, suffix_len: int):
+    """Candidate pairs from the two Splink-style restrictive blocking
+    rules (nation × acctbal band, nation × name-suffix × segment),
+    DISTINCT-unioned on the pair key, with the (g1, g2, g3)
+    agreement vector. Shared by entity_resolution_fs and
+    fs_em_priors_audit so the blocking cannot drift between scoring
+    and training."""
+    rec = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.expr(f"floor(c_acctbal / {bal_width!r})").alias("bal_band"),
+        F.expr(f"right(c_name, {suffix_len})").alias("suffix"),
+    )
+    a, b = rec.alias("a"), rec.alias("b")
+    pair_cols = [
+        F.col("a.c_custkey").alias("ka"),
+        F.col("b.c_custkey").alias("kb"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
+        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0).alias(
+            "g2"
+        ),
+        (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
+    ]
+    rule1 = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.bal_band") == F.col("b.bal_band"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(*pair_cols)
+    rule2 = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.suffix") == F.col("b.suffix"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(*pair_cols)
+    # g1/g2/g3 are functions of (ka, kb), so the pair-key dedupe is
+    # exact — same DISTINCT-union the oracle's UNION performs.
+    return rule1.unionByName(rule2).dropDuplicates(["ka", "kb"])
+
 
 @register(
     "entity_resolution_fs",
@@ -1571,57 +1647,27 @@ def entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     / ln((1−m)/(1−u)) summed into a match score, classified
     link / possible / nonlink.
 
-    Blocking rules: (1) nation × 100-wide acctbal band — the band
-    width matches the g2 comparison radius, so blocks stay narrow
-    relative to the compared field; (2) nation × name-suffix ×
-    segment. Each rule's block is far smaller than the r7 version's
-    nation × 2000-wide bucket (×20 finer on rule 1, ×100·5/6 on
-    rule 2), and candidates are the DISTINCT union of both rules —
-    the standard Splink recipe for keeping per-block pair counts
-    bounded while preserving recall on the compared fields. At
-    production scale the band width / suffix length are the knobs
-    that keep block sizes constant as N grows (narrow the band,
-    lengthen the suffix).
+    Blocking rules: (1) nation × acctbal band; (2) nation ×
+    name-suffix × segment — the DISTINCT union of both (standard
+    Splink multi-rule blocking). r9: the band width and suffix
+    length are DERIVED from the entity-dimension cardinality
+    (`_fs_adaptive_knobs` — width halves per doubling of N past
+    _FS_NREF, suffix gains a character per 10×), so per-block
+    population stays ~constant as N grows instead of being a
+    documentation-only production knob. At every tested SF the
+    derivation lands exactly on the documented baseline
+    (width 100 — matching the g2 comparison radius — and suffix 2),
+    which is the regime the static oracle pins; the probe's
+    `fs_linkage_adaptive` op records the knob values and the
+    candidate-pair counts at 16× entities.
 
     Upgrade of `fuzzy_name_match`'s deterministic edit-distance rule:
     same blocked-pair shape, probabilistic decision layer. The m/u
-    priors are fixed literals; at scale they come from an EM pass
-    over the same agreement aggregates (one extra groupBy)."""
+    priors are fixed literals; `fs_em_priors_audit` learns them from
+    the SAME `_fs_blocked_pairs` frame."""
     cust = load(spark, sf_dir, "customer")
-    rec = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
-        F.expr("floor(c_acctbal / 100.0)").alias("bal_band"),
-        F.expr("right(c_name, 2)").alias("suffix"),
-    )
-    a, b = rec.alias("a"), rec.alias("b")
-    pair_cols = [
-        F.col("a.c_custkey").alias("ka"),
-        F.col("b.c_custkey").alias("kb"),
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
-        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0).alias(
-            "g2"
-        ),
-        (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
-    ]
-    rule1 = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.bal_band") == F.col("b.bal_band"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(*pair_cols)
-    rule2 = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.suffix") == F.col("b.suffix"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(*pair_cols)
-    # g1/g2/g3 are functions of (ka, kb), so the pair-key dedupe is
-    # exact — same DISTINCT-union the oracle's UNION performs.
-    pairs = rule1.unionByName(rule2).dropDuplicates(["ka", "kb"])
+    bal_w, slen = _fs_adaptive_knobs(cust)
+    pairs = _fs_blocked_pairs(cust, bal_w, slen)
     scored = pairs.select(F.expr(_FS_SCORE_SQL).alias("score"))
     classed = scored.withColumn("decision", F.expr(_FS_DECISION_SQL))
     return (
@@ -1897,42 +1943,14 @@ def fs_em_priors_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The oracle unrolls identical CTE arithmetic, so the
     whole EM trajectory is cross-engine certified. At 100 TB the
     pattern collapse is what makes linkage training tractable: EM
-    never revisits pairs, only the 8-row sufficient statistics."""
+    never revisits pairs, only the 8-row sufficient statistics.
+    r9: candidate pairs come from the SHARED `_fs_blocked_pairs`
+    (same adaptive knobs as entity_resolution_fs — training and
+    scoring can never see different blocking)."""
     cust = load(spark, sf_dir, "customer")
-    rec = cust.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
-        F.expr("floor(c_acctbal / 100.0)").alias("bal_band"),
-        F.expr("right(c_name, 2)").alias("suffix"),
-    )
-    a, b = rec.alias("a"), rec.alias("b")
-    pair_cols = [
-        F.col("a.c_custkey").alias("ka"),
-        F.col("b.c_custkey").alias("kb"),
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias("g1"),
-        (F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0).alias(
-            "g2"
-        ),
-        (F.col("a.suffix") == F.col("b.suffix")).alias("g3"),
-    ]
-    rule1 = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.bal_band") == F.col("b.bal_band"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(*pair_cols)
-    rule2 = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.suffix") == F.col("b.suffix"))
-        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(*pair_cols)
+    bal_w, slen = _fs_adaptive_knobs(cust)
     pat = (
-        rule1.unionByName(rule2)
-        .dropDuplicates(["ka", "kb"])
+        _fs_blocked_pairs(cust, bal_w, slen)
         .groupBy("g1", "g2", "g3")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )

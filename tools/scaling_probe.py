@@ -266,6 +266,29 @@ def _fact_ops(spark):
         )
         return poisson_glm_fit(d, "x", "y", iters=3)
 
+    def fs_adaptive(t):
+        # entity_resolution_fs's r9 adaptive blocking: knobs derived
+        # from the replicated customer cardinality (width halves per
+        # doubling past _FS_NREF, suffix +1 char per 10×). Returns
+        # the candidate count + the derived knobs so the probe run
+        # can record that candidates track the per-block target, not
+        # an N² blowup. Verbatim-copy caveat as for fs_linkage:
+        # exact duplicate records can never be split by ANY
+        # recall-preserving blocker, so the dup-pair floor grows
+        # ∝ mult² by construction of replicate_facts.
+        from bio_lakehouse_spark.suite.relational import (
+            _fs_adaptive_knobs,
+            _fs_blocked_pairs,
+        )
+
+        cust = t["customer"]
+        bal_w, slen = _fs_adaptive_knobs(cust)
+        return _fs_blocked_pairs(cust, bal_w, slen).agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.lit(bal_w).alias("bal_width"),
+            F.lit(slen).alias("suffix_len"),
+        )
+
     def gini_rank(t):
         # gini_concentration_audit's shape (suite/relational.py): the
         # entity population grows with mult (entity-offset keys), so
@@ -328,6 +351,7 @@ def _fact_ops(spark):
     return {"decision_stump": stump, "gbdt_two_round": gbdt,
             "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
             "msprt_daily": msprt, "fs_linkage": fs_linkage,
+            "fs_linkage_adaptive": fs_adaptive,
             "huber_irls": huber, "poisson_glm": poisson,
             "gini_rank": gini_rank, "hill_rank": hill_rank}
 
