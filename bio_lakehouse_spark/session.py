@@ -87,6 +87,18 @@ def get_spark(
     pkgs = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
     if pkgs:
         conf["spark.jars.packages"] = pkgs
+    # Offline alternative (r9, VERDICT r8 #5): a directory of
+    # pre-downloaded jars (delta-spark, iceberg-spark-runtime, their
+    # deps) wired straight onto the classpath — no Maven reachability
+    # needed. Vendor the jars on any networked machine, point this at
+    # the directory, and the same parity matrix runs air-gapped.
+    jars_dir = os.environ.get("SPARK_GRAFT_JARS_DIR")
+    if jars_dir and os.path.isdir(jars_dir):
+        import glob as _glob
+
+        jars = sorted(_glob.glob(os.path.join(jars_dir, "*.jar")))
+        if jars:
+            conf["spark.jars"] = ",".join(jars)
     exts = os.environ.get("SPARK_GRAFT_SQL_EXTENSIONS")
     if exts:
         conf["spark.sql.extensions"] = exts
