@@ -104,6 +104,13 @@ def _ordered_names() -> list[str]:
             # Tier 0: stale green — the row predates the current code.
             return (0, 0, 0)
         if rnd < 0:
+            if REGISTRY[n].oracle is None:
+                # Rows-only BY DESIGN (no oracle): it can never turn
+                # green, and its rows-only row re-records identically
+                # every sweep — park it last so the slot drains a
+                # stale green instead. If it ever gains an oracle it
+                # becomes tier 0 automatically (still never green).
+                return (2, 0, 0)
             # Tier 0: never green — always swept first.
             return (0, 0, 0)
         # Among greens, the ROUND of the last green row dominates the

@@ -372,10 +372,13 @@ def main() -> None:
         )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
-    _update_coverage(
-        [n for n, t in timings.items() if t is not None]
-        + [n for n, t in rotation_timings.items() if t is not None]
-    )
+    # Coverage means "has a recorded sf0.1 timing" — a quick sf0.01
+    # iteration run must not advance the rotation ledger.
+    if sf_val == 0.1:
+        _update_coverage(
+            [n for n, t in timings.items() if t is not None]
+            + [n for n, t in rotation_timings.items() if t is not None]
+        )
 
     out = {
         "metric": "suite_headline_total",
