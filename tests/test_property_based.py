@@ -807,6 +807,52 @@ def test_dense_ids_match_global_rank_and_reject_dupes(spark):
         dense_ids(dup, ["v"])
 
 
+def test_global_row_number_desc_via_negation_and_ties(spark):
+    """windows.global_row_number (gini/hill's shared rank path):
+    1-based, equals row_number() OVER (ORDER BY ...) including the
+    hill pattern — DESC via a negated column with heavy ties broken
+    by the PK — across a partition count that forces several range
+    partitions."""
+    import numpy as np
+
+    from bio_lakehouse_spark.operators.windows import global_row_number
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40, size=400)  # many ties
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)],
+        "id long, r double",
+    ).withColumn("negr", -F.col("r"))
+    out = {
+        row["id"]: row["i"]
+        for row in global_row_number(
+            df, ["negr", "id"], rank_name="i", num_partitions=9,
+            assume_unique=True,
+        ).collect()
+    }
+    order = sorted(range(400), key=lambda i: (-vals[i], i))
+    for rank0, i in enumerate(order):
+        assert out[i] == rank0 + 1  # 1-based
+
+
+def test_fs_adaptive_knobs_thresholds(spark):
+    """_fs_adaptive_knobs: baseline (100, 2) at/below N_ref, width
+    halves per doubling, suffix +1 per decade."""
+    from bio_lakehouse_spark.suite.relational import _fs_adaptive_knobs
+
+    def knobs(n):
+        return _fs_adaptive_knobs(spark.range(n))
+
+    assert knobs(150) == (100.0, 2)
+    assert knobs(2000) == (100.0, 2)
+    assert knobs(2001) == (50.0, 3)   # first step past N_ref
+    assert knobs(4000) == (50.0, 3)
+    assert knobs(4001) == (25.0, 3)
+    assert knobs(20000) == (6.25, 3)   # ceil(log2(10)) = 4 halvings
+    assert knobs(20001) == (6.25, 4)   # ratio > 10 → suffix grows
+    assert knobs(240000) == (100.0 / 128, 5)
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=docs_strategy, seed=st.integers(min_value=0, max_value=99))
