@@ -1523,9 +1523,23 @@ _FS_DECISION_SQL = (
 
 # Adaptive-blocking reference population: at or below this customer
 # count the derived knobs are exactly the documented baseline
-# (band width 100, suffix length 2) — which covers every tested SF,
-# so the static DuckDB oracles remain literally valid there.
+# (band width 100, suffix length 2).
 _FS_NREF = 2000
+
+# The prm CTE mirrors _fs_adaptive_knobs exactly (same breakpoints,
+# same IEEE log/ceil arithmetic), so oracle parity holds at EVERY
+# scale factor, not just the ones where the derivation lands on the
+# (100, 2) baseline. Shared by both FS oracles.
+_FS_PRM_CTE = f"""
+WITH prm AS (
+  SELECT CASE WHEN COUNT(*) <= {_FS_NREF} THEN 100.0
+              ELSE 100.0 / power(2.0, ceil(log2(COUNT(*) / {_FS_NREF}.0)))
+         END AS bw,
+         CASE WHEN COUNT(*) <= {_FS_NREF} THEN 2
+              ELSE 2 + CAST(ceil(log10(COUNT(*) / {_FS_NREF}.0)) AS INT)
+         END AS sl
+  FROM customer
+)"""
 
 
 def _fs_adaptive_knobs(cust) -> tuple[float, int]:
@@ -1601,12 +1615,12 @@ def _fs_blocked_pairs(cust, bal_width: float, suffix_len: int):
 @register(
     "entity_resolution_fs",
     survey=("J6", "F8", "P10"),
-    oracle=f"""
-WITH rec AS (
+    oracle=_FS_PRM_CTE
+    + f""", rec AS (
   SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
-         floor(c_acctbal / 100.0) AS bal_band,
-         right(c_name, 2) AS suffix
-  FROM customer
+         floor(c_acctbal / bw) AS bal_band,
+         right(c_name, sl) AS suffix
+  FROM customer, prm
 ), pairs AS (
   SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
          a.c_mktsegment = b.c_mktsegment AS g1,
@@ -1654,12 +1668,13 @@ def entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_fs_adaptive_knobs` — width halves per doubling of N past
     _FS_NREF, suffix gains a character per 10×), so per-block
     population stays ~constant as N grows instead of being a
-    documentation-only production knob. At every tested SF the
-    derivation lands exactly on the documented baseline
-    (width 100 — matching the g2 comparison radius — and suffix 2),
-    which is the regime the static oracle pins; the probe's
-    `fs_linkage_adaptive` op records the knob values and the
-    candidate-pair counts at 16× entities.
+    documentation-only production knob. The ORACLE derives the same
+    knobs in SQL (_FS_PRM_CTE — same breakpoints, same IEEE
+    log/ceil), so cross-engine parity holds at every SF: verified at
+    sf0.001/0.01 (baseline regime, width 100 — matching the g2
+    comparison radius — suffix 2) AND at sf0.1 where the derivation
+    moves to (12.5, 3). The probe's `fs_linkage_adaptive` op records
+    the knob values and candidate-pair counts at 16× entities.
 
     Upgrade of `fuzzy_name_match`'s deterministic edit-distance rule:
     same blocked-pair shape, probabilistic decision layer. The m/u
@@ -1845,12 +1860,11 @@ def als_rank1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FS_PAIRS_CTE = """
-WITH rec AS (
+_FS_PAIRS_CTE = _FS_PRM_CTE + """, rec AS (
   SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
-         floor(c_acctbal / 100.0) AS bal_band,
-         right(c_name, 2) AS suffix
-  FROM customer
+         floor(c_acctbal / bw) AS bal_band,
+         right(c_name, sl) AS suffix
+  FROM customer, prm
 ), pairs AS (
   SELECT DISTINCT a.c_custkey AS ka, b.c_custkey AS kb,
          a.c_mktsegment = b.c_mktsegment AS g1,
