@@ -58,9 +58,9 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str, event_type: str) -> D
     oracle="""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6)                                    AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6)                               AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)            AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
        ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
        ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
        ROUND(AVG(l_discount), 6)                                    AS avg_disc,
@@ -74,16 +74,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: the canonical groupBy-agg with
     derived expressions (reference analog: daily workout rollup A1,
     stg_peloton_workouts.sql:1-13). Filter sits on the scan →
-    predicate pushdown; all aggregates map-side combine."""
+    predicate pushdown; all aggregates map-side combine. The three
+    price SUMS reach ~10⁹ magnitude, where 6-decimal rounding cannot
+    absorb parallel-vs-serial summation-order noise (~10⁻⁶ absolute —
+    caught by the r9 sf0.1 strict sweep); they round to 2 decimals
+    (TPC-H's own answer tolerance, same rule as
+    gini_concentration_audit's total). Quantity sums and the averages
+    stay at 6 (magnitudes 10⁴-10⁵, noise ≤ 10⁻¹⁰)."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         R6(F.sum("l_quantity")).alias("sum_qty"),
-        R6(F.sum("l_extendedprice")).alias("sum_base_price"),
-        R6(F.sum(disc_price)).alias("sum_disc_price"),
-        R6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+            "sum_charge"
+        ),
         R6(F.avg("l_quantity")).alias("avg_qty"),
         R6(F.avg("l_extendedprice")).alias("avg_price"),
         R6(F.avg("l_discount")).alias("avg_disc"),
@@ -831,7 +839,7 @@ WITH avgq AS (
   SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN avgq a ON l.l_partkey = a.l_partkey
 WHERE l.l_quantity < a.half_avg_qty
@@ -842,7 +850,10 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     items. The correlated scalar subquery (per-part average) is
     rewritten as an explicit aggregate + equi-join — the form every
     optimizer targets; at scale the per-part average table is small
-    relative to lineitem and AQE will broadcast it when it fits."""
+    relative to lineitem and AQE will broadcast it when it fits.
+    The 10⁹-magnitude revenue sum rounds to 2 decimals (summation-
+    order ulp noise exceeds 6-decimal precision at sf0.1 — same rule
+    as pricing_summary's price sums)."""
     li = load(spark, sf_dir, "lineitem")
     avgq = li.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
@@ -851,7 +862,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity") < F.col("half_avg_qty")
     )
     return joined.groupBy().agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly")
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
     )
 
 

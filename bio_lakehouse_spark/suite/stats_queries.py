@@ -1357,7 +1357,8 @@ WITH daily AS (
            + (COUNT(*) OVER (PARTITION BY user_id, view_value) - 1) / 2.0 AS ry
   FROM daily
 )
-SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, ROUND(CORR(rx, ry), 6) AS rho
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(rx, ry), 6) + 0.0 AS rho
 FROM ranked GROUP BY user_id HAVING COUNT(*) >= 10
 """,
 )
@@ -1391,9 +1392,14 @@ def spearman_per_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spearman(daily, "click_value", "view_value",
                    group_cols=("user_id",))
+    # + 0.0 normalizes IEEE -0.0 on BOTH sides: a perfectly
+    # tie-balanced user yields a correlation numerator of exactly
+    # ±epsilon whose sign is summation-order luck (spark=0.0 vs
+    # oracle=-0.0, caught by the r9 sf0.1 strict sweep — same class
+    # as cox_ph_newton_audit / heaps_law_audit)
     return out.filter(F.col("n") >= 10).select(
         "user_id", F.col("n").cast("long").alias("n"),
-        R6(F.col("rho")).alias("rho"),
+        (R6(F.col("rho")) + F.lit(0.0)).alias("rho"),
     )
 
 
@@ -3399,7 +3405,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
        ROUND(AVG(CASE WHEN ABS(y - a - b * x) <= delta
                       THEN 0.5 * (y - a - b * x) * (y - a - b * x)
                       ELSE delta * (ABS(y - a - b * x) - 0.5 * delta)
-                 END), 6) AS huber_loss
+                 END), 2) AS huber_loss
 FROM d, {prev}, scale
 GROUP BY a, b, delta
 """
@@ -3450,7 +3456,10 @@ def huber_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(F.col("a")).alias("intercept"),
             R6(F.col("b")).alias("slope"),
             R6(F.col("delta")).alias("delta"),
-            R6(F.col("huber_loss")).alias("huber_loss"),
+            # quadratic loss at ~10⁶ magnitude: 2 decimals — ulp-scale
+            # parameter/summation noise exceeds 6-decimal precision at
+            # sf0.1 (r9 strict sweep), same rule as pricing_summary
+            F.round(F.col("huber_loss"), 2).alias("huber_loss"),
         )
     )
 

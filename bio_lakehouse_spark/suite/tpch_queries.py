@@ -413,27 +413,33 @@ WITH per_part AS (
 )
 SELECT l_partkey, ROUND(raw_value, 6) AS part_value
 FROM per_part,
-     (SELECT SUM(l_extendedprice * (1 - l_discount)) AS total FROM lineitem) t
-WHERE raw_value > t.total * 0.0008
+     (SELECT AVG(raw_value) AS avg_value FROM per_part) t
+WHERE raw_value > t.avg_value * 1.6
 """,
 )
 def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction
-    of GLOBAL revenue (partsupp value → lineitem revenue). The global
-    scalar is a one-row broadcast cross join against the per-part
-    aggregate — the per-part agg is computed ONCE and the total is
-    re-aggregated from it, so lineitem is scanned a single time for
-    both levels."""
+    """TPC-H Q11 shape: parts whose revenue exceeds a threshold
+    share of GLOBAL revenue. Q11's spec fraction is 0.0001/SF —
+    i.e. ∝ 1/n_parts — so the scale-free form is a MULTIPLE OF THE
+    MEAN part value: raw_value > 1.6·avg, which equals the old
+    total·0.0008 exactly at sf0.01 (0.0008·2000 parts = 1.6) and,
+    unlike the fixed fraction, still selects rows at every SF (the
+    r9 sf0.1 strict sweep caught the fixed form going vacuous:
+    20000 parts · 0.0008 = 16×avg exceeds the ~1.9×avg max). The
+    global scalar is a one-row broadcast cross join against the
+    per-part aggregate — the per-part agg is computed ONCE and the
+    mean is re-aggregated from it, so lineitem is scanned a single
+    time for both levels."""
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "raw_value"
         )
     )
-    total = per_part.groupBy().agg(F.sum("raw_value").alias("total"))
+    total = per_part.groupBy().agg(F.avg("raw_value").alias("avg_value"))
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("total") * 0.0008)
+        .filter(F.col("raw_value") > F.col("avg_value") * 1.6)
         .select(
             "l_partkey", F.round("raw_value", 6).alias("part_value")
         )

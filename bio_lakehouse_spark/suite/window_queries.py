@@ -1381,8 +1381,15 @@ WITH ev AS (
          COUNT(*) AS n_errors,
          MIN(ts) AS first_error_ts,
          MAX(ts) AS last_error_ts,
-         arg_max(next_type, rn) AS next_type,
-         arg_max(next_ts, rn) AS next_ts
+         -- NULL-faithful arg_max: DuckDB's arg_max SKIPS rows whose
+         -- arg is NULL, so an error run ending the stream (no next
+         -- event, LEAD=NULL at max rn) would silently fall back to an
+         -- INTERIOR island event ('error') — found by the r9 sf0.1
+         -- strict sweep. Coalescing the arg BEFORE arg_max keeps the
+         -- max-rn row authoritative; '' / the 1900 sentinel reproduce
+         -- Spark's NULL semantics ('' next_type, recovered=false).
+         arg_max(COALESCE(next_type, ''), rn) AS next_type,
+         arg_max(COALESCE(next_ts, TIMESTAMP '1900-01-01'), rn) AS next_ts
   FROM err GROUP BY 1, 2
 )
 SELECT user_id, CAST(n_errors AS BIGINT) AS n_errors,
