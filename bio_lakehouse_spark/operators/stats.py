@@ -79,14 +79,38 @@ def spearman(
 ) -> DataFrame:
     """Spearman ρ = Pearson r of average ranks — exact under ties
     (ST2, ref insights/timing_correlation.py:102). Distributed: two
-    rank windows + one corr aggregate; no pandas."""
+    rank windows + one aggregate; no pandas.
+
+    ρ comes from EXACT SUMS, not the streaming ``corr`` aggregate:
+    average ranks are half-integers, so Σr, Σr², Σr·r' are all
+    integer-quarters — exactly representable and therefore identical
+    under ANY summation order or thread count, in Spark AND DuckDB.
+    ``corr``'s streaming-moment merge is order-sensitive at the ulp,
+    which the r9 sf0.1 sweep caught flipping a 6-decimal ROUND
+    boundary run-to-run (DuckDB multithreaded CORR: user 1319's
+    rho alternated 0.373437/0.373438). With exact sums both engines
+    evaluate the identical closed form on identical doubles —
+    boundary cases cannot diverge."""
     d = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
     d = d.withColumn("_rx", _avg_rank(x, group_cols)).withColumn(
         "_ry", _avg_rank(y, group_cols)
     )
-    return d.groupBy(*group_cols).agg(
+    agg = d.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.corr("_rx", "_ry").alias("rho"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dd = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.when(dd > 0, num / F.sqrt(dd)).alias("rho"),
     )
 
 

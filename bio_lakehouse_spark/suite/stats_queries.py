@@ -24,6 +24,19 @@ from bio_lakehouse_spark.suite.registry import load, register
 
 R6 = lambda c: F.round(c, 6)  # noqa: E731
 
+# Spearman ρ from EXACT rank sums (average ranks are half-integers →
+# every SUM below is integer-exact and summation-order-independent in
+# both engines; the streaming CORR aggregate is order-sensitive at the
+# ulp and flipped a 6-decimal ROUND boundary run-to-run under DuckDB's
+# multithreaded aggregation — r9 sf0.1 sweep). NULL when either rank
+# variance is zero, matching CORR's constant-input behavior.
+_RANK_RHO_SQL = """CASE WHEN (COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx))
+                * (COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry)) > 0
+       THEN ROUND((COUNT(*) * SUM(rx * ry) - SUM(rx) * SUM(ry))
+            / SQRT((COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx))
+                 * (COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry))), 6)
+       END"""
+
 # Daily click-value → next-day purchase-value: the generic form of the
 # reference's "sleep score → next-day readiness" lagged pairing.
 _LAGGED_PAIR_CTE = """
@@ -89,20 +102,22 @@ def pearson_ols_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spearman_rho",
     survey=("ST2",),
     oracle=_LAGGED_PAIR_CTE
-    + """, ranked AS (
+    + f""", ranked AS (
   SELECT x, y,
          RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
          RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
   FROM paired WHERE x IS NOT NULL AND y IS NOT NULL
 )
-SELECT COUNT(*) AS n, ROUND(CORR(rx, ry), 6) AS rho
+SELECT COUNT(*) AS n, {_RANK_RHO_SQL} AS rho
 FROM ranked
 """,
 )
 def spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman ρ as Pearson-of-average-ranks, exact under ties (ST2 —
     scipy.spearmanr in timing_correlation.py:102): two rank windows +
-    one corr aggregate, no pandas."""
+    one exact-sums aggregate (see operators/stats.spearman — the
+    streaming CORR is summation-order-sensitive at ROUND boundaries),
+    no pandas."""
     pairs = _lagged_pairs(spark, sf_dir)
     out = spearman(pairs, "x", "y")
     return out.select("n", R6(F.col("rho")).alias("rho"))
@@ -1342,7 +1357,7 @@ def ridge_normal_equation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "spearman_per_user_audit",
     survey=("ST2", "ST4"),
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT user_id,
          CAST(ts AS DATE) AS date,
@@ -1358,7 +1373,7 @@ WITH daily AS (
   FROM daily
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CORR(rx, ry), 6) + 0.0 AS rho
+       {_RANK_RHO_SQL} + 0.0 AS rho
 FROM ranked GROUP BY user_id HAVING COUNT(*) >= 10
 """,
 )
@@ -1453,7 +1468,7 @@ aligned AS (
 ), stats AS (
   SELECT user_id, metric_a, metric_b, lag,
          CAST(COUNT(*) AS BIGINT) AS n_samples,
-         ROUND(CORR(rx, ry), 6) AS rho
+         {_RANK_RHO_SQL} AS rho
   FROM ranked GROUP BY 1, 2, 3, 4
 )
 SELECT user_id, metric_a, metric_b, lag, n_samples, rho,
@@ -1555,9 +1570,28 @@ def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.count(F.lit(1)).over(Window.partitionBy(*grp, "vb")) - 1) / 2.0
     )
     ranked = aligned.select(*grp, rx.alias("rx"), ry.alias("ry"))
-    stats = ranked.groupBy(*grp).agg(
+    # exact-sums Spearman (see operators/stats.spearman): half-integer
+    # ranks make every sum integer-exact and order-independent, so the
+    # 6-decimal ROUND can never sit on a summation-order-dependent
+    # boundary (streaming corr flipped user 1319's rho between
+    # 0.373437/0.373438 run-to-run — r9 sf0.1 sweep)
+    sums = ranked.groupBy(*grp).agg(
         F.count(F.lit(1)).cast("long").alias("n_samples"),
-        R6(F.corr("rx", "ry")).alias("rho"),
+        F.sum("rx").alias("_sx"),
+        F.sum("ry").alias("_sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("_sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("_syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("_sxy"),
+    )
+    nn = F.col("n_samples")
+    num = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dd = (nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")) * (
+        nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    )
+    stats = sums.select(
+        *grp,
+        "n_samples",
+        R6(F.when(dd > 0, num / F.sqrt(dd))).alias("rho"),
     )
     rho = F.col("rho")
     n = F.col("n_samples")
