@@ -514,6 +514,10 @@ def test_no_unintended_cartesian_anywhere(spark, sf_dir):
         # fold table is the broadcast side — bounded nested loop.
         "walk_forward_cv_daily",
         "gain_lift_by_decile",  # scores × ONE-ROW decile thresholds
+        # one-row stringified min/max frame × one-row count/distinct
+        # frame (r9: string-buffer aggregates split out of the distinct
+        # Expand so neither pass is a SortAggregate over 7× rows)
+        "profile_orders_columns",
         "kn_bigram_perplexity",  # bigram stream × ONE-ROW (T, V2, V) stats
         "logistic_gd_audit",  # feature frame × ONE-ROW β per GD step
         "retrieval_eval_ndcg",  # corpus × broadcast query set (ANN scorer)
