@@ -220,6 +220,40 @@ def _update_coverage(timed: list[str]) -> None:
         json.dump(dict(sorted(last.items())), fh, indent=1)
 
 
+def _host_calibration(spark, materialize) -> float:
+    """Fixed synthetic probe timed at bench start and stamped into the
+    output as ``calib_sec`` — a host-speed fingerprint so BENCH_rN
+    totals measured on different machines can be normalized
+    (VERDICT r9 #3: the r9 +34% headline move was pure host noise and
+    took forensic cross-referencing to adjudicate; with calib_sec the
+    normalization is `value / calib_sec` vs the prior round's).
+
+    Data-independent by construction: ``spark.range`` (no file I/O),
+    pinned row count and partitioning, deterministic expressions —
+    exercises the same resources as the suite (codegen'd hash + agg
+    CPU, one shuffle exchange, 32-way parallelism). Min of two runs,
+    like the headline queries (run 1 pays codegen/JIT)."""
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        df = (
+            spark.range(0, 120_000_000, 1, 32)
+            .selectExpr(
+                "xxhash64(id) AS h",
+                "id % 9973 AS k",
+                "sin(id * 1e-7) AS v",
+            )
+            .groupBy("k")
+            .agg(
+                {"h": "max", "v": "sum", "k": "count"},
+            )
+        )
+        materialize(df)
+        return time.perf_counter() - t0
+
+    return round(min(probe(), probe()), 3)
+
+
 def rotation_queries() -> tuple[list[str], int]:
     extras = sorted(set(REGISTRY) - set(HEADLINE))
     if not extras:
@@ -243,6 +277,10 @@ def main() -> None:
 
     # JVM + reader warmup (excluded from timings).
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+    # Host-speed fingerprint (see _host_calibration): recorded in both
+    # the detail file and the stdout line for cross-round comparison.
+    calib_sec = _host_calibration(spark, materialize)
 
     # Fixture prebuild (excluded from timings): several queries
     # materialize persisted fixtures on first call (LSH band index,
@@ -332,6 +370,7 @@ def main() -> None:
         "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
         "sf": sf_val,
+        "calib_sec": calib_sec,
         "queries": timings,
         # Per-query raw runs (run1 = first timed execution of the
         # shape, pays whole-stage-codegen classgen + JIT; later runs =
@@ -385,6 +424,7 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "sf": sf_val,
+        "calib_sec": calib_sec,
         "n_queries": len(timings),
         "detail_file": os.path.relpath(detail_path, here),
     }

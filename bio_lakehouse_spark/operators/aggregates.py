@@ -161,9 +161,13 @@ def _ranked_by_range(df, cols, num_partitions: int | None = None):
         parted.withColumn("__mid", F.monotonically_increasing_id())
         .select(
             "*",
-            F.shiftright("__mid", 33).cast("int").alias("__pid"),
+            # long, not int: a range partition can legally hold more
+            # than 2^31 rows at extreme scale, and a non-ANSI int cast
+            # would wrap the 33-bit row position negative silently —
+            # the downstream offset arithmetic is long-safe already
+            F.shiftright("__mid", 33).cast("long").alias("__pid"),
             (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1)
-            .cast("int")
+            .cast("long")
             .alias("__rk"),
         )
         .drop("__mid")

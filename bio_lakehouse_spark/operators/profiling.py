@@ -49,6 +49,16 @@ def profile_columns(
     between a scan-bound profile and a shuffle-spill job."""
     if not isinstance(cols, dict):
         cols = {c: F.col(c) for c in cols}
+    if not cols:
+        # zero columns → zero profile rows (one row per column is the
+        # contract); the r9 two-pass split made the old fall-through
+        # an invalid zero-expression aggregate, so return explicitly
+        return df.sparkSession.createDataFrame(
+            [],
+            "column_name string, n_rows bigint, n_nulls bigint,"
+            " n_distinct bigint, min_val string, max_val string,"
+            " completeness double",
+        )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     mm_aggs: list[Column] = []
     for name, expr in cols.items():

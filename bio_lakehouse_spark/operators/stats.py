@@ -90,7 +90,16 @@ def spearman(
     boundary run-to-run (DuckDB multithreaded CORR: user 1319's
     rho alternated 0.373437/0.373438). With exact sums both engines
     evaluate the identical closed form on identical doubles —
-    boundary cases cannot diverge."""
+    boundary cases cannot diverge.
+
+    Exactness bound: the argument holds while the quarter-integer
+    sums stay below 2^53 quarters, i.e. Σr·r' < 2^51 ≈ 2.3e15 —
+    with ranks ≤ n that is guaranteed for group sizes n ≤ ~130 000
+    (n·n² ≤ 2^51). Beyond that the sums lose ulps and become
+    order-sensitive again; per-group corpora here are daily series
+    (≤ a few thousand rows), far inside the bound. Callers ranking
+    groups past ~1e5 rows should not rely on cross-engine
+    bit-identity at ROUND boundaries."""
     d = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
     d = d.withColumn("_rx", _avg_rank(x, group_cols)).withColumn(
         "_ry", _avg_rank(y, group_cols)

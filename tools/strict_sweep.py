@@ -39,6 +39,13 @@ _HEAVY = re.compile(
 
 
 def _run(names: list[str], sf: str, timeout: int):
+    """Returns (passed, failed, detail, broken). ``broken`` is a
+    non-empty diagnostic string when the harness subprocess died
+    WITHOUT emitting a single per-query pass/FAIL line (JVM OOM-kill,
+    import/startup error) — that is a sweep-infrastructure failure,
+    not an oracle timeout, and must surface as ERROR + exit 1 rather
+    than be laundered into ORACLE_HEAVY_TIMEOUT (ADVICE r9)."""
+    broken = ""
     try:
         p = subprocess.run(
             [sys.executable, "-u", "tests/oracle_harness.py", "--strict",
@@ -46,11 +53,15 @@ def _run(names: list[str], sf: str, timeout: int):
             capture_output=True, text=True, timeout=timeout, cwd=_ROOT,
         )
         out = p.stdout
+        rc = p.returncode
+        err_tail = (p.stderr or "")[-400:]
     except subprocess.TimeoutExpired as e:
         out = e.stdout or ""
         if isinstance(out, bytes):
             out = out.decode(errors="replace")
         out = "TIMEOUT\n" + out
+        rc = None  # a genuine timeout, never "broken"
+        err_tail = ""
     lines = out.splitlines()
     passed = {l.split()[1] for l in lines if l.startswith("pass ")}
     failed = {
@@ -59,7 +70,9 @@ def _run(names: list[str], sf: str, timeout: int):
     detail = {
         l.split()[1].rstrip(":"): l for l in lines if l.startswith("FAIL ")
     }
-    return passed, failed, detail
+    if rc is not None and rc != 0 and not passed and not failed:
+        broken = f"harness exited {rc} with no per-query output: {err_tail}"
+    return passed, failed, detail, broken
 
 
 def main() -> int:
@@ -90,7 +103,7 @@ def main() -> int:
     while i < len(todo):
         chunk = todo[i: i + batch]
         t0 = time.time()
-        passed, failed, detail = _run(chunk, sf, timeout)
+        passed, failed, detail, broken = _run(chunk, sf, timeout)
         rest = []
         for n in chunk:
             if n in passed:
@@ -99,7 +112,14 @@ def main() -> int:
                 results[n] = {"status": "FAIL", "detail": detail[n][:400]}
             else:
                 rest.append(n)
-        if rest:
+        if broken:
+            # the subprocess died before producing ANY verdict: every
+            # query in the chunk is unverified — record ERROR (counted
+            # in the failing exit code), don't re-queue or classify as
+            # a heavy-oracle timeout
+            for n in rest:
+                results[n] = {"status": "ERROR", "detail": broken}
+        elif rest:
             # harness runs in order: the first unprocessed name is the
             # staller; re-queue the untouched remainder
             results[rest[0]] = {"status": "ORACLE_HEAVY_TIMEOUT"}
@@ -110,11 +130,13 @@ def main() -> int:
 
     for n in heavy:
         t0 = time.time()
-        passed, failed, detail = _run([n], sf, timeout)
+        passed, failed, detail, broken = _run([n], sf, timeout)
         if n in passed:
             results[n] = {"status": "pass"}
         elif n in failed:
             results[n] = {"status": "FAIL", "detail": detail[n][:400]}
+        elif broken:
+            results[n] = {"status": "ERROR", "detail": broken}
         else:
             results[n] = {"status": "ORACLE_HEAVY_TIMEOUT"}
         results[n]["sec"] = round(time.time() - t0, 1)
@@ -125,6 +147,9 @@ def main() -> int:
         "n": len(names),
         "pass": sum(1 for r in results.values() if r["status"] == "pass"),
         "fail": sum(1 for r in results.values() if r["status"] == "FAIL"),
+        "error": sum(
+            1 for r in results.values() if r["status"] == "ERROR"
+        ),
         "oracle_heavy_timeout": sum(
             1 for r in results.values()
             if r["status"] == "ORACLE_HEAVY_TIMEOUT"
@@ -136,7 +161,7 @@ def main() -> int:
         with open(out_path, "w") as fh:
             fh.write(doc)
     print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
-    return 1 if summary["fail"] else 0
+    return 1 if summary["fail"] or summary["error"] else 0
 
 
 if __name__ == "__main__":
