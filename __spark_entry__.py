@@ -90,6 +90,11 @@ _FORCE_RECERT: dict[str, int] = {
     "hill_tail_index": 9,
     "entity_resolution_fs": 9,
     "fs_em_priors_audit": 9,
+    # r10: the audit's Spark-side minhash prefixes were silently
+    # garbage (two-parameter transform lambda bound the band index to
+    # the array-index Column); fixed in operators/dedup.py — the r09
+    # green certifies the old hash family, re-certify under the new.
+    "minhash_lsh_recall_audit": 10,
 }
 
 

@@ -412,14 +412,21 @@ def lsh_recall_audit(
     ≤ 7 bucket rows.
     """
     k = n_bands * rows_per_band
+
+    # Factory, NOT `lambda s, j=j: ...`: a two-parameter lambda makes
+    # F.transform pass (element, index) — the default arg is shadowed
+    # by the array-index Column and F.lit(f"{j}|") stringifies that
+    # Column object, silently hashing a garbage-but-deterministic
+    # prefix instead of the band-hash index. sf0.01 passed by luck
+    # (every truth pair recalled under both hash families); the r10
+    # sf0.1 strict sweep caught the 2-pair divergence.
+    def _mh(j: int):
+        pre = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(pre), s))
+
     sets = shingle_sets(df, id_col, text_col, n=n)
     mins = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
-            )
-        ).alias(f"mh{j}")
+        F.array_min(F.transform(F.col("shingles"), _mh(j))).alias(f"mh{j}")
         for j in range(k)
     ]
     sig = sets.select("doc_id", *mins)

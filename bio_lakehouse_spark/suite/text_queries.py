@@ -50,10 +50,36 @@ WITH sh AS (
 )
 """
 
-_JACCARD = (
-    "len(list_intersect(a.shingles, b.shingles))::DOUBLE"
-    " / len(list_distinct(a.shingles || b.shingles))"
+def _jac_pairs_cte(extra_on: str = "") -> str:
+    """Inverted-index exact-Jaccard pair CTEs (append after a CTE
+    ending in ``sh(doc_id, shingles)``): explode shingles, equi-join
+    on the shingle, COUNT(*) per ordered pair = |A∩B| (shingle lists
+    are list_distinct), union = nA + nB − inter.
+
+    Algebraically IDENTICAL to the all-pairs form ``sh a JOIN sh b ON
+    a.doc_id < b.doc_id`` + list_intersect for any threshold > 0:
+    a qualifying pair shares ≥ 1 shingle so it appears in the
+    equi-join, and both forms divide the SAME two integers, so the
+    doubles (and every downstream ROUND) are bit-identical — verified
+    row-for-row against the quadratic form at sf0.01. The quadratic
+    form blew the sf0.1 strict-sweep 300 s oracle budget
+    (12.1 s → 0.10 s at sf0.01; 1.4 s at sf0.1 where the old form ran
+    >300 s single-query), which left the dedup family — the likeliest
+    home of scale-dependent divergence — outside the cross-SF
+    certification (VERDICT r9 #2 / "What's wrong" #1).
+
+    ``extra_on`` appends predicates to the pair-join condition (e.g.
+    an incremental-batch or same-lang restriction)."""
+    return f""", ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
+), jac AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*)::DOUBLE
+           / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jac_raw
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id{extra_on}
+  GROUP BY a.doc_id, b.doc_id
 )
+"""
 
 
 @register(
@@ -79,11 +105,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     survey=("J6", "F9"),
     oracle=_SHINGLES_CTE
-    + f"""
-SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
-) WHERE jac_raw >= 0.5
+    + """, ex AS (
+  SELECT doc_id, lang, len(shingles) AS n, unnest(shingles) AS s FROM sh
+), jac AS (
+  -- inverted-index exact Jaccard (see _jac_pairs_cte), lang-blocked
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*)::DOUBLE
+           / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jac_raw
+  FROM ex a JOIN ex b
+    ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang = b.lang
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM jac
+WHERE jac_raw >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,11 +160,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     survey=("J6", "F9", "A11"),
     oracle=_SHINGLES_CTE
-    + f"""
-SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-) WHERE jac_raw >= 0.5
+    + _jac_pairs_cte()
+    + """
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM jac
+WHERE jac_raw >= 0.5
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,10 +220,17 @@ def _lsh_recall_oracle(
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS hit
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
 ), truth AS (
+  -- inverted-index exact Jaccard (see _jac_pairs_cte: bit-identical
+  -- to the quadratic list_intersect form, sub-quadratic in DuckDB)
   SELECT doc_a, doc_b, jac_raw FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*)::DOUBLE
+             / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jac_raw
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
   ) WHERE jac_raw >= {thresh}
 ), agg AS (
   SELECT LEAST(FLOOR(t.jac_raw * 10) / 10.0, 0.9) AS bucket_lo,
@@ -566,10 +606,9 @@ def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     survey=("J6", "A11", "F9"),
     oracle=_SHINGLES_CTE.replace("WITH sh", "WITH RECURSIVE sh")
-    + f""", pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE {_JACCARD} >= 0.5
+    + _jac_pairs_cte()
+    + """, pairs AS (
+  SELECT doc_a, doc_b FROM jac WHERE jac_raw >= 0.5
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -1142,11 +1181,10 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_minhash",
     survey=("J6", "A11", "F9"),
     oracle=_SHINGLES_CTE
-    + f"""
-SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400
-) WHERE jac_raw >= 0.5
+    + _jac_pairs_cte(extra_on=" AND b.doc_id >= 400")
+    + """
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM jac
+WHERE jac_raw >= 0.5
 """,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,11 +1678,18 @@ WITH base AS (
          list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
                        i -> concat_ws(' ', w[i+1], w[i+2], w[i+3]))) AS shingles
   FROM base
+), ex AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh
 ), nd AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-        / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+  -- inverted-index exact Jaccard (see _jac_pairs_cte: bit-identical
+  -- to the quadratic list_intersect form, sub-quadratic in DuckDB)
+  SELECT DISTINCT doc_b AS doc_id FROM (
+    SELECT b.doc_id AS doc_b,
+           COUNT(*)::DOUBLE
+             / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jac_raw
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) WHERE jac_raw >= 0.5
 ), g AS (
   SELECT doc_id, {_ngrams5_sql()} AS grams
   FROM (SELECT doc_id, {_W} AS w FROM documents)
@@ -2559,11 +2604,10 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_prefix_filter",
     survey=("J6", "A11", "F9"),
     oracle=_SHINGLES_CTE
-    + f"""
-SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JACCARD} AS jac_raw
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-) WHERE jac_raw >= 0.5
+    + _jac_pairs_cte()
+    + """
+SELECT doc_a, doc_b, ROUND(jac_raw, 6) AS jaccard FROM jac
+WHERE jac_raw >= 0.5
 """,
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
