@@ -67,3 +67,51 @@ def test_last_ulp_float_diff_caught_only_in_strict():
     oracle_df = pd.DataFrame({"v": [b]})
     assert compare(spark_df, oracle_df) == []
     assert compare(spark_df, oracle_df, strict=True)
+
+
+def test_strict_sweep_classifies_dead_harness_as_error(monkeypatch):
+    """ADVICE r9: a sweep subprocess that dies with NO per-query
+    output (JVM OOM-kill, import error) must surface as ERROR and a
+    failing exit code — not be laundered into ORACLE_HEAVY_TIMEOUT
+    (which never fails the sweep) with the remainder re-queued."""
+    import subprocess
+    import sys
+    import types
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    strict_sweep = importlib.import_module("strict_sweep")
+
+    def dead_run(cmd, **kw):
+        return types.SimpleNamespace(
+            returncode=137, stdout="", stderr="Killed"
+        )
+
+    monkeypatch.setattr(subprocess, "run", dead_run)
+    passed, failed, detail, broken = strict_sweep._run(
+        ["q1", "q2"], "/tmp/sf", timeout=5
+    )
+    assert passed == set() and failed == set()
+    assert "exited 137" in broken and "Killed" in broken
+
+
+def test_strict_sweep_timeout_is_not_error(monkeypatch):
+    """A genuine per-query timeout keeps the heavy-oracle
+    classification path (broken stays empty)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "tools")
+    import importlib
+
+    strict_sweep = importlib.import_module("strict_sweep")
+
+    def timeout_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, 5, output="pass q1\n")
+
+    monkeypatch.setattr(subprocess, "run", timeout_run)
+    passed, failed, detail, broken = strict_sweep._run(
+        ["q1", "q2"], "/tmp/sf", timeout=5
+    )
+    assert passed == {"q1"} and broken == ""
