@@ -55,6 +55,7 @@ class SimulationResult:
     energy_state: str
     overtraining_risk: str
     comparison_to_baseline: float
+    recommendation: str = ""
     supporting: dict = field(default_factory=dict)
 
 
@@ -102,6 +103,82 @@ def classify_streak_risk(consecutive_days: int) -> str:
     return "high"
 
 
+def estimate_tss(workout_type: str, intensity: str) -> float:
+    """TSS lookup (ref what_if.py:436-443): ``rest`` OR intensity
+    ``none`` is 0 regardless of type — a planned cycling day with
+    intensity 'none' is a skipped workout, not a moderate ride."""
+    wtype = workout_type.lower()
+    inten = intensity.lower()
+    if wtype == "rest" or inten == "none":
+        return 0.0
+    est = WORKOUT_TSS_ESTIMATES.get(wtype, {})
+    return float(est.get(inten, est.get("moderate", 0)))
+
+
+def make_recommendation(energy_state: str, overtraining_risk: str) -> str:
+    """Deterministic coaching line per (energy, risk) cell
+    (ref what_if.py:385-416)."""
+    if overtraining_risk == "high":
+        return (
+            "Your consecutive workout streak suggests high overtraining "
+            "risk. A rest day or light recovery session is strongly "
+            "recommended."
+        )
+    if energy_state in ("recovery_needed", "low"):
+        return (
+            "Predicted energy is low. Consider a rest day or light "
+            "activity to allow recovery before pushing harder."
+        )
+    if energy_state == "peak":
+        return (
+            "Conditions look ideal for a high-intensity session. "
+            "This is a great day to push your limits."
+        )
+    if energy_state == "high":
+        return (
+            "Good conditions for a solid workout. Moderate-to-high "
+            "intensity should be well-tolerated."
+        )
+    if overtraining_risk == "moderate":
+        return (
+            "You're in a moderate training streak. Consider alternating "
+            "intensity or adding a recovery day soon."
+        )
+    return (
+        "Moderate energy predicted. A moderate workout should be fine, "
+        "but listen to your body."
+    )
+
+
+def summarize_plan(projections: list[dict]) -> str:
+    """Natural-language multi-day summary (ref what_if.py:525-553):
+    trend from first→last prediction (±3 band), low-energy day
+    callouts, CTL movement."""
+    if not projections:
+        return "No days planned."
+    first = projections[0]["predicted_readiness"]
+    last = projections[-1]["predicted_readiness"]
+    trend = "stays steady"
+    if last > first + 3:
+        trend = "trends upward"
+    elif last < first - 3:
+        trend = "trends downward"
+    low = [
+        p for p in projections
+        if p["energy_state"] in ("low", "recovery_needed")
+    ]
+    low_warning = ""
+    if low:
+        names = ", ".join(f"day +{p['day_offset']}" for p in low)
+        low_warning = f" Low energy on {names} — consider rest."
+    return (
+        f"Over the {len(projections)}-day plan, readiness {trend} from "
+        f"{first:.0f} to {last:.0f}.{low_warning} "
+        f"CTL moves {projections[0]['projected_ctl']:.0f} → "
+        f"{projections[-1]['projected_ctl']:.0f}."
+    )
+
+
 class WhatIfSimulator:
     """Builds its lookup tables from view DataFrames once, then answers
     arbitrarily many scenarios without touching the cluster."""
@@ -129,8 +206,12 @@ class WhatIfSimulator:
                 pairs["next_day_readiness"].to_numpy(dtype=float),
             )
             self.regression["valid"] = True
+            self.regression["n"] = len(pairs)
         else:
-            self.regression = {"valid": False, "slope": 0.0, "intercept": 0.0}
+            self.regression = {
+                "valid": False, "slope": 0.0, "intercept": 0.0,
+                "n": len(pairs),
+            }
         self.sleep_buckets = {
             str(q): {
                 "mean": round(float(g["next_day_readiness"].mean()), 1),
@@ -219,12 +300,15 @@ class WhatIfSimulator:
         predicted = max(0.0, min(100.0, base + delta + penalty))
         bucket = self.sleep_buckets.get(sleep_bucket_key(s.sleep_score), {})
         std = bucket.get("std", 10.0)
+        energy = classify_energy(predicted, s.sleep_score)
+        risk = classify_streak_risk(s.consecutive_workout_days)
         return SimulationResult(
             predicted_readiness=round(predicted, 1),
             confidence_range=(round(predicted - std, 1),
                               round(predicted + std, 1)),
-            energy_state=classify_energy(predicted, s.sleep_score),
-            overtraining_risk=classify_streak_risk(s.consecutive_workout_days),
+            energy_state=energy,
+            overtraining_risk=risk,
+            recommendation=make_recommendation(energy, risk),
             comparison_to_baseline=round(
                 predicted - self.baseline["avg_readiness_7d"], 1
             ),
@@ -252,11 +336,7 @@ class WhatIfSimulator:
                 Scenario(plan.sleep_score, plan.workout_type,
                          plan.workout_intensity, consecutive)
             )
-            est = WORKOUT_TSS_ESTIMATES.get(plan.workout_type.lower(), {})
-            tss = float(est.get(plan.workout_intensity.lower(),
-                                est.get("moderate", 0)))
-            if plan.workout_type.lower() == "rest":
-                tss = 0.0
+            tss = estimate_tss(plan.workout_type, plan.workout_intensity)
             ctl += (tss - ctl) * (2.0 / 43)
             atl += (tss - atl) * (2.0 / 8)
             lo, hi = res.confidence_range
@@ -271,6 +351,7 @@ class WhatIfSimulator:
                     ),
                     "energy_state": res.energy_state,
                     "overtraining_risk": res.overtraining_risk,
+                    "recommendation": res.recommendation,
                     "consecutive_workout_days": consecutive,
                     "estimated_tss": round(tss, 0),
                     "projected_ctl": round(ctl, 1),

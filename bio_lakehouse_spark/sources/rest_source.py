@@ -1,15 +1,24 @@
-"""REST API source (S11 — ref lambda/oura_api_ingest/handler.py:78-175
-and csv_transformer.py:12-115).
+"""REST API source (S11 — ref lambda/oura_api_ingest/handler.py:78-135,
+oura_client.py:21-71 and csv_transformer.py:12-115).
 
 The Oura v2 ingestion as a landing-zone feeder: a client interface
 (injectable — a deterministic fake here, a real HTTP client in
-production) fetching the daily endpoints with retry, JSON records
-transformed to CSV rows in the exact bronze column order, one CSV per
+production) fetching the daily endpoints, JSON records transformed to
+CSV rows in the exact bronze column order, one CSV per
 (endpoint, day) written into the landing path the normalizers scan.
+Kept from the reference: next_token pagination (oura_client.py:38-70),
+per-type fault isolation with a status record per endpoint
+(handler.py:78-135 — an auth failure on one endpoint must not block
+the others), the auth-error class distinction (401 → ValueError), the
+per-day grouping on the RAW record's ``day`` with start_date as the
+fallback (handler.py:96-100), and the ``daily<type>.csv`` file names
+(handler.py:40-45).
 """
 
 from __future__ import annotations
 
+import csv
+import io
 import json
 import time
 from collections.abc import Callable
@@ -23,8 +32,18 @@ ENDPOINTS = {
     "activity": "daily_activity",
 }
 
+# ref handler.py FILE_NAME_MAP:40-45
+FILE_NAMES = {
+    "readiness": "dailyreadiness.csv",
+    "sleep": "dailysleep.csv",
+    "activity": "dailyactivity.csv",
+}
+
 # (client interface) fetch(endpoint, start_date, end_date) -> list[dict]
 FetchFn = Callable[[str, str, str], list[dict]]
+# (paged client) fetch_page(endpoint, start, end, next_token)
+#   -> (records, next_token|None) — the raw Oura v2 page shape
+PageFetchFn = Callable[[str, str, str, str | None], tuple[list[dict], str | None]]
 
 
 def fetch_with_retry(
@@ -35,21 +54,41 @@ def fetch_with_retry(
     retries: int = 3,
     backoff_s: float = 0.1,
 ) -> list[dict]:
-    """Retry wrapper (the Lambda's 3-attempt loop)."""
+    """Transient-failure retry wrapper with exponential backoff (an
+    ops hardening this port adds around the injectable client; the
+    reference defers a 429 to the next scheduled Lambda run —
+    oura_client.py:61-63 — which a batch engine has no 'next run'
+    for). Auth errors (ValueError, the reference's 401 class) are
+    NOT retried — a bad token does not heal between attempts."""
     last: Exception | None = None
     for attempt in range(retries):
         try:
             return fetch(endpoint, start, end)
+        except ValueError:
+            raise  # 401-class: permanent, surface immediately
         except Exception as e:  # noqa: BLE001
             last = e
             time.sleep(backoff_s * (2**attempt))
     raise RuntimeError(f"fetch {endpoint} failed after {retries} tries: {last}")
 
 
+def paginate(fetch_page: PageFetchFn, endpoint: str, start: str, end: str) -> list[dict]:
+    """Follow ``next_token`` until exhausted (ref oura_client.py:38-70):
+    the v2 API caps page size, so a month of activity data spans
+    several pages; losing the loop silently truncates the bronze."""
+    out: list[dict] = []
+    token: str | None = None
+    while True:
+        records, token = fetch_page(endpoint, start, end, token)
+        out.extend(records)
+        if not token:
+            return out
+
+
 def flatten_record(record: dict, data_type: str) -> dict[str, str]:
-    """JSON record → flat string row in the bronze column contract:
+    """JSON record → flat row in the bronze column contract:
     ``contributors.*`` → prefixed columns; activity ``met.items`` →
-    interval/avg/max/count summary (ref csv_transformer.py:45-71)."""
+    interval/avg/max/count summary (ref csv_transformer.py:45-95)."""
     cols = OURA_COLUMNS[data_type]
     flat: dict[str, str] = {}
     for c in cols:
@@ -71,10 +110,67 @@ def flatten_record(record: dict, data_type: str) -> dict[str, str]:
 
 
 def rows_to_csv(rows: list[dict], cols: list[str]) -> str:
-    lines = [",".join(cols)]
-    for r in rows:
-        lines.append(",".join(r.get(c, "") for c in cols))
-    return "\n".join(lines) + "\n"
+    """csv.DictWriter like the reference (csv_transformer.py:98-115)
+    so embedded commas/quotes are quoted, not column-shifted."""
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=cols)
+    w.writeheader()
+    w.writerows(rows)
+    return buf.getvalue()
+
+
+def process_date_range(
+    fetch: FetchFn,
+    landing_root: str | Path,
+    start: str,
+    end: str,
+) -> list[dict]:
+    """Fetch every endpoint and land per-day CSVs, one status record
+    per endpoint (ref handler.py:78-135). Each data type is processed
+    independently so a partial failure doesn't block other types:
+    auth errors (ValueError) record ``auth_error``, anything else
+    ``error``, empty fetches ``no_data``."""
+    results: list[dict] = []
+    for data_type in ENDPOINTS:
+        try:
+            records = fetch_with_retry(fetch, data_type, start, end)
+            if not records:
+                results.append(
+                    {"type": data_type, "status": "no_data", "records": 0}
+                )
+                continue
+            # group on the RAW record's day, start_date fallback
+            # (ref handler.py:96-100)
+            by_day: dict[str, list[dict]] = {}
+            for rec in records:
+                by_day.setdefault(rec.get("day", start), []).append(rec)
+            uploaded = 0
+            for day, drows in by_day.items():
+                y, m, d = day.split("-")
+                out = (
+                    Path(landing_root)
+                    / f"oura/{data_type}/year={y}/month={m}/day={d}"
+                    / FILE_NAMES[data_type]
+                )
+                out.parent.mkdir(parents=True, exist_ok=True)
+                flat = [flatten_record(r, data_type) for r in drows]
+                out.write_text(
+                    rows_to_csv(flat, OURA_COLUMNS[data_type]),
+                    encoding="utf-8",
+                )
+                uploaded += len(drows)
+            results.append(
+                {"type": data_type, "status": "success", "records": uploaded}
+            )
+        except ValueError as e:
+            results.append(
+                {"type": data_type, "status": "auth_error", "error": str(e)}
+            )
+        except Exception as e:  # noqa: BLE001
+            results.append(
+                {"type": data_type, "status": "error", "error": str(e)}
+            )
+    return results
 
 
 def ingest(
@@ -83,29 +179,12 @@ def ingest(
     start: str,
     end: str,
 ) -> dict[str, int]:
-    """Fetch every endpoint, write per-day CSVs into
-    ``oura/<type>/year=YYYY/month=MM/day=DD/data.csv`` — the landing
-    layout the ingestion trigger watches."""
-    counts: dict[str, int] = {}
-    for data_type in ENDPOINTS:
-        records = fetch_with_retry(fetch, data_type, start, end)
-        by_day: dict[str, list[dict]] = {}
-        for rec in records:
-            flat = flatten_record(rec, data_type)
-            if flat.get("day"):
-                by_day.setdefault(flat["day"], []).append(flat)
-        for day, rows in by_day.items():
-            y, m, d = day.split("-")
-            out = (
-                Path(landing_root)
-                / f"oura/{data_type}/year={y}/month={m}/day={d}/data.csv"
-            )
-            out.parent.mkdir(parents=True, exist_ok=True)
-            out.write_text(
-                rows_to_csv(rows, OURA_COLUMNS[data_type]), encoding="utf-8"
-            )
-        counts[data_type] = len(records)
-    return counts
+    """Record-count view of :func:`process_date_range` (failed or
+    empty endpoints count 0 — the per-type statuses carry the why)."""
+    return {
+        r["type"]: r.get("records", 0)
+        for r in process_date_range(fetch, landing_root, start, end)
+    }
 
 
 def fake_oura_client(seed: int = 7) -> FetchFn:

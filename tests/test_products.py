@@ -167,6 +167,19 @@ def test_multi_day_cascade(simulator):
     w0 = proj[0]["confidence_range"][1] - proj[0]["confidence_range"][0]
     w4 = proj[4]["confidence_range"][1] - proj[4]["confidence_range"][0]
     assert w4 >= w0
+    # an intensity-'none' day is a skipped workout: zero TSS, even for
+    # a non-rest type (ref what_if.py:436-443)
+    assert proj2[2]["estimated_tss"] == 0.0
+    from bio_lakehouse_spark.products.whatif import estimate_tss, summarize_plan
+    assert estimate_tss("cycling", "none") == 0.0
+    assert estimate_tss("cycling", "high") == 110.0
+    assert estimate_tss("rest", "high") == 0.0
+    # every projection carries the deterministic coaching line, and the
+    # plan summary reflects the trend band
+    assert all(p["recommendation"] for p in proj)
+    s = summarize_plan(proj)
+    assert "5-day plan" in s and "CTL moves" in s
+    assert summarize_plan([]) == "No days planned."
 
 
 # -- alerts -----------------------------------------------------------------
@@ -268,14 +281,32 @@ def test_healthkit_xml_parser(tmp_path):
       <Record type="HKQuantityTypeIdentifierOxygenSaturation" value="0.99"
               unit="%" startDate="2025-06-01 08:00:00 -0500"/>
       <Record type="HKQuantityTypeIdentifierBodyMass" value="80"
-              unit="kg" startDate="2025-06-01 07:00:00 -0500"/>
+              unit="kg" startDate="2025-06-01 07:00:00 -0500"
+              sourceName="Hume Pod"/>
+      <Record type="HKQuantityTypeIdentifierBodyFatPercentage" value="0.185"
+              unit="%" startDate="2025-06-01 07:00:00 -0500"/>
+      <Record type="HKCategoryTypeIdentifierMindfulSession"
+              startDate="2025-06-01 06:00:00 -0500"
+              endDate="2025-06-01 06:12:30 -0500"/>
+      <Record type="HKCategoryTypeIdentifierMindfulSession"
+              startDate="2025-06-01 21:00:00 -0500"
+              endDate="2025-06-01 21:10:00 -0500"/>
       <Record type="HKQuantityTypeIdentifierRestingHeartRate" value="48"
               unit="count/min" startDate="2025-05-01 07:00:00 -0500"/>
       <Workout workoutActivityType="HKWorkoutActivityTypeRunning"
                duration="42.5" totalDistance="5" totalDistanceUnit="km"
-               totalEnergyBurned="400" sourceName="Apple Watch"
+               sourceName="Apple Watch"
                startDate="2025-06-01 18:00:00 -0500"
-               endDate="2025-06-01 18:45:00 -0500"/>
+               endDate="2025-06-01 18:45:00 -0500">
+        <WorkoutStatistics type="HKQuantityTypeIdentifierHeartRate"
+                           average="152.4"/>
+        <WorkoutStatistics
+            type="HKQuantityTypeIdentifierActiveEnergyBurned" sum="401.7"/>
+      </Workout>
+      <Workout workoutActivityType="HKWorkoutActivityTypeCycling"
+               duration="30" sourceName="Peloton App"
+               startDate="2025-06-02 18:00:00 -0500"
+               endDate="2025-06-02 18:30:00 -0500"/>
     </HealthData>"""
     p = tmp_path / "export.xml"
     p.write_text(xml)
@@ -284,14 +315,25 @@ def test_healthkit_xml_parser(tmp_path):
     assert len(vit) == 1  # the May record is filtered by --since
     assert vit[0]["resting_heart_rate_bpm"] == 55  # "last" policy
     assert vit[0]["blood_oxygen_pct"] == 98.0  # "mean" + fraction→pct
-    assert abs(parsed["body"][0]["weight_lbs"] - 80 * 2.20462) < 1e-6
+    b = parsed["body"][0]
+    assert b["weight_lbs"] == round(80 * 2.20462, 1)  # ref 1-dp rounding
+    assert b["body_fat_pct"] == 18.5  # fraction → pct
+    assert b["device_name"] == "Hume Pod"
+    # Mindfulness comes from MindfulSession Records (start→end), not
+    # from any workout heuristic (ref parse :360-368)
+    m = parsed["mindfulness"][0]
+    assert m["duration_minutes"] == 22.5 and m["session_count"] == 2
+    assert len(parsed["workouts"]) == 1  # Peloton filtered at parse
     w = parsed["workouts"][0]
     assert w["workout_type"] == "running"
-    assert abs(w["distance_mi"] - 5 * 0.621371) < 1e-6
+    assert w["distance_mi"] == round(5 * 0.621371, 2)
+    assert w["avg_heart_rate"] == 152  # WorkoutStatistics average
+    assert w["calories_burned"] == 402  # ActiveEnergyBurned fallback
+    assert w["start_time"] == "2025-06-01T18:00:00-05:00"
     counts = write_bronze_csvs(parsed, tmp_path / "bronze")
     assert counts["daily_vitals"] == 1
     assert (tmp_path / "bronze/healthkit/daily_vitals/year=2025/month=06"
-            / "data.csv").exists()
+            / "day=01/daily_vitals.csv").exists()
 
 
 # -- REST source (S11): fake client → landing zone → normalizer -------------
@@ -307,12 +349,58 @@ def test_rest_source_feeds_normalizer(spark, tmp_path):
 
     counts = ingest(fake_oura_client(), tmp_path, "2025-06-01", "2025-06-10")
     assert counts == {"readiness": 10, "sleep": 10, "activity": 10}
+    # ref layout: daily<type>.csv per day partition (handler.py:40-63)
+    assert (tmp_path / "oura/readiness/year=2025/month=06/day=03"
+            / "dailyreadiness.csv").exists()
     df = normalize_oura_readiness(spark, str(tmp_path))
     rows = df.collect()
     assert len(rows) == 10
     assert all(r["score"] is not None for r in rows)
     assert parse_json_payload('{"a": 1}') == [{"a": 1}]
     assert parse_json_payload('[{"a": 1}, {"a": 2}]') == [{"a": 1}, {"a": 2}]
+
+
+def test_rest_source_fault_isolation_and_pagination(tmp_path):
+    from bio_lakehouse_spark.sources.rest_source import (
+        fake_oura_client,
+        paginate,
+        process_date_range,
+    )
+
+    real = fake_oura_client()
+
+    # one endpoint's auth failure must not block the others
+    # (ref handler.py:115-127); auth errors are not retried
+    calls = {"readiness": 0}
+
+    def flaky(endpoint, start, end):
+        if endpoint == "readiness":
+            calls["readiness"] += 1
+            raise ValueError("401 Unauthorized")
+        if endpoint == "sleep":
+            return []
+        return real(endpoint, start, end)
+
+    results = {r["type"]: r for r in
+               process_date_range(flaky, tmp_path, "2025-06-01", "2025-06-03")}
+    assert results["readiness"]["status"] == "auth_error"
+    assert calls["readiness"] == 1  # permanent error: single attempt
+    assert results["sleep"] == {
+        "type": "sleep", "status": "no_data", "records": 0}
+    assert results["activity"]["status"] == "success"
+    assert results["activity"]["records"] == 3
+
+    # next_token pagination drains every page (ref oura_client.py:38-70)
+    pages = [([{"day": "2025-06-01"}], "t1"),
+             ([{"day": "2025-06-02"}], "t2"),
+             ([{"day": "2025-06-03"}], None)]
+
+    def fetch_page(endpoint, start, end, token):
+        idx = {None: 0, "t1": 1, "t2": 2}[token]
+        return pages[idx]
+
+    got = paginate(fetch_page, "activity", "2025-06-01", "2025-06-03")
+    assert [r["day"] for r in got] == ["2025-06-01", "2025-06-02", "2025-06-03"]
 
 
 # -- FHIR (S16) -------------------------------------------------------------
