@@ -348,12 +348,50 @@ def _fact_ops(spark):
             )
         )
 
+    def _trade_edges(t):
+        # cust → supplier bipartite trade graph (the
+        # pagerank_cust_supplier shape). replicate_facts offsets
+        # l_suppkey along with the other entity keys, so each copy is
+        # a DISJOINT subgraph — node and edge populations both grow
+        # with mult, the honest setting for an iterative-join probe.
+        # +5M keeps supplier ids clear of the copy's custkey range.
+        return (
+            t["lineitem"].select("l_orderkey", "l_suppkey")
+            .join(
+                t["orders"].select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 5_000_000).alias("dst"),
+            )
+            .distinct()
+        )
+
+    def pagerank_trade(t):
+        # fixed 3 iterations: each is one keyed join + partial-agg sum
+        # + a one-row dangling-mass broadcast → time ∝ edges per iter
+        from bio_lakehouse_spark.operators.graph import pagerank
+
+        return pagerank(_trade_edges(t), iters=3)
+
+    def cc_trade(t):
+        # label propagation to convergence; per-copy diameter is
+        # constant, so the iteration COUNT stays flat while the
+        # per-iteration join grows ∝ edges — net linear
+        from bio_lakehouse_spark.operators.graph import (
+            connected_components,
+        )
+
+        return connected_components(_trade_edges(t), max_iter=8)
+
     return {"decision_stump": stump, "gbdt_two_round": gbdt,
             "roc_auc_rank_sum": auc, "cox_ph_newton": cox,
             "msprt_daily": msprt, "fs_linkage": fs_linkage,
             "fs_linkage_adaptive": fs_adaptive,
             "huber_irls": huber, "poisson_glm": poisson,
-            "gini_rank": gini_rank, "hill_rank": hill_rank}
+            "gini_rank": gini_rank, "hill_rank": hill_rank,
+            "pagerank_trade": pagerank_trade, "cc_trade": cc_trade}
 
 
 def replicate_facts(spark, mult: int):
@@ -366,7 +404,7 @@ def replicate_facts(spark, mult: int):
 
     out = {}
     specs = {
-        "lineitem": ("l_orderkey",),
+        "lineitem": ("l_orderkey", "l_suppkey"),
         "orders": ("o_orderkey", "o_custkey"),
         "customer": ("c_custkey",),
         "events": ("event_id", "user_id"),
@@ -386,6 +424,75 @@ def replicate_facts(spark, mult: int):
     return out
 
 
+def replicate_embeddings(spark, mult: int):
+    """Replicate the embeddings table with offset ids; copy i>0 gets a
+    copy-keyed per-dimension SIGN FLIP (hash(copy, dim) parity). Norms
+    and intra-copy geometry are preserved exactly (a signed
+    permutation is an isometry), while cross-copy cosines decorrelate
+    — so near-dup pair OUTPUT stays linear in mult and a super-linear
+    time factor means super-linear COMPUTE, mirroring the density
+    mode's alphabet rotation for text."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = []
+    for i in range(mult):
+        p = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            # factory, NOT a default-arg lambda (a third parameter
+            # would make F.transform demand a 3-arg HOF — the same
+            # trap the r10 minhash fix documents); (x, j) is the
+            # intentional (element, index) form, j keyed with the
+            # copy number into the sign flip
+            def _flip(copy: int):
+                return lambda x, j: F.when(
+                    F.pmod(F.xxhash64(F.lit(copy), j), F.lit(2)) == 0, x
+                ).otherwise(-x)
+
+            p = p.withColumn("embedding", F.transform("embedding", _flip(i)))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint()
+
+
+def _emb_ops(spark, corpus, mult: int):
+    """ANN/similarity probe ops. Queries are a FIXED 32-vector panel
+    (copy 0), so brute-force work ∝ corpus; IVF and SemDeDup scale
+    their cluster count with mult — the paper's own knob — so cell
+    size stays bounded and within-cell work stays linear overall."""
+    from bio_lakehouse_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_lloyd,
+        semdedup,
+    )
+
+    queries = corpus.filter(F.col("vec_id") < 32).localCheckpoint()
+    k_cells = 16 * mult
+    centroids = (
+        kmeans_lloyd(
+            corpus, k=k_cells, n_iters=2,
+            id_col="vec_id", vec_col="embedding",
+        )
+        .select("centroid_id", F.col("centroid").alias("embedding"))
+        .localCheckpoint()
+    )
+
+    return {
+        "ann_brute_topk": lambda d: cosine_topk(
+            d, queries, id_col="vec_id", vec_col="embedding", k=5
+        ),
+        "ann_ivf_topk": lambda d: ivf_topk(
+            d, queries, centroids, id_col="vec_id",
+            vec_col="embedding", k=5, nprobe=3,
+        ),
+        "semdedup_cells": lambda d: semdedup(
+            d, centroids, id_col="vec_id", vec_col="embedding",
+            threshold=0.35,
+        ),
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
     mode = "density"
@@ -398,6 +505,9 @@ def main() -> int:
     facts = "--facts" in args
     if facts:
         args.remove("--facts")
+    emb = "--embeddings" in args
+    if emb:
+        args.remove("--embeddings")
     only: set[str] | None = None
     if "--ops" in args:
         i = args.index("--ops")
@@ -406,6 +516,35 @@ def main() -> int:
     mults = [int(a) for a in args] or [1, 4, 8, 16]
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if emb:
+        results = {}
+        for mult in mults:
+            corpus = replicate_embeddings(spark, mult)
+            n = corpus.count()
+            print(f"--- embeddings mult {mult}: {n} vecs", file=sys.stderr)
+            ops = _emb_ops(spark, corpus, mult)
+            for name, fn in ops.items():
+                fn(corpus).write.format("noop").mode("overwrite").save()
+                t0 = time.perf_counter()
+                fn(corpus).write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                results.setdefault(name, {})[mult] = round(dt, 2)
+                print(f"    {name}: {dt:.2f}s", file=sys.stderr)
+            corpus.unpersist()
+        base = mults[0]
+        table = {
+            name: {
+                "sec": times,
+                "scale_factor": {
+                    m: round(times[m] / times[base], 2)
+                    for m in mults if times.get(base)
+                },
+            }
+            for name, times in results.items()
+        }
+        print(json.dumps({"mode": "embeddings", "mults": mults,
+                          "ops": table}, indent=1))
+        return 0
     if facts:
         ops = _fact_ops(spark)
         if only is not None:
