@@ -44,6 +44,14 @@ class QuerySpec:
     # EMPTINESS is the correct answer (e.g. anti_join_inactive: every
     # sf0.01 customer has orders, so the anti-join is rightly empty).
     expect_rows: bool = True
+    # Smallest scale factor at which the nonempty guarantee holds.
+    # Selective predicates (edit-distance pairs, two-nation revenue
+    # windows, sole-supplier waits) legitimately match nothing in the
+    # sf0.001 fixture while being guaranteed rows at the driver's
+    # sf0.01 — the r10 cross-SF sweep flagged exactly those three as
+    # false "vacuous green"s. The harness enforces the vacuity gate
+    # only when the run's SF >= this bound.
+    expect_rows_min_sf: float = 0.0
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -54,6 +62,7 @@ def register(
     oracle: str | None = None,
     survey: tuple[str, ...] = (),
     expect_rows: bool = True,
+    expect_rows_min_sf: float = 0.0,
 ):
     """Decorator registering a suite query."""
 
@@ -64,6 +73,7 @@ def register(
             survey=survey,
             doc=(fn.__doc__ or "").strip(),
             expect_rows=expect_rows,
+            expect_rows_min_sf=expect_rows_min_sf,
         )
         return fn
 

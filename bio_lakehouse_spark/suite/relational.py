@@ -921,6 +921,9 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fuzzy_name_match",
     survey=("J6", "F8"),
+    # sf0.001 has too few suppliers per nation for any edit-dist≤2
+    # pair; rows are guaranteed from the driver's sf0.01 up
+    expect_rows_min_sf=0.01,
     oracle="""
 SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
        CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS edit_dist

@@ -158,6 +158,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "nation_pair_volume",
     survey=("J4", "A1", "A5"),
+    # the two-nation × two-year revenue window matches nothing in the
+    # sf0.001 fixture; guaranteed rows from sf0.01 up
+    expect_rows_min_sf=0.01,
     oracle="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
@@ -619,6 +622,9 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sole_returned_supplier",
     survey=("J6", "A1"),
+    # the sole-R-supplier-in-a-multi-supplier-order pattern needs
+    # more orders than sf0.001 holds; guaranteed rows from sf0.01 up
+    expect_rows_min_sf=0.01,
     oracle="""
 SELECT s.s_name, COUNT(*) AS numwait
 FROM supplier s

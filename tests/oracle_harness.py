@@ -28,6 +28,16 @@ from bio_lakehouse_spark.suite.registry import TABLES
 DEFAULT_SF = "/root/testdata/sf0.01"
 
 
+def run_sf(sf_dir: str) -> float:
+    """Scale factor parsed from the fixture dir name (``.../sf0.001``
+    → 0.001). Unrecognized names are treated as the driver's sf0.01
+    so the vacuity gate stays ON for custom fixture paths."""
+    import re
+
+    m = re.search(r"sf([0-9]*\.?[0-9]+)/?$", str(sf_dir))
+    return float(m.group(1)) if m else 0.01
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
@@ -253,8 +263,15 @@ def main() -> int:
         problems = compare(sdf, odf, strict=strict)
         # Vacuity gate (VERDICT r6 #2): a 0-row match on a query whose
         # fixture guarantees data certifies nothing — the predicate
-        # missed the testdata entirely.
-        if not problems and spec.expect_rows and len(sdf) == 0:
+        # missed the testdata entirely. The guarantee is SF-scoped
+        # (expect_rows_min_sf): selective predicates can be rightly
+        # empty at sf0.001 while guaranteed at the driver's sf0.01.
+        if (
+            not problems
+            and spec.expect_rows
+            and run_sf(sf_dir) >= spec.expect_rows_min_sf
+            and len(sdf) == 0
+        ):
             problems = [
                 "vacuous green: 0 rows but expect_rows=True "
                 "(predicate matches no fixture data)"

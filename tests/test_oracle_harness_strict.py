@@ -69,6 +69,31 @@ def test_last_ulp_float_diff_caught_only_in_strict():
     assert compare(spark_df, oracle_df, strict=True)
 
 
+def test_vacuity_gate_is_sf_scoped():
+    """r10: three selective queries (fuzzy_name_match,
+    nation_pair_volume, sole_returned_supplier) are rightly EMPTY at
+    sf0.001 but guaranteed rows at the driver's sf0.01 — the vacuity
+    gate must enforce expect_rows only at SFs >= the query's
+    expect_rows_min_sf, or the cross-SF sweep reports false FAILs."""
+    from bio_lakehouse_spark.suite import REGISTRY
+    from tests.oracle_harness import run_sf
+
+    assert run_sf("/root/testdata/sf0.001") == 0.001
+    assert run_sf("/root/testdata/sf0.01/") == 0.01
+    assert run_sf("/some/custom/fixtures") == 0.01  # unknown → gate ON
+
+    for name in ("fuzzy_name_match", "nation_pair_volume",
+                 "sole_returned_supplier"):
+        spec = REGISTRY[name]
+        assert spec.expect_rows and spec.expect_rows_min_sf == 0.01
+        # gate OFF below the bound, ON at and above it
+        assert run_sf("/root/testdata/sf0.001") < spec.expect_rows_min_sf
+        assert run_sf("/root/testdata/sf0.01") >= spec.expect_rows_min_sf
+        assert run_sf("/root/testdata/sf0.1") >= spec.expect_rows_min_sf
+    # the default keeps every other query's gate ON at every SF
+    assert REGISTRY["pricing_summary"].expect_rows_min_sf == 0.0
+
+
 def test_strict_sweep_classifies_dead_harness_as_error(monkeypatch):
     """ADVICE r9: a sweep subprocess that dies with NO per-query
     output (JVM OOM-kill, import error) must surface as ERROR and a
