@@ -404,11 +404,18 @@ def stream_documents_neardup_ingest(
     Survivors append to the corpus and their band rows to the index,
     so the NEXT batch dedupes against them too.
 
-    Idempotent under replay through the index itself: a replayed
-    doc's bands all collide with its stored copy (Jaccard 1 ≥ any
-    threshold), so it flags as a near-dup and drops. At production
-    scale ``band_dir`` is partitioned/bucketed by (band, value); the
-    ingest body is unchanged."""
+    Idempotent under replay via the same TWO guards as the exact
+    twin: the corpus-id anti-join drops a replayed doc from the
+    corpus (pair generation requires distinct ids, so the LSH hit
+    alone would not catch a same-id replay), and the band append
+    COMPLETES a half-committed crash (corpus append landed, band
+    append did not): replayed ids whose band rows are absent from the
+    index get them appended now — without this the half-committed doc
+    stays in the corpus but invisible to every future near-dup check.
+    Both guards are column-pruned id scans; the corpus text is read
+    only for candidate docs. At production scale ``band_dir`` is
+    partitioned/bucketed by (band, value); the ingest body is
+    unchanged."""
     from bio_lakehouse_spark.operators.dedup import (
         minhash_band_table,
         minhash_incremental_pairs,
@@ -428,28 +435,52 @@ def stream_documents_neardup_ingest(
         )
         losers = inner.select(F.col("doc_b").alias(id_col)).distinct()
         kept = batch_df.join(losers, on=id_col, how="left_anti")
+        # Corpus and index read SEPARATELY: a crash between the two
+        # appends of the very first batch leaves the corpus present
+        # with NO band dir — one shared try would skip the corpus-id
+        # replay guard exactly when it's needed (double ingest).
         try:
-            corpus = spark.read.parquet(corpus_dir)
-            bands = spark.read.parquet(band_dir)
-            # Replay guard: a replayed doc carries the SAME id as its
-            # stored copy, and pair generation requires distinct ids —
-            # so near-dup flagging alone would re-ingest it. Anti-join
-            # on id first (a column-pruned scan of the corpus id
-            # column only).
-            kept = kept.join(
-                corpus.select(id_col).distinct(), on=id_col,
-                how="left_anti",
+            corpus_ids = (
+                spark.read.parquet(corpus_dir).select(id_col).distinct()
             )
+        except AnalysisException:
+            corpus_ids = None
+        try:
+            bands = spark.read.parquet(band_dir)
+        except AnalysisException:
+            bands = None
+        replayed = None
+        if corpus_ids is not None:
+            replayed = kept.join(corpus_ids, on=id_col, how="left_semi")
+            kept = kept.join(corpus_ids, on=id_col, how="left_anti")
+        if bands is not None:
             flagged = minhash_incremental_pairs(
-                corpus, kept, id_col, text_col,
+                spark.read.parquet(corpus_dir), kept, id_col, text_col,
                 threshold=threshold, corpus_bands=bands,
             ).select(F.col("doc_b").alias(id_col)).distinct()
             survivors = kept.join(flagged, on=id_col, how="left_anti")
-        except AnalysisException:
+        else:
             survivors = kept
+        # Crash-completion guard: replayed ids with no band rows are
+        # the half-committed docs — finish their interrupted commit.
+        half_committed = None
+        if replayed is not None:
+            half_committed = (
+                replayed
+                if bands is None
+                else replayed.join(
+                    bands.select(id_col).distinct(), on=id_col,
+                    how="left_anti",
+                )
+            ).localCheckpoint()
         survivors = survivors.localCheckpoint()  # consumed twice
         survivors.write.mode("append").parquet(corpus_dir)
-        minhash_band_table(survivors, id_col, text_col).write.mode(
+        to_index = (
+            survivors
+            if half_committed is None
+            else survivors.unionByName(half_committed)
+        )
+        minhash_band_table(to_index, id_col, text_col).write.mode(
             "append"
         ).parquet(band_dir)
 
@@ -501,8 +532,12 @@ def stream_documents_curated_ingest(
 
     Idempotent under replay exactly like the near-dup ingest: the
     batch's survivors anti-join the corpus's id column before any
-    write, so a crash between the corpus append and the band append
-    replays into a completed commit, never a double ingest.
+    write (no double ingest), and replayed ids whose band rows never
+    landed — a crash between the corpus append and the band append —
+    get their bands appended now, completing the interrupted commit
+    (corpus/index read in separate guards so the first-batch crash
+    state, corpus present + no band dir, still takes the replay
+    path).
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -554,22 +589,45 @@ def stream_documents_curated_ingest(
         losers = inner.select(F.col("doc_b").alias(id_col)).distinct()
         kept = gated.join(losers, on=id_col, how="left_anti")
         try:
-            corpus = spark.read.parquet(corpus_dir)
-            bands = spark.read.parquet(band_dir)
-            kept = kept.join(
-                corpus.select(id_col).distinct(), on=id_col,
-                how="left_anti",
+            corpus_ids = (
+                spark.read.parquet(corpus_dir).select(id_col).distinct()
             )
+        except AnalysisException:
+            corpus_ids = None
+        try:
+            bands = spark.read.parquet(band_dir)
+        except AnalysisException:
+            bands = None
+        replayed = None
+        if corpus_ids is not None:
+            replayed = kept.join(corpus_ids, on=id_col, how="left_semi")
+            kept = kept.join(corpus_ids, on=id_col, how="left_anti")
+        if bands is not None:
             nd_flagged = minhash_incremental_pairs(
-                corpus, kept, id_col, text_col,
+                spark.read.parquet(corpus_dir), kept, id_col, text_col,
                 threshold=threshold, corpus_bands=bands,
             ).select(F.col("doc_b").alias(id_col)).distinct()
             survivors = kept.join(nd_flagged, on=id_col, how="left_anti")
-        except AnalysisException:
+        else:
             survivors = kept
+        half_committed = None
+        if replayed is not None:
+            half_committed = (
+                replayed
+                if bands is None
+                else replayed.join(
+                    bands.select(id_col).distinct(), on=id_col,
+                    how="left_anti",
+                )
+            ).localCheckpoint()
         survivors = survivors.localCheckpoint()  # consumed 2-3 times
         survivors.write.mode("append").parquet(corpus_dir)
-        minhash_band_table(survivors, id_col, text_col).write.mode(
+        to_index = (
+            survivors
+            if half_committed is None
+            else survivors.unionByName(half_committed)
+        )
+        minhash_band_table(to_index, id_col, text_col).write.mode(
             "append"
         ).parquet(band_dir)
         if stats_dir is not None:

@@ -600,6 +600,60 @@ def test_stream_documents_neardup_ingest(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
 
 
+def test_stream_neardup_ingest_crash_replay_completes_bands(
+    spark, tmp_path
+):
+    """r10: crash between the corpus append and the band append, then
+    replay. The corpus-id guard must drop the half-committed rows (no
+    double ingest) AND the band append must complete the interrupted
+    commit — before the fix the replayed doc stayed in the corpus but
+    was invisible to the LSH index forever, so later near-dups of it
+    sailed through. Worst case exercised here: the FIRST-ever batch
+    crashed, so the band dir does not exist at all (a shared
+    corpus+bands read guard used to skip the replay path entirely)."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_neardup_ingest,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mutated = base.replace("pi", "PI")  # near-dup of base
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    schema = "doc_id long, text string"
+
+    with open(landing / "d0.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+
+    # Simulate the crash state: doc 1 already IN the corpus, its band
+    # rows NOT yet in the index (band dir absent entirely).
+    spark.createDataFrame([(1, base)], schema).write.parquet(corpus)
+
+    q = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck"), schema
+    )
+    q.awaitTermination()
+
+    assert spark.read.parquet(corpus).count() == 1, "double-ingested"
+    # the interrupted commit completed: doc 1's bands are indexed now,
+    # so a later near-dup of it is caught
+    assert spark.read.parquet(bands).filter("doc_id = 1").count() > 0
+    with open(landing / "d1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 9, "text": mutated}) + "\n")
+    q2 = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck"), schema
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 1, (
+        "near-dup of the half-committed doc was not caught"
+    )
+
+
 def test_stream_documents_curated_ingest(spark, tmp_path):
     """Streaming curation e2e: the scan-level gates (quality, langid,
     decontamination) drop their targets, within-batch and
