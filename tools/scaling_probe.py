@@ -459,10 +459,22 @@ def _emb_ops(spark, corpus, mult: int):
     """ANN/similarity probe ops. Queries are a FIXED 32-vector panel
     (copy 0), so brute-force work ∝ corpus; IVF and SemDeDup scale
     their cluster count with mult — the paper's own knob — so cell
-    size stays bounded and within-cell work stays linear overall."""
+    size stays bounded and within-cell work stays linear overall.
+
+    The timed IVF op is the INDEXED serving path (ivf_topk_indexed
+    over a build_ivf_index layout): index build — the O(N·cells)
+    assignment — happens once per corpus outside the timing, exactly
+    as in production where ingestion amortizes it one batch at a time
+    (append_ivf_index). The un-indexed ivf_topk re-assigns the whole
+    corpus per call and would show the build cost, not the query
+    cost."""
+    import shutil
+    import tempfile
+
     from bio_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
         cosine_topk,
-        ivf_topk,
+        ivf_topk_indexed,
         kmeans_lloyd,
         semdedup,
     )
@@ -477,13 +489,16 @@ def _emb_ops(spark, corpus, mult: int):
         .select("centroid_id", F.col("centroid").alias("embedding"))
         .localCheckpoint()
     )
+    idx = tempfile.mkdtemp(prefix=f"ivf_probe_m{mult}_")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index(corpus, centroids, idx)
 
     return {
         "ann_brute_topk": lambda d: cosine_topk(
             d, queries, id_col="vec_id", vec_col="embedding", k=5
         ),
-        "ann_ivf_topk": lambda d: ivf_topk(
-            d, queries, centroids, id_col="vec_id",
+        "ann_ivf_indexed": lambda d: ivf_topk_indexed(
+            spark, idx, queries, id_col="vec_id",
             vec_col="embedding", k=5, nprobe=3,
         ),
         "semdedup_cells": lambda d: semdedup(
@@ -523,11 +538,22 @@ def main() -> int:
             n = corpus.count()
             print(f"--- embeddings mult {mult}: {n} vecs", file=sys.stderr)
             ops = _emb_ops(spark, corpus, mult)
+            if only is not None:
+                ops = {k: v for k, v in ops.items() if k in only}
             for name, fn in ops.items():
+                # min of 3 timed runs after the warm run: these
+                # corpora are small enough that a single run sits at
+                # the JIT/GC noise floor of local[32] (one observed
+                # 1.1 s op spiked to 35 s once in a long session)
                 fn(corpus).write.format("noop").mode("overwrite").save()
-                t0 = time.perf_counter()
-                fn(corpus).write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
+                dts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(corpus).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dts.append(time.perf_counter() - t0)
+                dt = min(dts)
                 results.setdefault(name, {})[mult] = round(dt, 2)
                 print(f"    {name}: {dt:.2f}s", file=sys.stderr)
             corpus.unpersist()
