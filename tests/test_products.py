@@ -260,6 +260,107 @@ def test_nl_to_sql_end_to_end(spark):
 # -- XML parser (S10) -------------------------------------------------------
 
 
+def test_healthkit_parser_properties(tmp_path):
+    """Differential property test for the streaming XML parser: random
+    Record streams vs an independent pure-Python model of the
+    reference semantics (document-order last/mean policies, SpO2
+    fraction→pct on the AGGREGATE, mindfulness minutes additive over
+    start→end intervals, since-filter)."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bio_lakehouse_spark.sources.xml_source import parse_export
+
+    day_st = st.sampled_from(
+        ["2025-05-30", "2025-06-01", "2025-06-02", "2025-06-03"]
+    )
+    rec_st = st.one_of(
+        st.tuples(
+            st.just("rhr"), day_st,
+            st.floats(40, 90, allow_nan=False),
+        ),
+        st.tuples(
+            st.just("spo2"), day_st,
+            st.floats(0.9, 0.999, allow_nan=False),
+        ),
+        st.tuples(
+            st.just("mind"), day_st,
+            st.integers(min_value=1, max_value=59),  # minutes
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(records=st.lists(rec_st, min_size=0, max_size=30))
+    def run(records):
+        since = "2025-06-01"
+        parts = ["<HealthData>"]
+        for j, (kind, day, val) in enumerate(records):
+            if kind == "rhr":
+                parts.append(
+                    f'<Record type="HKQuantityTypeIdentifierRestingHeartRate"'
+                    f' value="{val}" unit="count/min"'
+                    f' startDate="{day} 07:{j:02d}:00 -0500"/>'
+                )
+            elif kind == "spo2":
+                parts.append(
+                    f'<Record type="HKQuantityTypeIdentifierOxygenSaturation"'
+                    f' value="{val}" unit="%"'
+                    f' startDate="{day} 07:{j:02d}:00 -0500"/>'
+                )
+            else:
+                parts.append(
+                    f'<Record type="HKCategoryTypeIdentifierMindfulSession"'
+                    f' startDate="{day} 06:00:00 -0500"'
+                    f' endDate="{day} 06:{val:02d}:00 -0500"/>'
+                )
+        parts.append("</HealthData>")
+        p = tmp_path / "prop_export.xml"
+        p.write_text("\n".join(parts))
+        parsed = parse_export(p, since=since)
+
+        # independent model
+        rhr = defaultdict(list)
+        spo2 = defaultdict(list)
+        mind = defaultdict(lambda: [0.0, 0])
+        for kind, day, val in records:
+            if day < since:
+                continue
+            if kind == "rhr":
+                rhr[day].append(val)
+            elif kind == "spo2":
+                spo2[day].append(val)
+            else:
+                mind[day][0] += float(val)
+                mind[day][1] += 1
+
+        got_v = {r["date"]: r for r in parsed["daily_vitals"]}
+        assert set(got_v) == set(rhr) | set(spo2)
+        for day, row in got_v.items():
+            if day in rhr:
+                assert row["resting_heart_rate_bpm"] == round(
+                    rhr[day][-1], 2
+                )  # document-order last
+            else:
+                assert row["resting_heart_rate_bpm"] is None
+            if day in spo2:
+                m = sum(spo2[day]) / len(spo2[day])
+                assert row["blood_oxygen_pct"] == round(m * 100, 1)
+            else:
+                assert row["blood_oxygen_pct"] is None
+        got_m = {r["date"]: r for r in parsed["mindfulness"]}
+        assert set(got_m) == set(mind)
+        for day, (dur, n) in mind.items():
+            assert got_m[day]["duration_minutes"] == round(dur, 1)
+            assert got_m[day]["session_count"] == n
+        # the since-filter never leaks: no pre-cutoff days anywhere
+        for sub in parsed.values():
+            assert all(r["date"] >= since for r in sub)
+
+    run()
+
+
 def test_healthkit_xml_parser(tmp_path):
     from bio_lakehouse_spark.sources.xml_source import (
         normalize_workout_type,
