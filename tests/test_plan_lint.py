@@ -67,3 +67,52 @@ def test_shuffle_heavy_warns(spark):
         )
     problems = lint_plan(df, max_exchanges=3)
     assert any("Exchange" in p for p in problems)
+
+
+def test_unpartitioned_window_inventory_is_pinned():
+    """Static regression net for the scale-killer pattern the round-9
+    work eradicated: an unpartitioned `Window.orderBy` sorts its
+    whole input in ONE task. Every site below was individually
+    audited (VERDICT r9 + r10): each runs over a bounded frame —
+    `limit(k)` heads, daily/weekly-grain aggregates, vocab/centroid
+    tables, distinct-value or |partitions|-row frames — never over
+    raw fact rows. Adding a NEW site (or moving one into a new file)
+    changes this inventory and fails here: either partition the
+    window, rank via `operators.aggregates.dense_ids` /
+    `windows.global_row_number` (range-partitioned, no global sort),
+    or re-audit the site as bounded and update the pin."""
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["grep", "-rc", r"Window\.orderBy", "bio_lakehouse_spark",
+         "--include=*.py"],
+        capture_output=True, text=True, cwd=root,
+    ).stdout
+    counts = {}
+    for line in out.splitlines():
+        path, n = line.rsplit(":", 1)
+        if int(n):
+            counts[path.replace("\\", "/")] = int(n)
+    assert counts == {
+        "bio_lakehouse_spark/suite/stats_queries.py": 17,
+        "bio_lakehouse_spark/operators/stats.py": 12,
+        "bio_lakehouse_spark/products/insights.py": 5,
+        "bio_lakehouse_spark/suite/hypothesis_queries.py": 4,
+        "bio_lakehouse_spark/suite/text_queries.py": 3,
+        "bio_lakehouse_spark/suite/window_queries.py": 2,
+        "bio_lakehouse_spark/operators/similarity.py": 2,
+        "bio_lakehouse_spark/operators/aggregates.py": 2,
+        "bio_lakehouse_spark/bio/views.py": 2,
+        "bio_lakehouse_spark/bio/gold.py": 2,
+        "bio_lakehouse_spark/suite/similarity_queries.py": 1,
+        "bio_lakehouse_spark/suite/pipeline_queries.py": 1,
+        "bio_lakehouse_spark/operators/trees.py": 1,
+        "bio_lakehouse_spark/operators/sampling.py": 1,
+        "bio_lakehouse_spark/operators/profiling.py": 1,
+        "bio_lakehouse_spark/operators/dedup.py": 1,
+    }, (
+        "unpartitioned-Window inventory changed - audit the new/moved "
+        "site for boundedness (see docstring), then update this pin"
+    )
