@@ -116,3 +116,50 @@ def test_unpartitioned_window_inventory_is_pinned():
         "unpartitioned-Window inventory changed - audit the new/moved "
         "site for boundedness (see docstring), then update this pin"
     )
+
+
+def test_no_default_arg_lambdas_in_higher_order_functions():
+    """AST net for the r10 minhash-prefix bug class: a lambda passed
+    to F.transform/F.filter/F.exists/F.forall with a DEFAULT argument
+    (`lambda s, j=j: ...`) silently changes arity — Spark counts the
+    default as a real parameter, passes the ARRAY INDEX into it, and
+    the closure variable is shadowed by a Column (the r10 sf0.1 sweep
+    caught exactly this hashing a stringified Column). Close over
+    loop variables with a factory function instead. zip_with/
+    aggregate/map_zip_with legitimately take 2-3 arg lambdas, but a
+    DEFAULT in the signature is never right in any Spark HOF — it
+    either shifts arity or dead-weights the default."""
+    import ast
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bio_lakehouse_spark",
+    )
+    hofs = {
+        "transform", "filter", "exists", "forall", "aggregate",
+        "zip_with", "map_zip_with", "map_filter", "transform_keys",
+        "transform_values", "array_sort", "reduce",
+    }
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=path)
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr in hofs
+                ):
+                    continue
+                for arg in list(node.args) + [k.value for k in node.keywords]:
+                    if isinstance(arg, ast.Lambda) and arg.args.defaults:
+                        offenders.append(f"{path}:{arg.lineno}")
+    assert offenders == [], (
+        "default-arg lambda inside a Spark higher-order function "
+        f"(use a closure factory instead): {offenders}"
+    )
