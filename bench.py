@@ -251,7 +251,14 @@ def _host_calibration(spark, materialize) -> float:
         materialize(df)
         return time.perf_counter() - t0
 
-    return round(min(probe(), probe()), 3)
+    # Min of FIVE runs, not two: measured on this host, the probe
+    # keeps JIT-warming well past run 2 (1.088 → 0.794 → 0.713 →
+    # 0.631 → 0.590 in one session) — an under-converged calib makes
+    # the normalization rule ADD noise instead of removing it (one
+    # r10 same-code rerun stamped 0.875 vs 0.576 and flipped the
+    # bench_compare verdict to a phantom "code" change). Five runs
+    # cost ~4 s against a ~90 s suite.
+    return round(min(probe() for _ in range(5)), 3)
 
 
 def rotation_queries() -> tuple[list[str], int]:

@@ -79,9 +79,19 @@ def main() -> int:
     }
     adjudicable = out["norm_ratio"] is not None
     if adjudicable:
-        out["verdict"] = (
-            "host" if 0.9 <= out["norm_ratio"] <= 1.1 else "code"
-        )
+        # One-sided: a code REGRESSION shows up as norm_ratio > 1.1
+        # (the suite slowed MORE than the host did). norm_ratio < 0.9
+        # is calib over-correction, not a code speedup — the pure-CPU
+        # probe is more host-state-sensitive than the mixed I/O +
+        # shuffle suite (measured r10: same-code rerun, raw 1.18,
+        # calib 1.60, norm 0.74, per-query raw median 1.19 = a
+        # uniform host smear the probe exaggerated).
+        if out["norm_ratio"] > 1.1:
+            out["verdict"] = "code"
+        elif out["norm_ratio"] < 0.9:
+            out["verdict"] = "host_overcorrected"
+        else:
+            out["verdict"] = "host"
     else:
         out["verdict"] = "unadjudicable_no_calib"
     # worst normalized per-query movers, for the "code" case
