@@ -40,10 +40,12 @@ def histogram_quantiles(
     """Estimate quantiles of ``col`` from an equi-width histogram.
 
     Returns one row per (group ×) probability: ``(*by, prob, est)``.
-    Assumes the column has at least one non-null value and a
-    non-degenerate range (max > min) within every group; both hold
-    for every measure column in the testdata and are cheap for a
-    caller to pre-check otherwise.
+    Assumes the column has at least one non-null value per group.
+    A degenerate range (max == min) collapses to one bin and every
+    probability estimates the constant; ``prob=0.0`` returns the
+    first non-empty bin's left edge (both were silent holes before
+    r10: zero-width division null-binned every row, and the
+    containing-bin filter ``cum - cnt < 0`` can never hold).
     """
     c = F.col(col) if isinstance(col, str) else col
     by = list(by)
@@ -62,10 +64,15 @@ def histogram_quantiles(
     hist = (
         binned.select(
             *by,
-            F.least(
-                F.floor((F.col("_v") - F.col("mn")) / width),
-                F.lit(nbins - 1),
-            ).alias("bin"),
+            F.when(
+                F.col("mx") > F.col("mn"),
+                F.least(
+                    F.floor((F.col("_v") - F.col("mn")) / width),
+                    F.lit(nbins - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bin"),
             "mn",
             "mx",
             "n",
@@ -90,11 +97,19 @@ def histogram_quantiles(
     )
     target = F.col("prob") * F.col("n")
     # The containing bin: first cum ≥ target while the previous
-    # cumulative (cum − cnt) is still short of it.
+    # cumulative (cum − cnt) is still short of it. prob=0 (target=0)
+    # satisfies no `cum−cnt < 0` anywhere — route it to the FIRST
+    # non-empty bin (the only one with cum == cnt; empty bins never
+    # appear in `hist`), where the interpolation term is 0 and the
+    # estimate is that bin's left edge.
     return (
         cum.crossJoin(probs_df)
         .filter(
-            (F.col("cum") >= target) & ((F.col("cum") - F.col("cnt")) < target)
+            (F.col("cum") >= target)
+            & (
+                ((F.col("cum") - F.col("cnt")) < target)
+                | ((target <= 0) & (F.col("cum") == F.col("cnt")))
+            )
         )
         .select(
             *by,

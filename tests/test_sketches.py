@@ -106,6 +106,44 @@ def test_histogram_quantile_duplicate_scaling_invariant(spark):
     assert once == twice
 
 
+def test_histogram_quantile_edge_probs_and_degenerate_range(spark):
+    """r10 edge fixes: prob=0.0 used to return NO row (the
+    containing-bin filter `cum - cnt < 0` can never hold), and a
+    constant column null-binned every row through the zero-width
+    division. Now: p=0 → first non-empty bin's left edge, p=1 → max,
+    constant column → the constant at every probability, and the
+    grouped path keeps a degenerate group independent of the others."""
+    from bio_lakehouse_spark.operators.quantiles import histogram_quantiles
+
+    df = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    est = {
+        r.prob: r.est
+        for r in histogram_quantiles(df, "v", (0.0, 1.0), 64).collect()
+    }
+    assert set(est) == {0.0, 1.0}
+    assert est[0.0] == 1.0  # left edge of the first bin = min
+    assert est[1.0] == 1000.0  # exact max
+
+    const = spark.range(100).select(F.lit(42.5).alias("v"))
+    est_c = {
+        r.prob: r.est
+        for r in histogram_quantiles(
+            const, "v", (0.0, 0.5, 1.0), 64
+        ).collect()
+    }
+    assert est_c == {0.0: 42.5, 0.5: 42.5, 1.0: 42.5}
+
+    # grouped: one degenerate group next to a normal one
+    g = spark.createDataFrame(
+        [("a", 7.0)] * 10 + [("b", float(i)) for i in range(1, 101)],
+        "g string, v double",
+    )
+    rows = histogram_quantiles(g, "v", (0.5,), 64, by=("g",)).collect()
+    got = {(r.g, r.prob): r.est for r in rows}
+    assert got[("a", 0.5)] == 7.0
+    assert abs(got[("b", 0.5)] - 50.0) <= 100.0 / 64 + 1e-6
+
+
 def test_count_min_one_sided_error_random(spark):
     """CM guarantee on adversarially-collapsed key space: estimates
     never underestimate, never exceed the stream length, and are
