@@ -68,7 +68,11 @@ def hll_registers(
     # indexes; shiftright/& are exact and map to DuckDB's >> / &.
     h = hash60(F.col(value_col))
     return (
-        df.select(
+        # COUNT(DISTINCT) skips NULLs; without this filter a null
+        # value hashes to a null-rank register row that inflates
+        # __present and skews the linear-counting branch (r10)
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *group_cols,
             F.shiftright(h, suffix_bits).alias("__idx"),
             h.bitwiseAND(F.lit(shift - 1)).alias("__suffix"),
@@ -98,6 +102,11 @@ def hll_fold(regs: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
     zeros = F.lit(m) - F.col("__present")
     raw = F.lit(alpha_m2) / (F.col("__sum_inv") + zeros.cast("double"))
     est = F.when(
+        # a GLOBAL fold over zero registers (empty/all-null input in
+        # the group_cols=[] case) is COUNT(DISTINCT)'s empty answer:
+        # 0, not the null that α/(null+m) propagates (r10)
+        F.col("__present") == 0, F.lit(0.0)
+    ).when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
@@ -133,7 +142,11 @@ def kmv_sketch(
     shuffle — but the sketch then travels as ≤ k rows per group."""
     w = Window.partitionBy(*group_cols).orderBy("__h")
     return (
-        df.select(*group_cols, F.col(value_col).alias("__v"))
+        # COUNT(DISTINCT) skips NULLs; a surviving null row would
+        # hash to a null __h, sort FIRST (asc nulls-first), and
+        # occupy a sketch slot — inflating __n and distorting θ (r10)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("__v"))
         .distinct()
         .select(*group_cols, hash60(F.col("__v")).alias("__h"))
         .withColumn("__rn", F.row_number().over(w))

@@ -172,3 +172,44 @@ def test_count_min_one_sided_error_random(spark):
     # depth-4 min over 64 buckets on 40 keys: most estimates exact
     exact_frac = sum(got[k] == n for k, n in exact.items()) / len(exact)
     assert exact_frac > 0.5
+
+
+def test_sketches_skip_nulls_like_count_distinct(spark):
+    """r10: COUNT(DISTINCT) null semantics. A null value used to (a)
+    create a null-rank HLL register row, inflating __present and
+    skewing the linear-counting branch, and (b) survive KMV's
+    distinct, hash to a null __h, sort FIRST, and occupy a sketch
+    slot. Both sketches must now estimate identically with and
+    without null rows mixed in."""
+    from bio_lakehouse_spark.operators.quantiles import histogram_quantiles  # noqa: F401
+    from bio_lakehouse_spark.operators.sketches import (
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    vals = [(str(i),) for i in range(300)]
+    clean = spark.createDataFrame(vals, "v string")
+    dirty = spark.createDataFrame(
+        vals + [(None,)] * 50, "v string"
+    )
+
+    h_clean = hll_distinct(clean, [], "v").first()["hll_estimate"]
+    h_dirty = hll_distinct(dirty, [], "v").first()["hll_estimate"]
+    assert h_clean == h_dirty
+
+    k_clean = kmv_distinct(clean, [], "v", k=64).first()["kmv_estimate"]
+    k_dirty = kmv_distinct(dirty, [], "v", k=64).first()["kmv_estimate"]
+    assert k_clean == k_dirty
+
+    # all-null input, GLOBAL aggregate: COUNT(DISTINCT)'s empty
+    # answer is one row of 0 (HLL used to propagate a null estimate)
+    all_null = spark.createDataFrame([(None,)] * 5, "v string")
+    assert hll_distinct(all_null, [], "v").first()["hll_estimate"] == 0
+    assert kmv_distinct(all_null, [], "v").first()["kmv_estimate"] == 0
+    # grouped: null-only groups vanish, like per-group COUNT(DISTINCT)
+    mixed = spark.createDataFrame(
+        [("a", "x"), ("b", None)], "g string, v string"
+    )
+    got = {r.g: r.hll_estimate for r in
+           hll_distinct(mixed, ["g"], "v").collect()}
+    assert got == {"a": 1}
