@@ -88,10 +88,17 @@ def weighted_sample(
     distributed per-partition top-k merged on the driver, NO global
     sort shuffle — so this holds at 100 TB for small k. Ties (exact
     equal scores) break on the hash itself for cross-engine
-    stability."""
+    stability.
+
+    Rows with weight ≤ 0 (or null) are EXCLUDED, matching the E&S
+    definition (inclusion ∝ weight ⇒ zero weight = never drawn).
+    Without the filter a negative weight is a negative exponent:
+    u^(1/w) > 1 BEATS every legitimate score and the "impossible"
+    rows would deterministically fill the sample (r10)."""
+    w_d = weight.cast("double")
     u = hash_unit(key, salt)
-    scored = df.withColumn(
-        key_out, F.pow(u, F.lit(1.0) / weight.cast("double"))
+    scored = df.filter(w_d > 0).withColumn(
+        key_out, F.pow(u, F.lit(1.0) / w_d)
     ).withColumn("__tie", hash60(F.concat(F.lit(salt), key.cast("string"))))
     return (
         scored.orderBy(F.desc(key_out), F.asc("__tie"))
@@ -134,7 +141,11 @@ def balanced_downsample(
     rate target/|stratum| where target = size of the smallest
     stratum, so expected per-class counts equalize. The rate table is
     one row per stratum — broadcast, so the only full-data pass is
-    the scan + filter; the min() is a tiny two-stage agg."""
+    the scan + filter; the min() is a tiny two-stage agg.
+
+    Rows with a NULL stratum drop out at the inner rate join (a null
+    class has no defined rate); filter or impute the label upstream
+    if those rows should participate."""
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     target = counts.groupBy().agg(F.min("__n").alias("__target"))
     rates = counts.crossJoin(F.broadcast(target)).select(
@@ -170,7 +181,8 @@ def temperature_mixture_sample(
 
     Shape at 100 TB: the rate table is one row per stratum broadcast
     onto the scan; the only full-data pass is scan + filter. Same
-    cost envelope as balanced_downsample.
+    cost envelope as balanced_downsample — including the NULL-stratum
+    behavior (dropped at the inner rate join; handle upstream).
     """
     amp = (
         (lambda c: F.sqrt(c)) if alpha == 0.5

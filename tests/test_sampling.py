@@ -101,6 +101,23 @@ def test_weighted_sample_prefers_heavy_rows(docs):
     assert sampled_avg > corpus_avg
 
 
+def test_weighted_sample_excludes_nonpositive_weights(docs):
+    """r10: a weight ≤ 0 is a negative/zero exponent — u^(1/w) > 1
+    would BEAT every legitimate score and the impossible rows would
+    deterministically fill the sample. They must be excluded, per the
+    E&S definition (inclusion ∝ weight)."""
+    rigged = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(-5.0))
+        .when(F.col("doc_id") % 11 == 0, F.lit(0.0))
+        .otherwise(F.col("n_chars").cast("double")),
+    )
+    picked = weighted_sample(rigged, F.col("doc_id"), F.col("w"), k=50)
+    rows = picked.select("doc_id", "w").collect()
+    assert len(rows) == 50
+    assert all(r.w > 0 for r in rows)
+
+
 def test_hash_unit_is_uniform(docs):
     """Mean of hash_unit over 500 keys ≈ 0.5 (±5σ of U[0,1) mean)."""
     m = docs.select(hash_unit(F.col("doc_id")).alias("u")).agg(
