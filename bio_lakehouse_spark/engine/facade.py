@@ -26,6 +26,7 @@ lazily.
 from __future__ import annotations
 
 import hashlib
+import re
 import time
 from dataclasses import dataclass
 
@@ -43,9 +44,38 @@ class _CacheEntry:
     n_rows: int
 
 
+_WRITE_ROOTS = re.compile(
+    r"(Statement|Command)$"
+    r"|^(InsertInto|DeleteFrom|UpdateTable|MergeInto"
+    r"|CreateTable|ReplaceTable|DropTable|AlterTable)"
+)
+
+
+def plan_is_query(spark: SparkSession, sql: str) -> bool:
+    """Parser-level half of the P9 gate (r10): Spark's grammar allows
+    a WITH prefix on DML — ``WITH t AS (...) INSERT INTO tgt ...``
+    (likewise DELETE/UPDATE/MERGE) sails through any first-token
+    check. Parse the statement, unwrap ``UnresolvedWith``, and reject
+    when the root is a write statement/command node. String literals
+    can't false-positive (the check reads the PLAN, not the text). A
+    statement that doesn't parse is passed through — ``spark.sql``
+    raises its own error and nothing executes."""
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        name = plan.getClass().getSimpleName()
+        while name == "UnresolvedWith":
+            plan = plan.child()
+            name = plan.getClass().getSimpleName()
+    except Exception:  # noqa: BLE001 — parse error: defer to spark.sql
+        return True
+    return not _WRITE_ROOTS.search(name)
+
+
 def sql_is_safe(sql: str) -> bool:
-    """P9: strip comments/whitespace; the first token must be SELECT
-    or WITH."""
+    """P9 textual half: strip comments/whitespace; the first token
+    must be SELECT or WITH. ``QueryEngine.execute`` additionally runs
+    :func:`plan_is_query`, which closes the WITH-wrapped-DML hole
+    this check alone cannot see."""
     lines = []
     for line in sql.splitlines():
         stripped = line.strip()
@@ -80,7 +110,7 @@ class QueryEngine:
     # -- S8 -----------------------------------------------------------------
     def execute(self, sql: str, use_cache: bool = True) -> DataFrame:
         """Gate → cache probe → spark.sql → count-materialize → log."""
-        if not sql_is_safe(sql):
+        if not sql_is_safe(sql) or not plan_is_query(self.spark, sql):
             self._log(sql, 0.0, -1, False, "blocked by safety gate")
             raise UnsafeSqlError(
                 "only SELECT/WITH statements may execute through the facade"

@@ -52,6 +52,32 @@ def test_facade_blocks_unsafe(spark):
         eng.execute("DROP TABLE anything")
 
 
+def test_facade_blocks_with_wrapped_dml(spark):
+    """r10: Spark's grammar allows a WITH prefix on DML, so
+    ``WITH t AS (...) INSERT INTO ...`` passes any first-token gate.
+    The parser-level half (plan_is_query) unwraps the CTE and rejects
+    write roots — while SELECTs that merely MENTION the keywords in
+    string literals stay allowed."""
+    from bio_lakehouse_spark.engine.facade import plan_is_query
+
+    eng = QueryEngine(spark)
+    for sql in (
+        "WITH t AS (SELECT 1 AS x) INSERT INTO tgt SELECT * FROM t",
+        "WITH t AS (SELECT 1) DELETE FROM tgt WHERE 1=1",
+        "WITH t AS (SELECT 1) UPDATE tgt SET x = 1",
+        "WITH t AS (SELECT 1) MERGE INTO tgt USING t ON 1=1 "
+        "WHEN MATCHED THEN DELETE",
+    ):
+        assert not plan_is_query(spark, sql), sql
+        with pytest.raises(UnsafeSqlError):
+            eng.execute(sql)
+    assert plan_is_query(spark, "SELECT 'INSERT INTO evil' AS s")
+    assert plan_is_query(
+        spark, "WITH t AS (SELECT 1 AS x) SELECT * FROM t ORDER BY 1"
+    )
+    assert eng.execute("SELECT 'DELETE FROM x' AS s").count() == 1
+
+
 def test_facade_cache_hit_and_ttl(spark):
     eng = QueryEngine(spark, cache_ttl_s=60.0)
     a = eng.execute("SELECT 41 + 1 AS x")
