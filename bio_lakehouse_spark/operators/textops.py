@@ -98,7 +98,16 @@ def stopword_hits(words_col: Column, lang: str) -> Column:
 
 def predicted_lang(words_col: Column) -> Column:
     """Argmax-stopword-count language with deterministic tie-breaks
-    (first language in STOPWORDS order wins ties)."""
+    (first language in STOPWORDS order wins ties).
+
+    A document with ZERO hits in every language also resolves to the
+    first language via the ≥ tie-break — the ``otherwise('und')`` is
+    defensively unreachable. This is the certified cross-engine
+    semantics (the oracle's ``_langid_sql`` mirrors it; ~1% of the
+    fixture docs are zero-hit). Changing zero-evidence docs to
+    ``und`` would be the better heuristic but flips the langid-gated
+    curation family's certified values in lockstep — do it only as a
+    deliberate multi-query re-certification."""
     scores = {lang: stopword_hits(words_col, lang) for lang in STOPWORDS}
     expr = None
     langs = list(STOPWORDS)
