@@ -145,6 +145,10 @@ HEADLINE = [
 # round-robin.
 ROTATION_SLICE = 32
 
+# One mid-suite calib re-probe every N headline queries (plus one at
+# the end) — the contention timeline for bench_compare adjudication.
+_CALIB_EVERY = 24
+
 
 # Tracked, committed-by-the-builder coverage snapshot (read-only at
 # run time) + an UNTRACKED live overlay under bench_out/ that every
@@ -220,6 +224,52 @@ def _update_coverage(timed: list[str]) -> None:
         json.dump(dict(sorted(last.items())), fh, indent=1)
 
 
+def _calib_probe(spark, materialize) -> float:
+    """One run of the fixed synthetic host-speed probe (see
+    _host_calibration for why it exists and what it exercises)."""
+    t0 = time.perf_counter()
+    df = (
+        spark.range(0, 120_000_000, 1, 32)
+        .selectExpr(
+            "xxhash64(id) AS h",
+            "id % 9973 AS k",
+            "sin(id * 1e-7) AS v",
+        )
+        .groupBy("k")
+        .agg(
+            {"h": "max", "v": "sum", "k": "count"},
+        )
+    )
+    materialize(df)
+    return time.perf_counter() - t0
+
+
+def run_spread_stats(all_runs: dict[str, list[float]]) -> dict | None:
+    """Contention fingerprint from the per-query raw runs (VERDICT
+    r10 #1): per query, spread = max(runs)/min(runs) — two runs of
+    the SAME query on an idle host differ only by JIT warmup
+    (measured p90 ≈ 1.5 across the 96-query suite), while sustained
+    external load hits runs unevenly and blows the spread up
+    (driver's contended r10 run: p90 1.89, 9/96 queries > 2×,
+    dedup_prefix_filter runs [15.2, 43.5, 21.6]). The burst calib
+    probe canNOT see this — it slips into scheduler gaps while the
+    long shuffle-heavy queries eat the full slowdown — so the spread
+    is the statistic that makes a contended run self-identifying."""
+    spreads = sorted(
+        max(v) / min(v) for v in all_runs.values() if v and min(v) > 0
+    )
+    if not spreads:
+        return None
+    return {
+        "p90": round(spreads[int(0.9 * (len(spreads) - 1))], 3),
+        "frac_gt2": round(
+            sum(1 for s in spreads if s > 2) / len(spreads), 3
+        ),
+        "max": round(spreads[-1], 3),
+        "n": len(spreads),
+    }
+
+
 def _host_calibration(spark, materialize) -> float:
     """Fixed synthetic probe timed at bench start and stamped into the
     output as ``calib_sec`` — a host-speed fingerprint so BENCH_rN
@@ -235,21 +285,7 @@ def _host_calibration(spark, materialize) -> float:
     like the headline queries (run 1 pays codegen/JIT)."""
 
     def probe() -> float:
-        t0 = time.perf_counter()
-        df = (
-            spark.range(0, 120_000_000, 1, 32)
-            .selectExpr(
-                "xxhash64(id) AS h",
-                "id % 9973 AS k",
-                "sin(id * 1e-7) AS v",
-            )
-            .groupBy("k")
-            .agg(
-                {"h": "max", "v": "sum", "k": "count"},
-            )
-        )
-        materialize(df)
-        return time.perf_counter() - t0
+        return _calib_probe(spark, materialize)
 
     # Min of FIVE runs, not two: measured on this host, the probe
     # keeps JIT-warming well past run 2 (1.088 → 0.794 → 0.713 →
@@ -305,9 +341,28 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — recorded in timed loop
             errors[f"{name}:prebuild"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Mid-suite calib re-probes (VERDICT r10 #1c): the start-of-run
+    # calib is a single snapshot — sustained contention that arrives
+    # AFTER it produces a calib_sec that under-reads the slowdown the
+    # suite actually experienced. One single-run probe every
+    # _CALIB_EVERY headline queries (JIT already warm from the
+    # min-of-5 warmup) records the host-state timeline for ~3 s of
+    # total overhead against a ~90 s suite.
+    suite_t0 = time.perf_counter()
+    calib_timeline: list[dict] = []
+
+    def timeline_probe(n_done: int) -> None:
+        calib_timeline.append({
+            "after_n": n_done,
+            "t_offset": round(time.perf_counter() - suite_t0, 1),
+            "calib_sec": round(_calib_probe(spark, materialize), 3),
+        })
+
     timings: dict[str, float | None] = {}
     all_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i and i % _CALIB_EVERY == 0:
+            timeline_probe(i)
         fn = REGISTRY[name].fn
         # Failure isolation: one broken query must never zero out the
         # round's whole perf signal (BENCH_r02 lost all 36 timings to a
@@ -330,6 +385,8 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — always emit the line
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    timeline_probe(len(HEADLINE))  # closing bracket of the timeline
 
     # Rotation slice: single timed run each (trend datapoint, not a
     # headline-grade steady-state number — kept OUT of `value`).
@@ -383,6 +440,13 @@ def main() -> None:
         # shape, pays whole-stage-codegen classgen + JIT; later runs =
         # steady state). Makes JIT-vs-plan regressions diagnosable.
         "runs": all_runs,
+        # Contention fingerprint (VERDICT r10 #1): intra-query run
+        # spread distribution + the calib-probe timeline across the
+        # suite. bench_compare.py reads these to stamp a
+        # `contended_host` verdict instead of a false "code" when the
+        # host was loaded during the run.
+        "run_spread": run_spread_stats(all_runs),
+        "calib_timeline": calib_timeline,
         # Subset provenance: headline membership is pinned; rotation
         # is the round's slice of the non-headline registry.
         "subset": {
@@ -435,6 +499,12 @@ def main() -> None:
         "n_queries": len(timings),
         "detail_file": os.path.relpath(detail_path, here),
     }
+    # Flattened contention fingerprint in the stdout line itself, so a
+    # BENCH_r{N}.json is self-adjudicable even if its detail file is
+    # lost (the driver archives only the stdout tail).
+    if detail["run_spread"]:
+        out["run_spread_p90"] = detail["run_spread"]["p90"]
+        out["run_spread_frac_gt2"] = detail["run_spread"]["frac_gt2"]
     if errors:
         out["n_errors"] = len(errors)
     if gold_rebuild_s is not None:

@@ -53,10 +53,16 @@ def histogram_quantiles(
         F.min(c).alias("mn"), F.max(c).alias("mx"), F.count(c).alias("n")
     )
     width = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    # Nulls must not reach the histogram: n = count(c) already
+    # excludes them, so a nulls-first bin would inflate `cum` and
+    # bias every quantile low (and the degenerate-range otherwise(0)
+    # branch would route them into bin 0). Same isNotNull discipline
+    # as the r10 hll_registers/kmv_sketch fix.
+    nonnull = df.filter(c.isNotNull())
     binned = (
-        df.select(*by, c.alias("_v")).join(F.broadcast(stats), on=by)
+        nonnull.select(*by, c.alias("_v")).join(F.broadcast(stats), on=by)
         if by
-        else df.select(c.alias("_v")).crossJoin(F.broadcast(stats))
+        else nonnull.select(c.alias("_v")).crossJoin(F.broadcast(stats))
     )
     # mn/mx/n ride along as (group-constant) grouping keys so the
     # stats pass isn't recomputed when the quantile walk needs them

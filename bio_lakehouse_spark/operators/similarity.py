@@ -748,7 +748,17 @@ def pq_adc_topk(
     code scan (|Q|·m·k doubles — batch the query set to bound it);
     distance accumulates over subspaces in ascending s (fold order
     fixed → engines agree). Returns (query_id, neighbor_id, rank,
-    adc_dist)."""
+    adc_dist).
+
+    The LUT stride is derived from the LUT itself (size/m), NOT from
+    the ``k`` parameter: a codebook holding k' < k codewords per
+    subspace (pq_codebook_sampled's limit(k) on a small corpus)
+    would otherwise misalign every s >= 1 lookup into the wrong
+    subspace's LUT region — silently, since element_at returns NULL
+    past the end (r11 edge-hunt). A RAGGED codebook (different
+    codeword counts per subspace) is out of contract: positional
+    addressing needs the uniform per-subspace layout every builder
+    in this module produces."""
     dsub = dim // m
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -768,13 +778,16 @@ def pq_adc_topk(
     pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
         F.col(id_col) != F.col("query_id")
     )
+    # actual codewords per subspace (see docstring — may be < k)
+    k_eff = (F.size("lut") / F.lit(m)).cast("int")
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(
             F.col("lut"),
-            (s * k + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
+            (s * k_eff
+             + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
             .cast("int"),
         ),
     )

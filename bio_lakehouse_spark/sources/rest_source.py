@@ -20,9 +20,13 @@ from __future__ import annotations
 import csv
 import io
 import json
+import re
 import time
 from collections.abc import Callable
 from pathlib import Path
+
+# valid YYYY-MM-DD partition key (anything else → start-date fallback)
+_DAY_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 from bio_lakehouse_spark.bio.schemas import OURA_COLUMNS
 
@@ -140,10 +144,17 @@ def process_date_range(
                 )
                 continue
             # group on the RAW record's day, start_date fallback
-            # (ref handler.py:96-100)
+            # (ref handler.py:96-100). `or start` (not setdefault's
+            # absent-key fallback alone) so an explicit "day": null
+            # can't put a None key in the map and crash the whole
+            # endpoint mid-write; a malformed day string falls back
+            # too, instead of producing a junk partition path.
             by_day: dict[str, list[dict]] = {}
             for rec in records:
-                by_day.setdefault(rec.get("day", start), []).append(rec)
+                day_key = rec.get("day") or start
+                if not _DAY_RE.match(str(day_key)):
+                    day_key = start
+                by_day.setdefault(str(day_key), []).append(rec)
             uploaded = 0
             for day, drows in by_day.items():
                 y, m, d = day.split("-")

@@ -56,13 +56,19 @@ def write_zorder_parquet(
         b = bounds[c]
         if b is not None:
             # width via the sampled quantile boundaries → ~equal-count
-            # buckets even under skew.
+            # buckets even under skew. array_position returns 0 (not
+            # NULL) when no boundary matches — values above the top
+            # cut, and NULL keys (every `<=` is NULL) — so the
+            # top-bucket fallback must test `pos > 0`, not coalesce:
+            # the old coalesce produced bucket -1, which only
+            # interleaved correctly because -1's two's-complement
+            # bits are all ones (r11 HOF/edge audit).
             arr = F.array(*[F.lit(float(x)) for x in b])
-            return F.coalesce(
-                F.array_position(
-                    F.transform(arr, lambda x: F.col(c) <= x), F.lit(True)
-                ).cast("int") - 1,
-                F.lit(nbuckets - 1),
+            pos = F.array_position(
+                F.transform(arr, lambda x: F.col(c) <= x), F.lit(True)
+            ).cast("int")
+            return F.when(pos > 0, pos - 1).otherwise(
+                F.lit(nbuckets - 1)
             )
         # non-numeric: hash-bucket (clusters equal values; no range
         # semantics, same as Delta's zorder on strings via hilbert

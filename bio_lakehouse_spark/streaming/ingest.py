@@ -469,7 +469,14 @@ def stream_documents_neardup_ingest(
                 replayed
                 if bands is None
                 else replayed.join(
-                    bands.select(id_col).distinct(), on=id_col,
+                    # band table always stores its id as 'doc_id'
+                    # (dedup.minhash_band_table) — re-alias to the
+                    # caller's id_col or this breaks for any
+                    # non-default id column.
+                    bands.select(
+                        F.col("doc_id").alias(id_col)
+                    ).distinct(),
+                    on=id_col,
                     how="left_anti",
                 )
             ).localCheckpoint()
@@ -616,7 +623,12 @@ def stream_documents_curated_ingest(
                 replayed
                 if bands is None
                 else replayed.join(
-                    bands.select(id_col).distinct(), on=id_col,
+                    # band table id is always 'doc_id' — see note in
+                    # stream_documents_dedup_ingest above.
+                    bands.select(
+                        F.col("doc_id").alias(id_col)
+                    ).distinct(),
+                    on=id_col,
                     how="left_anti",
                 )
             ).localCheckpoint()

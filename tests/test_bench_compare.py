@@ -1,0 +1,159 @@
+"""Bench adjudication contention-proofing (VERDICT r10 #1).
+
+The calib-normalization rule has a proven blind spot: under sustained
+host contention the burst calib probe slips into scheduler gaps while
+long shuffle-heavy queries eat the full slowdown, so norm_ratio > 1.1
+false-verdicts "code". The intra-query run-spread distribution is the
+discriminator (idle p90 ≈ 1.5 / ~1% of queries > 2×; the driver's
+contended r10 run: p90 1.89 / 9.4% > 2×). These tests pin the spread
+statistic, every extraction path, the verdict precedence, and —
+against the repo's own recorded artifacts — that the r10 false-"code"
+case now adjudicates as contended_host.
+
+No SparkSession needed: pure-JSON logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+sys.path.insert(0, ROOT)
+
+from bench_compare import (  # noqa: E402
+    SPREAD_FRAC_GT2_CONTENDED,
+    SPREAD_P90_CONTENDED,
+    compare,
+    spread_stats,
+)
+
+
+def _doc(value, calib, queries, **extra):
+    d = {"value": value, "calib_sec": calib, "queries": dict(queries)}
+    d.update(extra)
+    return d
+
+
+IDLE_RUNS = {f"q{i}": [1.0, 1.1] for i in range(20)}
+# 4/20 queries > 2× spread (20% ≥ the 5% threshold) and p90 2.6:
+# the signature of stalls hitting runs of the same query unevenly.
+CONTENDED_RUNS = dict(
+    IDLE_RUNS, **{f"q{i}": [3.0, 7.8, 4.1] for i in range(16, 20)}
+)
+
+
+def test_run_spread_stats_idle_vs_contended():
+    from bench import run_spread_stats
+
+    idle = run_spread_stats(IDLE_RUNS)
+    hot = run_spread_stats(CONTENDED_RUNS)
+    assert idle["p90"] == pytest.approx(1.1, abs=0.01)
+    assert idle["frac_gt2"] == 0.0
+    assert hot["p90"] >= 2.0
+    assert hot["frac_gt2"] == 0.2
+    assert hot["n"] == 20
+    # empty / degenerate inputs
+    assert run_spread_stats({}) is None
+    assert run_spread_stats({"q": []}) is None
+    assert run_spread_stats({"q": [0.0, 1.0]}) is None
+
+
+def test_spread_extraction_paths(tmp_path):
+    # 1. stamped run_spread block wins
+    d = {"run_spread": {"p90": 2.5, "frac_gt2": 0.3}, "runs": IDLE_RUNS}
+    assert spread_stats(d) == {"p90": 2.5, "frac_gt2": 0.3}
+    # 2. flattened stdout keys
+    d = {"run_spread_p90": 1.4, "run_spread_frac_gt2": 0.02}
+    assert spread_stats(d) == {"p90": 1.4, "frac_gt2": 0.02}
+    # 3. recompute from raw runs
+    got = spread_stats({"runs": CONTENDED_RUNS})
+    assert got["frac_gt2"] == 0.2
+    # 4. driver BENCH line → detail_file next to it
+    detail = {"runs": CONTENDED_RUNS}
+    (tmp_path / "detail.json").write_text(json.dumps(detail))
+    doc = {"detail_file": "detail.json", "__dir__": str(tmp_path)}
+    assert spread_stats(doc)["frac_gt2"] == 0.2
+    # missing detail file → None, not a crash
+    doc = {"detail_file": "nope.json", "__dir__": str(tmp_path)}
+    assert spread_stats(doc) is None
+    assert spread_stats({}) is None
+
+
+def test_verdicts_code_host_contended():
+    q_old = {f"q{i}": 1.0 for i in range(20)}
+    q_slow = {f"q{i}": 2.0 for i in range(20)}
+    idle = {"run_spread": {"p90": 1.3, "frac_gt2": 0.0}}
+    hot = {"run_spread": {"p90": 2.2, "frac_gt2": 0.2}}
+
+    # genuine regression on an idle host: code
+    out = compare(
+        _doc(20.0, 0.6, q_old, **idle), _doc(40.0, 0.6, q_slow, **idle)
+    )
+    assert out["verdict"] == "code"
+    assert out["norm_ratio"] == pytest.approx(2.0)
+
+    # same move, but the NEW run is contended: unadjudicable
+    out = compare(
+        _doc(20.0, 0.6, q_old, **idle), _doc(40.0, 0.674, q_slow, **hot)
+    )
+    assert out["verdict"] == "contended_host"
+    assert out["contended_side"] == "new"
+    assert out["spread_new"]["p90"] == 2.2
+
+    # contended OLD side blocks a phantom "speedup" claim too
+    out = compare(
+        _doc(40.0, 0.6, q_slow, **hot), _doc(20.0, 0.6, q_old, **idle)
+    )
+    assert out["verdict"] == "contended_host"
+    assert out["contended_side"] == "old"
+
+    # host-speed move fully explained by calib: host
+    out = compare(
+        _doc(20.0, 0.6, q_old, **idle),
+        _doc(30.0, 0.9, {k: v * 1.5 for k, v in q_old.items()}, **idle),
+    )
+    assert out["verdict"] == "host"
+
+    # no calib on either side and no spread: the old warning path
+    out = compare({"value": 20.0, "queries": q_old},
+                  {"value": 40.0, "queries": q_slow})
+    assert out["verdict"] == "unadjudicable_no_calib"
+
+    # frac_gt2 alone trips it (p90 can sit under 1.8 while 9% of
+    # queries blow past 2× — the driver's actual r10 shape)
+    sneaky = {"run_spread": {"p90": 1.7, "frac_gt2": 0.09}}
+    out = compare(
+        _doc(20.0, 0.6, q_old, **idle), _doc(40.0, 0.6, q_slow, **sneaky)
+    )
+    assert out["verdict"] == "contended_host"
+    assert SPREAD_P90_CONTENDED > 1.7
+    assert SPREAD_FRAC_GT2_CONTENDED <= 0.09
+
+
+def test_r10_false_code_case_now_contended():
+    """The motivating incident, re-adjudicated from the repo's own
+    recorded artifacts: builder ledger (idle, same code) vs the
+    driver's contended BENCH_r10 used to verdict 'code' at
+    norm_ratio 2.22; it must now come back contended_host."""
+    ledger = os.path.join(ROOT, "bench_detail.json")
+    bench10 = os.path.join(ROOT, "BENCH_r10.json")
+    detail10 = os.path.join(ROOT, "bench_out", "detail_r10.json")
+    if not (os.path.exists(ledger) and os.path.exists(bench10)
+            and os.path.exists(detail10)):
+        pytest.skip("r10 artifacts not present")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_compare.py"),
+         ledger, bench10],
+        capture_output=True, text=True, check=True,
+    )
+    out = json.loads(proc.stdout)
+    assert out["verdict"] == "contended_host"
+    assert out["contended_side"] == "new"
+    assert out["spread_old"]["p90"] < SPREAD_P90_CONTENDED
+    assert out["norm_ratio"] > 1.1  # would have been a false "code"

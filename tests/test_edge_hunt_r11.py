@@ -1,0 +1,136 @@
+"""Round-11 library edge-hunt pins (VERDICT r10 #6): the operator
+surfaces r10's third pass didn't reach — similarity PQ paths, packing
+edge cases — in the style that found the weighted_sample and
+sketch-null bugs. Each test pins either a fixed bug or a verified
+edge contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _l2sq(u, v):
+    return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+
+def test_pq_adc_small_codebook_lut_stride(spark):
+    """r11 FIX: pq_adc_topk indexed the query LUT as s*k + j with the
+    ``k`` PARAMETER — when the codebook holds k' < k codewords per
+    subspace (pq_codebook_sampled's limit(k) on a small corpus),
+    every s >= 1 lookup landed in the wrong LUT region or past the
+    end (element_at → NULL, dist → NULL), silently. The stride now
+    derives from the LUT itself. Verify exact ADC distances against
+    a driver-side recompute on a 6-vector corpus with k'=6 < k=8."""
+    from bio_lakehouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook_sampled,
+        pq_encode,
+    )
+
+    dim, m, k_param = 8, 2, 8
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(dim)])
+        for i in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cb = pq_codebook_sampled(
+        corpus, m=m, k=k_param, stride=1, dim=dim
+    )
+    cb_rows = {(r.s, r.j): list(r.cw) for r in cb.collect()}
+    k_eff = len({j for (_, j) in cb_rows})
+    assert k_eff == 6 < k_param  # the edge under test
+
+    codes = pq_encode(corpus, cb, m=m, dim=dim)
+    code_map = {r.vec_id: list(r.codes) for r in codes.collect()}
+    assert all(
+        c is not None for cs in code_map.values() for c in cs
+    ), "encode produced NULL codes"
+
+    queries = corpus.filter(F.col("vec_id") == 0)
+    out = pq_adc_topk(
+        codes, queries, cb, k_results=5, m=m, k=k_param, dim=dim
+    ).collect()
+    assert len(out) == 5
+
+    dsub = dim // m
+    qv = vecs[0][1]
+    for r in out:
+        assert r.adc_dist is not None, "LUT misalignment → NULL dist"
+        expect = sum(
+            _l2sq(
+                qv[s * dsub:(s + 1) * dsub],
+                cb_rows[(s, code_map[r.neighbor_id][s])],
+            )
+            for s in range(m)
+        )
+        assert r.adc_dist == pytest.approx(expect, rel=1e-9), (
+            r.neighbor_id, r.adc_dist, expect
+        )
+
+
+def test_pq_encode_empty_codebook_out_of_contract(spark):
+    """Edge documented out-of-contract: an EMPTY codebook yields NULL
+    codes (array_min over an empty candidate list), not a crash —
+    pinned so the failure mode stays diagnosable rather than
+    shifting silently."""
+    from bio_lakehouse_spark.operators.similarity import pq_encode
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    empty_cb = spark.createDataFrame(
+        [], "s int, j int, cw array<double>"
+    )
+    rows = pq_encode(corpus, empty_cb, m=2, dim=8).collect()
+    assert len(rows) == 1
+    assert list(rows[0].codes) == [None, None]
+
+
+def test_pack_pairs_zero_and_null_token_docs(spark):
+    """Edge verified sound (VERDICT r10 #6 named it): zero-length
+    docs pair like any shortest doc; NULL token counts sort as
+    SHORTEST (desc window puts nulls last) and contribute nothing to
+    pair_tok (sum skips nulls). Every doc appears exactly once."""
+    from bio_lakehouse_spark.operators.packing import (
+        pack_pairs_minimal_padding,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10), (8, 6), (16, 0), (24, None)],
+        "doc long, n_tok int",
+    )
+    out = pack_pairs_minimal_padding(df, "doc", "n_tok", n_shards=1)
+    rows = {(r.long_id, r.short_id): r.pair_tok for r in out.collect()}
+    # ranks desc: 10, 6, 0, NULL → pairs (10, NULL) and (6, 0)
+    assert rows == {(0, 24): 10, (8, 16): 6}
+    docs = {d for pair in rows for d in pair}
+    assert docs == {0, 8, 16, 24}
+
+
+def test_chunk_text_empty_and_null_docs(spark):
+    """chunk_with_overlap: the empty string still yields one (empty)
+    chunk (split('') = ['']); a NULL text drops the doc entirely
+    (posexplode of NULL) — pinned as the contract."""
+    from bio_lakehouse_spark.operators.packing import chunk_with_overlap
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = chunk_with_overlap(
+        df, "doc_id", "text", chunk_size=2, overlap=1
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # NULL text → doc dropped
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == ""
+    # n=3, chunk_size=2, stride=1 → ceil((3-2)/1)+1 = 2 chunks; every
+    # token covered, no trailing 1-token chunk
+    assert [c.chunk_text for c in sorted(by_doc[3], key=lambda c: c.chunk_id)] == [
+        "a b", "b c"
+    ]

@@ -513,6 +513,48 @@ def test_write_zorder_parquet_tiles_both_columns(spark, sf_dir, tmp_path):
     assert got.count() == li.count()
 
 
+def test_write_zorder_parquet_extremes_and_nulls(spark, tmp_path):
+    """r11 HOF/edge audit: array_position returns 0 (not NULL) when no
+    quantile boundary matches — values in the TOP bucket and NULL keys
+    — so the old coalesce(pos-1, nbuckets-1) fallback was dead and the
+    bucket came out -1; the interleave only survived because -1's
+    two's-complement bits are all ones. Pin the post-fix contract:
+    every row (max extremes, nulls included) round-trips, and the max
+    key lands in the LAST z tile (co-located with the other top-bucket
+    keys, not scattered)."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.sources.sinks import write_zorder_parquet
+
+    df = spark.range(1, 1001).select(
+        F.col("id").cast("double").alias("a"),
+        (F.lit(1001) - F.col("id")).cast("double").alias("b"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(None, 1.0), (1e9, None), (1e9, 1e9)], "a double, b double"
+        )
+    )
+    path = str(tmp_path / "zx")
+    write_zorder_parquet(df, path, "a", "b", num_files=4)
+    got = spark.read.parquet(path)
+    assert got.count() == df.count()  # nothing dropped
+    # the extreme (1e9, 1e9) pair must sit in the last range-partition
+    # file alongside the other top-bucket rows
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    maxes = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "a"
+        )
+        st = md.row_group(md.num_row_groups - 1).column(idx).statistics
+        maxes.append(st.max)
+    assert max(maxes) == 1e9
+
+
 def _part_counts(spark, path):
     from pyspark.sql import functions as F
 

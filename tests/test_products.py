@@ -491,6 +491,30 @@ def test_rest_source_fault_isolation_and_pagination(tmp_path):
     assert results["activity"]["status"] == "success"
     assert results["activity"]["records"] == 3
 
+    # r11 (ADVICE r10): an explicit "day": null used to put a None
+    # key in the per-day map and crash day.split('-'), flipping the
+    # whole endpoint to 'error' AFTER some per-day files were
+    # written. Null/malformed days now fall back to the start date.
+    def nullday(endpoint, start, end):
+        if endpoint != "activity":
+            return []
+        return [
+            {"day": None, "score": "1"},
+            {"day": "junk-day", "score": "2"},
+            {"day": "2025-06-02", "score": "3"},
+        ]
+
+    land2 = tmp_path / "nullday"
+    res2 = {r["type"]: r for r in
+            process_date_range(nullday, land2, "2025-06-01", "2025-06-03")}
+    assert res2["activity"]["status"] == "success"
+    assert res2["activity"]["records"] == 3
+    # null + malformed days land under the start-date partition
+    assert (land2 / "oura/activity/year=2025/month=06/day=01"
+            / "dailyactivity.csv").exists()
+    assert (land2 / "oura/activity/year=2025/month=06/day=02"
+            / "dailyactivity.csv").exists()
+
     # next_token pagination drains every page (ref oura_client.py:38-70)
     pages = [([{"day": "2025-06-01"}], "t1"),
              ([{"day": "2025-06-02"}], "t2"),

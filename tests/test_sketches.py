@@ -144,6 +144,39 @@ def test_histogram_quantile_edge_probs_and_degenerate_range(spark):
     assert abs(got[("b", 0.5)] - 50.0) <= 100.0 / 64 + 1e-6
 
 
+def test_histogram_quantile_ignores_nulls(spark):
+    """r11 (ADVICE r10): nulls in the measured column must not reach
+    the histogram — n = count(c) already excludes them, so a
+    nulls-first bin inflated `cum` and biased every quantile low; in
+    the degenerate-range branch the otherwise(0) routed them into
+    bin 0. The estimates must equal those from the pre-filtered
+    frame, and an all-null group simply yields no rows."""
+    from bio_lakehouse_spark.operators.quantiles import histogram_quantiles
+
+    base = spark.range(1, 1001).select(F.col("id").cast("double").alias("v"))
+    nulls = spark.range(500).select(F.lit(None).cast("double").alias("v"))
+    polluted = base.unionAll(nulls)
+    probs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    clean = {r.prob: r.est for r in histogram_quantiles(base, "v", probs, 64).collect()}
+    dirty = {r.prob: r.est for r in histogram_quantiles(polluted, "v", probs, 64).collect()}
+    assert dirty == clean
+
+    # degenerate range + nulls: the constant at every probability
+    const = spark.range(50).select(F.lit(9.5).alias("v")).unionAll(nulls)
+    est_c = {r.prob: r.est for r in histogram_quantiles(const, "v", (0.0, 0.5, 1.0), 64).collect()}
+    assert est_c == {0.0: 9.5, 0.5: 9.5, 1.0: 9.5}
+
+    # grouped: an all-null group produces no estimate rows, and does
+    # not disturb its neighbors
+    g = spark.createDataFrame(
+        [("a", None)] * 5 + [("b", float(i)) for i in range(1, 101)],
+        "g string, v double",
+    )
+    rows = histogram_quantiles(g, "v", (0.5,), 64, by=("g",)).collect()
+    assert {r.g for r in rows} == {"b"}
+    assert abs(rows[0].est - 50.0) <= 100.0 / 64 + 1e-6
+
+
 def test_count_min_one_sided_error_random(spark):
     """CM guarantee on adversarially-collapsed key space: estimates
     never underestimate, never exceed the stream length, and are

@@ -654,6 +654,91 @@ def test_stream_neardup_ingest_crash_replay_completes_bands(
     )
 
 
+def test_stream_neardup_ingest_non_default_id_col(spark, tmp_path):
+    """r11 (ADVICE r10 regression): the half-committed-crash guard
+    selected the band table's id column as `id_col`, but
+    minhash_band_table always writes it as 'doc_id' — with any
+    non-default id_col every batch crashed with AnalysisException
+    once the band dir existed. Exercise the exact path: corpus AND
+    bands already present, a replayed id flows through the guard."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_neardup_ingest,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    mutated = base.replace("pi", "PI")  # near-dup of base
+    novel = ("totally different words here nothing shared at all with "
+             "any other document in the corpus today")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    schema = "item_id long, text string"
+
+    with open(landing / "d0.json", "w") as fh:
+        fh.write(_json.dumps({"item_id": 1, "text": base}) + "\n")
+    q = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck1"),
+        schema, id_col="item_id",
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(bands).columns[0] == "doc_id"
+
+    # replay + extend with corpus and band dir BOTH present — the
+    # guard path that used to select the missing column
+    with open(landing / "d1.json", "w") as fh:
+        fh.write(_json.dumps({"item_id": 10, "text": mutated}) + "\n")
+        fh.write(_json.dumps({"item_id": 11, "text": novel}) + "\n")
+    q2 = stream_documents_neardup_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck2"),
+        schema, id_col="item_id",
+    )
+    q2.awaitTermination()
+    got = {r["item_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 11}, got  # 10 caught by the index, 1 not re-ingested
+
+
+def test_stream_curated_ingest_non_default_id_col(spark, tmp_path):
+    """Same r11 regression for the curated ingest's copy of the
+    guard (ingest.py second site): replay with corpus + bands
+    present under id_col='item_id' must not crash and not re-ingest."""
+    import json as _json
+
+    from bio_lakehouse_spark.streaming.ingest import (
+        stream_documents_curated_ingest,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the wide green field where the birds sing "
+            "and the river bends south toward the old stone bridge")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    bands = str(tmp_path / "bands")
+    schema = "item_id long, text string, lang string, source string"
+
+    with open(landing / "d0.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"item_id": 1, "text": text, "lang": "en", "source": "s0"}
+        ) + "\n")
+    q = stream_documents_curated_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck1"),
+        schema, id_col="item_id",
+    )
+    q.awaitTermination()
+    q2 = stream_documents_curated_ingest(
+        spark, str(landing), corpus, bands, str(tmp_path / "ck2"),
+        schema, id_col="item_id",
+    )
+    q2.awaitTermination()
+    got = {r["item_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1}, got
+
+
 def test_stream_documents_curated_ingest(spark, tmp_path):
     """Streaming curation e2e: the scan-level gates (quality, langid,
     decontamination) drop their targets, within-batch and

@@ -1,9 +1,22 @@
-"""Host-normalized round-over-round bench comparison (SCALE.md r10).
+"""Host-normalized round-over-round bench comparison (SCALE.md r10,
+contention adjudication r11).
 
 Implements the calib_sec normalization rule mechanically so a future
 "headline moved ±30%" never again needs the forensic cross-referencing
 VERDICT r9 did by hand: compare `value / calib_sec` (and per-query
 ratios divided by the calib ratio) instead of raw seconds.
+
+r11 (VERDICT r10 #1): calib normalization has a demonstrated blind
+spot — under SUSTAINED host contention the burst calib probe slips
+into scheduler gaps (under-reads the slowdown) while long
+shuffle-heavy queries eat all of it, so norm_ratio > 1.1 produced a
+false "code" verdict on the driver's contended r10 run. The intra-run
+spread distribution bench.py records per query (max/min of the runs
+of the SAME query) separates the cases cleanly: idle p90 ≈ 1.5 with
+~1% of queries > 2×, contended p90 1.89 with 9% > 2×. When either
+side's spread crosses the thresholds below, the verdict is
+`contended_host` — the comparison is NOT adjudicable and neither a
+regression nor a speedup should be claimed from it.
 
     python tools/bench_compare.py OLD NEW
 
@@ -11,19 +24,31 @@ OLD / NEW are bench JSONs in any of the three shapes this repo
 produces: a driver BENCH_r{N}.json ({"parsed": {...}}), a bench.py
 detail file (bench_out/detail_r{N}.json / bench_detail.json), or the
 bench.py stdout line itself. Files without a calib_sec stamp (all
-rounds before r10) compare raw, with a loud warning.
+rounds before r10) compare raw, with a loud warning. Spread stats are
+taken from the doc itself (`run_spread` / flattened stdout keys),
+recomputed from its raw `runs`, or — for a driver BENCH_r{N}.json —
+pulled from the `detail_file` it points at, when that file exists
+next to it.
 
 Output: one JSON line {raw_ratio, calib_ratio, norm_ratio,
-per_query_median, per_query_p90, n_common, verdict} where verdict is
-"host" when normalization explains the move (norm_ratio within ±10%)
-and "code" otherwise.
+per_query_median, per_query_p90, n_common, spread_old, spread_new,
+verdict} where verdict is "host" when normalization explains the move
+(norm_ratio within ±10%), "contended_host" when either run's spread
+marks it unadjudicable, and "code" otherwise.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
+
+# Contention thresholds, calibrated on this repo's own recorded runs
+# (idle builder ledger: p90 1.511 / frac_gt2 0.010; contended driver
+# r10: p90 1.891 / frac_gt2 0.094). Either trips the verdict.
+SPREAD_P90_CONTENDED = 1.8
+SPREAD_FRAC_GT2_CONTENDED = 0.05
 
 
 def _load(path: str) -> dict:
@@ -33,15 +58,66 @@ def _load(path: str) -> dict:
         doc = doc["parsed"]
     if not isinstance(doc, dict) or "value" not in doc:
         raise SystemExit(f"{path}: not a bench JSON (no 'value')")
+    doc["__dir__"] = os.path.dirname(os.path.abspath(path))
     return doc
 
 
-def main() -> int:
-    if len(sys.argv) != 3:
-        print(__doc__)
-        return 2
-    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+def spread_stats(doc: dict) -> dict | None:
+    """Extract {p90, frac_gt2} from a bench doc, best source first:
+    the stamped `run_spread` block (detail files, r11+), the
+    flattened stdout keys (r11+ BENCH lines), a recompute from raw
+    `runs`, or the detail file a driver BENCH_r{N}.json points at."""
+    rs = doc.get("run_spread")
+    if isinstance(rs, dict) and "p90" in rs:
+        return {"p90": rs["p90"], "frac_gt2": rs.get("frac_gt2")}
+    if isinstance(doc.get("run_spread_p90"), (int, float)):
+        return {
+            "p90": doc["run_spread_p90"],
+            "frac_gt2": doc.get("run_spread_frac_gt2"),
+        }
+    runs = doc.get("runs")
+    if isinstance(runs, dict) and runs:
+        spreads = sorted(
+            max(v) / min(v)
+            for v in runs.values()
+            if isinstance(v, list) and v and min(v) > 0
+        )
+        if spreads:
+            return {
+                "p90": round(spreads[int(0.9 * (len(spreads) - 1))], 3),
+                "frac_gt2": round(
+                    sum(1 for s in spreads if s > 2) / len(spreads), 3
+                ),
+            }
+    detail = doc.get("detail_file")
+    if detail and doc.get("__dir__"):
+        p = os.path.join(doc["__dir__"], detail)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    sub = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            sub.pop("detail_file", None)  # no recursion
+            return spread_stats(sub)
+    return None
 
+
+def _contended(spread: dict | None) -> bool:
+    if not spread:
+        return False
+    p90 = spread.get("p90")
+    frac = spread.get("frac_gt2")
+    return bool(
+        (isinstance(p90, (int, float)) and p90 >= SPREAD_P90_CONTENDED)
+        or (
+            isinstance(frac, (int, float))
+            and frac >= SPREAD_FRAC_GT2_CONTENDED
+        )
+    )
+
+
+def compare(old: dict, new: dict) -> dict:
     calib = None
     if old.get("calib_sec") and new.get("calib_sec"):
         calib = new["calib_sec"] / old["calib_sec"]
@@ -64,6 +140,7 @@ def main() -> int:
     }
     common = sorted(set(oq) & set(nq))
     ratios = sorted(nq[k] / oq[k] for k in common if oq[k])
+    s_old, s_new = spread_stats(old), spread_stats(new)
     out = {
         "raw_ratio": round(raw, 4) if raw is not None else None,
         "calib_ratio": round(calib, 4) if calib else None,
@@ -76,9 +153,20 @@ def main() -> int:
             if ratios else None
         ),
         "n_common": len(common),
+        "spread_old": s_old,
+        "spread_new": s_new,
     }
     adjudicable = out["norm_ratio"] is not None
-    if adjudicable:
+    if _contended(s_old) or _contended(s_new):
+        # Contention dominates every other signal: the calib probe is
+        # structurally blind to sustained load (see module docstring),
+        # so neither "code" nor "host" can be claimed.
+        out["verdict"] = "contended_host"
+        out["contended_side"] = (
+            "both" if _contended(s_old) and _contended(s_new)
+            else ("old" if _contended(s_old) else "new")
+        )
+    elif adjudicable:
         # One-sided: a code REGRESSION shows up as norm_ratio > 1.1
         # (the suite slowed MORE than the host did). norm_ratio < 0.9
         # is calib over-correction, not a code speedup — the pure-CPU
@@ -102,6 +190,14 @@ def main() -> int:
             key=lambda kv: -kv[1],
         )[:5]
         out["worst_norm_movers"] = dict(movers)
+    return out
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    out = compare(_load(sys.argv[1]), _load(sys.argv[2]))
     print(json.dumps(out))
     return 0
 

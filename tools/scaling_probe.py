@@ -493,7 +493,7 @@ def _emb_ops(spark, corpus, mult: int):
     shutil.rmtree(idx, ignore_errors=True)
     build_ivf_index(corpus, centroids, idx)
 
-    return {
+    ops = {
         "ann_brute_topk": lambda d: cosine_topk(
             d, queries, id_col="vec_id", vec_col="embedding", k=5
         ),
@@ -506,6 +506,10 @@ def _emb_ops(spark, corpus, mult: int):
             threshold=0.35,
         ),
     }
+    # (ops, cleanup): the caller rmtree's the index dir after the
+    # mult's timing loop — each probe run used to leak one
+    # ivf_probe_m* parquet tree per mult into /tmp.
+    return ops, (lambda: shutil.rmtree(idx, ignore_errors=True))
 
 
 def main() -> int:
@@ -537,25 +541,31 @@ def main() -> int:
             corpus = replicate_embeddings(spark, mult)
             n = corpus.count()
             print(f"--- embeddings mult {mult}: {n} vecs", file=sys.stderr)
-            ops = _emb_ops(spark, corpus, mult)
+            ops, cleanup_idx = _emb_ops(spark, corpus, mult)
             if only is not None:
                 ops = {k: v for k, v in ops.items() if k in only}
-            for name, fn in ops.items():
-                # min of 3 timed runs after the warm run: these
-                # corpora are small enough that a single run sits at
-                # the JIT/GC noise floor of local[32] (one observed
-                # 1.1 s op spiked to 35 s once in a long session)
-                fn(corpus).write.format("noop").mode("overwrite").save()
-                dts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+            try:
+                for name, fn in ops.items():
+                    # min of 3 timed runs after the warm run: these
+                    # corpora are small enough that a single run sits
+                    # at the JIT/GC noise floor of local[32] (one
+                    # observed 1.1 s op spiked to 35 s once in a long
+                    # session)
                     fn(corpus).write.format("noop").mode(
                         "overwrite"
                     ).save()
-                    dts.append(time.perf_counter() - t0)
-                dt = min(dts)
-                results.setdefault(name, {})[mult] = round(dt, 2)
-                print(f"    {name}: {dt:.2f}s", file=sys.stderr)
+                    dts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        fn(corpus).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        dts.append(time.perf_counter() - t0)
+                    dt = min(dts)
+                    results.setdefault(name, {})[mult] = round(dt, 2)
+                    print(f"    {name}: {dt:.2f}s", file=sys.stderr)
+            finally:
+                cleanup_idx()
             corpus.unpersist()
         base = mults[0]
         table = {
