@@ -95,6 +95,17 @@ _FORCE_RECERT: dict[str, int] = {
     # the array-index Column); fixed in operators/dedup.py — the r09
     # green certifies the old hash family, re-certify under the new.
     "minhash_lsh_recall_audit": 10,
+    # r11 plan changes needing fresh driver rows: triangle_stats'
+    # clustering gained a wedge-guard (ANSI divide-by-zero crash on
+    # wedge-free graphs); pq_adc_topk's LUT stride now derives from
+    # the LUT itself (k' < k codebooks misaligned silently). Both
+    # strict-verified at all three SFs locally; pin until the driver
+    # hashes them under the new plans.
+    "graph_triangle_stats": 11,
+    "pq_adc_topk": 11,
+    "pq_rerank_topk": 11,
+    "quantile_histogram_sketch": 11,
+    "quantile_histogram_by_group": 11,
 }
 
 

@@ -244,8 +244,15 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (
-                3.0 * F.col("n_triangles") / F.col("n_wedges")
+            # Guarded: a wedge-free graph (all degrees ≤ 1) has
+            # n_wedges = 0 and the raw division CRASHES under ANSI
+            # mode (Spark 4 default) instead of returning NULL —
+            # clustering is undefined there, so emit NULL explicitly
+            # (r11 edge-hunt; no fixture graph is wedge-free, which
+            # is why nothing caught it).
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
             ).alias("clustering"),
         )
     )

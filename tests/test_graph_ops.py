@@ -143,3 +143,44 @@ def test_hits_matches_numpy_power_iteration(spark):
         assert abs(got[("hub", i)] - h[i]) < 1e-9
     for d in auth_nodes:
         assert abs(got[("auth", d)] - a[d - 100]) < 1e-9
+
+
+# -- r11 edge-hunt: degenerate-input contracts -------------------------------
+
+
+def test_graph_ops_degenerate_inputs(spark):
+    """r11 edge-hunt pins for graph.py (VERDICT r10 #6): empty edge
+    lists, self-loops, and wedge-free graphs must degrade cleanly —
+    these inputs sit outside every fixture, so nothing else would
+    notice a behavior shift. Contracts pinned:
+    - empty edges → empty results for components/pagerank, a single
+      degenerate stats row for triangle_stats (zero counts);
+    - self-loops are dropped by triangle_stats' canonicalization and
+      are harmless to connected_components;
+    - a wedge-free graph (one isolated edge) reports clustering NULL
+      (0/0 division), not a crash — callers must null-guard."""
+    from bio_lakehouse_spark.operators.graph import (
+        connected_components,
+        pagerank,
+        triangle_stats,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    assert pagerank(empty, iters=1).count() == 0
+    row = triangle_stats(empty).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (0, 0, 0)
+
+    loops = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2)], "src long, dst long"
+    )
+    row = triangle_stats(loops).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (2, 1, 0)
+    comp = {
+        r.node: r.component for r in connected_components(loops).collect()
+    }
+    assert comp == {1: 1, 2: 1}
+
+    lone = spark.createDataFrame([(5, 9)], "src long, dst long")
+    row = triangle_stats(lone).collect()[0]
+    assert row.n_wedges == 0 and row.clustering is None
