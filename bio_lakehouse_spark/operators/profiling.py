@@ -79,8 +79,14 @@ def profile_columns(
             F.col(f"__nd_{name}").alias("n_distinct"),
             F.col(f"__mn_{name}").alias("min_val"),
             F.col(f"__mx_{name}").alias("max_val"),
+            # try_divide: an EMPTY frame has __n = 0 and the raw
+            # division aborts the profile under ANSI mode (r11 ANSI
+            # audit) — completeness of a rowless table is NULL.
             F.round(
-                F.col(f"__nn_{name}") / F.col("__n").cast("double"), 6
+                F.try_divide(
+                    F.col(f"__nn_{name}"), F.col("__n").cast("double")
+                ),
+                6,
             ).alias("completeness"),
         )
         for name in cols

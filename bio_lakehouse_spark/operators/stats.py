@@ -31,22 +31,33 @@ def pearson_ols(
 
     slope = cov(x,y)/var(x); intercept = ȳ − slope·x̄;
     t = r·sqrt((n−2)/(1−r²)); stderr = slope/t.
+
+    Every division is try_divide (NULL on 0, like scipy's NaN and the
+    SQL oracles' CORR) because under ANSI mode (Spark 4 default) the
+    raw forms RAISE on realistic degenerate groups — r11 ANSI audit:
+    a constant-x group crashes F.corr itself AND cov/var; a perfectly
+    collinear group (|r| = 1) crashes the (1−r²) division; an n=2
+    group has t=0 and crashes stderr. At scale, ONE such group in a
+    per-entity scan used to abort the entire job.
     """
     gb = df.filter(F.col(x).isNotNull() & F.col(y).isNotNull()).groupBy(
         *group_cols
     )
     agg = gb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.corr(x, y).alias("r"),
         F.covar_samp(x, y).alias("_cov"),
         F.var_samp(x).alias("_varx"),
+        F.stddev_samp(x).alias("_sdx"),
+        F.stddev_samp(y).alias("_sdy"),
         F.avg(x).alias("_mx"),
         F.avg(y).alias("_my"),
     )
-    slope = F.col("_cov") / F.col("_varx")
+    r = F.try_divide(F.col("_cov"), F.col("_sdx") * F.col("_sdy"))
+    slope = F.try_divide(F.col("_cov"), F.col("_varx"))
     intercept = F.col("_my") - slope * F.col("_mx")
+    agg = agg.withColumn("r", r)
     t_stat = F.col("r") * F.sqrt(
-        (F.col("n") - 2) / (1 - F.col("r") * F.col("r"))
+        F.try_divide(F.col("n") - 2, 1 - F.col("r") * F.col("r"))
     )
     return agg.select(
         *group_cols,
@@ -55,7 +66,7 @@ def pearson_ols(
         slope.alias("slope"),
         intercept.alias("intercept"),
         t_stat.alias("t_stat"),
-        (slope / t_stat).alias("stderr"),
+        F.try_divide(slope, t_stat).alias("stderr"),
     )
 
 

@@ -93,9 +93,19 @@ def rolling_corr(
     preceding: int,
     partition_by: Sequence[str | Column] = (),
 ) -> Column:
-    """14-day rolling Pearson r (ref experiments/analyzer.py:366-375)."""
+    """14-day rolling Pearson r (ref experiments/analyzer.py:366-375).
+
+    Expressed as try_divide(covar, sd·sd) rather than F.corr: under
+    ANSI mode (Spark 4 default) corr RAISES DIVIDE_BY_ZERO whenever a
+    frame holds ≥2 rows of a constant series — on real data a flat
+    fortnight in either metric would kill the whole job (r11 ANSI
+    audit). NULL for the undefined frame matches both single-row-frame
+    corr and the SQL oracles' CORR."""
     w = _window(order_by, partition_by).rowsBetween(-preceding, 0)
-    return F.corr(x, y).over(w)
+    return F.try_divide(
+        F.covar_samp(x, y).over(w),
+        F.stddev_samp(x).over(w) * F.stddev_samp(y).over(w),
+    )
 
 
 def lag_delta(

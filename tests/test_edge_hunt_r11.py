@@ -134,3 +134,90 @@ def test_chunk_text_empty_and_null_docs(spark):
     assert [c.chunk_text for c in sorted(by_doc[3], key=lambda c: c.chunk_id)] == [
         "a b", "b c"
     ]
+
+
+# -- ANSI divide-by-zero audit (Spark 4 default ANSI mode) -------------------
+
+
+def test_profile_columns_empty_frame_ansi(spark):
+    """r11 FIX: profiling a rowless frame divided 0/0 for
+    completeness and aborted under ANSI mode — an empty partition or
+    table is a routine input for a data-quality gate. Completeness is
+    NULL there now."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.profiling import profile_columns
+
+    empty = spark.createDataFrame([], "a double, b string")
+    rows = profile_columns(
+        empty, {"a": F.col("a"), "b": F.col("b")}
+    ).collect()
+    assert {r.column_name for r in rows} == {"a", "b"}
+    for r in rows:
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+        assert r.completeness is None
+
+
+def test_pearson_ols_degenerate_groups_ansi(spark):
+    """r11 FIX: under ANSI mode F.corr itself raises on a constant-x
+    group (zero variance), the t-stat raises on |r|=1, and stderr
+    raises on n=2 (t=0) — one such group in a per-entity scan aborted
+    the whole job. All now NULL via try_divide; healthy groups are
+    unaffected (checked against scipy-style closed forms)."""
+    from bio_lakehouse_spark.operators.stats import pearson_ols
+
+    rows = [("c", 5.0, float(i)) for i in range(10)]
+    rows += [("n2", 1.0, 3.0), ("n2", 2.0, 5.0)]
+    rows += [("ok", float(i), float(i % 4) + 0.1 * i) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in pearson_ols(df, "x", "y", ["g"]).collect()}
+
+    c = out["c"]
+    assert (c.r, c.slope, c.intercept, c.t_stat, c.stderr) == (
+        None, None, None, None, None,
+    )
+    n2 = out["n2"]
+    assert n2.slope == pytest.approx(2.0)
+    assert n2.t_stat == pytest.approx(0.0) and n2.stderr is None
+
+    import statistics
+    xs = [r[1] for r in rows if r[0] == "ok"]
+    ys = [r[2] for r in rows if r[0] == "ok"]
+    ok = out["ok"]
+    assert ok.r == pytest.approx(statistics.correlation(xs, ys), rel=1e-9)
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (len(xs) - 1)
+    varx = statistics.variance(xs)
+    assert ok.slope == pytest.approx(cov / varx, rel=1e-9)
+
+
+def test_rolling_corr_constant_window_ansi(spark):
+    """r11 FIX: a rolling frame holding >=2 rows of a constant series
+    crashed F.corr under ANSI mode (a flat fortnight in either metric
+    kills the job). NULL for those frames now; varying frames still
+    match pandas rolling corr."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.windows import rolling_corr
+
+    vals = [1.0, 1.0, 1.0, 2.0, 4.0, 3.0, 5.0, 4.5]
+    other = [2.0, 3.0, 2.5, 2.0, 5.0, 4.0, 6.0, 5.5]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(zip(vals, other))],
+        "d long, x double, y double",
+    )
+    out = [
+        r.rc
+        for r in df.select(
+            "d", rolling_corr("x", "y", "d", 2).alias("rc")
+        ).orderBy("d").collect()
+    ]
+    expect = (
+        pd.Series(vals).rolling(3, min_periods=1).corr(pd.Series(other))
+    )
+    for got, want in zip(out, expect):
+        if got is None:
+            assert pd.isna(want)
+        else:
+            assert got == pytest.approx(want, rel=1e-9)
