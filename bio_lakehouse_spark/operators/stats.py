@@ -172,11 +172,14 @@ def mann_whitney_u(
     n = n1 + n2
     u1 = F.col("_r1") - n1 * (n1 + 1) / 2
     mu = n1 * n2 / 2
+    # try_divide (r11 ANSI audit): n ≤ 1 (one arm empty) zeroes the
+    # tie-ratio denominator, and an all-tied pool zeroes sigma — both
+    # raised under ANSI mode and aborted the job; scipy returns NaN.
     sigma = F.sqrt(
         (n1 * n2 / 12.0)
-        * ((n + 1) - F.col("_tie_sum") / (n * (n - 1)))
+        * ((n + 1) - F.try_divide(F.col("_tie_sum"), n * (n - 1)))
     )
-    z = (u1 - mu) / sigma
+    z = F.try_divide(u1 - mu, sigma)
     return agg.select(
         *by,
         "n1",
@@ -266,21 +269,34 @@ def bayesian_effect(
         F.col(f"{post_label}_std"),
         F.col(f"{post_label}_n"),
     )
+    # try_divide throughout (r11 ANSI audit): a CONSTANT pre or post
+    # period zeroes prior_var/like_var, and two 1-row periods zero the
+    # pooled-variance dof — each raised under ANSI mode and aborted
+    # the job. NULL (undefined posterior) mirrors numpy's inf/nan
+    # arithmetic collapsing the same cases.
     prior_var = pre_s * pre_s
-    like_var = (post_s * post_s) / post_n
-    post_var = 1 / (1 / prior_var + 1 / like_var)
-    post_mean = post_var * (pre_m / prior_var + post_m / like_var)
+    like_var = F.try_divide(post_s * post_s, post_n)
+    post_var = F.try_divide(
+        F.lit(1.0),
+        F.try_divide(F.lit(1.0), prior_var)
+        + F.try_divide(F.lit(1.0), like_var),
+    )
+    post_mean = post_var * (
+        F.try_divide(pre_m, prior_var) + F.try_divide(post_m, like_var)
+    )
     effect = post_mean - pre_m
     ci = 1.96 * F.sqrt(post_var)
     pooled = F.sqrt(
-        ((pre_n - 1) * pre_s * pre_s + (post_n - 1) * post_s * post_s)
-        / (pre_n + post_n - 2)
+        F.try_divide(
+            (pre_n - 1) * pre_s * pre_s + (post_n - 1) * post_s * post_s,
+            pre_n + post_n - 2,
+        )
     )
     return agg.select(
         effect.alias("effect"),
         (effect - ci).alias("ci_low"),
         (effect + ci).alias("ci_high"),
-        (effect / pooled).alias("cohens_d"),
+        F.try_divide(effect, pooled).alias("cohens_d"),
         pre_n.alias("n_pre"),
         post_n.alias("n_post"),
     )
@@ -377,9 +393,13 @@ def welch_t(
     m1, v1, n1 = F.col(f"{g1}_mean"), F.col(f"{g1}_var"), F.col(f"{g1}_n")
     m2, v2, n2 = F.col(f"{g2}_mean"), F.col(f"{g2}_var"), F.col(f"{g2}_n")
     se2 = v1 / n1 + v2 / n2
-    t = (m1 - m2) / F.sqrt(se2)
-    dof = (se2 * se2) / (
-        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)
+    # try_divide (r11 ANSI audit): two constant groups zero se2 (t
+    # raised under ANSI), and se2 = 0 also zeroes the dof denominator;
+    # scipy returns nan for both.
+    t = F.try_divide(m1 - m2, F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        (v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1),
     )
     return agg.select(
         n1.alias("n1"),
@@ -454,9 +474,15 @@ def ks_two_sample(
         Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy()
+    # try_divide (r11 ANSI audit): a pool where one group is absent
+    # zeroes that ECDF's denominator — D is undefined, not a crash.
     ecdf = per_v.select(
-        (F.sum("c1").over(wcum) / F.sum("c1").over(wall)).alias("f1"),
-        (F.sum("c2").over(wcum) / F.sum("c2").over(wall)).alias("f2"),
+        F.try_divide(
+            F.sum("c1").over(wcum), F.sum("c1").over(wall)
+        ).alias("f1"),
+        F.try_divide(
+            F.sum("c2").over(wcum), F.sum("c2").over(wall)
+        ).alias("f2"),
         F.sum("c1").over(wall).alias("n1"),
         F.sum("c2").over(wall).alias("n2"),
     )
@@ -553,7 +579,12 @@ def acf(
             for k in range(1, max_lag + 1)
         ],
     )
-    pairs = ", ".join(f"{k}, s{k} / ss" for k in range(1, max_lag + 1))
+    # try_divide (r11 ANSI audit): a constant series zeroes the shared
+    # denominator ss — ACF undefined (statsmodels emits nan), not a
+    # job abort.
+    pairs = ", ".join(
+        f"{k}, try_divide(s{k}, ss)" for k in range(1, max_lag + 1)
+    )
     return agg.select(
         F.expr(f"stack({max_lag}, {pairs}) AS (lag, acf)")
     ).select(F.col("lag").cast("int").alias("lag"), "acf")
@@ -585,9 +616,10 @@ def cusum_changepoint(
         .select(
             F.col(order_col).alias("cp"),
             F.abs(F.col("s")).alias("max_abs_s"),
-            (F.abs(F.col("s")) / (F.col("sd") * F.sqrt(F.col("n")))).alias(
-                "stat"
-            ),
+            # try_divide (r11 ANSI audit): constant series → sd = 0
+            F.try_divide(
+                F.abs(F.col("s")), F.col("sd") * F.sqrt(F.col("n"))
+            ).alias("stat"),
             F.col("n"),
         )
     )
@@ -946,11 +978,17 @@ def cox_ph_newton(
         F.col("s2v") / F.col("s0")
         - (F.col("s1v") / F.col("s0")) * (F.col("s1v") / F.col("s0"))
     )
+    # try_divide (r11 ANSI audit): a CONSTANT covariate zeroes the
+    # information I (Cauchy–Schwarz equality), so the Newton step u/I
+    # and se = 1/√I both raised under ANSI mode — β is simply not
+    # identifiable there (lifelines raises a warning and returns nan).
     for _ in range(steps):
         r = risk_frame(beta)
         beta = r.groupBy("b").agg(
             F.sum(u_term).alias("u"), F.sum(i_term).alias("i")
-        ).select((F.col("b") + F.col("u") / F.col("i")).alias("b"))
+        ).select(
+            (F.col("b") + F.try_divide(F.col("u"), F.col("i"))).alias("b")
+        )
     final = risk_frame(beta)
     return final.groupBy("b").agg(
         F.sum("d").cast("long").alias("n_events"),
@@ -961,7 +999,7 @@ def cox_ph_newton(
         F.col("b").alias("beta"),
         F.exp("b").alias("hazard_ratio"),
         F.col("u").alias("score_u"),
-        (1.0 / F.sqrt("i")).alias("se"),
+        F.try_divide(F.lit(1.0), F.sqrt("i")).alias("se"),
     )
 
 
@@ -992,9 +1030,13 @@ def auc_rank_sum(df: DataFrame, score: Column, label: Column) -> DataFrame:
         F.sum(F.col("n") - F.col("np")).cast("long").alias("n0"),
     )
     j = spr.crossJoin(F.broadcast(tot))
-    auc = (
-        F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0
-    ) / (F.col("n1") * 1.0 * F.col("n0"))
+    # try_divide (r11 ANSI audit): a single-class input (n1 or n0 = 0)
+    # leaves AUC undefined — sklearn raises, we return NULL; ANSI mode
+    # used to abort the job.
+    auc = F.try_divide(
+        F.col("pos_rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0,
+        F.col("n1") * 1.0 * F.col("n0"),
+    )
     return j.select(
         "n1", "n0", auc.alias("auc"), (2.0 * auc - 1.0).alias("gini")
     )
@@ -1033,10 +1075,11 @@ def logrank_two_groups(obs: DataFrame) -> DataFrame:
         / (F.col("n") - 1).cast("double"),
     ).otherwise(0.0)
     terms = risk.select(F.col("d1"), e1.alias("e1"), v.alias("v"))
-    chi = (
-        (F.sum("d1") - F.sum("e1"))
-        * (F.sum("d1") - F.sum("e1"))
-        / F.sum("v")
+    # try_divide (r11 ANSI audit): every event time having n ≤ 1 at
+    # risk zeroes Σv — the test is degenerate, not a job abort.
+    chi = F.try_divide(
+        (F.sum("d1") - F.sum("e1")) * (F.sum("d1") - F.sum("e1")),
+        F.sum("v"),
     )
     return terms.agg(
         F.sum("d1").cast("long").alias("obs_events_g1"),
@@ -1088,12 +1131,16 @@ def isotonic_fit_ordered(
         F.col("_k").alias("jk"), F.col("_p").alias("p_j"),
         F.col("_cw").alias("w_j"),
     )
+    # try_divide (r11 ANSI audit): an i..j span of all-zero weights
+    # has no weighted mean — NULL drops it from the minimax (min/max
+    # ignore NULL), i.e. zero-weight spans impose no constraint;
+    # ANSI mode used to abort the whole fit.
     pairs = i.join(j, F.col("jk") >= F.col("ik")).select(
         "ik",
         "jk",
-        (
-            (F.col("p_j") - F.col("p_before"))
-            / (F.col("w_j") - F.col("w_before"))
+        F.try_divide(
+            F.col("p_j") - F.col("p_before"),
+            F.col("w_j") - F.col("w_before"),
         ).alias("a"),
     )
     # min over j' >= jk for fixed ik: suffix running-min on the j axis
@@ -1143,8 +1190,10 @@ def huber_irls_fit(
         F.sum(xc * xc).alias("sxx"),
         F.sum(xc * yc).alias("sxy"),
     )
-    b0 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    # try_divide (r11 ANSI audit): constant x zeroes n·var(x)
+    b0 = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"),
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
     )
     fit = ols.select(
         (F.col("sy") / F.col("n") - b0 * F.col("sx") / F.col("n")).alias("a"),
@@ -1172,9 +1221,10 @@ def huber_irls_fit(
                 F.sum(w * xc * yc).alias("swxy"),
             )
         )
-        bn = (
-            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw")
-        ) / (F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"))
+        bn = F.try_divide(
+            F.col("swxy") - F.col("swx") * F.col("swy") / F.col("sw"),
+            F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"),
+        )
         params = sums.select(
             ((F.col("swy") - bn * F.col("swx")) / F.col("sw")).alias("a"),
             bn.alias("b"),
@@ -1213,17 +1263,24 @@ def poisson_glm_fit(
                 F.sum(xc * xc * mu).alias("h11"),
             )
         )
+        # try_divide (r11 ANSI audit): constant x makes the Hessian
+        # singular (det = 0, Cauchy–Schwarz equality) — the slope is
+        # unidentifiable; ANSI mode used to abort the job.
         det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
         beta = sums.select(
             (
                 F.col("b0")
-                + (F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"))
-                / det
+                + F.try_divide(
+                    F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1"),
+                    det,
+                )
             ).alias("b0"),
             (
                 F.col("b1")
-                + (F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"))
-                / det
+                + F.try_divide(
+                    F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0"),
+                    det,
+                )
             ).alias("b1"),
         )
     return beta

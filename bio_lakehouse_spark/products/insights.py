@@ -1126,8 +1126,13 @@ class ProgressiveOverloadAnalyzer(InsightAnalyzer):
         weekly = (
             weekly_sdf.select(
                 "*",
-                ((F.col("weekly_total_output") - lag("weekly_total_output"))
-                 / lag("weekly_total_output")).alias("output_pct_change"),
+                # try_divide: a zero-output week in the lag position
+                # aborted the whole report under ANSI mode (r11 audit)
+                F.try_divide(
+                    F.col("weekly_total_output")
+                    - lag("weekly_total_output"),
+                    lag("weekly_total_output"),
+                ).alias("output_pct_change"),
                 (F.col("weekly_avg_watts") - lag("weekly_avg_watts")).alias(
                     "watts_delta"
                 ),

@@ -221,3 +221,75 @@ def test_rolling_corr_constant_window_ansi(spark):
             assert pd.isna(want)
         else:
             assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_stats_toolkit_degenerate_inputs_ansi(spark):
+    """r11 ANSI sweep, remaining toolkit: every final-statistic
+    division whose denominator can legitimately hit zero now yields
+    NULL (scipy-NaN semantics) instead of aborting the job under
+    ANSI mode. One probe per fixed site."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators import stats as S
+
+    const2g = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", 5.0) for i in range(10)],
+        "t long, g string, v double",
+    )
+    # all-tied pool: sigma = 0 → z NULL (u1 still finite)
+    r = S.mann_whitney_u(const2g, "v", "g", "a", "b").collect()[0]
+    assert r.z is None and r.u1 is not None
+    # one arm absent: n*(n-1) path + z
+    r = S.mann_whitney_u(
+        const2g.filter("g = 'a'"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert (r.n2, r.z) == (0, None)
+    # two constant groups: t and dof NULL
+    r = S.welch_t(const2g, "v", "g", "a", "b").collect()[0]
+    assert r.t_stat is None and r.welch_df is None
+    # one group absent: that ECDF undefined
+    r = S.ks_two_sample(
+        const2g.filter("g = 'a'"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r.ks_d is None
+    # constant series: shared ACF denominator and CUSUM sigma
+    cs = spark.createDataFrame(
+        [(i, 3.0) for i in range(12)], "d long, v double"
+    )
+    assert all(x.acf is None for x in S.acf(cs, "d", "v", 2).collect())
+    assert S.cusum_changepoint(cs, "d", "v").collect()[0].stat is None
+    # constant covariate: Cox information = 0, Poisson Hessian
+    # singular, Huber/OLS var(x) = 0
+    xy = spark.createDataFrame(
+        [(float(i), 5.0, 1) for i in range(8)], "t double, x double, ev int"
+    )
+    r = S.cox_ph_newton(xy.select("t", "ev", "x")).collect()[0]
+    assert r.beta is None and r.se is None
+    hc = spark.createDataFrame(
+        [(5.0, float(i)) for i in range(9)], "x double, y double"
+    )
+    assert S.huber_irls_fit(hc).collect()[0].b is None
+    assert S.poisson_glm_fit(hc).collect()[0].b1 is None
+    # single-class AUC
+    one = spark.createDataFrame(
+        [(float(i), 1) for i in range(6)], "s double, y int"
+    )
+    r = S.auc_rank_sum(one, F.col("s"), F.col("y")).collect()[0]
+    assert r.auc is None
+    # constant pre+post periods: Bayesian posterior undefined
+    pp = spark.createDataFrame(
+        [("pre", 5.0)] * 4 + [("post", 5.0)] * 4, "period string, v double"
+    )
+    assert S.bayesian_effect(pp, "v", "period").collect()[0].effect is None
+    # all-zero-weight isotonic span imposes no constraint (no crash)
+    iso = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, 5.0, 0.0), (3, 2.0, 1.0)],
+        "d int, y double, w double",
+    )
+    rows = S.isotonic_fit_ordered(iso, "d", "y", "w").collect()
+    assert len(rows) == 3  # fit still produced for every position
+    # logrank with every risk set of size 1: Σv = 0 → chi2 NULL
+    lr = spark.createDataFrame(
+        [(1, 1, 1.0)], "g int, ev int, t double"
+    )
+    assert S.logrank_two_groups(lr).collect()[0].logrank_chi2 is None
