@@ -505,6 +505,14 @@ def main() -> None:
     if detail["run_spread"]:
         out["run_spread_p90"] = detail["run_spread"]["p90"]
         out["run_spread_frac_gt2"] = detail["run_spread"]["frac_gt2"]
+    # Third signal: how much the host-speed probe itself drifted
+    # across the suite (start calib + mid-suite timeline). A same-code
+    # r11 control run stamped start-calib 2.341 vs the usual ~0.57 —
+    # a >1.5× swing marks the window contended on its own.
+    calibs = [calib_sec] + [p["calib_sec"] for p in calib_timeline]
+    if min(calibs) > 0:
+        out["calib_drift"] = round(max(calibs) / min(calibs), 3)
+        detail["calib_drift"] = out["calib_drift"]
     if errors:
         out["n_errors"] = len(errors)
     if gold_rebuild_s is not None:

@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 sys.path.insert(0, ROOT)
 
 from bench_compare import (  # noqa: E402
+    CALIB_DRIFT_CONTENDED,
     SPREAD_FRAC_GT2_CONTENDED,
     SPREAD_P90_CONTENDED,
+    calib_drift,
     compare,
     spread_stats,
 )
@@ -134,6 +136,40 @@ def test_verdicts_code_host_contended():
     assert out["verdict"] == "contended_host"
     assert SPREAD_P90_CONTENDED > 1.7
     assert SPREAD_FRAC_GT2_CONTENDED <= 0.09
+
+
+def test_calib_drift_third_signal():
+    """r11 third pass: the r11 control run stamped start-calib 2.341
+    against mid-suite probes of ~0.65 on the same host — low run
+    spread, but the probe itself drifting >1.5x marks the window
+    contended. Stamped value wins; timeline recompute is the
+    fallback; either side trips the verdict."""
+    # stamped
+    assert calib_drift({"calib_drift": 3.6}) == 3.6
+    # recomputed from timeline + start calib
+    doc = {
+        "calib_sec": 2.341,
+        "calib_timeline": [
+            {"calib_sec": 0.705}, {"calib_sec": 0.644},
+            {"calib_sec": 0.709}, {"calib_sec": 0.658},
+        ],
+    }
+    assert calib_drift(doc) == pytest.approx(2.341 / 0.644, abs=0.001)
+    assert calib_drift({}) is None
+
+    q = {f"q{i}": 1.0 for i in range(20)}
+    idle = {"run_spread": {"p90": 1.3, "frac_gt2": 0.0},
+            "calib_drift": 1.1}
+    drifty = {"run_spread": {"p90": 1.3, "frac_gt2": 0.0},
+              "calib_drift": 2.4}
+    out = compare(
+        _doc(20.0, 0.6, q, **idle),
+        _doc(40.0, 0.6, {k: 2.0 for k in q}, **drifty),
+    )
+    assert out["verdict"] == "contended_host"
+    assert out["contended_side"] == "new"
+    assert out["calib_drift_new"] == 2.4
+    assert CALIB_DRIFT_CONTENDED <= 2.4
 
 
 def test_r10_false_code_case_now_contended():

@@ -46,9 +46,14 @@ import sys
 
 # Contention thresholds, calibrated on this repo's own recorded runs
 # (idle builder ledger: p90 1.511 / frac_gt2 0.010; contended driver
-# r10: p90 1.891 / frac_gt2 0.094). Either trips the verdict.
+# r10: p90 1.891 / frac_gt2 0.094). Any one trips the verdict.
 SPREAD_P90_CONTENDED = 1.8
 SPREAD_FRAC_GT2_CONTENDED = 0.05
+# Calib drift across the run (start probe + mid-suite timeline,
+# max/min): the r11 control run stamped start-calib 2.341 against
+# mid-suite probes of ~0.6-0.7 on the same host — the probe itself
+# drifting >1.5x marks the measurement window contended.
+CALIB_DRIFT_CONTENDED = 1.5
 
 
 def _load(path: str) -> dict:
@@ -103,7 +108,30 @@ def spread_stats(doc: dict) -> dict | None:
     return None
 
 
-def _contended(spread: dict | None) -> bool:
+def calib_drift(doc: dict) -> float | None:
+    """max/min over the start calib + mid-suite timeline probes.
+    Stamped as `calib_drift` (r11+); recomputed from `calib_timeline`
+    for detail files; None for older docs."""
+    if isinstance(doc.get("calib_drift"), (int, float)):
+        return doc["calib_drift"]
+    tl = doc.get("calib_timeline")
+    if isinstance(tl, list) and tl:
+        vals = [
+            p.get("calib_sec") for p in tl
+            if isinstance(p, dict)
+            and isinstance(p.get("calib_sec"), (int, float))
+        ]
+        if isinstance(doc.get("calib_sec"), (int, float)):
+            vals.append(doc["calib_sec"])
+        vals = [v for v in vals if v > 0]
+        if vals:
+            return round(max(vals) / min(vals), 3)
+    return None
+
+
+def _contended(spread: dict | None, drift: float | None = None) -> bool:
+    if isinstance(drift, (int, float)) and drift >= CALIB_DRIFT_CONTENDED:
+        return True
     if not spread:
         return False
     p90 = spread.get("p90")
@@ -141,6 +169,7 @@ def compare(old: dict, new: dict) -> dict:
     common = sorted(set(oq) & set(nq))
     ratios = sorted(nq[k] / oq[k] for k in common if oq[k])
     s_old, s_new = spread_stats(old), spread_stats(new)
+    d_old, d_new = calib_drift(old), calib_drift(new)
     out = {
         "raw_ratio": round(raw, 4) if raw is not None else None,
         "calib_ratio": round(calib, 4) if calib else None,
@@ -155,16 +184,20 @@ def compare(old: dict, new: dict) -> dict:
         "n_common": len(common),
         "spread_old": s_old,
         "spread_new": s_new,
+        "calib_drift_old": d_old,
+        "calib_drift_new": d_new,
     }
     adjudicable = out["norm_ratio"] is not None
-    if _contended(s_old) or _contended(s_new):
+    old_hot = _contended(s_old, d_old)
+    new_hot = _contended(s_new, d_new)
+    if old_hot or new_hot:
         # Contention dominates every other signal: the calib probe is
         # structurally blind to sustained load (see module docstring),
         # so neither "code" nor "host" can be claimed.
         out["verdict"] = "contended_host"
         out["contended_side"] = (
-            "both" if _contended(s_old) and _contended(s_new)
-            else ("old" if _contended(s_old) else "new")
+            "both" if old_hot and new_hot
+            else ("old" if old_hot else "new")
         )
     elif adjudicable:
         # One-sided: a code REGRESSION shows up as norm_ratio > 1.1
