@@ -462,6 +462,14 @@ def main() -> None:
             sum(v for v in rotation_timings.values() if v is not None), 3
         ),
     }
+    # Calib drift (third contention signal): how much the host-speed
+    # probe itself swung across the run (start + mid-suite timeline).
+    # Computed BEFORE the detail write so the file carries it too —
+    # one r11 run stamped drift 6.9 on stdout while the already-
+    # written detail file had none.
+    calibs = [calib_sec] + [p["calib_sec"] for p in calib_timeline]
+    if min(calibs) > 0:
+        detail["calib_drift"] = round(max(calibs) / min(calibs), 3)
     if errors:
         detail["errors"] = errors
     if gold_rebuild_s is not None:
@@ -505,14 +513,11 @@ def main() -> None:
     if detail["run_spread"]:
         out["run_spread_p90"] = detail["run_spread"]["p90"]
         out["run_spread_frac_gt2"] = detail["run_spread"]["frac_gt2"]
-    # Third signal: how much the host-speed probe itself drifted
-    # across the suite (start calib + mid-suite timeline). A same-code
-    # r11 control run stamped start-calib 2.341 vs the usual ~0.57 —
-    # a >1.5× swing marks the window contended on its own.
-    calibs = [calib_sec] + [p["calib_sec"] for p in calib_timeline]
-    if min(calibs) > 0:
-        out["calib_drift"] = round(max(calibs) / min(calibs), 3)
-        detail["calib_drift"] = out["calib_drift"]
+    # Third signal, already stamped into the detail file above: a
+    # same-code r11 control run stamped start-calib 2.341 vs the
+    # usual ~0.57 — a >1.5× swing marks the window contended alone.
+    if "calib_drift" in detail:
+        out["calib_drift"] = detail["calib_drift"]
     if errors:
         out["n_errors"] = len(errors)
     if gold_rebuild_s is not None:
