@@ -106,6 +106,22 @@ _FORCE_RECERT: dict[str, int] = {
     "pq_rerank_topk": 11,
     "quantile_histogram_sketch": 11,
     "quantile_histogram_by_group": 11,
+    # r12 (VERDICT r11 #1): the r11 ANSI audit replanned the stats
+    # internals these five consume — pearson_ols now computes r as
+    # try_divide(covar, sd·sd) instead of F.corr (plus the r12
+    # collinear 1−r² clamp), rolling_corr became three window
+    # aggregates, mann_whitney_u / bayesian_effect / cox_ph_newton
+    # gained degenerate-input NULL guards — but their standing greens
+    # (r07–r09) certify the PRE-r11 plans and sit outside the natural
+    # 50-slot drain. The r05-green members of the same audit family
+    # (ks_two_sample, welch_ttest_groups, acf_daily_lags,
+    # cusum_changepoint, bh_fdr_discovery) are already at the front
+    # of the drain and need no pin.
+    "pearson_ols_lagged": 12,
+    "rolling_corr_14d": 12,
+    "mann_whitney_groups": 12,
+    "bayesian_pre_post": 12,
+    "cox_ph_newton_audit": 12,
 }
 
 

@@ -352,10 +352,19 @@ def main() -> None:
     calib_timeline: list[dict] = []
 
     def timeline_probe(n_done: int) -> None:
+        # Min-of-TWO, not a single run (ADVICE r11): calib_drift
+        # compares these against the min-of-5 start floor, so one
+        # GC/noise-spiked single probe >=1.5x that floor used to flag
+        # the whole run contended_host on its own. A second sample
+        # suppresses one-off spikes while still seeing SUSTAINED load
+        # (which hits both runs); costs ~0.6 s per probe point.
         calib_timeline.append({
             "after_n": n_done,
             "t_offset": round(time.perf_counter() - suite_t0, 1),
-            "calib_sec": round(_calib_probe(spark, materialize), 3),
+            "calib_sec": round(
+                min(_calib_probe(spark, materialize) for _ in range(2)),
+                3,
+            ),
         })
 
     timings: dict[str, float | None] = {}

@@ -778,8 +778,29 @@ def pq_adc_topk(
     pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    # actual codewords per subspace (see docstring — may be < k)
-    k_eff = (F.size("lut") / F.lit(m)).cast("int")
+    # Actual codewords per subspace (see docstring — may be < the
+    # ``k`` parameter, which is kept only for API compatibility). A
+    # ragged codebook (size % m != 0) would make the floored stride
+    # misalign every s >= 1 lookup — the exact silent-wrong-distance
+    # class the size/m derivation fixed — so it fails LOUD here
+    # (SCALE.md: malformed data → fail loud), not plausibly-wrong.
+    k_eff = (
+        F.when(
+            F.size("lut") % F.lit(m) == 0,
+            F.size("lut") / F.lit(m),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "pq_adc_topk: ragged codebook — size(lut)=%d "
+                    "is not divisible by m=%d",
+                    F.size("lut"),
+                    F.lit(m),
+                )
+            )
+        )
+        .cast("int")
+    )
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),

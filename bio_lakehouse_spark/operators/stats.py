@@ -19,6 +19,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def safe_corr(x: Column | str, y: Column | str) -> Column:
+    """ANSI-safe Pearson correlation AGGREGATE: NULL on zero-variance
+    input, where ``F.corr`` itself raises DIVIDE_BY_ZERO under Spark
+    4's default ANSI mode (its final co-moment division is an
+    unguarded Divide). Same closed form the r11 audit adopted inside
+    pearson_ols / rolling_corr; r12 extends it to the suite- and
+    view-level ``F.corr`` call sites the r11 sweep didn't reach.
+    Matches scipy's NaN→(our NULL) on constant series.
+
+    PAIRWISE-COMPLETE like ``F.corr``: both inputs are masked to rows
+    where BOTH are non-null before the moments — a bare
+    ``stddev_samp(x)`` would otherwise include rows whose y is NULL
+    (e.g. the lead() tail of a lagged scan) and silently shift r."""
+    xcol = F.col(x) if isinstance(x, str) else x
+    ycol = F.col(y) if isinstance(y, str) else y
+    both = xcol.isNotNull() & ycol.isNotNull()
+    xp = F.when(both, xcol)
+    yp = F.when(both, ycol)
+    return F.try_divide(
+        F.covar_samp(xp, yp), F.stddev_samp(xp) * F.stddev_samp(yp)
+    )
+
+
 def pearson_ols(
     df: DataFrame,
     x: str,
@@ -56,8 +79,18 @@ def pearson_ols(
     slope = F.try_divide(F.col("_cov"), F.col("_varx"))
     intercept = F.col("_my") - slope * F.col("_mx")
     agg = agg.withColumn("r", r)
+    # (1 − r²) is clamped at 0: a perfectly collinear group with
+    # VARYING x yields r computed from two float paths (covar vs
+    # sd·sd), so r² can overshoot 1 by an ulp — unclamped, the tiny
+    # negative denominator survives try_divide and sqrt returns NaN
+    # instead of the documented NULL (r12, ADVICE r11). Clamped, both
+    # exact |r|=1 and the overshoot map to try_divide(·, 0) → NULL,
+    # matching scipy's non-finite t for collinear input.
     t_stat = F.col("r") * F.sqrt(
-        F.try_divide(F.col("n") - 2, 1 - F.col("r") * F.col("r"))
+        F.try_divide(
+            F.col("n") - 2,
+            F.greatest(1 - F.col("r") * F.col("r"), F.lit(0.0)),
+        )
     )
     return agg.select(
         *group_cols,

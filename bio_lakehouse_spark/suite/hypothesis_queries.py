@@ -26,6 +26,7 @@ from bio_lakehouse_spark.operators.stats import (
     mad_anomalies,
     msprt_two_sample,
     normal_sf_approx,
+    safe_corr,
     theil_sen,
     welch_t,
 )
@@ -439,7 +440,10 @@ def bh_fdr_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regr_count(F.col(f"y_{x}_{y}_{k}"), F.col(x)).alias(
                     f"n_{x}_{y}_{k}"
                 ),
-                F.corr(F.col(x), F.col(f"y_{x}_{y}_{k}")).alias(
+                # safe_corr (r12 ANSI audit): F.corr raises under
+                # ANSI when one metric is a constant series — one
+                # flat metric aborted the whole multi-pair scan.
+                safe_corr(F.col(x), F.col(f"y_{x}_{y}_{k}")).alias(
                     f"r_{x}_{y}_{k}"
                 ),
             )
@@ -454,12 +458,25 @@ def bh_fdr_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = agg.select(
         F.expr(f"stack({m}, {rows}) AS (xs, ys, lag, n, r)")
     ).select("xs", "ys", F.col("lag").cast("int").alias("lag"), "n", "r")
+    # Clamped try_divide (r12 ANSI audit, same form as pearson_ols):
+    # |r|=1 zeroes the denominator (ANSI crash), and fp overshoot
+    # r²>1 would sqrt a negative → NaN; both map to NULL z → NULL p.
     z = F.abs(
         F.col("r")
-        * F.sqrt((F.col("n") - 2) / (1 - F.col("r") * F.col("r")))
+        * F.sqrt(
+            F.try_divide(
+                F.col("n") - 2,
+                F.greatest(1 - F.col("r") * F.col("r"), F.lit(0.0)),
+            )
+        )
     )
     scored = grid.withColumn("p", 2.0 * normal_sf_approx(z))
-    wrk = Window.orderBy(F.round("p", 9), "xs", "ys", "lag")
+    # NULL p (undefined test) must NOT occupy rank 1 — Spark sorts
+    # NULLs first by default, which would shift every real test's BH
+    # rank by one; park undefined tests last instead.
+    wrk = Window.orderBy(
+        F.round("p", 9).asc_nulls_last(), "xs", "ys", "lag"
+    )
     ranked = scored.withColumn("rk", F.row_number().over(wrk))
     wall = Window.partitionBy()
     kmax = F.max(
@@ -574,7 +591,16 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = (
         rep.withColumn("w", w)
         .groupBy("b")
-        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+        # try_divide (r12 ANSI audit): a replicate whose units ALL
+        # draw Poisson weight 0 has an undefined resample mean — on a
+        # small corpus that replicate occurs with probability ~e^-n,
+        # and under ANSI the raw division aborts the whole bootstrap.
+        # NULL means simply drop from the percentile.
+        .agg(
+            F.try_divide(
+                F.sum(F.col("w") * F.col("value")), F.sum("w")
+            ).alias("m")
+        )
     )
     ci = means.agg(
         R6(F.percentile(F.col("m"), F.lit(0.025))).alias("ci_low"),
@@ -997,8 +1023,15 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y_post"),
         )
     )
+    # try_divide twice (r12 ANSI audit): a constant pre-period
+    # (var(x_pre)=0 — e.g. no user has events in the first fortnight)
+    # makes θ undefined, and a constant post-period makes the
+    # variance-reduction ratio undefined; scipy/CUPED literature
+    # treat both as "no adjustment possible" → NULL, not a job abort.
     theta = per_user.agg(
-        (F.covar_samp("x_pre", "y_post") / F.var_samp("x_pre")).alias("th"),
+        F.try_divide(
+            F.covar_samp("x_pre", "y_post"), F.var_samp("x_pre")
+        ).alias("th"),
         F.avg("x_pre").alias("mx"),
     )
     j = per_user.crossJoin(F.broadcast(theta))
@@ -1008,9 +1041,9 @@ def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.first("th")).alias("theta"),
         R6(F.var_samp("y_post")).alias("var_raw"),
         R6(F.var_samp(adj)).alias("var_cuped"),
-        R6(1.0 - F.var_samp(adj) / F.var_samp("y_post")).alias(
-            "variance_reduction"
-        ),
+        R6(
+            1.0 - F.try_divide(F.var_samp(adj), F.var_samp("y_post"))
+        ).alias("variance_reduction"),
     ).drop("th", "mx")
 
 
@@ -1243,13 +1276,27 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("conv")).cast("long").alias("c1"),
         F.sum((1 - F.col("t")) * F.col("conv")).cast("long").alias("c2"),
     )
-    p1 = F.col("c1") / F.col("n1").cast("double")
-    p2 = F.col("c2") / F.col("n2").cast("double")
+    # try_divide throughout (r12 ANSI audit): an EMPTY arm (n1=0 or
+    # n2=0 — entirely possible when the behavioral split puts every
+    # user on one side) crashed the rate and 1/n terms; a pooled rate
+    # of exactly 0 or 1 (no conversions anywhere / all conversions)
+    # zeroes pp·(1−pp) and crashed z. All are undefined statistics →
+    # NULL (statsmodels returns NaN for the same degenerate inputs).
+    p1 = F.try_divide(F.col("c1"), F.col("n1").cast("double"))
+    p2 = F.try_divide(F.col("c2"), F.col("n2").cast("double"))
     pp = (F.col("c1") + F.col("c2")) / (
         F.col("n1") + F.col("n2")
     ).cast("double")
-    z = (p1 - p2) / F.sqrt(
-        pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    z = F.try_divide(
+        p1 - p2,
+        F.sqrt(
+            pp
+            * (1.0 - pp)
+            * (
+                F.try_divide(F.lit(1.0), F.col("n1"))
+                + F.try_divide(F.lit(1.0), F.col("n2"))
+            )
+        ),
     )
     return g.select(
         "n1",
@@ -1454,9 +1501,16 @@ def kruskal_wallis_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     h_raw = 12.0 / (n * (n + 1.0)) * F.col("rsum") - 3.0 * (n + 1.0)
     j = j.withColumn("h_raw", h_raw)
-    h_corr = F.col("h_raw") / (
+    # Nested try_divide (r12 ANSI audit): n=1 zeroes n³−n, and a
+    # pool where EVERY value is tied drives the tie correction to
+    # exactly 0 (scipy.kruskal raises "All numbers are identical"
+    # here; the distributed convention is NULL, not a job abort).
+    h_corr = F.try_divide(
+        F.col("h_raw"),
         1.0
-        - F.col("tie_sum") / (n.cast("double") * n * n - n)
+        - F.try_divide(
+            F.col("tie_sum"), n.cast("double") * n * n - n
+        ),
     )
     j = j.withColumn("h_corr", h_corr)
     return j.select(

@@ -88,7 +88,12 @@ def approx_percentile_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000))
     return orders.groupBy("o_orderpriority").agg(
         F.round(exact, 6).alias("exact_p90"),
-        (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
+        # try_divide (r12 ANSI audit): a group whose exact p90 is 0
+        # (legal for a generic metric, if not for TPC-H prices) has
+        # an undefined RELATIVE error — verdict NULL, not a job abort.
+        (
+            F.try_divide(F.abs(approx - exact), exact) <= 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

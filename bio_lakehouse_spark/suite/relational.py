@@ -29,6 +29,7 @@ from bio_lakehouse_spark.operators.joins import (
     coalesce_outer_chain,
     semi,
 )
+from bio_lakehouse_spark.operators.stats import safe_corr
 from bio_lakehouse_spark.suite.registry import load, register
 
 R6 = lambda c: F.round(c, 6)  # noqa: E731 — shared float-stability rounding
@@ -285,7 +286,9 @@ def corr_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
     )
     return li.groupBy("l_returnflag").agg(
-        R6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        # safe_corr (r12 ANSI audit): F.corr raises DIVIDE_BY_ZERO
+        # under ANSI on a constant-valued segment.
+        R6(safe_corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -653,7 +656,9 @@ def union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def seg(name: str, df: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(name).alias("segment"),
-            R6(F.corr("o_totalprice", "c_acctbal")).alias(
+            # safe_corr (r12 ANSI audit): the low/high-balance
+            # segments can be single-row or constant → F.corr raises.
+            R6(safe_corr("o_totalprice", "c_acctbal")).alias(
                 "price_balance_corr"
             ),
             F.count(F.lit(1)).alias("n"),
@@ -1824,9 +1829,13 @@ def als_rank1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratings.join(u_df, "c")
             .groupBy("p")
             .agg(
-                (
-                    F.sum(F.col("r") * F.col("uv"))
-                    / F.sum(F.col("uv") * F.col("uv"))
+                # try_divide (r12 ANSI audit): if every rater of a
+                # product carries factor exactly 0 (all-zero ratings
+                # zero the init step), the normal equation is
+                # singular — NULL factor, not a job abort.
+                F.try_divide(
+                    F.sum(F.col("r") * F.col("uv")),
+                    F.sum(F.col("uv") * F.col("uv")),
                 ).alias("vv")
             )
             .localCheckpoint()
@@ -1837,9 +1846,9 @@ def als_rank1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratings.join(v_df, "p")
             .groupBy("c")
             .agg(
-                (
-                    F.sum(F.col("r") * F.col("vv"))
-                    / F.sum(F.col("vv") * F.col("vv"))
+                F.try_divide(
+                    F.sum(F.col("r") * F.col("vv")),
+                    F.sum(F.col("vv") * F.col("vv")),
                 ).alias("uv")
             )
             .localCheckpoint()
@@ -1996,30 +2005,40 @@ def fs_em_priors_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(0.1).alias(f"u{k}") for k in (1, 2, 3)],
     )
     for _ in range(3):
+        # try_divide throughout the EM step (r12 ANSI audit): once an
+        # m/u parameter reaches an exact 0/1 bound (possible under
+        # degenerate blocking — a field no weighted pair agrees on),
+        # the posterior can collapse to exactly 0 or 1 for every
+        # pattern, zeroing Σc·g or Σc·(1−g) in the NEXT M-step — an
+        # EM-collapse 0/0 that ANSI turns into a job abort. NULL
+        # parameters surface the collapse instead.
         e = pat.crossJoin(F.broadcast(params)).select(
             "g1", "g2", "g3", "c",
-            (
-                (F.col("p") * prod("m"))
-                / (F.col("p") * prod("m") + (1.0 - F.col("p")) * prod("u"))
+            F.try_divide(
+                F.col("p") * prod("m"),
+                F.col("p") * prod("m")
+                + (1.0 - F.col("p")) * prod("u"),
             ).alias("g"),
         )
         aggs = [
-            (F.sum(F.col("c") * F.col("g")) / F.sum("c")).alias("p")
+            F.try_divide(
+                F.sum(F.col("c") * F.col("g")), F.sum("c")
+            ).alias("p")
         ]
         for j in (1, 2, 3):
             xj = F.when(F.col(f"g{j}"), 1.0).otherwise(0.0)
             aggs.append(
-                (
-                    F.sum(F.col("c") * F.col("g") * xj)
-                    / F.sum(F.col("c") * F.col("g"))
+                F.try_divide(
+                    F.sum(F.col("c") * F.col("g") * xj),
+                    F.sum(F.col("c") * F.col("g")),
                 ).alias(f"m{j}")
             )
         for j in (1, 2, 3):
             xj = F.when(F.col(f"g{j}"), 1.0).otherwise(0.0)
             aggs.append(
-                (
-                    F.sum(F.col("c") * (1.0 - F.col("g")) * xj)
-                    / F.sum(F.col("c") * (1.0 - F.col("g")))
+                F.try_divide(
+                    F.sum(F.col("c") * (1.0 - F.col("g")) * xj),
+                    F.sum(F.col("c") * (1.0 - F.col("g"))),
                 ).alias(f"u{j}")
             )
         params = e.agg(*aggs)
@@ -2269,9 +2288,23 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     n = F.col("n")
-    r = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
-        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    # Clamped try_divide (r12 ANSI audit): a REGULAR graph (every
+    # node the same degree — cycles, perfect matchings, the k-regular
+    # cores real bipartite data produces) zeroes both degree
+    # variances → ANSI crash; and the closed-form variance can land
+    # an ulp NEGATIVE on constant input, where the product of two
+    # tiny negatives is a spurious positive denominator — clamp each
+    # variance at 0 first so the degenerate case is NULL (networkx
+    # returns NaN for the same graphs), never noise-valued.
+    vx = F.greatest(
+        F.col("sxx") - F.col("sx") * F.col("sx") / n, F.lit(0.0)
+    )
+    vy = F.greatest(
+        F.col("syy") - F.col("sy") * F.col("sy") / n, F.lit(0.0)
+    )
+    r = F.try_divide(
+        F.col("sxy") - F.col("sx") * F.col("sy") / n,
+        F.sqrt(vx * vy),
     )
     return m.select(
         n.cast("long").alias("n_edge_ends"),
@@ -2431,20 +2464,29 @@ def gini_concentration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("long").alias("n_customers"),
             F.round(F.max("total"), 2).alias("total_revenue"),
+            # try_divide on the Σr denominators (r12 ANSI audit):
+            # Gini/top-share are undefined when TOTAL revenue is 0
+            # (all-zero amounts are legal for a generic measure even
+            # if TPC-H prices are positive) → NULL, not a job abort.
+            # max(n) needs no guard: a row exists ⇒ n ≥ 1.
             R6(
-                2.0 * F.sum(F.col("i") * F.col("r"))
-                / (F.max("n") * F.max("total"))
+                F.try_divide(
+                    2.0 * F.sum(F.col("i") * F.col("r")),
+                    F.max("n") * F.max("total"),
+                )
                 - (F.max("n") + 1.0) / F.max("n")
             ).alias("gini"),
             R6(
-                F.sum(
-                    F.when(
-                        F.col("i")
-                        > F.col("n") - F.ceil(0.1 * F.col("n")),
-                        F.col("r"),
-                    ).otherwise(0.0)
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("i")
+                            > F.col("n") - F.ceil(0.1 * F.col("n")),
+                            F.col("r"),
+                        ).otherwise(0.0)
+                    ),
+                    F.max("total"),
                 )
-                / F.max("total")
             ).alias("top10pct_share"),
         )
     )
@@ -2521,9 +2563,18 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("kk").alias("k_top"),
             F.round(F.max("xk1"), 2).alias("threshold"),
+            # try_divide twice (r12 ANSI audit): if every top-k value
+            # TIES the threshold x_{k+1} (discrete amounts do this),
+            # Σ log(r/x_{k+1}) is exactly 0 — the Hill estimator is
+            # undefined (infinite α) → NULL; and a zero threshold
+            # (all-zero amounts) zeroes the inner ratio's divisor.
             R6(
-                F.max("kk").cast("double")
-                / F.sum(F.log(F.col("r") / F.col("xk1")))
+                F.try_divide(
+                    F.max("kk").cast("double"),
+                    F.sum(
+                        F.log(F.try_divide(F.col("r"), F.col("xk1")))
+                    ),
+                )
             ).alias("hill_alpha"),
         )
     )
