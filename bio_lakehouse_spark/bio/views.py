@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bio_lakehouse_spark.bio.gold import tss_expr
 from bio_lakehouse_spark.functions.dates import safe_date, week_start
+from bio_lakehouse_spark.operators.stats import safe_corr
 
 _W = Window.orderBy("date")
 
@@ -180,10 +181,15 @@ def readiness_performance_correlation(gold: DataFrame) -> DataFrame:
         return df.agg(
             F.lit(label).alias("segment"),
             F.count(F.lit(1)).alias("sample_size"),
-            F.round(F.corr("readiness_score", "total_output_kj"), 3).alias("readiness_output_corr"),
-            F.round(F.corr("sleep_score", "total_output_kj"), 3).alias("sleep_output_corr"),
-            F.round(F.corr(F.col("hrv_balance_score").cast("double"), F.col("total_output_kj")), 3).alias("hrv_output_corr"),
-            F.round(F.corr("sleep_score", "readiness_score"), 3).alias("sleep_readiness_corr"),
+            # safe_corr (r12 ANSI audit): a segment with a
+            # constant column (a user whose readiness never moves,
+            # or the single-day High/Low slices) crashes F.corr
+            # under Spark 4 ANSI — NULL matches the reference's
+            # pandas/scipy NaN on the same segments.
+            F.round(safe_corr("readiness_score", "total_output_kj"), 3).alias("readiness_output_corr"),
+            F.round(safe_corr("sleep_score", "total_output_kj"), 3).alias("sleep_output_corr"),
+            F.round(safe_corr(F.col("hrv_balance_score").cast("double"), F.col("total_output_kj")), 3).alias("hrv_output_corr"),
+            F.round(safe_corr("sleep_score", "readiness_score"), 3).alias("sleep_readiness_corr"),
             F.round(F.avg("readiness_score"), 1).alias("avg_readiness"),
             F.round(F.avg("sleep_score"), 1).alias("avg_sleep"),
             F.round(F.avg("total_output_kj"), 1).alias("avg_output_kj"),

@@ -105,8 +105,18 @@ def decode_batches(
                 "n_bytes": pdf["n_bytes"],
                 "content_md5": pdf["content_md5"],
             }
-            dims = [dec.decode(bytes(c), m)
-                    for c, m in zip(pdf["content"], pdf["media_type"])]
+            # NULL content decodes to NULL metadata (r12 edge-hunt):
+            # a row with a missing payload used to abort the whole
+            # Arrow batch with an opaque ``bytes(None)`` TypeError —
+            # same posture as NULL casts staying NULL in the silver
+            # layer; truly malformed BYTES still fail loud inside the
+            # decoder itself.
+            dims = [
+                (None, None, None, None)
+                if c is None
+                else dec.decode(bytes(c), m)
+                for c, m in zip(pdf["content"], pdf["media_type"])
+            ]
             out["width"] = [d[0] for d in dims]
             out["height"] = [d[1] for d in dims]
             out["n_channels"] = [d[2] for d in dims]
@@ -121,6 +131,13 @@ def resize_spec(width: int, height: int, target: int) -> tuple[int, int]:
     """Aspect-preserving resize dims (pure arithmetic — the Spark-side
     planning half of a resize stage; the pixel work belongs to the
     decoder batch)."""
+    if width <= 0 or height <= 0:
+        # 0×0 (or negative) dimensions are malformed metadata — fail
+        # loud with a named error, not a bare ZeroDivisionError from
+        # the aspect ratio (r12 edge-hunt).
+        raise ValueError(
+            f"resize_spec: non-positive dimensions {width}x{height}"
+        )
     if width >= height:
         return target, max(1, round(height * target / width))
     return max(1, round(width * target / height)), target

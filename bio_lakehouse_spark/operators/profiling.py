@@ -170,9 +170,14 @@ def key_skew_profile(df, cols):
             F.max("f").alias("max_freq"),
             F.avg("f").alias("mean_freq"),
             (F.max("f") / F.avg("f")).alias("skew_ratio"),
-            (
-                -F.sum(p * F.log(p))
-                / F.log(F.count(F.lit(1)).cast("double"))
+            # try_divide (r12 degenerate sweep): a column with ONE
+            # distinct key has log(n_keys)=0 — normalized entropy is
+            # undefined for a single-category column → NULL, not a
+            # job abort (the r11 profiling fix covered empty frames
+            # but not the single-key log).
+            F.try_divide(
+                -F.sum(p * F.log(p)),
+                F.log(F.count(F.lit(1)).cast("double")),
             ).alias("entropy_norm"),
             (
                 2.0 * F.sum(F.col("i") * F.col("f"))

@@ -59,8 +59,14 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Per-pair cosine (norms inline — prefer the precomputed-norm
-    call sites below for anything joined)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    call sites below for anything joined).
+
+    try_divide (r12 degenerate sweep): an ALL-ZERO embedding has zero
+    norm — cosine is undefined → NULL (ranks last under desc), where
+    the raw division aborted the whole job under ANSI. One zero
+    vector in a 100 TB corpus is a certainty, and this helper sits
+    under a dozen ANN/dedup/eval operators."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk(
@@ -93,8 +99,12 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("q_vec"), F.col("c_vec"))
-             / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+            # try_divide (r12 degenerate sweep): zero-norm vector
+            # → cosine undefined → NULL, ranks last — never aborts.
+            F.try_divide(
+                dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -129,8 +139,10 @@ def embedding_neardup_pairs(
     cond = F.col("a.vid") < F.col("b.vid")
     if block_col:
         cond = cond & (F.col("a.block") == F.col("b.block"))
-    sim = dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.col("a.vnorm") * F.col("b.vnorm")
+    # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+    sim = F.try_divide(
+        dot(F.col("a.vec"), F.col("b.vec")),
+        F.col("a.vnorm") * F.col("b.vnorm"),
     )
     return (
         a.join(b, cond)
@@ -178,8 +190,11 @@ def assign_cells(
         vec_col,
         *carry,
         centroid_id,
-        (dot(F.col(vec_col), F.col("cent_vec"))
-         / (F.col("_vnorm") * F.col("cent_norm"))).alias("cent_sim"),
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col(vec_col), F.col("cent_vec")),
+            F.col("_vnorm") * F.col("cent_norm"),
+        ).alias("cent_sim"),
     )
     best = scored.groupBy(id_col).agg(
         F.max_by(
@@ -300,8 +315,11 @@ def ivf_topk_indexed(
     )
     q_cells = q.crossJoin(F.broadcast(cent)).select(
         "query_id", "q_vec", "q_norm", "centroid_id",
-        (dot(F.col("q_vec"), F.col("cent_vec"))
-         / (F.col("q_norm") * F.col("cent_norm"))).alias("cent_sim"),
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("cent_vec")),
+            F.col("q_norm") * F.col("cent_norm"),
+        ).alias("cent_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("cent_sim"), F.asc("centroid_id")
@@ -339,8 +357,11 @@ def ivf_topk_indexed(
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec"))
-         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm") * F.col("c_norm"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -396,8 +417,11 @@ def ivf_topk(
             "q_norm",
             *carry_query,
             "centroid_id",
-            (dot(F.col("q_vec"), F.col("cent_vec"))
-             / (F.col("q_norm") * F.col("cent_norm"))).alias("cent_sim"),
+            # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+            F.try_divide(
+                dot(F.col("q_vec"), F.col("cent_vec")),
+                F.col("q_norm") * F.col("cent_norm"),
+            ).alias("cent_sim"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -423,8 +447,11 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("q_vec"), F.col("c_vec"))
-         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm") * F.col("c_norm"),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -582,9 +609,10 @@ def ivf_neardup_pairs(
         .select(
             F.col(id_col),
             centroid_id,
-            (
-                dot(F.col(vec_col), F.col("cent_vec"))
-                / (F.col("_vnorm") * F.col("cent_norm"))
+            # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+            F.try_divide(
+                dot(F.col(vec_col), F.col("cent_vec")),
+                F.col("_vnorm") * F.col("cent_norm"),
             ).alias("cent_sim"),
         )
     )
@@ -614,8 +642,10 @@ def ivf_neardup_pairs(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vnorm"),
     )
-    sim = dot(F.col("va.vec"), F.col("vb.vec")) / (
-        F.col("va.vnorm") * F.col("vb.vnorm")
+    # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+    sim = F.try_divide(
+        dot(F.col("va.vec"), F.col("vb.vec")),
+        F.col("va.vnorm") * F.col("vb.vnorm"),
     )
     return (
         pairs.join(
@@ -861,9 +891,10 @@ def bitext_mine_mutual(
     scored = a.crossJoin(F.broadcast(b)).select(
         "a_id",
         "b_id",
-        (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias(
-            "cos_sim"
-        ),
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col("av"), F.col("bv")), F.col("an") * F.col("bn")
+        ).alias("cos_sim"),
     )
     wa = Window.partitionBy("a_id").orderBy(
         F.desc("cos_sim"), F.asc("b_id")
@@ -896,9 +927,13 @@ def bitext_mine_mutual(
             "a_id",
             "b_id",
             "cos_sim",
-            (
-                F.col("cos_sim")
-                / ((F.col("knn_a") + F.col("knn_b")) / 2.0)
+            # try_divide (r12 degenerate sweep): a neighborhood of
+            # mutually-orthogonal (or zero-norm → NULL-cosine)
+            # vectors averages to a zero denominator — the bitext
+            # margin is undefined there → NULL, never a job abort.
+            F.try_divide(
+                F.col("cos_sim"),
+                (F.col("knn_a") + F.col("knn_b")) / 2.0,
             ).alias("margin"),
         )
     )
@@ -934,7 +969,11 @@ def mmr_select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cv"),
             norm(F.col(vec_col)).alias("cn"),
-            (dot(F.col(vec_col), F.col("qv")) / (norm(F.col(vec_col)) * F.col("qn"))).alias("rel"),
+            # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+            F.try_divide(
+                dot(F.col(vec_col), F.col("qv")),
+                norm(F.col(vec_col)) * F.col("qn"),
+            ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("cid"))
         .limit(k_candidates)
@@ -969,8 +1008,11 @@ def mmr_select(
             .crossJoin(sel)
             .withColumn(
                 f"__sim{step}",
-                dot(F.col("cv"), F.col("sel_v"))
-                / (F.col("cn") * F.col("sel_n")),
+                # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+                F.try_divide(
+                    dot(F.col("cv"), F.col("sel_v")),
+                    F.col("cn") * F.col("sel_n"),
+                ),
             )
             .drop("sel_v", "sel_n")
         )
@@ -1057,9 +1099,10 @@ def prototype_prune(
     ).select(
         id_col,
         "centroid_id",
-        (
-            dot(F.col(vec_col), F.col("cent_vec"))
-            / (F.col("_vnorm") * F.col("cent_norm"))
+        # try_divide: zero-norm vector (r12 degenerate sweep) -> NULL
+        F.try_divide(
+            dot(F.col(vec_col), F.col("cent_vec")),
+            F.col("_vnorm") * F.col("cent_norm"),
         ).alias("proto_sim"),
     )
     w = Window.partitionBy("centroid_id").orderBy(

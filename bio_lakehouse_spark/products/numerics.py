@@ -371,8 +371,12 @@ def walk_forward_cv(
     actuals = np.array(actuals)
     naives = np.array(naives)
     if len(preds) == 0:
+        # n_folds was missing here (r12 degenerate sweep): a series
+        # shorter than min_train produced zero folds and model_zoo_cv
+        # KeyError'd on the aggregate keys instead of reporting an
+        # untrainable model.
         return {"folds": [], "mae": None, "rmse": None, "r2": None,
-                "naive_mae": None}
+                "naive_mae": None, "n_folds": 0}
     ss_res = ((actuals - preds) ** 2).sum()
     ss_tot = ((actuals - actuals.mean()) ** 2).sum()
     return {

@@ -288,9 +288,16 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category",
             "fold",
             F.col("n").alias("n_fold"),
+            # try_divide (r12 ANSI audit): a category whose rows all
+            # hash into ONE fold (certain for 1-row rare categories)
+            # has no out-of-fold rows — the encoding is undefined →
+            # NULL (the consumer's fallback-to-global convention),
+            # not a job abort.
             F.round(
-                (F.sum("s").over(wc) - F.col("s"))
-                / (F.sum("n").over(wc) - F.col("n")),
+                F.try_divide(
+                    F.sum("s").over(wc) - F.col("s"),
+                    F.sum("n").over(wc) - F.col("n"),
+                ),
                 6,
             ).alias("enc"),
         )
@@ -340,12 +347,18 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_h"),
         F.stddev_samp("n_chars").alias("sd_h"),
     )
+    # try_divide (r12 ANSI audit): when EVERY stratum is internally
+    # constant (sd_h = 0 for all — think single-template docs), the
+    # Neyman denominator Σ n_h·sd_h is exactly 0 and the optimal
+    # allocation is undefined → NULL weights, not a job abort.
     alloc = strata.withColumn(
         "n_alloc",
-        100.0
-        * F.col("n_h")
-        * F.col("sd_h")
-        / F.sum(F.col("n_h") * F.col("sd_h")).over(Window.partitionBy()),
+        F.try_divide(
+            100.0 * F.col("n_h") * F.col("sd_h"),
+            F.sum(F.col("n_h") * F.col("sd_h")).over(
+                Window.partitionBy()
+            ),
+        ),
     )
     sampled = (
         docs.join(F.broadcast(alloc), "lang")

@@ -45,7 +45,14 @@ def regexp_extract_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.regexp_extract("props", r'"k": (\d+)', 1)
+        # nullif before the cast (r12 degenerate sweep): a props
+        # payload without the key makes regexp_extract return '' and
+        # ANSI CAST(''), aborting the job — a missing field is the
+        # empty-cell case (NULL), not garbage; a NON-empty non-digit
+        # match still fails loud.
+        F.nullif(
+            F.regexp_extract("props", r'"k": (\d+)', 1), F.lit("")
+        )
         .cast("int")
         .alias("k_regex"),
         parsed["k"].alias("k_json"),

@@ -16,6 +16,7 @@ from bio_lakehouse_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
 )
+from bio_lakehouse_spark.operators.stats import safe_corr
 from bio_lakehouse_spark.suite.registry import REGISTRY, load, register
 
 R6 = lambda c: F.round(c, 6)  # noqa: E731
@@ -273,12 +274,18 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hi - lo).alias("rng"),
         F.when(hi == lo, F.lit(0.0))
         .otherwise(
-            F.aggregate(
-                F.transform("embedding", sqerr),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            # try_divide (r12 ANSI audit): an EMPTY embedding
+            # array gives NULL min/max, routing past the hi==lo
+            # guard into this branch with size 0 — NULL mse, not a
+            # job abort.
+            F.try_divide(
+                F.aggregate(
+                    F.transform("embedding", sqerr),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.size("embedding"),
             )
-            / F.size("embedding")
         )
         .alias("mse"),
     )
@@ -707,9 +714,14 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias(
-                "cos_sim"
-            ),
+            # try_divide (r12 ANSI audit): a zero-norm vector
+            # (all-zero embedding is legal input) zeroes qn·nn —
+            # cosine undefined → NULL; desc ordering parks NULLs
+            # last, so degenerate vectors simply never rank.
+            F.try_divide(
+                dot(F.col("qv"), F.col("nv")),
+                F.col("qn") * F.col("nn"),
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
@@ -1100,15 +1112,20 @@ def embedding_sign_hamming_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agreed = pairs.select(
         "cos_full",
-        (F.aggregate(agree, F.lit(0.0), lambda acc, v: acc + v)
-         / F.size("va")).alias("agreement"),
+        # try_divide (r12 ANSI audit): empty sign vector → size 0.
+        F.try_divide(
+            F.aggregate(agree, F.lit(0.0), lambda acc, v: acc + v),
+            F.size("va"),
+        ).alias("agreement"),
     )
     srp = 1.0 - F.acos(
         F.greatest(F.least(F.col("cos_full"), F.lit(1.0)), F.lit(-1.0))
     ) / F.lit(3.141592653589793)
     return agreed.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        R6(F.corr("cos_full", "agreement")).alias("corr_cos_agreement"),
+        # safe_corr (r12 ANSI audit): all-identical pairs make
+        # agreement constant → F.corr raises under ANSI.
+        R6(safe_corr("cos_full", "agreement")).alias("corr_cos_agreement"),
         R6(F.avg("agreement")).alias("avg_agreement"),
         R6(F.avg(F.abs(srp - F.col("agreement")))).alias("avg_srp_gap"),
     )
@@ -1148,7 +1165,9 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return trunc.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        R6(F.corr("cos_full", "cos_16")).alias("corr_full_trunc"),
+        # safe_corr (r12 ANSI audit): constant truncated-cosine
+        # column (duplicate-heavy pair sample) → F.corr raises.
+        R6(safe_corr("cos_full", "cos_16")).alias("corr_full_trunc"),
         R6(F.avg(F.abs(F.col("cos_full") - F.col("cos_16")))).alias("mae"),
         R6(F.avg("cos_full")).alias("avg_cos_full"),
     )
@@ -1402,7 +1421,18 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             R6(
                 F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
             ).alias("mrr_at_10"),
-            R6(F.col("dcg") / idcg).alias("ndcg_at_10"),
+            # Lazy when-guard (r12 ANSI audit): a SINGLETON label
+            # gives n_rel=0, and sequence(1, 0) infers step -1 →
+            # [1, 0] — the i=0 term divides by log2(1)=0 and aborts
+            # the job. nDCG over an empty ideal ranking is undefined
+            # → NULL (the when's otherwise), evaluated lazily so the
+            # bad sequence never runs.
+            R6(
+                F.try_divide(
+                    F.col("dcg"),
+                    F.when(F.col("n_rel") >= 1, idcg),
+                )
+            ).alias("ndcg_at_10"),
         )
     )
 
@@ -1807,7 +1837,13 @@ def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             row.select("cmat", F.expr(mat_u).alias("u"))
             .select(
                 "cmat",
-                F.expr(f"transform(u, x -> x / ({z_of_u}))").alias("v"),
+                # try_divide (r12 ANSI audit): an all-identical
+                # corpus zeroes the covariance, so u = 0 and its norm
+                # z = 0 — the leading eigenvector is undefined → NULL
+                # loadings, not a job abort.
+                F.expr(
+                    f"transform(u, x -> try_divide(x, {z_of_u}))"
+                ).alias("v"),
                 F.expr(z_of_u).alias("z"),
             )
             .localCheckpoint()

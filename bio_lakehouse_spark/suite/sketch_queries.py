@@ -85,10 +85,17 @@ def hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "hll_estimate",
         "exact_distinct",
+        # try_divide (r12 ANSI audit): a group whose key column
+        # is entirely NULL has exact_distinct = 0 while rows exist —
+        # relative error undefined → NULL, not a job abort.
         F.round(
-            100.0
-            * F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
+            F.try_divide(
+                100.0
+                * F.abs(
+                    F.col("hll_estimate") - F.col("exact_distinct")
+                ),
+                F.col("exact_distinct"),
+            ),
             4,
         ).alias("err_pct"),
     )
@@ -139,10 +146,16 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "kmv_estimate",
         "exact_distinct",
+        # try_divide (r12 ANSI audit): all-NULL key group →
+        # exact_distinct = 0 → relative error undefined → NULL.
         F.round(
-            100.0
-            * F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
+            F.try_divide(
+                100.0
+                * F.abs(
+                    F.col("kmv_estimate") - F.col("exact_distinct")
+                ),
+                F.col("exact_distinct"),
+            ),
             4,
         ).alias("err_pct"),
     )
@@ -255,12 +268,16 @@ def approx_distinct_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_distinct"),
+        # try_divide (r12 ANSI audit): all-NULL key group →
+        # countDistinct = 0 → verdict NULL, not a job abort.
         (
-            F.abs(
-                F.approx_count_distinct("o_custkey", rsd=0.02)
-                - F.countDistinct("o_custkey")
+            F.try_divide(
+                F.abs(
+                    F.approx_count_distinct("o_custkey", rsd=0.02)
+                    - F.countDistinct("o_custkey")
+                ),
+                F.countDistinct("o_custkey"),
             )
-            / F.countDistinct("o_custkey")
             <= 0.05
         ).alias("approx_within_5pct"),
     )
@@ -428,10 +445,17 @@ def rolling_hll_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("date"),
             "hll_users_7d",
             "exact_users_7d",
+            # try_divide (r12 ANSI audit): a 7-day window with
+            # rows but an all-NULL user column → exact 0 → NULL.
             F.round(
-                100.0
-                * F.abs(F.col("hll_users_7d") - F.col("exact_users_7d"))
-                / F.col("exact_users_7d"),
+                F.try_divide(
+                    100.0
+                    * F.abs(
+                        F.col("hll_users_7d")
+                        - F.col("exact_users_7d")
+                    ),
+                    F.col("exact_users_7d"),
+                ),
                 4,
             ).alias("err_pct"),
         )

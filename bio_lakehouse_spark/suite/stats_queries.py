@@ -456,8 +456,16 @@ def progressive_overload_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("n_events").over(w).alias("prev_n"),
         F.lag("avg_value").over(w).alias("prev_avg"),
     )
-    total_chg = (F.col("total_value") - F.col("prev_total")) / F.col("prev_total")
-    avg_chg = (F.col("avg_value") - F.col("prev_avg")) / F.col("prev_avg")
+    # try_divide (r12 ANSI audit): a week whose value sum is
+    # exactly 0 (all-zero or all-NULL metric) makes the next week's
+    # pct-change undefined → NULL, which the vote whens treat as
+    # "no vote" — not a job abort.
+    total_chg = F.try_divide(
+        F.col("total_value") - F.col("prev_total"), F.col("prev_total")
+    )
+    avg_chg = F.try_divide(
+        F.col("avg_value") - F.col("prev_avg"), F.col("prev_avg")
+    )
     up_votes = (
         F.when(total_chg > 0.02, 1).otherwise(0)
         + F.when(F.col("n_events") > F.col("prev_n"), 1).otherwise(0)
@@ -659,8 +667,12 @@ def lowess_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("px") * F.col("px")).alias("swxx"),
         F.sum(F.col("w") * F.col("px") * F.col("py")).alias("swxy"),
     )
-    mx = F.col("swx") / F.col("sw")
-    my = F.col("swy") / F.col("sw")
+    # try_divide (r12 ANSI audit): when every neighbor in the
+    # window sits exactly AT dmax (tied x values), all tricube
+    # weights are 0 and sw = 0 — the local fit is undefined → NULL
+    # (vx goes NULL too, so `fitted` falls back via its when-guard).
+    mx = F.try_divide(F.col("swx"), F.col("sw"))
+    my = F.try_divide(F.col("swy"), F.col("sw"))
     vx = F.col("swxx") - F.col("sw") * mx * mx
     b = (F.col("swxy") - F.col("sw") * mx * my) / vx
     fitted = F.when(vx > 0, my + b * (F.col("ax") - mx)).otherwise(my)
@@ -1353,12 +1365,16 @@ def model_zoo_cv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = daily["total_value"].shift(-1).to_numpy(dtype=float)[:-1]
     X = daily[names].to_numpy(dtype=float)[:-1]
     zoo = model_zoo_cv(X, y, names, min_train=10, test_window=5)
+    # NULL-safe rounding (r12 degenerate sweep): a series shorter
+    # than min_train yields zero folds and None metrics — report the
+    # untrainable model as NULLs instead of round(None) TypeError'ing.
+    r6 = lambda v: round(v, 6) if v is not None else None  # noqa: E731
     rows = [
         {
             "model": name,
-            "mae": round(m["mae"], 6),
-            "rmse": round(m["rmse"], 6),
-            "naive_mae": round(m["naive_mae"], 6),
+            "mae": r6(m["mae"]),
+            "rmse": r6(m["rmse"]),
+            "naive_mae": r6(m["naive_mae"]),
             "n_folds": m["n_folds"],
             "is_best": name == zoo["best_model"],
         }
@@ -2106,17 +2122,22 @@ def gain_lift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n",
         "n_pos",
+        # try_divide (r12 ANSI audit): a single-class corpus (zero
+        # positives anywhere) zeroes the base rate — gain/lift are
+        # undefined → NULL, not a job abort. n per decile is ≥ 1.
         R6(
-            F.sum("n_pos").over(w_desc)
-            * 1.0
-            / F.sum("n_pos").over(w_all)
+            F.try_divide(
+                F.sum("n_pos").over(w_desc) * 1.0,
+                F.sum("n_pos").over(w_all),
+            )
         ).alias("cum_gain"),
         R6(
-            (F.col("n_pos") * 1.0 / F.col("n"))
-            / (
-                F.sum("n_pos").over(w_all)
-                * 1.0
-                / F.sum("n").over(w_all)
+            F.try_divide(
+                F.col("n_pos") * 1.0 / F.col("n"),
+                F.try_divide(
+                    F.sum("n_pos").over(w_all) * 1.0,
+                    F.sum("n").over(w_all),
+                ),
             )
         ).alias("lift"),
     )
@@ -2492,13 +2513,25 @@ def ipw_ate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(
             F.avg(F.when(t == 1.0, yv)) - F.avg(F.when(t == 0.0, yv))
         ).alias("naive_diff"),
+        # try_divide on every propensity ratio (r12 ANSI audit): an
+        # extreme covariate saturates the logistic — exp underflow
+        # makes e EXACTLY 0.0 or 1.0 — and the raw 1/e, 1/(1−e)
+        # weights abort the job. NULL drops that user from the
+        # estimator (the standard positivity-violation trim), and the
+        # Hajek outer ratios go NULL if an arm is empty.
         R6(
-            F.avg(t * yv / e) - F.avg((1.0 - t) * yv / (1.0 - e))
+            F.avg(F.try_divide(t * yv, e))
+            - F.avg(F.try_divide((1.0 - t) * yv, 1.0 - e))
         ).alias("ate_ipw"),
         R6(
-            F.sum(t * yv / e) / F.sum(t / e)
-            - F.sum((1.0 - t) * yv / (1.0 - e))
-            / F.sum((1.0 - t) / (1.0 - e))
+            F.try_divide(
+                F.sum(F.try_divide(t * yv, e)),
+                F.sum(F.try_divide(t, e)),
+            )
+            - F.try_divide(
+                F.sum(F.try_divide((1.0 - t) * yv, 1.0 - e)),
+                F.sum(F.try_divide(1.0 - t, 1.0 - e)),
+            )
         ).alias("ate_hajek"),
     ).select(
         "n_users",
@@ -2769,11 +2802,16 @@ def gmm_em_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv = 0.3989422804014327
 
+    # try_divide in the density (r12 ANSI audit): a component
+    # whose variance hits exactly 0 (constant data at init, or
+    # collapse onto a single point mid-EM) has an undefined density
+    # → NULL, which propagates to NULL responsibilities/params
+    # instead of aborting the job.
     def pdf(mu, s2):
-        return (
-            inv
-            / F.sqrt(s2)
-            * F.exp(-(F.col("x") - mu) * (F.col("x") - mu) / (2.0 * s2))
+        return F.try_divide(F.lit(inv), F.sqrt(s2)) * F.exp(
+            -F.try_divide(
+                (F.col("x") - mu) * (F.col("x") - mu), 2.0 * s2
+            )
         )
 
     params = init
@@ -2781,23 +2819,28 @@ def gmm_em_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = xs.crossJoin(F.broadcast(params))
         p1 = F.col("w1") * pdf(F.col("mu1"), F.col("s1"))
         p2 = F.col("w2") * pdf(F.col("mu2"), F.col("s2w"))
-        e = e.withColumn("r2", p2 / (p1 + p2))
+        # try_divide (r12 ANSI audit): a far-tail point underflows
+        # BOTH densities to exactly 0 → 0/0; its responsibility is
+        # undefined → NULL (the row simply drops from the M-step).
+        e = e.withColumn("r2", F.try_divide(p2, p1 + p2))
         r2, r1 = F.col("r2"), 1.0 - F.col("r2")
         x = F.col("x")
         params = e.groupBy("mu1", "mu2", "s1", "s2w", "w1", "w2").agg(
             F.avg(r1).alias("nw1"),
             F.avg(r2).alias("nw2"),
-            (F.sum(r1 * x) / F.sum(r1)).alias("nmu1"),
-            (F.sum(r2 * x) / F.sum(r2)).alias("nmu2"),
+            # try_divide (r12 ANSI audit): total component
+            # collapse (Σr exactly 0) → undefined moments → NULL.
+            F.try_divide(F.sum(r1 * x), F.sum(r1)).alias("nmu1"),
+            F.try_divide(F.sum(r2 * x), F.sum(r2)).alias("nmu2"),
             (
-                F.sum(r1 * x * x) / F.sum(r1)
-                - (F.sum(r1 * x) / F.sum(r1))
-                * (F.sum(r1 * x) / F.sum(r1))
+                F.try_divide(F.sum(r1 * x * x), F.sum(r1))
+                - F.try_divide(F.sum(r1 * x), F.sum(r1))
+                * F.try_divide(F.sum(r1 * x), F.sum(r1))
             ).alias("ns1"),
             (
-                F.sum(r2 * x * x) / F.sum(r2)
-                - (F.sum(r2 * x) / F.sum(r2))
-                * (F.sum(r2 * x) / F.sum(r2))
+                F.try_divide(F.sum(r2 * x * x), F.sum(r2))
+                - F.try_divide(F.sum(r2 * x), F.sum(r2))
+                * F.try_divide(F.sum(r2 * x), F.sum(r2))
             ).alias("ns2"),
         ).select(
             F.col("nw1").alias("w1"),
@@ -2929,14 +2972,18 @@ def aipw_doubly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t1, t0 = F.col("t") == 1.0, F.col("t") == 0.0
     x1, yv = F.col("x1"), F.col("yv")
+    # try_divide (r12 ANSI audit): an arm where the covariate is
+    # CONSTANT (every treated user has the same activity count) has
+    # zero within-arm variance — the outcome-model slope is undefined
+    # → NULL, not a job abort.
     om = p.agg(
-        (
-            (cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv))
-            / (cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1))
+        F.try_divide(
+            cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv),
+            cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1),
         ).alias("slope1"),
-        (
-            (cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv))
-            / (cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1))
+        F.try_divide(
+            cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv),
+            cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1),
         ).alias("slope0"),
         cavg(t1, yv).alias("my1"),
         cavg(t0, yv).alias("my0"),
@@ -3399,14 +3446,18 @@ def uplift_two_model_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t1, t0 = F.col("t") == 1.0, F.col("t") == 0.0
     x1, yv = F.col("x1"), F.col("yv")
+    # try_divide (r12 ANSI audit): an arm where the covariate is
+    # CONSTANT (every treated user has the same activity count) has
+    # zero within-arm variance — the outcome-model slope is undefined
+    # → NULL, not a job abort.
     om = p.agg(
-        (
-            (cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv))
-            / (cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1))
+        F.try_divide(
+            cavg(t1, x1 * yv) - cavg(t1, x1) * cavg(t1, yv),
+            cavg(t1, x1 * x1) - cavg(t1, x1) * cavg(t1, x1),
         ).alias("slope1"),
-        (
-            (cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv))
-            / (cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1))
+        F.try_divide(
+            cavg(t0, x1 * yv) - cavg(t0, x1) * cavg(t0, yv),
+            cavg(t0, x1 * x1) - cavg(t0, x1) * cavg(t0, x1),
         ).alias("slope0"),
         cavg(t1, yv).alias("my1"),
         cavg(t0, yv).alias("my0"),
@@ -3680,8 +3731,12 @@ def poisson_glm_irls_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beta = poisson_glm_fit(d, "x", "y", iters=3)
     mu = F.exp(F.col("b0") + F.col("b1") * F.col("x"))
+    # try_divide (r12 ANSI audit): a wildly negative fitted linear
+    # predictor underflows mu = exp(·) to exactly 0 — the deviance
+    # term is undefined there → NULL, not a job abort.
     dev_term = F.when(
-        F.col("y") > 0.0, F.col("y") * F.log(F.col("y") / mu)
+        F.col("y") > 0.0,
+        F.col("y") * F.log(F.try_divide(F.col("y"), mu)),
     ).otherwise(0.0) - (F.col("y") - mu)
     return (
         d.crossJoin(F.broadcast(beta))
@@ -4069,10 +4124,13 @@ def mmd_two_sample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("v").alias("mu"), F.stddev_samp("v").alias("sd")
         )
     )
+    # try_divide (r12 ANSI audit): a POOLED sample that is entirely
+    # constant (zero activity every day) has sd = 0 — the z-scores
+    # and hence the MMD are undefined → NULL, not a job abort.
     z = d.crossJoin(F.broadcast(pool)).select(
         "date",
-        ((F.col("x") - F.col("mu")) / F.col("sd")).alias("zx"),
-        ((F.col("y") - F.col("mu")) / F.col("sd")).alias("zy"),
+        F.try_divide(F.col("x") - F.col("mu"), F.col("sd")).alias("zx"),
+        F.try_divide(F.col("y") - F.col("mu"), F.col("sd")).alias("zy"),
     ).localCheckpoint()
     a, b = z.alias("a"), z.alias("b")
 
@@ -4504,12 +4562,20 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (csst - cssa - (cst - csa) * (cst - csa) / (F.col("rn") - F.col("a")))
             - (cssb - csst - (csb - cst) * (csb - cst) / (F.col("b") - F.col("rn")))
         )
-        top = (
+        rows = (
             g.select(F.col("rn").alias("t"), gain.alias("gain"))
             .orderBy(F.desc("gain"), F.asc("t"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        # Short series guard (r12 audit, same robustness family as
+        # the ANSI sweep): with < k+2 observations every remaining
+        # row is already a bound — no candidate splits exist and
+        # collect()[0] raised IndexError on the driver. Stop
+        # splitting instead; the output just has fewer picks.
+        if not rows:
+            break
+        top = rows[0]
         picks.append((k, int(top["t"]), float(top["gain"])))
         bounds = sorted(bounds + [int(top["t"])])
     pk = spark.createDataFrame(
@@ -4591,11 +4657,17 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = F.col("x1") - F.col("m1")
     d2c = F.col("x2") - F.col("m2")
     det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
-    d2 = (
+    # try_divide (r12 ANSI audit): COLLINEAR or constant features
+    # (every customer with identical counts) make the covariance
+    # singular — Mahalanobis distance is undefined → NULL rows sort
+    # last under desc, not a job abort. (No +1 ridge here, unlike
+    # the regression audits whose det is bounded away from 0.)
+    d2 = F.try_divide(
         d1 * d1 * F.col("v22")
         - 2.0 * d1 * d2c * F.col("v12")
-        + d2c * d2c * F.col("v11")
-    ) / det
+        + d2c * d2c * F.col("v11"),
+        det,
+    )
     return (
         f.crossJoin(F.broadcast(m))
         .select("c_custkey", R6(d2).alias("d2"))
@@ -4653,15 +4725,29 @@ def poisson_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b0", "b1")
         .agg(
             n.cast("long").alias("n_days"),
+            # try_divide (r12 ANSI audit): dispersion needs the
+            # n−2 residual dof (a 2-day series zeroes it) and a
+            # positive fitted mu (extreme fits underflow exp to 0);
+            # the variance/mean ratio needs n ≥ 2. All undefined →
+            # NULL, not a job abort. avg(y) ≥ 1: y is a daily COUNT.
             R6(
-                F.sum((F.col("y") - mu) * (F.col("y") - mu) / mu)
-                / (n - 2)
+                F.try_divide(
+                    F.sum(
+                        F.try_divide(
+                            (F.col("y") - mu) * (F.col("y") - mu), mu
+                        )
+                    ),
+                    n - 2,
+                )
             ).alias("pearson_dispersion"),
             R6(F.avg("y")).alias("mean_y"),
             R6(
-                (F.sum(F.col("y") * F.col("y")) / n
-                 - F.avg("y") * F.avg("y"))
-                * n / (n - 1) / F.avg("y")
+                F.try_divide(
+                    (F.sum(F.col("y") * F.col("y")) / n
+                     - F.avg("y") * F.avg("y"))
+                    * n,
+                    n - 1,
+                ) / F.avg("y")
             ).alias("variance_mean_ratio"),
         )
         .select(

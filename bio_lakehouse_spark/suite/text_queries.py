@@ -732,8 +732,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ((F.col("n") - df_).cast("double") + 0.5)
             / (df_.cast("double") + 0.5)
         )
+        # try_divide (r12 ANSI audit): a corpus of entirely EMPTY
+        # documents has avgdl = 0 — the length normalization is
+        # undefined → NULL score (parks last in ranking), not a
+        # job abort.
         denom = tf + 1.2 * (
-            0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl"))
+            0.25
+            + 0.75
+            * F.try_divide(
+                F.col("dl").cast("double"), F.col("avgdl")
+            )
         )
         return idf * (tf * 2.2) / denom
 
@@ -1371,8 +1379,14 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = s.groupBy().agg(
         F.sort_array(F.collect_list("mean_nll")).alias("v")
     ).select(
-        F.element_at("v", F.ceil(F.size("v") / 3).cast("int")).alias("c1"),
-        F.element_at(
+        # try_element_at (r12 degenerate sweep): an empty score list
+        # (every mean_nll NULL) makes ceil(size/3) = 0, an INVALID
+        # index that aborts under ANSI — NULL cuts bucket everything
+        # as 'tail' instead.
+        F.try_element_at(
+            "v", F.ceil(F.size("v") / 3).cast("int")
+        ).alias("c1"),
+        F.try_element_at(
             "v", F.ceil(F.size("v") * 2 / 3).cast("int")
         ).alias("c2"),
     )
@@ -2371,15 +2385,24 @@ def collocations_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = dw.select(F.explode("w").alias("t")).filter(F.col("t") != "")
     ucnt = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     n_uni = ucnt.agg(F.sum("c").alias("nu"))
-    bi = dw.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(w) - 1, 0)),"
-                " i -> struct(element_at(w, i) as a,"
-                " element_at(w, i + 1) as b))"
-            )
-        ).alias("g")
-    ).select(F.col("g.a").alias("t1"), F.col("g.b").alias("t2"))
+    # size(w) >= 2 filter (r12 degenerate sweep): for a SINGLE-word
+    # doc, sequence(1, greatest(size-1, 0)) = sequence(1, 0) infers
+    # step -1 → [1, 0] — element_at(w, 0) and element_at(w, 2) both
+    # abort under ANSI. One-word docs have no bigrams; prune them
+    # from this branch only (they still count in the unigram side).
+    bi = (
+        dw.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) as a,"
+                    " element_at(w, i + 1) as b))"
+                )
+            ).alias("g")
+        )
+        .select(F.col("g.a").alias("t1"), F.col("g.b").alias("t2"))
+    )
     bcnt = (
         bi.filter((F.col("t1") != "") & (F.col("t2") != ""))
         .groupBy("t1", "t2")
@@ -3061,13 +3084,21 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(seqs_per_doc * 512 - F.col("n"))
             .cast("long")
             .alias("pad_waste_tokens"),
+            # try_divide (r12 ANSI audit): a source whose docs
+            # are ALL empty packs zero sequences — efficiency of an
+            # empty packing is undefined → NULL, not a job abort.
             R6(
-                F.sum("n") / (F.sum(seqs_per_doc) * 512).cast("double")
+                F.try_divide(
+                    F.sum("n"),
+                    (F.sum(seqs_per_doc) * 512).cast("double"),
+                )
             ).alias("per_doc_pack_efficiency"),
             R6(
-                F.sum("n")
-                / (F.ceil(F.sum("n") / 512.0).cast("long") * 512)
-                .cast("double")
+                F.try_divide(
+                    F.sum("n"),
+                    (F.ceil(F.sum("n") / 512.0).cast("long") * 512)
+                    .cast("double"),
+                )
             ).alias("concat_pack_efficiency"),
         )
         .orderBy("source")
@@ -3521,7 +3552,14 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nd").cast("long").alias("n_tokens"),
         R6("share").alias("token_share"),
         R6("kl").alias("kl_to_corpus"),
-        R6(F.exp("kl") / F.sum(F.exp("kl")).over(w_all)).alias("weight"),
+        # try_divide (r12 ANSI audit): deeply negative KL scores
+        # can underflow EVERY exp to exactly 0 → softmax undefined →
+        # NULL weights, not a job abort.
+        R6(
+            F.try_divide(
+                F.exp("kl"), F.sum(F.exp("kl")).over(w_all)
+            )
+        ).alias("weight"),
     )
 
 
@@ -3660,9 +3698,11 @@ def ctfidf_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctf = dw.groupBy("label", "w").agg(F.count(F.lit(1)).alias("tf"))
     ctot = dw.groupBy("label").agg(F.count(F.lit(1)).alias("tot"))
     cf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    # try_divide (r12 ANSI audit): tokens exist but EVERY label is
+    # NULL → count_distinct = 0 → undefined per-class average → NULL.
     a = dw.agg(
-        (
-            F.count(F.lit(1)) * 1.0 / F.count_distinct("label")
+        F.try_divide(
+            F.count(F.lit(1)) * 1.0, F.count_distinct("label")
         ).alias("avg_tokens")
     )
     scored = (
@@ -3890,12 +3930,14 @@ def heaps_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = curve.select(
         F.log("cum_tokens").alias("x"), F.log("cum_vocab").alias("y")
     )
-    slope = (
+    # try_divide (r12 ANSI audit): a vocabulary of ONE distinct
+    # token gives a single-point (or x-constant) curve — zero x
+    # variance, Heaps/Zipf slope undefined → NULL, not a job abort.
+    slope = F.try_divide(
         F.sum(F.col("x") * F.col("y"))
-        - F.sum("x") * F.sum("y") / F.count(F.lit(1))
-    ) / (
+        - F.sum("x") * F.sum("y") / F.count(F.lit(1)),
         F.sum(F.col("x") * F.col("x"))
-        - F.sum("x") * F.sum("x") / F.count(F.lit(1))
+        - F.sum("x") * F.sum("x") / F.count(F.lit(1)),
     )
     # + 0.0 normalizes IEEE -0.0: a saturated vocab curve makes the
     # slope numerator exactly ±epsilon, whose sign is summation-order
@@ -4009,8 +4051,14 @@ def tokenize_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_split_docs"),
+            # try_divide (r12 degenerate sweep): a shard of
+            # zero-token docs packs zero chunks — efficiency of an
+            # empty packing is undefined → NULL, not a job abort.
             R6(
-                F.sum("n_tok").cast("double") / (n_chunks_shard * 256.0)
+                F.try_divide(
+                    F.sum("n_tok").cast("double"),
+                    n_chunks_shard * 256.0,
+                )
             ).alias("efficiency"),
         )
         .orderBy("shard")

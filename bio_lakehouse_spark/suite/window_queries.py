@@ -1658,8 +1658,16 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("scenario").alias("channel"),
                 F.col("val").alias("p_removed"))
         .crossJoin(base_p)
+        # try_divide twice (r12 ANSI audit): a journey graph with NO
+        # start→conversion path has base probability pb = 0 (removal
+        # effect undefined), and if removing any channel changes
+        # nothing (all eff = 0) the attribution shares divide by a
+        # zero total — both → NULL, not a job abort.
         .withColumn(
-            "eff", (F.col("pb") - F.col("p_removed")) / F.col("pb")
+            "eff",
+            F.try_divide(
+                F.col("pb") - F.col("p_removed"), F.col("pb")
+            ),
         )
     )
     tot = F.broadcast(scored.agg(F.sum("eff").alias("tot_eff")))
@@ -1668,7 +1676,9 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         R6(F.col("pb")).alias("p_base"),
         R6(F.col("p_removed")).alias("p_removed"),
         R6(F.col("eff")).alias("removal_effect"),
-        R6(F.col("eff") / F.col("tot_eff")).alias("attribution_share"),
+        R6(F.try_divide(F.col("eff"), F.col("tot_eff"))).alias(
+            "attribution_share"
+        ),
     )
 
 

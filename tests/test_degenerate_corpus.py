@@ -1,0 +1,108 @@
+"""The degenerate-corpus regression net (r12).
+
+The r11/r12 ANSI audits proved the failure mode by inspection; this
+module proves it by EXECUTION: synthesize an sf_dir where every table
+is maximally degenerate — constant series, single-class labels,
+all-tied values, zero revenue, all-zero embeddings, empty/identical
+documents, a one-day event history — and run EVERY registry query
+against it. Under Spark 4's default ANSI mode each of these inputs
+used to abort real queries (16 DIVIDE_BY_ZERO aborts, two
+sequence(1,0) array-index aborts, a driver-side KeyError and an
+IndexError were found by this sweep's first run); the contract now is
+that a degenerate group yields NULL statistics or fewer rows, never a
+job abort.
+
+The fixture intentionally mirrors the driver tables' exact physical
+schemas (see TESTDATA.md) so ``suite.registry.load`` treats it as a
+normal sf_dir.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def degen_sf(tmp_path_factory):
+    """Maximally-degenerate twin of the driver's sf tables."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("degen_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    queries = {
+        "region": f"SELECT r_regionkey, r_name FROM read_parquet('{src}/region.parquet') LIMIT 1",
+        "nation": f"SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{src}/nation.parquet') LIMIT 1",
+        # constant balances, one segment, identical names
+        "customer": f"""SELECT c_custkey, 'AAAA BBBB' AS c_name,
+            (SELECT MIN(n_nationkey) FROM read_parquet('{src}/nation.parquet')) AS c_nationkey,
+            0.0::DOUBLE AS c_acctbal, 'BUILDING' AS c_mktsegment
+            FROM read_parquet('{src}/customer.parquet') LIMIT 4""",
+        "supplier": f"""SELECT s_suppkey, 'SUPP' AS s_name,
+            (SELECT MIN(n_nationkey) FROM read_parquet('{src}/nation.parquet')) AS s_nationkey,
+            0.0::DOUBLE AS s_acctbal
+            FROM read_parquet('{src}/supplier.parquet') LIMIT 2""",
+        "part": f"""SELECT p_partkey, 'part one' AS p_name, 'B#1' AS p_brand,
+            'PROMO X' AS p_type, 1 AS p_size, 0.0::DOUBLE AS p_retailprice
+            FROM read_parquet('{src}/part.parquet') LIMIT 2""",
+        # ONE day, zero totals, one priority, one customer
+        "orders": f"""SELECT o_orderkey,
+            (SELECT MIN(c_custkey) FROM read_parquet('{src}/customer.parquet')) AS o_custkey,
+            'O' AS o_orderstatus, 0.0::DOUBLE AS o_totalprice,
+            (SELECT MIN(o_orderdate) FROM read_parquet('{src}/orders.parquet')) AS o_orderdate,
+            '1-URGENT' AS o_orderpriority
+            FROM read_parquet('{src}/orders.parquet') LIMIT 6""",
+        # single returnflag class, constant qty, zero prices, one date
+        "lineitem": f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+            1.0::DOUBLE AS l_quantity, 0.0::DOUBLE AS l_extendedprice,
+            0.0::DOUBLE AS l_discount, 0.0::DOUBLE AS l_tax,
+            'R' AS l_returnflag, 'F' AS l_linestatus,
+            (SELECT MIN(l_shipdate) FROM read_parquet('{src}/lineitem.parquet')) AS l_shipdate
+            FROM (SELECT * FROM read_parquet('{src}/lineitem.parquet')
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM read_parquet('{src}/orders.parquet') LIMIT 6)) LIMIT 8""",
+        # single event_type (empty test arms!), zero value, one user,
+        # ONE timestamp (one-day series: lag/acf/changepoint n=1)
+        "events": f"""SELECT event_id,
+            (SELECT MIN(ts) FROM read_parquet('{src}/events.parquet')) AS ts,
+            (SELECT MIN(user_id) FROM read_parquet('{src}/events.parquet')) AS user_id,
+            'click' AS event_type, 0.0::DOUBLE AS value, '{{}}' AS props
+            FROM read_parquet('{src}/events.parquet') LIMIT 10""",
+        # identical tiny texts + one empty + a one-word doc
+        "documents": f"""SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN ''
+                 WHEN doc_id % 4 = 1 THEN 'aaa'
+                 ELSE 'aaa aaa aaa' END AS text,
+            'en' AS lang, 'web' AS source,
+            CASE WHEN doc_id % 4 = 0 THEN 0
+                 WHEN doc_id % 4 = 1 THEN 3 ELSE 11 END::BIGINT AS n_chars
+            FROM read_parquet('{src}/documents.parquet') LIMIT 4""",
+        # all-zero embeddings (zero norms), single label
+        "embeddings": f"""SELECT vec_id,
+            CAST(list_transform(embedding, x -> 0.0::FLOAT) AS FLOAT[]) AS embedding,
+            0 AS label
+            FROM read_parquet('{src}/embeddings.parquet') LIMIT 4""",
+    }
+    for t, sql in queries.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    return str(out)
+
+
+def test_every_registry_query_survives_degenerate_corpus(spark, degen_sf):
+    """No registry query may ABORT on degenerate-but-valid data: one
+    flat series / empty arm / zero vector in a 100 TB per-entity scan
+    used to kill the whole job at hour 5. NULL statistics and empty
+    results are fine; exceptions are not (the deliberate raise_error
+    contracts — ragged PQ codebooks, interval misuse — are not
+    reachable from a well-formed sf_dir)."""
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, degen_sf).collect()
+        except Exception as exc:  # noqa: BLE001 — collected for the report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+    assert not failures, (
+        f"{len(failures)} queries aborted on the degenerate corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )

@@ -99,3 +99,78 @@ def test_pq_adc_ragged_codebook_fails_loud(spark):
         pq_adc_topk(
             corpus, queries, ragged_cb, k_results=2, m=m, dim=dim
         ).collect()
+
+
+def test_multimodal_null_content_decodes_to_null(spark):
+    """r12 FIX: a NULL media payload aborted the whole Arrow batch
+    with an opaque bytes(None) TypeError inside decode_batches —
+    NULL content now decodes to NULL metadata (the silver-layer
+    NULL-cast posture); non-null rows in the same batch are
+    unaffected."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.multimodal import (
+        attach_binary,
+        decode_batches,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    wrapped = attach_binary(docs, "text")
+    rows = {r.doc_id: r for r in decode_batches(wrapped).collect()}
+    assert rows[1].width is not None
+    assert rows[1].feature_vec is not None
+    assert rows[2].width is None
+    assert rows[2].feature_vec is None
+
+
+def test_resize_spec_rejects_degenerate_dims():
+    """r12 edge-hunt: 0x0 metadata used to surface as a bare
+    ZeroDivisionError from the aspect-ratio arithmetic — malformed
+    dimensions now fail loud with a named error."""
+    import pytest as _pytest
+
+    from bio_lakehouse_spark.operators.multimodal import resize_spec
+
+    assert resize_spec(100, 50, 10) == (10, 5)
+    with _pytest.raises(ValueError, match="non-positive"):
+        resize_spec(0, 0, 10)
+
+
+def test_tree_split_constant_features_contract(spark):
+    """r12 edge-hunt pin (trees.py): a CONSTANT feature bins to NULL
+    (nullif range guard) and is excluded from candidates; when EVERY
+    feature is constant the gains frame is EMPTY — no splits exist —
+    and gbdt_two_round returns zero rounds rather than aborting."""
+    from pyspark.sql import functions as F
+
+    from bio_lakehouse_spark.operators.trees import (
+        gbdt_two_round,
+        histogram_split_gains,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, float(i), float(i % 2)) for i in range(8)],
+        "c double, x double, y double",
+    )
+    gains = histogram_split_gains(
+        df,
+        {"const": F.col("c"), "varying": F.col("x")},
+        label=F.col("y"),
+        nbins=4,
+    ).collect()
+    feats = {r.feature for r in gains}
+    assert "const" not in feats and "varying" in feats
+
+    all_const = spark.createDataFrame(
+        [(1.0, 2.0, float(i % 2)) for i in range(8)],
+        "a double, b double, y double",
+    )
+    out = gbdt_two_round(
+        all_const,
+        {"a": F.col("a"), "b": F.col("b")},
+        target=F.col("y"),
+        nbins=4,
+    ).collect()
+    assert out == []  # no candidate splits → zero rounds, no abort
