@@ -179,9 +179,14 @@ def mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the facts); median is one exact-percentile aggregate
     with approx_percentile as the 100 TB drop-in."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # try_cast (r12 extreme-value sweep): one wild double (|v| >
+    # ~9.2e19) used to overflow the BIGINT bin cast and abort the
+    # whole central-tendency job under ANSI — out-of-range values
+    # land in a NULL bin instead (they still count toward the
+    # median, which needs no binning).
     binned = ev.select(
         "event_type",
-        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        F.floor(F.col("value") / 10).try_cast("long").alias("bin"),
         "value",
     )
     freq = binned.groupBy("event_type", "bin").agg(
@@ -190,7 +195,10 @@ def mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode = freq.groupBy("event_type").agg(
         F.max_by(
             F.struct(F.col("bin").alias("mode_bin"), F.col("f")),
-            F.struct(F.col("f"), -F.col("bin")),
+            # tie-break negation in DOUBLE: -(Long.MIN) overflows
+            # under ANSI, and a frequency tie between two >2^53 bins
+            # is not a realizable fixture concern (r12 sweep).
+            F.struct(F.col("f"), -F.col("bin").cast("double")),
         ).alias("_m")
     ).select(
         "event_type",
@@ -256,8 +264,14 @@ def weighted_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").over(wall).alias("tw"),
         F.count(F.lit(1)).over(wall).alias("nv"),
     )
+    # cw >= tw - cw, NOT 2*cw >= tw (r12 extreme-value sweep): the
+    # doubling overflows BIGINT when the cumulative weight passes
+    # half of Long.MAX — algebraically identical for integers, and
+    # both sides stay <= tw so nothing can overflow while the sums
+    # themselves fit (Σw beyond BIGINT is out of contract, matching
+    # the oracle's own CAST(... AS BIGINT)).
     return (
-        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        cum.filter(F.col("cw") >= F.col("tw") - F.col("cw"))
         .groupBy("flag")
         .agg(
             F.min("v").alias("w_median"),

@@ -106,3 +106,76 @@ def test_every_registry_query_survives_degenerate_corpus(spark, degen_sf):
         f"{len(failures)} queries aborted on the degenerate corpus:\n"
         + "\n".join(f"  {n}: {m}" for n, m in failures)
     )
+
+
+@pytest.fixture(scope="module")
+def extreme_sf(tmp_path_factory):
+    """Extreme-MAGNITUDE twin: values at the edges of double range
+    (±1e300, 1e-300), counts near the top of what BIGINT-summable
+    contracts admit, saturating discounts, huge-norm embeddings.
+    Deliberately IN-contract everywhere a typed gate exists — prices
+    fit decimal(18,2), Σquantity fits BIGINT — because those gates
+    failing loud on garbage is by design (SCALE.md §r11); what must
+    NOT abort is arithmetic on extreme-but-valid doubles."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("extreme_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    queries = {
+        "region": f"SELECT r_regionkey, r_name FROM read_parquet('{src}/region.parquet') LIMIT 2",
+        "nation": f"SELECT n_nationkey, n_name, n_regionkey FROM read_parquet('{src}/nation.parquet') LIMIT 3",
+        "customer": f"""SELECT c_custkey, c_name, c_nationkey,
+            CASE WHEN c_custkey % 2 = 0 THEN 1e300 ELSE -1e300 END::DOUBLE AS c_acctbal,
+            c_mktsegment FROM read_parquet('{src}/customer.parquet') LIMIT 6""",
+        "supplier": f"SELECT s_suppkey, s_name, s_nationkey, 1e300::DOUBLE AS s_acctbal FROM read_parquet('{src}/supplier.parquet') LIMIT 3",
+        "part": f"SELECT p_partkey, p_name, p_brand, p_type, p_size, 1e300::DOUBLE AS p_retailprice FROM read_parquet('{src}/part.parquet') LIMIT 3",
+        # prices stay inside decimal(18,2): the profiler's typed cast
+        # failing on 1e300 is the data-quality gate, not a bug
+        "orders": f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 2 = 0 THEN 1e15 ELSE 1e-300 END::DOUBLE AS o_totalprice,
+            o_orderdate, o_orderpriority FROM read_parquet('{src}/orders.parquet') LIMIT 8""",
+        # quantities large but BIGINT-summable (weighted-median's
+        # documented contract, matching the oracle's CAST AS BIGINT)
+        "lineitem": f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+            1e15::DOUBLE AS l_quantity, 1e300::DOUBLE AS l_extendedprice,
+            0.99::DOUBLE AS l_discount, 0.99::DOUBLE AS l_tax,
+            l_returnflag, l_linestatus, l_shipdate
+            FROM (SELECT * FROM read_parquet('{src}/lineitem.parquet')
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM read_parquet('{src}/orders.parquet') LIMIT 8)) LIMIT 12""",
+        # the wild-sensor case: one value stream spanning ±1e300
+        "events": f"""SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 3 = 0 THEN 1e300
+                 WHEN event_id % 3 = 1 THEN -1e300 ELSE 1e-300 END::DOUBLE AS value,
+            props FROM read_parquet('{src}/events.parquet') LIMIT 20""",
+        "documents": f"""SELECT doc_id, repeat('zzzz ', 200) AS text, lang, source,
+            1000::BIGINT AS n_chars FROM read_parquet('{src}/documents.parquet') LIMIT 4""",
+        "embeddings": f"""SELECT vec_id,
+            CAST(list_transform(embedding, x -> (CASE WHEN vec_id % 2 = 0 THEN 1e30 ELSE -1e30 END)::FLOAT) AS FLOAT[]) AS embedding,
+            label FROM read_parquet('{src}/embeddings.parquet') LIMIT 4""",
+    }
+    for t, sql in queries.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    return str(out)
+
+
+def test_every_registry_query_survives_extreme_corpus(spark, extreme_sf):
+    """The overflow complement of the degenerate sweep: ANSI also
+    ABORTS on long/decimal overflow, and a grep for '/' can't see
+    those. First run found three: floor(value/10) cast BIGINT on a
+    ±1e300 stream (mode bins), the 2*cw doubling in the weighted
+    median passing Long.MAX/2, and the profiler's decimal gate (kept
+    — in-contract fixture). Typed-cast gates stay fail-loud; extreme
+    VALID doubles must flow through as ±inf/NULL, never abort."""
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, extreme_sf).collect()
+        except Exception as exc:  # noqa: BLE001 — collected for the report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+    assert not failures, (
+        f"{len(failures)} queries aborted on the extreme corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
