@@ -266,6 +266,17 @@ def stream_hopping_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = ev.agg(
             F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
         ).first()
+        if lo is None:
+            # Empty events table (r12 empty-corpus sweep): there is
+            # nothing to land and nothing to replay — return the
+            # empty result frame directly instead of TypeError'ing
+            # on None timestamp arithmetic.
+            shutil.rmtree(root, ignore_errors=True)
+            return spark.createDataFrame(
+                [],
+                "win_start timestamp, win_end timestamp,"
+                " event_type string, n_events long",
+            )
         c1, c2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
 
         def _land_span(lo_s: int | None, hi_s: int | None) -> None:

@@ -139,14 +139,18 @@ def test_verdicts_code_host_contended():
 
 
 def test_calib_drift_third_signal():
-    """r11 third pass: the r11 control run stamped start-calib 2.341
-    against mid-suite probes of ~0.65 on the same host — low run
-    spread, but the probe itself drifting >1.5x marks the window
-    contended. Stamped value wins; timeline recompute is the
-    fallback; either side trips the verdict."""
-    # stamped
+    """r11 third pass, r12 split: drift is computed over the
+    mid-suite TIMELINE probes only (the start calib is a cold-JIT
+    min-of-5 sitting a structural ~1.6x above the warm floor —
+    mixing it flagged a spotless run, drift 1.628 with a 0.441-0.488
+    timeline); the r11 control-run incident (start 2.341 over ~0.65
+    probes) is still caught, by the ANCHOR ratio, because a
+    contended start window corrupts the normalization anchor even
+    when the suite body ran clean."""
+    from tools.bench_compare import CALIB_ANCHOR_SUSPECT, calib_anchor_ratio
+
+    # stamped value wins only when no timeline is recorded (r11 docs)
     assert calib_drift({"calib_drift": 3.6}) == 3.6
-    # recomputed from timeline + start calib
     doc = {
         "calib_sec": 2.341,
         "calib_timeline": [
@@ -154,7 +158,24 @@ def test_calib_drift_third_signal():
             {"calib_sec": 0.709}, {"calib_sec": 0.658},
         ],
     }
-    assert calib_drift(doc) == pytest.approx(2.341 / 0.644, abs=0.001)
+    # body drift: timeline-only, flat → clean
+    assert calib_drift(doc) == pytest.approx(0.709 / 0.644, abs=0.001)
+    # anchor: start probe 3.6x the warm floor → suspect → contended
+    assert calib_anchor_ratio(doc) == pytest.approx(
+        2.341 / 0.644, abs=0.001
+    )
+    assert calib_anchor_ratio(doc) >= CALIB_ANCHOR_SUSPECT
+    # the structural cold/warm offset alone must NOT flag (measured
+    # clean run: start 0.718 over timeline 0.441-0.488)
+    clean = {
+        "calib_sec": 0.718,
+        "calib_timeline": [
+            {"calib_sec": 0.463}, {"calib_sec": 0.471},
+            {"calib_sec": 0.441}, {"calib_sec": 0.488},
+        ],
+    }
+    assert calib_drift(clean) < 1.5
+    assert calib_anchor_ratio(clean) < CALIB_ANCHOR_SUSPECT
     assert calib_drift({}) is None
 
     q = {f"q{i}": 1.0 for i in range(20)}
