@@ -50,14 +50,56 @@ def _write_csv(path: Path, header: list[str], rows: list[list], sep=","):
     path.write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
-def generate_bronze(root: str | Path, seed: int = 42) -> Path:
+class _DegenerateRandomState:
+    """Duck-typed np.random.RandomState that returns the LOWER bound
+    of every draw (r12 degenerate bio sweep): every day gets the same
+    score, the same workout count, the same macros — constant series,
+    zero variances, minimum-cardinality everything — while the bronze
+    tree layout stays byte-identical in shape to the realistic
+    fixture. rand() returns 1.0 so the _maybe null-injection never
+    fires (constant NON-null is the harsher input for corr/variance
+    paths; all-null is covered by the empty/NULL unit pins)."""
+
+    def rand(self):
+        # 0.3 threads the generator's probability gates: the
+        # optional-CONTENT gates (mindfulness < 0.4, snacks < 0.5)
+        # fire every day so no bronze file ends up missing, while
+        # the null-injection / duplicate-reading / skip-day gates
+        # (< 0.08 … < 0.2) stay off — constant non-null series.
+        return 0.3
+
+    def randint(self, lo, hi=None):
+        return lo if hi is not None else 0
+
+    def uniform(self, lo, hi=None, size=None):
+        if size is not None:
+            return np.full(int(size), float(lo))
+        return float(lo)
+
+    def choice(self, seq):
+        # Last element, not first: the per-day workout/meal COUNT
+        # draws lead with zeros, and a constant 0 would leave whole
+        # bronze files unwritten (empty SOURCE = config error, a
+        # different test). Constant-but-present is the degenerate
+        # input under test.
+        return seq[-1]
+
+
+def generate_bronze(
+    root: str | Path, seed: int = 42, degenerate: bool = False
+) -> Path:
     """Write the full bronze tree under ``root``; idempotent via a
-    _DONE sentinel. Returns the root path."""
+    _DONE sentinel. Returns the root path. ``degenerate=True`` swaps
+    the RNG for the constant shim above — same layout, maximally
+    degenerate values."""
     root = Path(root)
     done = root / "_DONE"
     if done.exists():
         return root
-    rng = np.random.RandomState(seed)
+    rng = (
+        _DegenerateRandomState() if degenerate
+        else np.random.RandomState(seed)
+    )
     days = _days()
 
     # ---- Oura readiness / sleep / activity --------------------------------

@@ -179,3 +179,50 @@ def test_every_registry_query_survives_extreme_corpus(spark, extreme_sf):
         f"{len(failures)} queries aborted on the extreme corpus:\n"
         + "\n".join(f"  {n}: {m}" for n, m in failures)
     )
+
+
+def test_bio_pipeline_survives_degenerate_bronze(spark, tmp_path):
+    """The parity layer's turn (r12): generate_bronze(degenerate=True)
+    swaps the fixture RNG for a constant shim — every day the same
+    readiness score, the same workout, the same macros; zero variance
+    everywhere, no nulls — and the FULL pipeline must run: 9 silver
+    normalizers → 3 gold tables → all 11 analytics views. Without the
+    r12 safe_corr fix the correlation view crashed here (F.corr
+    raises on constant series under ANSI); this pins the whole layer,
+    not just that view."""
+    from bio_lakehouse_spark.bio import views as V
+    from bio_lakehouse_spark.bio.fixtures import generate_bronze
+    from bio_lakehouse_spark.bio.gold import build_gold, stg_sleep
+    from bio_lakehouse_spark.bio.silver import run_silver
+
+    root = str(tmp_path / "bio_degen")
+    generate_bronze(f"{root}/bronze", degenerate=True)
+    run_silver(spark, f"{root}/bronze", f"{root}/silver")
+    gold = build_gold(spark, f"{root}/silver")
+    rollup = gold["gold_daily_rollup"]
+    assert rollup.count() > 0
+
+    failures: list[tuple[str, str]] = []
+    for name, df in gold.items():
+        if name == "gold_daily_rollup":
+            continue
+        try:
+            df.collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((f"gold:{name}", str(exc).splitlines()[0][:160]))
+    for name, fn in V.VIEWS.items():
+        try:
+            fn(rollup).collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((f"view:{name}", str(exc).splitlines()[0][:160]))
+    try:
+        ss = spark.read.parquet(f"{root}/silver/oura_daily_sleep")
+        V.sleep_architecture(rollup, stg_sleep(ss)).collect()
+    except Exception as exc:  # noqa: BLE001
+        failures.append(
+            ("view:sleep_architecture", str(exc).splitlines()[0][:160])
+        )
+    assert not failures, (
+        f"{len(failures)} bio stages aborted on degenerate bronze:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
