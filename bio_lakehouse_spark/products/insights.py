@@ -710,6 +710,18 @@ class TimingCorrelationAnalyzer(InsightAnalyzer):
         q = max(2, min(5, n // 3))
         pdf["bucket"] = pd.qcut(pdf["total_output_kj"], q=q, labels=False,
                                 duplicates="drop")
+        if pdf["bucket"].isna().all():
+            # Constant workout output (r12 degenerate bio sweep):
+            # qcut with duplicates="drop" collapses EVERY bin edge
+            # and returns all-NaN buckets, and int(NaN) aborted the
+            # analyzer. No intensity gradient exists to correlate —
+            # report that, like the n<5 path, instead of crashing.
+            return InsightResult(
+                self.name, {"n": n},
+                "No output variation — every workout has identical "
+                "total output, so intensity buckets are undefined.",
+                ["Workout output is constant across all days."],
+                data=pdf)
         labels = self.BUCKET_LABELS[: int(pdf["bucket"].max()) + 1]
         pdf["intensity"] = pdf["bucket"].map(dict(enumerate(labels)))
         groups = {}

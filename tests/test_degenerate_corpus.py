@@ -222,6 +222,29 @@ def test_bio_pipeline_survives_degenerate_bronze(spark, tmp_path):
         failures.append(
             ("view:sleep_architecture", str(exc).splitlines()[0][:160])
         )
+    # The product layer too: all 13 insight analyzers must REPORT on
+    # degenerate data, not crash (first run found the timing-
+    # correlation analyzer int(NaN)-aborting when qcut collapses on
+    # constant workout output).
+    from bio_lakehouse_spark.products.insights import default_analyzers
+
+    analyzers = default_analyzers(
+        spark,
+        rollup,
+        silver_root=f"{root}/silver",
+        recovery_windows=gold.get("workout_recovery_windows"),
+    )
+    assert len(analyzers) == 13
+    for a in analyzers:
+        try:
+            a.analyze()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(
+                (
+                    f"analyzer:{type(a).__name__}",
+                    str(exc).splitlines()[0][:160],
+                )
+            )
     assert not failures, (
         f"{len(failures)} bio stages aborted on degenerate bronze:\n"
         + "\n".join(f"  {n}: {m}" for n, m in failures)
