@@ -1223,8 +1223,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic anomaly/fraud screen for financial fact tables, and a
     pure two-aggregate plan (digit extraction is string arithmetic in
     the scan projection)."""
+    # ~isnan (r12 NaN sweep): Spark orders NaN ABOVE every number,
+    # so `NaN >= 1` passes the filter, floor(NaN)'s long conversion
+    # lands digit 0, and 1/d aborted the job. A NaN amount has no
+    # first digit — exclude it like the sub-1 totals.
     orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") >= 1
+        (F.col("o_totalprice") >= 1)
+        & ~F.isnan(F.col("o_totalprice"))
     )
     # floor() before the integer cast: Spark's double->bigint cast
     # truncates while DuckDB's rounds — floor pins both to the same

@@ -251,10 +251,14 @@ def weighted_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
+    # try_cast (r12 NaN sweep): one NaN quantity aborted the whole
+    # weighted median via CAST_OVERFLOW — an undefined weight
+    # contributes nothing (NULL, skipped by the sum), same rule as
+    # the NULL-bin mode fix above.
     wv = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    ).agg(F.sum(F.col("l_quantity").try_cast("long")).alias("w"))
     wp = Window.partitionBy("flag").orderBy("v")
     wall = Window.partitionBy("flag")
     cum = wv.select(

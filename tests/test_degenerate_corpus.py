@@ -249,3 +249,64 @@ def test_bio_pipeline_survives_degenerate_bronze(spark, tmp_path):
         f"{len(failures)} bio stages aborted on degenerate bronze:\n"
         + "\n".join(f"  {n}: {m}" for n, m in failures)
     )
+
+
+@pytest.fixture(scope="module")
+def nan_sf(tmp_path_factory):
+    """NaN-laced twin: NaN is a LEGAL double in parquet, Spark orders
+    it ABOVE every number (non-IEEE, so `NaN >= x` filters PASS it),
+    and ANSI raises on NaN→integral casts — three behaviors a
+    zeros-or-extremes fixture cannot reach. NaNs are MIXED with real
+    values so every query still has a working majority of rows."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("nan_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    queries = {
+        "region": f"SELECT * FROM read_parquet('{src}/region.parquet')",
+        "nation": f"SELECT * FROM read_parquet('{src}/nation.parquet')",
+        "customer": f"""SELECT c_custkey, c_name, c_nationkey,
+            CASE WHEN c_custkey % 3 = 0 THEN 'NaN'::DOUBLE ELSE c_acctbal END AS c_acctbal,
+            c_mktsegment FROM read_parquet('{src}/customer.parquet') LIMIT 20""",
+        "supplier": f"SELECT * FROM read_parquet('{src}/supplier.parquet') LIMIT 5",
+        "part": f"SELECT * FROM read_parquet('{src}/part.parquet') LIMIT 10",
+        "orders": f"""SELECT o_orderkey, o_custkey, o_orderstatus,
+            CASE WHEN o_orderkey % 3 = 0 THEN 'NaN'::DOUBLE ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority FROM read_parquet('{src}/orders.parquet') LIMIT 30""",
+        "lineitem": f"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+            CASE WHEN l_linenumber % 2 = 0 THEN 'NaN'::DOUBLE ELSE l_quantity END AS l_quantity,
+            CASE WHEN l_orderkey % 3 = 0 THEN 'NaN'::DOUBLE ELSE l_extendedprice END AS l_extendedprice,
+            l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet') LIMIT 60""",
+        "events": f"""SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 4 = 0 THEN 'NaN'::DOUBLE ELSE value END AS value,
+            props FROM read_parquet('{src}/events.parquet') LIMIT 60""",
+        "documents": f"SELECT * FROM read_parquet('{src}/documents.parquet') LIMIT 8",
+        "embeddings": f"""SELECT vec_id,
+            CAST(list_transform(embedding, x -> CASE WHEN vec_id % 3 = 0 THEN 'NaN'::FLOAT ELSE x END) AS FLOAT[]) AS embedding,
+            label FROM read_parquet('{src}/embeddings.parquet') LIMIT 8""",
+    }
+    for t, sql in queries.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    return str(out)
+
+
+def test_every_registry_query_survives_nan_corpus(spark, nan_sf):
+    """First run found two aborts: Benford's `NaN >= 1` filter leak
+    (Spark sorts NaN above numbers) landing digit 0 → divide-by-zero,
+    and the weighted median's quantity cast hitting ANSI
+    CAST_OVERFLOW on one NaN weight. NaN rows may yield NaN/NULL
+    outputs or be excluded; they must never abort the job."""
+    from bio_lakehouse_spark.suite import REGISTRY
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, nan_sf).collect()
+        except Exception as exc:  # noqa: BLE001 — collected for the report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+    assert not failures, (
+        f"{len(failures)} queries aborted on the NaN corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
