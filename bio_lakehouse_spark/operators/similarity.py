@@ -796,6 +796,16 @@ def pq_adc_topk(
             "qv"
         ),
     ).crossJoin(_packed_codebook(codebook))
+    # k_eff — the actual codewords per subspace (may be < the ``k``
+    # parameter, kept only for API compatibility) — is derived ONCE
+    # per query row HERE, on the |Q|-bounded frame, together with the
+    # ragged-codebook guard: a codebook with size % m != 0 would make
+    # the floored stride misalign every s >= 1 lookup (the exact
+    # silent-wrong-distance class the size/m derivation fixed), so it
+    # fails LOUD (SCALE.md: malformed data → fail loud). Both used to
+    # sit inside the scan's per-element lambda, re-evaluated
+    # corpus × |Q| × m times — the r12 ledger measured the rerank
+    # query at 2× its r10 normalized cost from exactly that.
     qlut = q.select(
         "query_id",
         F.transform(
@@ -804,17 +814,8 @@ def pq_adc_topk(
                 F.slice(F.col("qv"), c["s"] * dsub + 1, dsub), c["cw"]
             ),
         ).alias("lut"),
-    )
-    pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    # Actual codewords per subspace (see docstring — may be < the
-    # ``k`` parameter, which is kept only for API compatibility). A
-    # ragged codebook (size % m != 0) would make the floored stride
-    # misalign every s >= 1 lookup — the exact silent-wrong-distance
-    # class the size/m derivation fixed — so it fails LOUD here
-    # (SCALE.md: malformed data → fail loud), not plausibly-wrong.
-    k_eff = (
+    ).withColumn(
+        "k_eff",
         F.when(
             F.size("lut") % F.lit(m) == 0,
             F.size("lut") / F.lit(m),
@@ -829,7 +830,10 @@ def pq_adc_topk(
                 )
             )
         )
-        .cast("int")
+        .cast("int"),
+    )
+    pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
+        F.col(id_col) != F.col("query_id")
     )
     dist = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -837,7 +841,7 @@ def pq_adc_topk(
         lambda acc, s: acc
         + F.element_at(
             F.col("lut"),
-            (s * k_eff
+            (s * F.col("k_eff")
              + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
             .cast("int"),
         ),
