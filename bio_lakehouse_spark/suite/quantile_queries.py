@@ -177,16 +177,34 @@ def mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     two central-tendency measures mean-based rollups miss. Mode is
     max_by over the per-bin frequency frame (map-side combined, no
     window over the facts); median is one exact-percentile aggregate
-    with approx_percentile as the 100 TB drop-in."""
+    with approx_percentile as the 100 TB drop-in.
+
+    Contract (ADVICE r12): NaN and out-of-BIGINT-range values land
+    in an explicit NULL bin, so ``mode_bin`` may itself be NULL when
+    unbinnable values are STRICTLY the most frequent class — that
+    is the honest answer ("the dominant bin is unbinnable"), not an
+    error. On a frequency tie the NULL bin always LOSES to any real
+    bin (struct ordering ranks a NULL field below every value, and
+    the max_by tie-break takes the larger -bin), so NULL never wins
+    nondeterministically; pinned in tests/test_edge_hunt_r13.py. The
+    double tie-break negation is exact for |bin| ≤ 2^53 — two
+    distinct tied bins beyond that cannot arise from a try_cast'd
+    BIGINT division by 10 of any double fixture this repo admits."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    # try_cast (r12 extreme-value sweep): one wild double (|v| >
-    # ~9.2e19) used to overflow the BIGINT bin cast and abort the
-    # whole central-tendency job under ANSI — out-of-range values
-    # land in a NULL bin instead (they still count toward the
-    # median, which needs no binning).
+    # Explicit unbinnable guard (r13, fixing the r12 comment's false
+    # premise): floor(double) returns LONG with Java-saturating
+    # semantics — ±1e300 silently lands in the ±Long.MAX bin and NaN
+    # lands in bin 0, POLLUTING the genuine [0,10) class — so the
+    # try_cast after it was a no-op and no NULL bin ever existed.
+    # Now NaN / out-of-long-range quotients land in an explicit NULL
+    # bin (they still count toward the median, which needs no
+    # binning); behavior pinned in tests/test_edge_hunt_r13.py.
+    q = F.col("value") / 10
     binned = ev.select(
         "event_type",
-        F.floor(F.col("value") / 10).try_cast("long").alias("bin"),
+        F.when(
+            ~F.isnan(q) & q.between(-9.2e18, 9.2e18), F.floor(q)
+        ).alias("bin"),
         "value",
     )
     freq = binned.groupBy("event_type", "bin").agg(

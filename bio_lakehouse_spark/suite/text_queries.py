@@ -1379,15 +1379,20 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = s.groupBy().agg(
         F.sort_array(F.collect_list("mean_nll")).alias("v")
     ).select(
-        # try_element_at (r12 degenerate sweep): an empty score list
-        # (every mean_nll NULL) makes ceil(size/3) = 0, an INVALID
-        # index that aborts under ANSI — NULL cuts bucket everything
-        # as 'tail' instead.
+        # An empty score list (every mean_nll NULL) makes
+        # ceil(size/3) = 0 — and try_element_at does NOT suppress
+        # INVALID_INDEX_OF_ZERO (only out-of-bounds), so the index
+        # itself must be nulled: element_at with a NULL index returns
+        # NULL, and NULL cuts bucket everything as 'tail'.
         F.try_element_at(
-            "v", F.ceil(F.size("v") / 3).cast("int")
+            "v",
+            F.nullif(F.ceil(F.size("v") / 3).cast("int"), F.lit(0)),
         ).alias("c1"),
         F.try_element_at(
-            "v", F.ceil(F.size("v") * 2 / 3).cast("int")
+            "v",
+            F.nullif(
+                F.ceil(F.size("v") * 2 / 3).cast("int"), F.lit(0)
+            ),
         ).alias("c2"),
     )
     return s.crossJoin(F.broadcast(cut)).select(
