@@ -297,6 +297,61 @@ def _host_calibration(spark, materialize) -> float:
     return round(min(probe() for _ in range(5)), 3)
 
 
+def _tracked_ledger(sf_val) -> dict[str, float]:
+    """name → seconds from the committed bench_detail.json ledger,
+    empty when the ledger is missing or was recorded at a different
+    SF (an sf0.01 iteration run must not compare against sf0.1
+    numbers)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_detail.json")) as fh:
+            led = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if led.get("sf") != sf_val:
+        return {}
+    out: dict[str, float] = {}
+    for sect in ("queries", "rotation"):
+        for k, v in (led.get(sect) or {}).items():
+            if isinstance(v, (int, float)):
+                out[k] = float(v)
+    return out
+
+
+# Outlier re-run pass (VERDICT r12 #3): a sustained contention burst
+# parked on ONE query for all of its runs corrupts that query's
+# min-of-N and with it the headline total (BENCH_r12:
+# rolling_hll_users_7d ran 63.1/55.0/22.1 s against a 0.79 s tracked
+# ledger entry — one burst cost the headline 20 s and the round its
+# adjudicable perf signal). After the main suite, any headline query
+# whose min exceeds 3× its tracked-ledger entry (and by >0.5 s
+# absolute, so sub-second jitter never triggers) gets one more run;
+# the overall min is kept and the pass is stamped into the output.
+_OUTLIER_FACTOR = 3.0
+_OUTLIER_MIN_EXCESS_S = 0.5
+_OUTLIER_MAX_RERUNS = 8
+
+
+def select_outliers(
+    timings: dict[str, float | None], ledger: dict[str, float]
+) -> list[tuple[str, float]]:
+    """(name, recorded_min) pairs that warrant one more run, worst
+    excess first, capped at _OUTLIER_MAX_RERUNS. Ledger entries under
+    50 ms are ignored — a 3× ratio on those is pure noise."""
+    return sorted(
+        (
+            (name, t)
+            for name, t in timings.items()
+            if t is not None
+            and name in ledger
+            and ledger[name] >= 0.05
+            and t > _OUTLIER_FACTOR * ledger[name]
+            and t - ledger[name] > _OUTLIER_MIN_EXCESS_S
+        ),
+        key=lambda kv: ledger[kv[0]] - kv[1],
+    )[:_OUTLIER_MAX_RERUNS]
+
+
 def rotation_queries() -> tuple[list[str], int]:
     extras = sorted(set(REGISTRY) - set(HEADLINE))
     if not extras:
@@ -397,6 +452,43 @@ def main() -> None:
 
     timeline_probe(len(HEADLINE))  # closing bracket of the timeline
 
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Outlier re-run pass (see _OUTLIER_* above): absorb a contention
+    # burst that sat on one query's every run. run_spread/all_runs
+    # keep ONLY the main-pass runs — they stay the honest contention
+    # fingerprint; the rerun and what it absorbed are stamped
+    # separately so bench_compare can see both.
+    ledger = _tracked_ledger(sf_val)
+    outliers = select_outliers(timings, ledger)
+    outlier_stamp: dict | None = None
+    if outliers:
+        outlier_stamp = {"n": len(outliers), "queries": {}}
+        for name, before in outliers:
+            try:
+                t0 = time.perf_counter()
+                materialize(REGISTRY[name].fn(spark, sf_dir))
+                rerun = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — keep the original
+                errors[f"{name}:rerun"] = (
+                    f"{type(exc).__name__}: {exc}"[:300]
+                )
+                continue
+            timings[name] = min(before, rerun)
+            outlier_stamp["queries"][name] = {
+                "before": before,
+                "ledger": ledger[name],
+                "rerun": rerun,
+            }
+        outlier_stamp["absorbed_sec"] = round(
+            sum(
+                q["before"] - min(q["before"], q["rerun"])
+                for q in outlier_stamp["queries"].values()
+            ),
+            3,
+        )
+
     # Rotation slice: single timed run each (trend datapoint, not a
     # headline-grade steady-state number — kept OUT of `value`).
     rotation_timings: dict[str, float | None] = {}
@@ -432,8 +524,6 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — bench must still emit its line
         pass
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query detail (all timings + raw runs + errors) goes to a
     # sidecar file — round 4's single stdout line grew past the
     # driver's 2000-char tail buffer and BENCH_r04 recorded
@@ -493,6 +583,8 @@ def main() -> None:
         # corrupt even if the suite body ran clean.
         if calib_sec > 0:
             detail["calib_anchor"] = round(calib_sec / min(calibs), 3)
+    if outlier_stamp is not None:
+        detail["outlier_reruns"] = outlier_stamp
     if errors:
         detail["errors"] = errors
     if gold_rebuild_s is not None:
@@ -543,6 +635,9 @@ def main() -> None:
         out["calib_drift"] = detail["calib_drift"]
     if "calib_anchor" in detail:
         out["calib_anchor"] = detail["calib_anchor"]
+    if outlier_stamp is not None:
+        out["outlier_reruns"] = outlier_stamp["n"]
+        out["outlier_absorbed_sec"] = outlier_stamp["absorbed_sec"]
     if errors:
         out["n_errors"] = len(errors)
     if gold_rebuild_s is not None:

@@ -214,3 +214,52 @@ def test_r10_false_code_case_now_contended():
     assert out["contended_side"] == "new"
     assert out["spread_old"]["p90"] < SPREAD_P90_CONTENDED
     assert out["norm_ratio"] > 1.1  # would have been a false "code"
+
+
+# ---------------------------------------------------------------- #
+# Outlier re-run pass (VERDICT r12 #3): one contention burst parked
+# on a single query must be absorbable after the main suite.
+# ---------------------------------------------------------------- #
+
+
+def test_outlier_selection_r12_incident():
+    """The motivating case: rolling_hll_users_7d recorded 22.1 s in
+    BENCH_r12 against a 0.79 s tracked ledger entry — it must be
+    selected; pagerank at 6.4 s vs 4.2 s (1.5×) must not."""
+    import bench
+
+    led = {"rolling_hll_users_7d": 0.79, "pagerank_cust_supplier": 4.2}
+    sel = bench.select_outliers(
+        {"rolling_hll_users_7d": 22.1, "pagerank_cust_supplier": 6.4},
+        led,
+    )
+    assert sel == [("rolling_hll_users_7d", 22.1)]
+
+
+def test_outlier_selection_guards():
+    """Sub-50ms ledger entries, <0.5 s absolute excess, None timings
+    and unledgered queries never trigger; the cap keeps the worst
+    excesses first."""
+    import bench
+
+    led = {"tiny": 0.01, "small": 0.2, "big": 2.0}
+    assert bench.select_outliers(
+        {"tiny": 1.0, "small": 0.65, "unknown": 50.0, "none": None},
+        led,
+    ) == []  # tiny: ledger < 50ms; small: excess 0.45 < 0.5s
+    t = {f"q{i}": float(10 + i) for i in range(12)}
+    le = {f"q{i}": 1.0 for i in range(12)}
+    sel = bench.select_outliers(t, le)
+    assert len(sel) == bench._OUTLIER_MAX_RERUNS
+    assert sel[0] == ("q11", 21.0)
+
+
+def test_tracked_ledger_sf_gate():
+    """An sf0.01 iteration run must not compare against the sf0.1
+    ledger (and vice versa)."""
+    import bench
+
+    if not os.path.exists(os.path.join(ROOT, "bench_detail.json")):
+        pytest.skip("no tracked ledger")
+    assert bench._tracked_ledger(0.1)  # ledger is recorded at sf0.1
+    assert bench._tracked_ledger(0.01) == {}
