@@ -135,6 +135,13 @@ _FORCE_RECERT: dict[str, int] = {
     "semdedup_verdicts": 13,
     "embedding_neardup": 13,
     "kmeans_ivf_centroids": 13,
+    # r13 ADVICE fixes (same-round pins, the r11/r12 pattern): the
+    # unigram tercile index is now nullif-guarded and the mode bin
+    # gained an explicit NULL unbinnable class — driver-fixture
+    # results are bit-identical (strict-oracled at sf0.01 locally),
+    # but the expressions changed, so re-certify under the new text.
+    "unigram_lm_quality": 13,
+    "mode_median_by_type": 13,
 }
 
 
