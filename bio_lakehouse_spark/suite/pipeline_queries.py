@@ -210,6 +210,16 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_partitioned_parquet(ev, path, ["year", "month", "day"])
         done.touch()
+    # Named empty-source contract (VERDICT r12 #6): an empty events
+    # table partitionBy-writes zero files and the read-back used to
+    # die with a raw UNABLE_TO_INFER_SCHEMA.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    require_artifact(
+        any(Path(path).rglob("*.parquet")),
+        "partitioned_sink_pruned_read", "events",
+        "partitioned parquet files",
+    )
     back = read_partitioned_parquet(spark, path)
     micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
     agg = (
@@ -1485,6 +1495,14 @@ def orc_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table_format(ev, path, fmt="orc",
                            partition_cols=["year", "month"])
         done.touch()
+    # Named empty-source contract (VERDICT r12 #6), ORC twin of the
+    # parquet guard above.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    require_artifact(
+        any(Path(path).rglob("*.orc")),
+        "orc_sink_pruned_read", "events", "partitioned ORC files",
+    )
     back = read_table_format(spark, path, fmt="orc")
     micros = F.round(F.col("value") * 1000000.0, 0).cast("long")
     agg = (

@@ -57,6 +57,33 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+class EmptySourceTableError(RuntimeError):
+    """A feeder/sink/replay query's SOURCE table is fully empty — an
+    upstream configuration error, not a degenerate group (empty
+    GROUPS yield NULL stats/empty frames and never raise; see the
+    degenerate-corpus net). These queries write derived artifacts
+    (binary files, partitioned sinks, streaming state, an IVF index)
+    from the source and re-read them, so a fully-empty source used to
+    surface as a raw PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA /
+    INVALID_ARRAY_INDEX traceback from deep inside the re-read. Fail
+    loud is right (VERDICT r12 #6); fail loud with a NAME and the
+    offending table is what an operator needs at 3 a.m."""
+
+
+def require_artifact(condition: bool, query: str, table: str, what: str):
+    """Driver-side guard (zero distributed work — call it only on an
+    already-known condition: a glob that matched nothing, a missing
+    state dir, an empty collect) that turns the empty-source failure
+    class into the named contract above."""
+    if not condition:
+        raise EmptySourceTableError(
+            f"{query}: source table '{table}' produced no {what} — "
+            f"the table is empty at this sf_dir (upstream config "
+            f"error; this query derives artifacts from the source "
+            f"and cannot run on a fully-empty table)"
+        )
+
+
 def register(
     name: str,
     oracle: str | None = None,

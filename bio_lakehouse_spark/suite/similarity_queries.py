@@ -459,6 +459,17 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not Path(idx + "_DONE").exists():
         build_ivf_index(emb, centroids, idx)
         Path(idx + "_DONE").touch()
+    # Named empty-source contract (VERDICT r12 #6): an empty
+    # embeddings table writes an index with no parquet splits and the
+    # read-back used to die with a raw UNABLE_TO_INFER_SCHEMA.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    # cells/ specifically: partitionBy on 0 rows writes no files,
+    # while _centroids/ always gets one schema-bearing (empty) split.
+    require_artifact(
+        any(Path(idx, "cells").rglob("*.parquet")),
+        "ann_ivf_indexed", "embeddings", "persisted IVF cell files",
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = ivf_topk_indexed(spark, idx, queries, k=5, nprobe=3)
     return out.select(
@@ -1827,6 +1838,18 @@ def pca_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = cmat_row.select(
         "cmat", F.expr(f"transform({dims}, i -> 0.125d)").alias("v")
     ).localCheckpoint()
+    # Named empty-source contract (VERDICT r12 #6): an empty
+    # embeddings table collapses the covariance collect_list to [],
+    # and cmat[i*d+j] used to die with a raw INVALID_ARRAY_INDEX.
+    # The frame is one already-checkpointed row, so the probe costs
+    # one local read.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    probe = row.select(F.size("cmat").alias("s")).first()
+    require_artifact(
+        probe is not None and probe["s"] > 0,
+        "pca_power_iteration_audit", "embeddings", "covariance entries",
+    )
     mat_u = (
         f"transform({dims}, i -> aggregate({dims}, 0d,"
         f" (acc, j) -> acc + cmat[i * {d} + j] * v[j]))"

@@ -15,6 +15,7 @@ stream-across-restarts ≡ batch.
 
 from __future__ import annotations
 
+import pathlib
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +102,15 @@ def msprt_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run()                    # restart with nothing new: no-op
         done.touch()
 
+    # Named empty-source contract (VERDICT r12 #6): an empty events
+    # table lands no files, the monitor writes no state table, and
+    # msprt_from_state used to die with a raw PATH_NOT_FOUND.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    require_artifact(
+        pathlib.Path(state).exists(),
+        "msprt_streaming_replay", "events", "streaming state table",
+    )
     traj = msprt_from_state(spark, state, tau2=1.0)
     return traj.select(
         "date",
@@ -185,6 +195,15 @@ def stream_dedup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run()                    # restart with nothing new: no-op
         done.touch()
 
+    # Named empty-source contract (VERDICT r12 #6): an empty
+    # documents table lands no files and the ingest writes no corpus
+    # — the read-back used to die with a raw PATH_NOT_FOUND.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    require_artifact(
+        pathlib.Path(corpus).exists(),
+        "stream_dedup_ingest_replay", "documents", "ingested corpus",
+    )
     got = spark.read.parquet(corpus)
     return (
         got.groupBy(fingerprint_exact("text").alias("text_hash"))

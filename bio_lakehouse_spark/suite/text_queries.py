@@ -4138,6 +4138,15 @@ def binary_file_decode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(hdr + pixels)
         done.touch()
 
+    # Named empty-source contract (VERDICT r12 #6): a fully-empty
+    # documents table lands zero BMPs and the binaryFile glob used to
+    # die with a raw PATH_NOT_FOUND.
+    from bio_lakehouse_spark.suite.registry import require_artifact
+
+    require_artifact(
+        any(root.glob("*.bmp")),
+        "binary_file_decode_scan", "documents", "BMP fixture files",
+    )
     raw = spark.read.format("binaryFile").load(str(root) + "/*.bmp")
     wrapped = raw.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.bmp$", 1)

@@ -252,6 +252,76 @@ def test_bio_pipeline_survives_degenerate_bronze(spark, tmp_path):
 
 
 @pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    """Fully-EMPTY twin: every table 0 rows with the real schemas.
+    Distinct from the degenerate corpus (degenerate-but-present data)
+    — this is the upstream-config-error case."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("empty_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet') "
+            f"LIMIT 0) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(out)
+
+
+# The classified empty-source failure set (r12 sweep, named-error
+# contracts added r13): feeders/sinks/replays that derive artifacts
+# from the source and re-read them. On a fully-empty SOURCE TABLE
+# they fail LOUD — by contract — but with EmptySourceTableError, not
+# a raw PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA / INVALID_ARRAY_INDEX
+# traceback. Everything else must run clean (301/308 in the r12
+# ad-hoc sweep; the permanent net now enforces both halves).
+_EMPTY_SOURCE_FAIL_LOUD = {
+    "binary_file_decode_scan",
+    "ann_ivf_indexed",
+    "pca_power_iteration_audit",
+    "partitioned_sink_pruned_read",
+    "orc_sink_pruned_read",
+    "msprt_streaming_replay",
+    "stream_dedup_ingest_replay",
+}
+
+
+def test_every_registry_query_on_empty_corpus(spark, empty_sf):
+    """The empty-corpus net, permanent as of r13: a 0-row source must
+    yield an empty/NULL result everywhere EXCEPT the seven classified
+    artifact-deriving queries, which must raise the NAMED
+    EmptySourceTableError — never a raw engine traceback."""
+    from bio_lakehouse_spark.suite import REGISTRY
+    from bio_lakehouse_spark.suite.registry import EmptySourceTableError
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, empty_sf).collect()
+        except EmptySourceTableError:
+            if name not in _EMPTY_SOURCE_FAIL_LOUD:
+                failures.append(
+                    (name, "unexpected EmptySourceTableError")
+                )
+            continue
+        except Exception as exc:  # noqa: BLE001 — collected for report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+            continue
+        if name in _EMPTY_SOURCE_FAIL_LOUD:
+            failures.append(
+                (name, "expected EmptySourceTableError, ran clean")
+            )
+    assert not failures, (
+        f"{len(failures)} queries broke the empty-corpus contract:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
+
+
+@pytest.fixture(scope="module")
 def nan_sf(tmp_path_factory):
     """NaN-laced twin: NaN is a LEGAL double in parquet, Spark orders
     it ABOVE every number (non-IEEE, so `NaN >= x` filters PASS it),
