@@ -142,6 +142,16 @@ _FORCE_RECERT: dict[str, int] = {
     # but the expressions changed, so re-certify under the new text.
     "unigram_lm_quality": 13,
     "mode_median_by_type": 13,
+    # r13 all-NULL-payload sweep (permanent net #5): five more
+    # row-local abort fixes — try_divide'd pivot rate, NULL-gain
+    # binseg guard, get() for the NULL-label silhouette, NULL-payload
+    # skip in both multimodal UDTF generators. Strict-oracled at
+    # sf0.01 after the fixes; re-certify under the new expressions.
+    "pivot_event_type_daily": 13,
+    "binseg_changepoints": 13,
+    "multimodal_frame_sample": 13,
+    "multimodal_audio_chunks": 13,
+    "silhouette_label_clusters": 13,
 }
 
 

@@ -186,6 +186,11 @@ def frame_sample_batches(
         for pdf in batches:
             rows = []
             for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    # NULL payload (r13 all-NULL sweep): a media row
+                    # with no bytes has nothing to sample — 0 frames,
+                    # never a bytes(None) abort of the Arrow batch.
+                    continue
                 meta = hashlib.md5(bytes(blob)).hexdigest()
                 duration = 1.0 + int(meta[:2], 16)
                 for i, t in enumerate(
@@ -244,6 +249,10 @@ def audio_chunk_batches(
         for pdf in batches:
             rows = []
             for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    # NULL payload (r13 all-NULL sweep): no bytes →
+                    # no chunks, same contract as frame sampling.
+                    continue
                 h = hashlib.md5(bytes(blob)).digest()
                 duration = 1.0 + h[0] % 32
                 rate = 8000 * (1 + h[1] % 3)

@@ -1631,8 +1631,13 @@ def silhouette_label_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sil = pt.select(
         "label",
+        # get(), not [0] (r13 all-NULL sweep): a NULL-label point
+        # matches NO centroid (NULL = NULL filters to empty) and the
+        # 0-index used to abort with INVALID_ARRAY_INDEX — get()
+        # yields a NULL struct → NULL a → NULL silhouette, skipped
+        # by the per-label average.
         F.expr(
-            f"filter({dists}, d -> d.clabel = label)[0].d2"
+            f"get(filter({dists}, d -> d.clabel = label), 0).d2"
         ).alias("a"),
         F.expr(
             f"array_min(transform(filter({dists},"

@@ -4564,6 +4564,11 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = (
             g.select(F.col("rn").alias("t"), gain.alias("gain"))
+            # NULL gain (r13 all-NULL sweep: every daily revenue
+            # NULL → NULL prefix sums) is not a usable split — drop
+            # it so the no-candidates guard below stops splitting
+            # instead of float(None) aborting on the driver.
+            .where(F.col("gain").isNotNull())
             .orderBy(F.desc("gain"), F.asc("t"))
             .limit(1)
             .collect()

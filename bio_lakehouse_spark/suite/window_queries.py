@@ -540,7 +540,13 @@ def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "day",
         *kinds,
-        F.round(F.col("error") / total, 6).alias("error_rate"),
+        # try_divide (r13 all-NULL sweep): a day whose every
+        # event_type is NULL pivots to all-zero kind counts — the
+        # rate over the known kinds is undefined (NULL), not an
+        # ANSI DIVIDE_BY_ZERO abort.
+        F.round(F.try_divide(F.col("error"), total), 6).alias(
+            "error_rate"
+        ),
     )
 
 

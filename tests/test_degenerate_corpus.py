@@ -361,6 +361,64 @@ def nan_sf(tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def allnull_sf(tmp_path_factory):
+    """All-NULL-PAYLOAD twin: rows present, keys/join columns real,
+    every payload column (measures, text, categorical types,
+    embeddings, names) NULL — the misconfigured-upstream shape the
+    empty net (0 rows) and the degenerate net (values present) both
+    miss. First run found five real aborts: bytes(None) in both
+    multimodal UDTF generators, an all-zero pivot total divided
+    under ANSI, float(None) on an all-NULL binseg gain, and a
+    NULL-label point matching no centroid under a 0-index."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("allnull_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    queries = {
+        "region": f"SELECT r_regionkey, NULL::VARCHAR AS r_name FROM read_parquet('{src}/region.parquet')",
+        "nation": f"SELECT n_nationkey, NULL::VARCHAR AS n_name, n_regionkey FROM read_parquet('{src}/nation.parquet')",
+        "customer": f"SELECT c_custkey, NULL::VARCHAR AS c_name, c_nationkey, NULL::DOUBLE AS c_acctbal, NULL::VARCHAR AS c_mktsegment FROM read_parquet('{src}/customer.parquet') LIMIT 20",
+        "supplier": f"SELECT s_suppkey, NULL::VARCHAR AS s_name, s_nationkey, NULL::DOUBLE AS s_acctbal FROM read_parquet('{src}/supplier.parquet') LIMIT 5",
+        "part": f"SELECT p_partkey, NULL::VARCHAR AS p_name, NULL::VARCHAR AS p_brand, NULL::VARCHAR AS p_type, NULL::INT AS p_size, NULL::DOUBLE AS p_retailprice FROM read_parquet('{src}/part.parquet') LIMIT 10",
+        "orders": f"SELECT o_orderkey, o_custkey, NULL::VARCHAR AS o_orderstatus, NULL::DOUBLE AS o_totalprice, o_orderdate, NULL::VARCHAR AS o_orderpriority FROM read_parquet('{src}/orders.parquet') LIMIT 30",
+        "lineitem": f"SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, NULL::DOUBLE AS l_quantity, NULL::DOUBLE AS l_extendedprice, NULL::DOUBLE AS l_discount, NULL::DOUBLE AS l_tax, NULL::VARCHAR AS l_returnflag, NULL::VARCHAR AS l_linestatus, l_shipdate FROM read_parquet('{src}/lineitem.parquet') LIMIT 60",
+        "events": f"SELECT event_id, ts, user_id, NULL::VARCHAR AS event_type, NULL::DOUBLE AS value, NULL::VARCHAR AS props FROM read_parquet('{src}/events.parquet') LIMIT 60",
+        "documents": f"SELECT doc_id, NULL::VARCHAR AS text, NULL::VARCHAR AS lang, NULL::VARCHAR AS source, NULL::BIGINT AS n_chars FROM read_parquet('{src}/documents.parquet') LIMIT 8",
+        "embeddings": f"SELECT vec_id, NULL::FLOAT[] AS embedding, NULL::INT AS label FROM read_parquet('{src}/embeddings.parquet') LIMIT 8",
+    }
+    for t, sql in queries.items():
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    return str(out)
+
+
+def test_every_registry_query_survives_allnull_corpus(spark, allnull_sf):
+    """No registry query may ABORT on all-NULL payloads: NULL
+    statistics, empty results, and dropped NULL-payload rows are all
+    fine; exceptions are not. Exception by contract:
+    pca_power_iteration_audit — an all-NULL embedding column yields
+    NO covariance data at all, which is the empty-source class, and
+    its named EmptySourceTableError (not a raw traceback) is the
+    correct loud failure."""
+    from bio_lakehouse_spark.suite import REGISTRY
+    from bio_lakehouse_spark.suite.registry import EmptySourceTableError
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, allnull_sf).collect()
+        except EmptySourceTableError:
+            if name != "pca_power_iteration_audit":
+                failures.append((name, "unexpected EmptySourceTableError"))
+        except Exception as exc:  # noqa: BLE001 — collected for report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+    assert not failures, (
+        f"{len(failures)} queries aborted on the all-NULL corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
+
+
 def test_every_registry_query_survives_nan_corpus(spark, nan_sf):
     """First run found two aborts: Benford's `NaN >= 1` filter leak
     (Spark sorts NaN above numbers) landing digit 0 → divide-by-zero,
