@@ -152,6 +152,10 @@ _FORCE_RECERT: dict[str, int] = {
     "multimodal_frame_sample": 13,
     "multimodal_audio_chunks": 13,
     "silhouette_label_clusters": 13,
+    # r13 no-reference-slice sweep (permanent net #6): the KN bigram
+    # continuation probability is now try_divide'd (empty reference
+    # → t = v = 0 → 0/0 ANSI abort; NULL model scores NULL).
+    "kn_bigram_perplexity": 13,
 }
 
 

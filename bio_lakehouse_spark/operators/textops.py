@@ -743,10 +743,13 @@ def kneser_ney_bigram_score(df, id_col: str, text_col: str, ref=None,
         .crossJoin(F.broadcast(scal))
     )
     n1l = F.coalesce(F.col("n1l"), F.lit(0)).cast("double")
-    p_cont = (
-        F.greatest(n1l - D, F.lit(0.0)) / F.col("t")
-        + D * F.col("v2") / F.col("t") / F.col("v")
-    )
+    # try_divide (r13 no-reference sweep): an empty reference slice
+    # gives t = v = 0 and the 0/0 aborted under ANSI — an undefined
+    # model scores every bigram NULL (mean_nll NULL, n_bigrams still
+    # counted), the same contract as unigram_lm_score's NULL denom.
+    p_cont = F.try_divide(
+        F.greatest(n1l - D, F.lit(0.0)), F.col("t")
+    ) + F.try_divide(D * F.col("v2"), F.col("t") * F.col("v"))
     c12 = F.coalesce(F.col("c12"), F.lit(0)).cast("double")
     c1 = F.col("c1").cast("double")
     p = F.when(

@@ -322,6 +322,60 @@ def test_every_registry_query_on_empty_corpus(spark, empty_sf):
 
 
 @pytest.fixture(scope="module")
+def noref_sf(tmp_path_factory):
+    """Empty-REFERENCE-SLICE twin (the ADVICE r12 shape,
+    generalized): every table normal, but every doc_id shifted up by
+    1000 so the doc_id<100 training/reference slices several LM/text
+    queries depend on are empty while the corpus itself is not —
+    unreachable from both the empty net (no corpus either) and the
+    degenerate net (its doc_ids start at 0). First run found the KN
+    bigram model's 0/0 ANSI abort on t = v = 0."""
+    duckdb = pytest.importorskip("duckdb")
+    out = tmp_path_factory.mktemp("noref_sf")
+    src = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"COPY (SELECT doc_id + 1000 AS doc_id, text, lang, source, "
+        f"n_chars FROM read_parquet('{src}/documents.parquet')) "
+        f"TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    return str(out)
+
+
+def test_every_registry_query_survives_noref_corpus(spark, noref_sf):
+    """An empty reference/training slice must yield NULL scores (an
+    undefined model scores nothing), never a job abort. Exception by
+    contract: binary_file_decode_scan's fixture slice (doc_id < 64)
+    is empty here, so its named EmptySourceTableError is the correct
+    loud failure."""
+    from bio_lakehouse_spark.suite import REGISTRY
+    from bio_lakehouse_spark.suite.registry import EmptySourceTableError
+
+    failures: list[tuple[str, str]] = []
+    for name, entry in REGISTRY.items():
+        try:
+            entry.fn(spark, noref_sf).collect()
+        except EmptySourceTableError:
+            if name != "binary_file_decode_scan":
+                failures.append((name, "unexpected EmptySourceTableError"))
+        except Exception as exc:  # noqa: BLE001 — collected for report
+            first = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            failures.append((name, first))
+    assert not failures, (
+        f"{len(failures)} queries aborted on the no-reference corpus:\n"
+        + "\n".join(f"  {n}: {m}" for n, m in failures)
+    )
+
+
+@pytest.fixture(scope="module")
 def nan_sf(tmp_path_factory):
     """NaN-laced twin: NaN is a LEGAL double in parquet, Spark orders
     it ABOVE every number (non-IEEE, so `NaN >= x` filters PASS it),
