@@ -111,6 +111,11 @@ def pagerank(
     deg = (
         e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     )
+    # r13: the (edge, out-degree) join is static — attach deg to each
+    # edge ONCE instead of re-joining deg inside every iteration's
+    # contrib computation (iters joins saved; the division stays
+    # r/deg per-row so the float chain is unchanged).
+    ed = e.join(deg, on="src").localCheckpoint()
     vtx = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
@@ -128,8 +133,7 @@ def pagerank(
     )
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e["src"] == ranks["v"])
-            .join(deg, on="src")
+            ed.join(ranks, ed["src"] == ranks["v"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("insum"))
         )
@@ -194,6 +198,11 @@ def triangle_stats(
         .unionAll(canon.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        # r13: deg feeds THREE branches (da, db, nodes_wedges) — each
+        # was re-running the union+aggregate over the edge RDD (the
+        # r13 profile showed the checkpointed edge list scanned 28×
+        # across the final plan). One materialization, |nodes| rows.
+        .localCheckpoint(eager=True)
     )
     # Orient by (degree, id): from the lexicographically smaller
     # endpoint to the larger. Degrees are a broadcast-sized frame
@@ -213,6 +222,9 @@ def triangle_stats(
             .alias("e")
         )
         .select("e.u", "e.v")
+        # r13: the wedge enumeration reads this frame twice (o1 ⋈ o2)
+        # — materialize the two broadcast joins once instead of twice.
+        .localCheckpoint(eager=True)
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
@@ -292,7 +304,13 @@ def neighbor_jaccard_topk(
     adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         canon.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # r13: deg feeds up to three branches (d1, d2, the center cap) —
+    # materialize the |nodes|-row frame once (triangle_stats rule).
+    deg = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     centers = adj.select(F.col("nb").alias("c"), F.col("node").alias("leaf"))
     if max_degree is not None:
         ok = deg.filter(F.col("d") <= max_degree).select(

@@ -835,17 +835,24 @@ def pq_adc_topk(
     pairs = corpus_codes.crossJoin(F.broadcast(qlut)).filter(
         F.col(id_col) != F.col("query_id")
     )
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
+    # r13: statically unrolled over the m subspaces (m is a Python
+    # int) instead of F.aggregate over sequence(0, m-1) — the HOF fold
+    # is interpreted per scan row (no whole-stage codegen, plus a
+    # per-row sequence-array allocation) while the unrolled sum is a
+    # codegen'd expression chain. Same left-to-right addition order
+    # (((d0+d1)+d2)+d3, all terms ≥ +0.0), bit-identical result.
+    dist_terms = [
+        F.element_at(
             F.col("lut"),
-            (s * F.col("k_eff")
-             + F.element_at(F.col("codes"), (s + 1).cast("int")) + 1)
+            (F.lit(s) * F.col("k_eff")
+             + F.element_at(F.col("codes"), F.lit(s + 1)) + 1)
             .cast("int"),
-        ),
-    )
+        )
+        for s in range(m)
+    ]
+    dist = dist_terms[0]
+    for t in dist_terms[1:]:
+        dist = dist + t
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
     )
@@ -912,7 +919,15 @@ def bitext_mine_mutual(
         "cos_sim",
         F.row_number().over(wa).alias("ra"),
         F.row_number().over(wb).alias("rb"),
-    )
+    ).filter(
+        # r13: every consumer below only reads rows ranked ≤ k_margin
+        # on at least one side (denominators: ra/rb ≤ k; mutuality:
+        # ra = rb = 1) — cut the |A|×|B| cross-score down to the
+        # ≤ (|A|+|B|)·k survivors ONCE and materialize that tiny
+        # frame. The three consumers used to re-run the full
+        # cross-score + both rank windows each.
+        (F.col("ra") <= k_margin) | (F.col("rb") <= k_margin)
+    ).localCheckpoint()
     denom_a = (
         ranked.filter(F.col("ra") <= k_margin)
         .groupBy("a_id")
@@ -1052,10 +1067,23 @@ def semdedup(
 
     Returns (id, centroid_id, is_dup) for every corpus row.
     """
-    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    # r13: materialize the assignment once (it feeds both sides of
+    # the within-cell pair join AND the final verdict frame — the
+    # broadcast argmax over every centroid used to re-run three
+    # times), with the row norm precomputed so the quadratic pair
+    # check pays one dot per pair instead of dot + two norms (same
+    # floats: norm(v) is the identical expression either way).
+    assigned = (
+        assign_cells(corpus, centroids, id_col, vec_col)
+        .withColumn("_n", norm(F.col(vec_col)))
+        .localCheckpoint()
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = F.try_divide(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        F.col("a._n") * F.col("b._n"),
+    )
     dups = (
         a.join(b, on=F.col("a.centroid_id") == F.col("b.centroid_id"))
         .filter(F.col(f"a.{id_col}") > F.col(f"b.{id_col}"))

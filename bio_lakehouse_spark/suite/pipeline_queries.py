@@ -1313,10 +1313,23 @@ def ivm_join_refresh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < 0.8
     )
-    a0 = orders.filter(o_is_base).withColumnRenamed("o_orderkey", "k")
-    da = orders.filter(~o_is_base).withColumnRenamed("o_orderkey", "k")
-    b0 = li.filter(l_is_base).withColumnRenamed("l_orderkey", "k")
-    db = li.filter(~l_is_base).withColumnRenamed("l_orderkey", "k")
+    # r13: evaluate the md5-based split hash ONCE per table and
+    # materialize the flagged frame — the base/delta pair and the
+    # delta rule's three joins used to re-scan each parquet table (8
+    # scans total) and re-hash every row per branch. One scan + one
+    # hash pass per table now feeds all four split frames. (On a real
+    # pipeline base and delta arrive as separate tables; the split is
+    # fixture construction, so materializing it is the honest analog.)
+    of = orders.withColumn("__base", o_is_base).localCheckpoint()
+    lf = li.withColumn("__base", l_is_base).localCheckpoint()
+    a0 = of.filter("__base").drop("__base").withColumnRenamed("o_orderkey", "k")
+    da = of.filter(~F.col("__base")).drop("__base").withColumnRenamed(
+        "o_orderkey", "k"
+    )
+    b0 = lf.filter("__base").drop("__base").withColumnRenamed("l_orderkey", "k")
+    db = lf.filter(~F.col("__base")).drop("__base").withColumnRenamed(
+        "l_orderkey", "k"
+    )
 
     old_view = a0.join(b0, "k")
     delta = join_view_delta(a0, da, b0, db, ["k"])

@@ -276,16 +276,24 @@ def weighted_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = li.groupBy(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("v"),
-    ).agg(F.sum(F.col("l_quantity").try_cast("long")).alias("w"))
+    ).agg(
+        F.sum(F.col("l_quantity").try_cast("long")).alias("w")
+    ).localCheckpoint(eager=False)
     wp = Window.partitionBy("flag").orderBy("v")
-    wall = Window.partitionBy("flag")
+    # r13: totals per flag via a tiny groupBy + broadcast join back
+    # instead of two whole-partition Window passes (sum + count over
+    # an unframed partitionBy("flag") window re-walked every distinct
+    # price twice). The lazy checkpoint keeps the (flag, price)
+    # aggregation from recomputing for its two consumers. Integer
+    # sums — order-insensitive, bit-identical either way.
+    totals = wv.groupBy("flag").agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("nv")
+    )
     cum = wv.select(
         "flag",
         "v",
         F.sum("w").over(wp).alias("cw"),
-        F.sum("w").over(wall).alias("tw"),
-        F.count(F.lit(1)).over(wall).alias("nv"),
-    )
+    ).join(F.broadcast(totals), on="flag")
     # cw >= tw - cw, NOT 2*cw >= tw (r12 extreme-value sweep): the
     # doubling overflows BIGINT when the cumulative weight passes
     # half of Long.MAX — algebraically identical for integers, and

@@ -1179,6 +1179,9 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        # r13: four consumers (n_orders, supp, both self-join sides)
+        # each re-ran the scan+distinct exchange — materialize once.
+        .localCheckpoint()
     )
     n_orders = lo.agg(F.count_distinct("o").alias("n"))
     supp = lo.groupBy("p").agg(F.count(F.lit(1)).alias("s"))

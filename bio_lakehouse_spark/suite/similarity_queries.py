@@ -618,7 +618,10 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64)
+    # r13: the codebook feeds BOTH pq_encode and the ADC LUT build —
+    # each packs it into its own broadcast row, re-running the sampled
+    # window subtree; materialize the 32-row frame once.
+    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64).localCheckpoint()
     codes = pq_encode(emb, cb, m=4, dim=64)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = pq_adc_topk(codes, queries, cb, k_results=5, m=4, k=8, dim=64)
@@ -698,7 +701,10 @@ def pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64)
+    # r13: the codebook feeds BOTH pq_encode and the ADC LUT build —
+    # each packs it into its own broadcast row, re-running the sampled
+    # window subtree; materialize the 32-row frame once.
+    cb = pq_codebook_sampled(emb, m=4, k=8, stride=60, dim=64).localCheckpoint()
     codes = pq_encode(emb, cb, m=4, dim=64)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     cand = pq_adc_topk(

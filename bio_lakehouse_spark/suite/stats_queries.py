@@ -1804,7 +1804,12 @@ def concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("user_id") * 1_000_000 + F.col("session_id")).alias("sid"),
         "s", "e",
-    )
+    ).localCheckpoint()
+    # ^ r13: the interval join consumes this frame as BOTH sides —
+    # without the cut the lag/sum sessionization windows over the
+    # full events table execute twice (one per join side). One
+    # materialization of the |sessions|-row frame halves the query's
+    # heavy pass.
     pairs = interval_overlap_join(
         per_session, per_session, ("sid", "s", "e"), ("sid", "s", "e"),
         bucket_s=3600,
