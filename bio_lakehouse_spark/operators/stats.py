@@ -108,11 +108,21 @@ def _avg_rank(col: str, partition_by: Sequence[str] = ()) -> Column:
     ``scipy.stats.rankdata`` / pandas ``rank(method='average')``.
 
     avg_rank(v) = count(x < v) + (count(x = v) + 1) / 2, computed as
-    rank() + (tie_count − 1)/2 via two windows.
+    rank() + (tie_count − 1)/2.
+
+    r13: the tie count rides the SAME (partition, order) window spec
+    as the rank, as a RANGE CURRENT ROW..CURRENT ROW frame (SQL range
+    frames bounded by CURRENT ROW span the whole peer group — rows
+    tied on the order key, NULLs being mutual peers — so the count is
+    identical to the old Window.partitionBy(partition, col) spec).
+    One spec means one exchange + one sort per rank axis; the old
+    second spec hash-partitioned by (partition, col) and cost every
+    ranking consumer an extra exchange per axis.
     """
     w = Window.partitionBy(*partition_by).orderBy(col)
-    tie = Window.partitionBy(*partition_by, col)
-    return F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+    return F.rank().over(w) + (
+        F.count(F.lit(1)).over(w.rangeBetween(0, 0)) - 1
+    ) / 2.0
 
 
 def spearman(

@@ -107,15 +107,37 @@ def predicted_lang(words_col: Column) -> Column:
     fixture docs are zero-hit). Changing zero-evidence docs to
     ``und`` would be the better heuristic but flips the langid-gated
     curation family's certified values in lockstep — do it only as a
-    deliberate multi-query re-certification."""
-    scores = {lang: stopword_hits(words_col, lang) for lang in STOPWORDS}
-    expr = None
+    deliberate multi-query re-certification.
+
+    r13: the L stopword-count scores are let-bound as one array so
+    each language's filter pass over the words array runs ONCE per
+    row. The old dict-of-columns form inlined every score into every
+    when-branch (score_i plus greatest over the other L−1) — up to
+    L² interpreted HOF passes per row, none sharable because HOF
+    lambdas get no common-subexpression elimination. Same argmax,
+    same ≥ tie-break order, identical values."""
     langs = list(STOPWORDS)
-    for i, lang in enumerate(langs):
-        others = [scores[o] for o in langs if o != lang]
-        cond = scores[lang] >= F.greatest(*others)
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return expr.otherwise("und")
+
+    def pick(s: Column) -> Column:
+        expr = None
+        for i, lang in enumerate(langs):
+            others = [
+                F.element_at(s, j + 1)
+                for j in range(len(langs))
+                if j != i
+            ]
+            cond = F.element_at(s, i + 1) >= F.greatest(*others)
+            expr = (
+                F.when(cond, lang) if expr is None else expr.when(cond, lang)
+            )
+        return expr.otherwise("und")
+
+    return let(
+        words_col,
+        lambda w: let(
+            F.array(*[stopword_hits(w, lang) for lang in langs]), pick
+        ),
+    )
 
 
 def token_count_ws(col: Column | str) -> Column:

@@ -1697,13 +1697,22 @@ def discovery_scan_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grp = ["user_id", "metric_a", "metric_b", "lag"]
     wg = Window.partitionBy(*grp)
+    # r13: the tie-count uses a rangeBetween(0,0) frame over the SAME
+    # (partition, order) spec as the rank — rows with equal va in the
+    # grp partition — instead of a fourth/fifth window partitioned by
+    # (grp, va)/(grp, vb). Every window function now shares the one
+    # hashpartitioning(grp) exchange with the final groupBy(grp); the
+    # old spec mix forced two extra exchanges + sorts on (grp, va)
+    # and (grp, vb). Counts are identical by definition of ties.
+    wva = wg.orderBy("va")
+    wvb = wg.orderBy("vb")
     rx = (
-        F.rank().over(wg.orderBy("va"))
-        + (F.count(F.lit(1)).over(Window.partitionBy(*grp, "va")) - 1) / 2.0
+        F.rank().over(wva)
+        + (F.count(F.lit(1)).over(wva.rangeBetween(0, 0)) - 1) / 2.0
     )
     ry = (
-        F.rank().over(wg.orderBy("vb"))
-        + (F.count(F.lit(1)).over(Window.partitionBy(*grp, "vb")) - 1) / 2.0
+        F.rank().over(wvb)
+        + (F.count(F.lit(1)).over(wvb.rangeBetween(0, 0)) - 1) / 2.0
     )
     ranked = aligned.select(*grp, rx.alias("rx"), ry.alias("ry"))
     # exact-sums Spearman (see operators/stats.spearman): half-integer
