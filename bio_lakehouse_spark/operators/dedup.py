@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bio_lakehouse_spark.operators.textops import let, word_ngrams, words
+from bio_lakehouse_spark.operators.textops import word_ngrams, words
 
 DEFAULT_NUM_HASHES = 16
 
@@ -626,37 +626,6 @@ def minhash_incremental_pairs(
     return verified
 
 
-def _nibbles(h) -> Column:
-    """md5 hex string → array of its 32 nibble values (0-15), via one
-    substring + ascii per position ('0'-'9' → 48-57, 'a'-'f' →
-    97-102). Arithmetic on the char code replaces the old 8-literal
-    string `isin` per (position, half) — one char decode now serves
-    every bit test derived from that nibble."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(32)),
-        lambda p: let(
-            F.ascii(F.substring(h, p.cast("int"), 1)),
-            lambda a: F.when(a >= 97, a - 87).otherwise(a - 48),
-        ),
-    )
-
-
-def _pack_sign_bits(votes: Column, offset: int) -> Column:
-    """32 vote counters (slice of a vote array starting at 1-based
-    ``offset``) → the signed-32-bit value with bit p set iff
-    votes[p] > 0."""
-    powers = F.array(*[F.lit(2**p).cast("long") for p in range(32)])
-    return F.aggregate(
-        F.zip_with(
-            F.slice(votes, offset, 32),
-            powers,
-            lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def simhash32(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -664,12 +633,22 @@ def simhash32(
 
     Bit p of the signature is the sign of Σ over shingles of ±1,
     where +1 iff the p-th hex nibble of md5(shingle) has its top bit
-    set (nibble ≥ 8). Engine-portable for the same reason as minhash:
-    everything derives from md5 hex characters.
+    set. Engine-portable for the same reason as minhash: everything
+    derives from md5 hex characters.
     """
     from bio_lakehouse_spark.operators.textops import let
 
     sh = shingle_sets(df, id_col, text_col, n)
+
+    def vote_bits(h):
+        # ±1 vote per bit position: +1 iff hex nibble p has its top
+        # bit set (chars 8-f).
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.when(
+                F.substring(h, p.cast("int"), 1).isin(*"89abcdef"), F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
 
     def signature(hashes):
         # One pass over the shingle hashes accumulating all 32 vote
@@ -677,16 +656,18 @@ def simhash32(
         votes = F.aggregate(
             hashes,
             F.array_repeat(F.lit(0), 32),
-            lambda acc, h: F.zip_with(
-                acc,
-                F.transform(
-                    _nibbles(h),
-                    lambda v: F.when(v >= 8, F.lit(1)).otherwise(F.lit(-1)),
-                ),
-                lambda a, v: a + v,
-            ),
+            lambda acc, h: F.zip_with(acc, vote_bits(h), lambda a, v: a + v),
         )
-        return _pack_sign_bits(votes, 1)
+        powers = F.array(*[F.lit(2**p).cast("long") for p in range(32)])
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda v, pw: F.when(v > 0, pw).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
 
     hashes_expr = F.transform(F.col("shingles"), lambda s: F.md5(s))
     return sh.select(
@@ -702,63 +683,48 @@ def simhash64(
     Near-Duplicates for Web Crawling, WWW'07: 64-bit simhash,
     hamming ≤ 3), kept as two ints so neither engine needs unsigned
     64-bit arithmetic. Bit p of the HI half votes on the top bit
-    (mask 8, i.e. nibble ≥ 8) of md5-hex nibble p+1; the LO half
-    votes on the second bit (mask 4, i.e. nibble mod 8 ≥ 4) of the
-    same nibble — 64 independent votes from ONE md5 per shingle,
-    accumulated in ONE aggregate pass (r13: the two halves used to be
-    two separate let-bound aggregates, each re-walking the md5 array
-    and re-decoding every hex char through an 8-literal isin; the
-    fused pass decodes each nibble once and serves both halves)."""
+    (mask 8) of md5-hex nibble p+1; the LO half votes on the second
+    bit (mask 4) of the same nibble — 64 independent votes from one
+    md5 per shingle, one aggregate pass."""
     from bio_lakehouse_spark.operators.textops import let
 
     sh = shingle_sets(df, id_col, text_col, n)
 
-    def votes64(hashes):
-        # acc[0..31] = hi votes, acc[32..63] = lo votes; per shingle
-        # the 32 nibbles are decoded once (let-bound) and feed both
-        # halves' ±1 votes.
-        return F.aggregate(
-            hashes,
-            F.array_repeat(F.lit(0), 64),
-            lambda acc, h: F.zip_with(
-                acc,
-                let(
-                    _nibbles(h),
-                    lambda nb: F.concat(
-                        F.transform(
-                            nb,
-                            lambda v: F.when(
-                                v >= 8, F.lit(1)
-                            ).otherwise(F.lit(-1)),
-                        ),
-                        F.transform(
-                            nb,
-                            lambda v: F.when(
-                                v % 8 >= 4, F.lit(1)
-                            ).otherwise(F.lit(-1)),
-                        ),
-                    ),
-                ),
-                lambda a, v: a + v,
-            ),
+    def vote_bits(h, charset: str):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.when(
+                F.substring(h, p.cast("int"), 1).isin(*charset), F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
 
-    def signature(hashes):
-        return let(
-            votes64(hashes),
-            lambda votes: F.struct(
-                _pack_sign_bits(votes, 1).alias("sim_hi"),
-                _pack_sign_bits(votes, 33).alias("sim_lo"),
+    powers = F.array(*[F.lit(2**p).cast("long") for p in range(32)])
+
+    def half(hashes, charset: str):
+        votes = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0), 32),
+            lambda acc, h: F.zip_with(
+                acc, vote_bits(h, charset), lambda a, v: a + v
             ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                powers,
+                lambda v, pw: F.when(v > 0, pw).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
 
     hashes_expr = F.transform(F.col("shingles"), lambda s: F.md5(s))
     return sh.select(
-        "doc_id", let(hashes_expr, signature).alias("_sig")
-    ).select(
         "doc_id",
-        F.col("_sig.sim_hi").alias("sim_hi"),
-        F.col("_sig.sim_lo").alias("sim_lo"),
+        let(hashes_expr, lambda h: half(h, "89abcdef")).alias("sim_hi"),
+        let(hashes_expr, lambda h: half(h, "4567cdef")).alias("sim_lo"),
     )
 
 
@@ -1512,14 +1478,12 @@ def prefix_filter_pairs(
             ).alias("ord")
         )
         .withColumn("sz", F.size("ord"))
-        # r13: materialize the rarity-ordered shingle table ONCE. It
-        # feeds FOUR plan branches (prefix sides a and b, verify sides
-        # sa and sb); without the cut each branch re-ran the whole
-        # shingle pipeline from the parquet scan — the explain showed
-        # 8 scans + 4 ObjectHashAggregate collect_list passes for one
-        # logical table. Same single-app analog of "write the
-        # intermediate" as containment_prefix_pairs' checkpoint.
-        .localCheckpoint()
+        # r13 note: a localCheckpoint here (to share the table across
+        # the four plan branches) was tried and MEASURED SLOWER at
+        # sf0.1 (dedup_prefix_filter 3.0 s -> 8.3 s, ngram_jaccard
+        # 3.5 s -> 9.5 s): serializing the shingle arrays costs more
+        # than recomputing them from the columnar scan, and the eager
+        # cut serializes what AQE otherwise runs as parallel branches.
     )
     prefix_len = F.col("sz") - F.ceil(
         F.lit(float(threshold)) * F.col("sz")

@@ -86,7 +86,29 @@ def main() -> None:
     # warm the reader + JVM once, like bench.py
     materialize(spark.read.parquet(f"{args.sf}/lineitem.parquet"))
 
-    results = {}
+    def calib() -> float:
+        """bench.py's fixed synthetic host-speed probe (min of 2):
+        timings on this sandbox swing >2x between host windows, so
+        every profile stamps the window it ran in — numbers from
+        different sessions are only comparable calib-normalized."""
+        t = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(
+                spark.range(0, 120_000_000, 1, 32)
+                .selectExpr(
+                    "xxhash64(id) AS h",
+                    "id % 9973 AS k",
+                    "sin(id * 1e-7) AS v",
+                )
+                .groupBy("k")
+                .agg({"h": "max", "v": "sum", "k": "count"})
+            )
+            t.append(time.perf_counter() - t0)
+        return round(min(t), 3)
+
+    results = {"_calib_start": calib()}
+    print(json.dumps({"_calib_start": results["_calib_start"]}), flush=True)
     for name in names:
         fn = REGISTRY[name].fn
         try:
@@ -119,6 +141,9 @@ def main() -> None:
             **(plan_stats(plan) if plan else {}),
         }
         print(json.dumps({name: results[name]}), flush=True)
+
+    results["_calib_end"] = calib()
+    print(json.dumps({"_calib_end": results["_calib_end"]}), flush=True)
 
     out = os.path.join(HERE, "bench_out", f"profile_r13_{args.tag}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
