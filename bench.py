@@ -327,7 +327,13 @@ def _tracked_ledger(sf_val) -> dict[str, float]:
 # whose min exceeds 3× its tracked-ledger entry (and by >0.5 s
 # absolute, so sub-second jitter never triggers) gets one more run;
 # the overall min is kept and the pass is stamped into the output.
-_OUTLIER_FACTOR = 3.0
+# 2.0, down from the initial 3.0 (VERDICT r13 #7): the r13 run's
+# dedup_minhash_lsh burst sat at 1.77x its ledger entry — under the
+# 3x trigger — while the tracked ledger's own idle-host run spread is
+# p90 ~1.5, so 2x separates real bursts from JIT/jitter with margin.
+# A false trigger only costs one extra (honest, full) run of that
+# query; the min is never corrupted by rerunning.
+_OUTLIER_FACTOR = 2.0
 _OUTLIER_MIN_EXCESS_S = 0.5
 _OUTLIER_MAX_RERUNS = 8
 

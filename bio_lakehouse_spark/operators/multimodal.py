@@ -31,6 +31,23 @@ DECODED_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Spread a narrow input to the session's parallelism before the
+    Python stage (guide §2.5 input skew / §2.6): small corpora — and
+    any single unsplittable media container — arrive as ONE split, so
+    the whole mapInPandas decode/expansion used to run as a single
+    Python task (the r14 event-log profile showed
+    multimodal_audio_chunks executing 5 000 docs' md5+chunk expansion
+    in exactly 1 task on a 32-core session). Deterministic key-hash
+    repartition (never round-robin: retried map tasks must reproduce
+    the same row→partition assignment, SPARK-38388); no-op when the
+    source already has enough splits, which is the 100 TB case."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, key)
+    return df
+
+
 class Decoder:
     """Decode one media payload → (width, height, channels, features)."""
 
@@ -91,10 +108,11 @@ def decode_batches(
 ) -> DataFrame:
     """mapInPandas decode: Arrow ships (id, content, media_type)
     batches to Python; the decoder runs per record within a batch —
-    vectorized transfer, library-friendly loop. Repartition upstream
-    to bound per-task media bytes (e.g. ``df.repartitionByRange(n,
-    id_col)``) — batch size is already capped by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+    vectorized transfer, library-friendly loop. The input is spread
+    to the session's parallelism first (``_spread``); batch size is
+    capped by ``spark.sql.execution.arrow.maxRecordsPerBatch``, and a
+    caller with very large media cells can additionally
+    ``repartitionByRange(n, id_col)`` to bound per-task bytes."""
     dec = decoder or FakeDecoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,7 +142,9 @@ def decode_batches(
             yield pd.DataFrame(out)
 
     cols = [id_col, "content", "media_type", "n_bytes", "content_md5"]
-    return df.select(cols).mapInPandas(run, schema=DECODED_SCHEMA)
+    return _spread(df.select(cols), id_col).mapInPandas(
+        run, schema=DECODED_SCHEMA
+    )
 
 
 def resize_spec(width: int, height: int, target: int) -> tuple[int, int]:
@@ -202,7 +222,9 @@ def frame_sample_batches(
                 columns=[id_col, "duration_s", "frame_idx", "t_offset_s"],
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, schema)
+    return _spread(df.select(id_col, content_col), id_col).mapInPandas(
+        gen, schema
+    )
 
 
 def audio_chunk_offsets(
@@ -271,7 +293,9 @@ def audio_chunk_batches(
                 ],
             )
 
-    return df.select(id_col, content_col).mapInPandas(gen, schema)
+    return _spread(df.select(id_col, content_col), id_col).mapInPandas(
+        gen, schema
+    )
 
 
 class HeaderDecoder(Decoder):

@@ -36,10 +36,12 @@ def merges(spark, corpus):
     return bpe_train(word_freq_table(corpus, "text"), num_merges=24)
 
 
+@pytest.mark.heavy  # 264 s module-scoped bpe_train fixture
 def test_trained_merges_match_golden(merges):
     assert merges[:12] == GOLDEN_MERGES_12
 
 
+@pytest.mark.heavy
 def test_word_tokens_roundtrip_and_monotone(spark, merges):
     """concat(tokens) == word for every word (merges never lose or
     invent characters), and more merges never increase a word's
@@ -61,6 +63,7 @@ def test_word_tokens_roundtrip_and_monotone(spark, merges):
         assert r["n_tokens"] <= half[r["word"]]
 
 
+@pytest.mark.heavy
 def test_distributed_counts_match_pandas_encoder(corpus, merges):
     """The JVM-side fold pipeline and the pandas seam encoder must
     agree doc-for-doc — same merges, same greedy left-to-right
@@ -76,6 +79,7 @@ def test_distributed_counts_match_pandas_encoder(corpus, merges):
         assert got[did] == n, f"doc {did}: spark {got[did]} pandas {n}"
 
 
+@pytest.mark.heavy
 def test_token_counter_seam_integration(spark, corpus, merges):
     """bpe_token_counter plugs into textops.token_counter as a real
     TokenCounterFn: the resulting Column computes the same counts as

@@ -21,6 +21,9 @@ from __future__ import annotations
 
 import pytest
 
+# ~34 min of full-registry sweeps: heavy tier (conftest two-tier note).
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def degen_sf(tmp_path_factory):

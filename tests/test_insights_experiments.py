@@ -141,6 +141,7 @@ def test_insight_analyzers_and_report(spark, gold, tmp_path):
     assert "Weekly Report" in open(path).read()
 
 
+@pytest.mark.heavy  # 44 s
 def test_all_13_analyzers_contract(spark, gold):
     """Every analyzer in the full roster (ref tests/test_insights.py:
     27-168 contract) returns an InsightResult with populated

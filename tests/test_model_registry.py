@@ -143,6 +143,7 @@ def test_vacuum_age_gates_stage_dirs(tmp_path):
     assert not dead.exists(), "stale stage debris survived vacuum"
 
 
+@pytest.mark.heavy  # 132 s end-to-end train
 def test_train_publish_predict_on_fixture_gold(spark, tmp_path):
     """Full reference lifecycle (train.py fit → mlflow_config best-run
     registry → predict.py latest-features inference) on the fixture

@@ -427,6 +427,7 @@ def test_bench_noop_plans_keep_work_nodes(spark, sf_dir):
             assert node in plan, f"{name} lost its {node} node:\n{plan}"
 
 
+@pytest.mark.heavy  # 168 s full-registry plan sweep
 def test_no_unintended_cartesian_anywhere(spark, sf_dir):
     """Suite-wide regression net: no registered query may plan a
     cartesian / broadcast-nested-loop join except the whitelisted

@@ -918,6 +918,7 @@ def _risk(spark, level="low_risk"):
     )
 
 
+@pytest.mark.heavy  # 49 s
 def test_alert_conditions_trigger_individually(spark):
     from bio_lakehouse_spark.products.alerts import check_alerts
 

@@ -41,6 +41,7 @@ events_strategy = st.lists(
 
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.heavy  # 42 s hypothesis sweep
 @given(left=events_strategy, right=events_strategy)
 def test_asof_join_matches_pandas_merge_asof(spark, left, right):
     """asof_join (union + window fill) ≡ pandas.merge_asof per user."""
@@ -86,6 +87,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.heavy  # 30 s hypothesis sweep
 @given(rows=events_strategy, n_salts=st.integers(min_value=1, max_value=7))
 def test_salted_agg_equals_plain(spark, rows, n_salts):
     from bio_lakehouse_spark.operators.skew import salted_agg_cols
@@ -116,6 +118,7 @@ def test_salted_agg_equals_plain(spark, rows, n_salts):
           suppress_health_check=[HealthCheck.too_slow])
 @given(left=events_strategy, right=events_strategy,
        window=st.sampled_from([60, 600, 3600]))
+@pytest.mark.heavy  # 24 s hypothesis sweep
 def test_range_join_matches_naive(spark, left, right, window):
     from bio_lakehouse_spark.operators.joins import range_join_bucketed
 
@@ -211,6 +214,7 @@ docs_strategy = st.lists(
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.heavy  # 69 s hypothesis sweep
 @given(docs=docs_strategy, seed=st.integers(min_value=0, max_value=99))
 def test_banded_simhash_equals_bruteforce(spark, docs, seed):
     """Pigeonhole recall: the banded 64-bit simhash pipeline must
@@ -855,6 +859,7 @@ def test_fs_adaptive_knobs_thresholds(spark):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@pytest.mark.heavy  # 20 s hypothesis sweep
 @given(docs=docs_strategy, seed=st.integers(min_value=0, max_value=99))
 def test_containment_prefix_filter_recall_exact(spark, docs, seed):
     """The asymmetric prefix filter must return EXACTLY the

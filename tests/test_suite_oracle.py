@@ -13,7 +13,19 @@ from bio_lakehouse_spark.suite import REGISTRY
 from tests.oracle_harness import compare, run_oracle
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+# DuckDB-heavy oracle SQL (91 s for markov's unrolled absorbing-chain
+# CTE even at sf0.001) — heavy tier; the Spark side stays covered by
+# the driver's own oracle gate and the full-tier run every round.
+_HEAVY_ORACLE = {"markov_attribution_removal"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.heavy) if n in _HEAVY_ORACLE else n
+        for n in sorted(REGISTRY)
+    ],
+)
 def test_query_matches_oracle(name, spark, sf_dir):
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_dir).toPandas()

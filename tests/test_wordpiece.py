@@ -87,6 +87,7 @@ def test_training_likelihood_not_count(spark):
     assert vocab[-1] == "qu"
 
 
+@pytest.mark.heavy  # 30 s training golden
 def test_training_deterministic_and_golden(spark):
     """Retraining on the sf0.001 corpus reproduces the shipped
     constant exactly."""

@@ -181,6 +181,36 @@ def _contended(
     )
 
 
+def outlier_absorbed(doc: dict) -> float | None:
+    """Seconds the outlier re-run pass (bench.py, r13) absorbed on a
+    side, from either the flattened stdout key or the detail-file
+    stamp. Totals are methodologically asymmetric when one side
+    absorbed and the other predates the pass (r12 vs r13: ~4.1 s of
+    the headline delta was absorption, not code) — VERDICT r13 #7:
+    every total-vs-total claim must quote this number."""
+    v = doc.get("outlier_absorbed_sec")
+    if isinstance(v, (int, float)):
+        return v
+    st = doc.get("outlier_reruns")
+    if isinstance(st, dict) and isinstance(
+        st.get("absorbed_sec"), (int, float)
+    ):
+        return st["absorbed_sec"]
+    detail = doc.get("detail_file")
+    if detail and doc.get("__dir__"):
+        p = os.path.join(doc["__dir__"], detail)
+        if os.path.exists(p):
+            try:
+                with open(p) as fh:
+                    sub = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            sub.pop("detail_file", None)  # no recursion
+            sub.pop("__dir__", None)
+            return outlier_absorbed(sub)
+    return None
+
+
 def compare(old: dict, new: dict) -> dict:
     calib = None
     if old.get("calib_sec") and new.get("calib_sec"):
@@ -225,6 +255,11 @@ def compare(old: dict, new: dict) -> dict:
         "calib_drift_new": d_new,
         "calib_anchor_old": a_old,
         "calib_anchor_new": a_new,
+        # Outlier-rerun absorption per side (None = side predates the
+        # pass or absorbed nothing): subtract mentally before reading
+        # raw_ratio — absorption is methodology, not code.
+        "outlier_absorbed_old": outlier_absorbed(old),
+        "outlier_absorbed_new": outlier_absorbed(new),
     }
     adjudicable = out["norm_ratio"] is not None
     old_hot = _contended(s_old, d_old, a_old)
