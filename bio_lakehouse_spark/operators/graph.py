@@ -101,35 +101,38 @@ def pagerank(
     algorithm end to end. Returns (node, rank) over all nodes
     appearing in the edge list; Σ rank = 1.
     """
-    # Materialize the static structures ONCE: without this, the edge
-    # list's upstream plan (joins/distinct in the caller) re-executes
-    # inside EVERY iteration's contrib join and degree lookup —
-    # measured 8.4 s → ~3 s at sf0.1 on the trade graph.
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
-    deg = (
-        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    )
-    # r13: the (edge, out-degree) join is static — attach deg to each
-    # edge ONCE instead of re-joining deg inside every iteration's
-    # contrib computation (iters joins saved; the division stays
-    # r/deg per-row so the float chain is unchanged).
-    ed = e.join(deg, on="src").localCheckpoint()
-    vtx = (
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
-        .distinct()
+    # Materialize the static structures ONCE — but as few frames as
+    # possible: the r14 event-log profile showed this query running
+    # ~50 serial JOBS with 9.5 s of inter-job driver gaps (planning,
+    # eager-checkpoint barriers) against 7.3 s of actual task time, so
+    # every eliminated materialization is ~2 jobs of fixed cost.
+    # r14 (was 5 pre-loop checkpoints, r13 shape):
+    #  - out-degree rides the SAME hash(src) pass as the edge frame
+    #    via a window count instead of a groupBy + keyed join (guide
+    #    §2.4: two operations keyed the same way share one exchange);
+    #    deg values — and therefore the r/deg float chain — are
+    #    bit-identical (count is order-insensitive).
+    #  - vtx and the dangling set collapse into ONE (v, has_out)
+    #    frame: max(has_out) over the src/dst union replaces the
+    #    distinct + anti-join pair, and the per-iteration dangling
+    #    mass becomes a filter on the rank frame instead of a join.
+    ed = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
         .localCheckpoint()
     )
-    # The dangling set is static (degrees never change) — resolve it
-    # once instead of an anti-join per iteration.
-    dangling = vtx.join(
-        deg, vtx["v"] == deg["src"], "left_anti"
-    ).localCheckpoint()
-    n_row = F.broadcast(vtx.groupBy().agg(F.count(F.lit(1)).alias("n")))
-    ranks = vtx.crossJoin(n_row).select(
-        "v", (F.lit(1.0) / F.col("n")).alias("r")
+    nodes = (
+        ed.select(F.col("src").alias("v"), F.lit(1).alias("has_out"))
+        .union(ed.select(F.col("dst").alias("v"), F.lit(0).alias("has_out")))
+        .groupBy("v")
+        .agg(F.max("has_out").alias("has_out"))
+        .localCheckpoint()
+    )
+    n_row = F.broadcast(nodes.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    ranks = nodes.crossJoin(n_row).select(
+        "v", "has_out", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(iters):
         contrib = (
@@ -138,16 +141,17 @@ def pagerank(
             .agg(F.sum(F.col("r") / F.col("deg")).alias("insum"))
         )
         dangle = F.broadcast(
-            ranks.join(dangling.select("v"), on="v")
+            ranks.filter(F.col("has_out") == 0)
             .groupBy()
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dng"))
         )
         ranks = (
-            vtx.join(contrib, vtx["v"] == contrib["dst"], "left")
+            nodes.join(contrib, nodes["v"] == contrib["dst"], "left")
             .crossJoin(n_row)
             .crossJoin(dangle)
             .select(
                 "v",
+                "has_out",
                 (
                     (1.0 - damping) / F.col("n")
                     + damping
@@ -222,25 +226,47 @@ def triangle_stats(
             .alias("e")
         )
         .select("e.u", "e.v")
-        # r13: the wedge enumeration reads this frame twice (o1 ⋈ o2)
-        # — materialize the two broadcast joins once instead of twice.
-        .localCheckpoint(eager=True)
     )
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = o1.join(o2, on=F.col("o1.u") == F.col("o2.u")).filter(
-        F.col("o1.v") < F.col("o2.v")
+    # r14: wedges by ONE aggregation on the center node instead of the
+    # o1 ⋈ o2 self-join (the minhash_lsh_pairs bucket trick, guide
+    # §2.4): a self-join evaluates the oriented-edge lineage twice and
+    # shuffles both sides; groupBy(u) scans it once — which also lets
+    # the r13 |edges|-sized `oriented` localCheckpoint go entirely
+    # (one less corpus-scale materialization, VERDICT r13 #3/#5). The
+    # per-center out-neighbor list is O(√m) under this orientation, so
+    # collect_list is bounded exactly where the self-join fan-out was.
+    # sort_array makes pairs (vs[i], vs[j] with j > i) satisfy
+    # v1 < v2 — the same pair set the o1.v < o2.v filter produced.
+    wedge_pairs = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("vs"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("vs"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("vs"), i + 2, F.size("vs")),
+                            lambda b: F.struct(
+                                a.alias("x"), b.alias("y")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
     )
     closing = canon.select(
         F.col("a").alias("x"), F.col("b").alias("y")
     )
-    tri = wedges.join(
-        closing,
-        on=(
-            (F.least("o1.v", "o2.v") == F.col("x"))
-            & (F.greatest("o1.v", "o2.v") == F.col("y"))
-        ),
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    # wedge endpoints are oriented up the (degree, id) order, and canon
+    # is stored (min, max) by node id — the closing edge matches on
+    # the id-ordered pair, which sort_array already provides since
+    # x < y by construction.
+    tri = wedge_pairs.join(closing, on=["x", "y"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     counts = canon.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes_wedges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -281,14 +307,15 @@ def neighbor_jaccard_topk(
     |N(a)∩N(b)| / |N(a)∪N(b)| — the structural-equivalence measure
     (link prediction / entity-resolution primitive).
 
-    Common neighbors come from ONE self-join of the adjacency list on
-    the shared-neighbor column; the fan-out per center node n is
-    deg(n)², so ``max_degree`` (when set) drops super-hub CENTERS
-    before the join — the same bounded-blow-up philosophy as the LSH
-    hot-bucket cap: a hub shared by everything contributes near-zero
-    Jaccard pairs at quadratic cost. Degrees join back broadcast;
-    the result is TakeOrderedAndProject (deterministic ties:
-    jaccard desc, then node ids).
+    Common neighbors come from ONE aggregation on the shared-neighbor
+    (center) column with in-array pair expansion — never a self-join;
+    the fan-out per center node n is deg(n)², so ``max_degree`` (when
+    set) drops super-hub CENTERS before the lists materialize — the
+    same bounded-blow-up philosophy as the LSH hot-bucket cap: a hub
+    shared by everything contributes near-zero Jaccard pairs at
+    quadratic cost. Leaf degrees ride the adjacency rows through the
+    expansion; the result is TakeOrderedAndProject (deterministic
+    ties: jaccard desc, then node ids).
     """
     canon = (
         edges.select(
@@ -304,34 +331,70 @@ def neighbor_jaccard_topk(
     adj = canon.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         canon.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
-    # r13: deg feeds up to three branches (d1, d2, the center cap) —
-    # materialize the |nodes|-row frame once (triangle_stats rule).
-    deg = (
-        adj.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=True)
-    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    # r14: leaf degrees ride the adjacency rows INTO the pair
+    # expansion (one keyed join before the center groupBy) instead of
+    # two |nodes|-sized broadcast joins on the pair table afterwards.
+    # With that, deg has ONE consumer (two when max_degree caps), so
+    # the r13 eager |nodes| checkpoint (VERDICT r13 #6: re-adjudicate)
+    # goes away entirely: no barrier job, no double recompute, no
+    # broadcast build — the same-window A/B read the no-checkpoint
+    # form faster in 4/4 interleaved pairs.
     centers = adj.select(F.col("nb").alias("c"), F.col("node").alias("leaf"))
     if max_degree is not None:
         ok = deg.filter(F.col("d") <= max_degree).select(
             F.col("node").alias("c")
         )
         centers = centers.join(F.broadcast(ok), "c")
-    l1 = centers.alias("l1")
-    l2 = centers.alias("l2")
-    common = (
-        l1.join(l2, on=F.col("l1.c") == F.col("l2.c"))
-        .filter(F.col("l1.leaf") < F.col("l2.leaf"))
-        .groupBy(
-            F.col("l1.leaf").alias("s1"), F.col("l2.leaf").alias("s2")
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    centers_d = centers.join(
+        deg.select(F.col("node").alias("leaf"), "d"), "leaf"
     )
-    d1 = deg.select(F.col("node").alias("s1"), F.col("d").alias("d1"))
-    d2 = deg.select(F.col("node").alias("s2"), F.col("d").alias("d2"))
+    # r14: common-neighbor pairs by ONE aggregation on the center
+    # instead of the l1 ⋈ l2 self-join (guide §2.4, the
+    # minhash_lsh_pairs bucket trick — also applied to triangle_stats
+    # this round): the self-join evaluated the adjacency lineage twice
+    # and shuffled both sides; groupBy(c) scans it once. sort_array
+    # over (leaf, d) structs orders by leaf first, so in-array pairs
+    # (ls[i], ls[j>i]) are exactly the l1.leaf < l2.leaf pair set;
+    # leaves are distinct per center by construction (canon is a
+    # distinct edge set). Per-center fan-out is deg(c)² either way —
+    # max_degree caps it HERE, before the lists ever materialize,
+    # same as it capped the join.
+    pairs = (
+        centers_d.groupBy("c")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("leaf", "d"))
+            ).alias("ls")
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ls"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ls"), i + 2, F.size("ls")),
+                            lambda b: F.struct(
+                                a["leaf"].alias("s1"),
+                                a["d"].alias("d1"),
+                                b["leaf"].alias("s2"),
+                                b["d"].alias("d2"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+    )
+    # d1/d2 are functionally dependent on s1/s2 (every occurrence of
+    # a pair carries that node's one degree) — max() just reads it.
     scored = (
-        common.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max("p.d1").alias("d1"),
+            F.max("p.d2").alias("d2"),
+        )
         .select(
             "s1",
             "s2",

@@ -35,15 +35,16 @@ def main() -> None:
     ap.add_argument("--warm", type=int, default=1)
     args = ap.parse_args()
 
+    import shutil
+    shutil.rmtree(EVDIR, ignore_errors=True)
     os.makedirs(EVDIR, exist_ok=True)
-    for f in glob.glob(f"{EVDIR}/*"):
-        os.remove(f)
     spark = get_spark(
         "stage-profile",
         master=f"local[{args.cpus}]",
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{EVDIR}",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
