@@ -1756,23 +1756,21 @@ FROM feat
     survey=("F6", "F7", "A11", "J6", "P5"),
     oracle=_curation_full_oracle(),
 )
-def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE training-data curation chain as one per-document
-    verdict frame over the training slice (doc_id ≥ 20; doc_id < 20
-    is the held-out eval set, the decontamination convention): exact-
-    dup demotion (keeper = min doc_id per normalized fingerprint) →
-    NEAR-dup demotion (a smaller-id neighbor at shingle-Jaccard ≥ 0.5
-    exists, candidates from the production MinHash-LSH path whose
-    pair set matches the oracle's brute-force scan — the
-    dedup_minhash_lsh recall argument verbatim) → heuristic quality
-    gate → langid agreement → eval 5-gram decontamination, composed
-    into keep + reject_reasons. This is the integration query a
-    pipeline actually runs nightly; every stage is individually
-    certified elsewhere, and this certifies their composition.
-
-    Scale: one fingerprint window exchange, the LSH band exchange,
-    one broadcast eval-gram join, scan-level quality/langid — no
-    stage exceeds the shapes of its standalone operator."""
+def _curation_verdicts(
+    spark: SparkSession, sf_dir: str, carry_source_tok: bool = False
+) -> DataFrame:
+    """Shared curation verdict frame (VERDICT r13 #1): the cheap
+    per-document SCALAR features — exact-dup fingerprint, quality
+    gate, langid agreement, and (for the summary) source + token
+    count — are computed in ONE projection over `documents` (longs,
+    one md5 string, bools: no text, no arrays), so the fingerprint
+    window and the summary's accounting ride the same scan instead of
+    the summary re-scanning the corpus for source/n_tok and joining
+    back. Only the LSH candidate branch and the 5-gram
+    decontamination branch still scan `documents` — their array-heavy
+    intermediates are exactly what the r13 measurement said must NOT
+    be materialized, and this frame is not materialized either (one
+    consumer; the carried columns ARE the sharing)."""
     from pyspark.sql import Window
 
     from bio_lakehouse_spark.operators.dedup import (
@@ -1785,12 +1783,29 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") >= 20)
     evalset = docs.filter(F.col("doc_id") < 20)
     m = quality_metrics("text")
-    w = Window.partitionBy(fingerprint_exact("text"))
-    base = train.select(
+    extra = (
+        [F.col("source"), F.size(words("text")).alias("n_tok")]
+        if carry_source_tok
+        else []
+    )
+    # One consumer (the fingerprint window below) — deliberately NOT
+    # materialized: the A/B read an eager checkpoint here as a pure
+    # barrier (summary 4.19 → 4.95 s), because the sharing comes from
+    # CARRYING source/n_tok through this select, not from caching it.
+    scalars = train.select(
         "doc_id",
-        (F.min("doc_id").over(w) != F.col("doc_id")).alias("is_dup"),
+        fingerprint_exact("text").alias("__fp"),
         (R6(m["quality_score"]) >= 0.7).alias("quality_ok"),
         (predicted_lang(words("text")) == F.col("lang")).alias("lang_ok"),
+        *extra,
+    )
+    w = Window.partitionBy("__fp")
+    base = scalars.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.col("doc_id")).alias("is_dup"),
+        "quality_ok",
+        "lang_ok",
+        *([c for c in ("source", "n_tok")] if carry_source_tok else []),
     )
     near = (
         minhash_lsh_pairs(train, "doc_id", "text", n=3, threshold=0.5)
@@ -1814,6 +1829,7 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_ok",
             "lang_ok",
             F.coalesce("__ct", F.lit(False)).alias("contaminated"),
+            *([c for c in ("source", "n_tok")] if carry_source_tok else []),
         )
     )
     reasons = F.array_join(
@@ -1844,7 +1860,29 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("contaminated")
         ).alias("keep"),
         reasons.alias("reject_reasons"),
+        *([c for c in ("source", "n_tok")] if carry_source_tok else []),
     )
+
+
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data curation chain as one per-document
+    verdict frame over the training slice (doc_id ≥ 20; doc_id < 20
+    is the held-out eval set, the decontamination convention): exact-
+    dup demotion (keeper = min doc_id per normalized fingerprint) →
+    NEAR-dup demotion (a smaller-id neighbor at shingle-Jaccard ≥ 0.5
+    exists, candidates from the production MinHash-LSH path whose
+    pair set matches the oracle's brute-force scan — the
+    dedup_minhash_lsh recall argument verbatim) → heuristic quality
+    gate → langid agreement → eval 5-gram decontamination, composed
+    into keep + reject_reasons. This is the integration query a
+    pipeline actually runs nightly; every stage is individually
+    certified elsewhere, and this certifies their composition.
+
+    Scale: one scalar-feature pass + fingerprint window exchange, the
+    LSH band exchange, one broadcast eval-gram join — no stage
+    exceeds the shapes of its standalone operator
+    (see _curation_verdicts for the r14 shared-scan structure)."""
+    return _curation_verdicts(spark, sf_dir)
 
 
 @register(
@@ -1876,12 +1914,13 @@ def curation_summary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline nobody can debug); at 100 TB this is the tiny aggregate
     that feeds the mixture planner and the drop-rate alarms. One
     extra groupBy over the verdict frame; gate flags are counted
-    independently (a doc can trip several)."""
-    verdicts = curation_pipeline_full(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(words("text")).alias("n_tok")
-    )
-    v = verdicts.join(docs, "doc_id")
+    independently (a doc can trip several).
+
+    r14: source and n_tok ride the shared scalar-feature frame
+    (_curation_verdicts) instead of a second full scan of
+    `documents` + a keyed join back — two fewer corpus scans, one
+    fewer join."""
+    v = _curation_verdicts(spark, sf_dir, carry_source_tok=True)
     return v.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count_if(F.col("keep")).alias("n_kept"),
